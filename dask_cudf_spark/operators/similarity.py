@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (SURVEY.md §2.12).
+
+- cosine_topk: exact brute-force top-k — the correctness baseline.
+  Query side must be small (broadcast); corpus side streams.  Dot
+  products are pure SQL lambdas (zip_with + aggregate), JVM-side.
+- lsh_bucket_topk: random-hyperplane LSH (SimHash for vectors) — the
+  scale path: candidates only within matching buckets, then exact
+  re-rank.  Deterministic projections derived from a seed so results
+  are reproducible.
+
+At 100 TB the corpus is partitioned; brute force is O(Q x N) dot
+products with no shuffle (broadcast queries), LSH cuts N to a bucket.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a, b):
+    """Dot product of two array<numeric> columns in double precision.
+    Left-fold aggregate — deterministic summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a, b):
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries must be small: it is broadcast, so the plan is a
+    BroadcastNestedLoopJoin over the corpus — a single scan, no shuffle
+    of the corpus, then a per-query top-k window."""
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    ).join(F.broadcast(q), F.col("neighbor_id") != F.col("__qid"))
+    scored = scored.withColumn(
+        "cosine", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6)
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signature -> join on bucket
+    -> exact cosine re-rank within bucket.
+
+    Recall/cost dial = n_planes (more planes -> smaller buckets -> lower
+    recall, less work).  Candidates shuffle only on the bucket id."""
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def signature(vec):
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(p) for p in plane]),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                F.lit(1 << i),
+            ).otherwise(F.lit(0))
+            for i, plane in enumerate(planes)
+        ]
+        sig = F.lit(0)
+        for b in bits:
+            sig = sig + b
+        return sig.cast("long")
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        signature(F.col(vec_col)).alias("__bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+        signature(F.col(vec_col)).alias("__bucket"),
+    )
+    scored = c.join(F.broadcast(q), on="__bucket").filter(
+        F.col("neighbor_id") != F.col("__qid")
+    )
+    scored = scored.withColumn(
+        "cosine", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6)
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-label mean vector via posexplode -> groupBy(label, dim) — the
+    shuffle is on (label, dim), never materializing per-label vector
+    lists.  Output: one row per (label, dim) — the scalable layout."""
+    exploded = df.select(
+        F.col(label_col).alias("label"), F.posexplode(vec_col).alias("dim", "v")
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.round(F.avg(F.col("v").cast("double")), round_dp).alias("centroid_v"),
+        F.count("*").alias("n_vecs"),
+    )

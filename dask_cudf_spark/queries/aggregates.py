@@ -1,0 +1,456 @@
+"""Aggregation family (SURVEY.md §2.4).
+
+Reference: dask_cudf's partial->tree-combine->final groupby pipeline
+(upstream: python/dask_cudf/dask_cudf/groupby.py, groupby_agg) over cudf
+hash groupby (cpp/src/groupby/hash/).  Spark's partial/final
+HashAggregate is the same algorithm built-in; every query here should
+plan as HashAggregate(partial) -> Exchange -> HashAggregate(final) with
+map-side combine — verified in tests/test_plans.py.
+
+Float discipline: see functions/det.py (scaled-integer sums).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.det import (
+    avg_from_cents,
+    scaled_int,
+    scaled_sum,
+    sql_avg_from_cents,
+    sql_scaled_sum,
+)
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "q_groupby_sum",
+    family="aggregate",
+    oracle=f"""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+            {sql_scaled_sum("l_extendedprice", 100)} AS sum_base_price,
+            {sql_scaled_sum("l_extendedprice * (1 - l_discount)", 10000)} AS sum_disc_price,
+            {sql_scaled_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 1000000)} AS sum_charge,
+            (CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*)) AS avg_qty,
+            {sql_avg_from_cents("l_extendedprice")} AS avg_price,
+            {sql_avg_from_cents("l_discount")} AS avg_disc,
+            COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped pricing summary — scan+filter+multi-agg
+    (reference groupby.agg with sum/mean/count; upstream groupby.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("double").alias("sum_qty"),
+            scaled_sum("l_extendedprice", 100).alias("sum_base_price"),
+            scaled_sum(disc_price, 10000).alias("sum_disc_price"),
+            scaled_sum(charge, 1000000).alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast("long")).cast("double") / F.count("*")).alias(
+                "avg_qty"
+            ),
+            avg_from_cents("l_extendedprice").alias("avg_price"),
+            avg_from_cents("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_groupby_mean",
+    family="aggregate",
+    oracle=f"""
+        SELECT
+            c_mktsegment,
+            {sql_avg_from_cents("c_acctbal")} AS avg_bal,
+            COUNT(*) AS n_cust
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+)
+def q_groupby_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean via sum/count recombine (reference groupby.py _finalize_gb_agg)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        avg_from_cents("c_acctbal").alias("avg_bal"),
+        F.count("*").alias("n_cust"),
+    )
+
+
+@register(
+    "q_groupby_std",
+    family="aggregate",
+    oracle="""
+        SELECT
+            l_returnflag,
+            ROUND(stddev_samp(l_quantity), 6) AS std_qty,
+            ROUND(var_samp(l_quantity), 6) AS var_qty,
+            ROUND(var_pop(l_quantity), 6) AS var_qty_pop
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def q_groupby_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """var/std with ddof recombine (reference groupby.py _var_agg; ddof=1
+    pandas default = _samp, ddof=0 = _pop).  Rounded 6dp: variance
+    recombination order differs across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.var_pop("l_quantity"), 6).alias("var_qty_pop"),
+    )
+
+
+@register(
+    "q_groupby_multi",
+    family="aggregate",
+    oracle=f"""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            MIN(l_quantity) AS min_qty,
+            MAX(l_quantity) AS max_qty,
+            COUNT(*) AS n_rows,
+            COUNT(DISTINCT l_partkey) AS n_parts,
+            {sql_scaled_sum("l_extendedprice", 100)} AS sum_price,
+            MIN(l_shipdate) AS first_ship,
+            MAX(l_shipdate) AS last_ship
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key multi-agg dict form (reference
+    groupby(keys).agg({col: [fns]}); upstream CudfDataFrameGroupBy.aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        scaled_sum("l_extendedprice", 100).alias("sum_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@register(
+    "q_groupby_nunique",
+    family="aggregate",
+    oracle="""
+        SELECT
+            o_orderpriority,
+            COUNT(DISTINCT o_custkey) AS n_cust,
+            COUNT(DISTINCT o_orderstatus) AS n_status
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def q_groupby_nunique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nunique per group (reference groupby.nunique via drop_duplicates
+    partials) — Spark plans expand + two-phase distinct aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderstatus").alias("n_status"),
+    )
+
+
+@register(
+    "q_groupby_collect",
+    family="aggregate",
+    oracle="""
+        SELECT
+            l_orderkey,
+            array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
+            COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_orderkey <= 200
+        GROUP BY l_orderkey
+    """,
+)
+def q_groupby_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect-list agg (reference cudf 'collect'); array_sort + join for
+    a deterministic, hashable representation."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("l_linenumber")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("line_numbers"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "q_groupby_minmaxby",
+    family="aggregate",
+    oracle="""
+        SELECT
+            o_orderpriority,
+            min_by(o_orderkey, o_totalprice) AS cheapest_order,
+            max_by(o_orderkey, o_totalprice) AS priciest_order,
+            MIN(o_totalprice) AS min_price,
+            MAX(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def q_groupby_minmaxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """idxmin/idxmax (reference cudf argmin/argmax aggs) as min_by/max_by
+    — also the deterministic stand-in for first/last (SURVEY §5.3)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "q_reduce_stats",
+    family="aggregate",
+    oracle=f"""
+        SELECT
+            COUNT(*) AS n_rows,
+            CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS total_qty,
+            MIN(l_extendedprice) AS min_price,
+            MAX(l_extendedprice) AS max_price,
+            {sql_avg_from_cents("l_extendedprice")} AS avg_price,
+            COUNT(DISTINCT l_suppkey) AS n_supp
+        FROM lineitem
+    """,
+)
+def q_reduce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-frame reductions (reference dask tree reductions: df.sum()
+    etc.) — single global aggregate, partial combine per partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).cast("double").alias("total_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        avg_from_cents("l_extendedprice").alias("avg_price"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+
+
+@register(
+    "q_value_counts",
+    family="aggregate",
+    oracle="""
+        SELECT event_type, COUNT(*) AS count
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def q_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value_counts (reference cudf/dask idiom groupby-size sort desc)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count("*").alias("count")).orderBy(
+        F.desc("count"), "event_type"
+    )
+
+
+@register(
+    "q_distinct",
+    family="aggregate",
+    oracle="""
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_duplicates (reference cpp/src/stream_compaction/distinct.cu;
+    dask tree version) — Spark plans it as a grouping aggregate."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()
+
+
+@register(
+    "q_drop_dup_keep_first",
+    family="aggregate",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate
+        FROM (
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    """,
+)
+def q_drop_dup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_duplicates(subset=, keep='first') with a defined order —
+    the window row_number idiom (SURVEY §2.4)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+@register(
+    "q_groupby_quantile",
+    family="aggregate",
+    oracle="""
+        SELECT
+            l_returnflag,
+            quantile_cont(l_quantity, 0.5) AS qty_median,
+            quantile_cont(l_quantity, 0.9) AS qty_p90
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def q_groupby_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentile per group (reference cudf groupby
+    quantile, cpp/src/groupby/sort/group_quantiles.cu).  Spark
+    `percentile` and DuckDB `quantile_cont` both linear-interpolate;
+    l_quantity is integral so midpoints are exact binary fractions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("qty_median"),
+        F.expr("percentile(l_quantity, 0.9)").alias("qty_p90"),
+    )
+
+
+@register(
+    "q_approx_quantile",
+    family="aggregate",
+    oracle=None,  # sketch-based: engine-specific (SURVEY §5.3) -> rows-only
+)
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (reference dask percentile / cudf
+    approx) via percentile_approx — the 100TB-scale path (single-pass
+    mergeable sketch, no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_median_approx"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("price_p99_approx"),
+    )
+
+
+@register(
+    "q_approx_nunique",
+    family="aggregate",
+    oracle=None,  # HyperLogLog estimate: engine-specific -> rows-only
+)
+def q_approx_nunique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nunique_approx (reference dask HyperLogLog) -> approx_count_distinct.
+    The scale path for distinct counting: mergeable sketch, no shuffle of
+    distinct values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("n_parts_approx")
+    )
+
+
+@register(
+    "q_corr_cov",
+    family="aggregate",
+    oracle="""
+        SELECT
+            ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+            ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov
+        FROM lineitem
+    """,
+)
+def q_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson corr / sample covariance (reference cudf
+    reductions + dask recombine).  Rounded: recombination order differs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_cov"),
+    )
+
+
+@register(
+    "q_cube_rollup",
+    family="aggregate",
+    oracle="""
+        SELECT
+            COALESCE(l_returnflag, 'ALL') AS returnflag,
+            COALESCE(l_linestatus, 'ALL') AS linestatus,
+            COUNT(*) AS n_rows,
+            CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — absent in the reference (pandas model);
+    free upside in our engine (SURVEY §2.4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).cast("double").alias("sum_qty"),
+    ).select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "n_rows",
+        "sum_qty",
+    )
+
+
+@register(
+    "q_udaf_grouped",
+    family="udf",
+    oracle=f"""
+        SELECT
+            l_returnflag,
+            {sql_scaled_sum("l_extendedprice * (1 - l_discount)", 10000)} AS revenue,
+            COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby.apply(udf) (reference dask groupby apply -> one partition
+    per group) as applyInPandas.  Inside the UDF we sum scaled int64 —
+    exact, so this *is* oracle-checkable despite being a Python UDF.
+    Scale note: Arrow-batched; each group must fit in executor memory —
+    fine for bounded group counts, use built-in aggs otherwise."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        scaled_int(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+        ).alias("rev_scaled"),
+    )
+
+    def agg_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "revenue": [float(pdf["rev_scaled"].sum()) / 10000.0],
+                "n_rows": [len(pdf)],
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        agg_group, schema="l_returnflag string, revenue double, n_rows bigint"
+    )

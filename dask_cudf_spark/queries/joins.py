@@ -1,0 +1,308 @@
+"""Join family (SURVEY.md §2.3).
+
+Reference: dask merge -> shuffle hash join / broadcast join selection
+(upstream: dask_cudf/core.py DataFrame.merge over cpp/src/join/*).
+Spark-first: declare the join, let Catalyst+AQE pick broadcast vs
+shuffle; we force `F.broadcast` only where the dim side is known-small
+(nation/region/supplier — broadcast-sized at every SF, FIXTURES.md).
+
+Scale notes per query in docstrings; plans asserted in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.det import scaled_sum, sql_scaled_sum
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "q_join_inner",
+    family="join",
+    oracle=f"""
+        SELECT
+            c_mktsegment,
+            {sql_scaled_sum("l_extendedprice * (1 - l_discount)", 10000)} AS revenue,
+            COUNT(*) AS n_lines
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join lineitem⋈orders⋈customer + agg (reference shuffle hash
+    join; upstream dd.merge -> hash_join).  At scale: lineitem⋈orders
+    shuffles on orderkey (both huge); customer side broadcasts under
+    AQE.  Revenue uses scaled-int sums (det.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            scaled_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_join_broadcast",
+    family="join",
+    oracle="""
+        SELECT n_name, r_name, COUNT(*) AS n_cust
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_name, r_name
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim joins (reference broadcast_join: small side
+    replicated to every partition).  Explicit F.broadcast — the plan
+    must show BroadcastHashJoin, zero shuffle of the fact side."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.count("*").alias("n_cust"))
+    )
+
+
+@register(
+    "q_join_left",
+    family="join",
+    oracle="""
+        SELECT
+            c.c_custkey,
+            c.c_name,
+            COALESCE(o.n_orders, 0) AS n_orders,
+            COALESCE(o.total_spent, 0.0) AS total_spent
+        FROM customer c
+        LEFT JOIN (
+            SELECT o_custkey,
+                   COUNT(*) AS n_orders,
+                   (SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0) AS total_spent
+            FROM orders GROUP BY o_custkey
+        ) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null-fill (reference merge(how='left') +
+    fillna).  Aggregate-before-join keeps the shuffle small at scale
+    (pre-aggregation pushdown a human would write; Catalyst won't)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            scaled_sum("o_totalprice", 100).alias("total_spent"),
+        )
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
+    )
+
+
+@register(
+    "q_join_outer",
+    family="join",
+    oracle="""
+        SELECT
+            COALESCE(a.k, b.k) AS k,
+            a.n_f AS n_f,
+            b.n_o AS n_o
+        FROM (SELECT o_custkey AS k, COUNT(*) AS n_f FROM orders
+              WHERE o_orderstatus = 'F' GROUP BY o_custkey) a
+        FULL OUTER JOIN
+             (SELECT o_custkey AS k, COUNT(*) AS n_o FROM orders
+              WHERE o_orderstatus = 'O' GROUP BY o_custkey) b
+        ON a.k = b.k
+    """,
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join + coalesce — the reference's combine_first/align
+    idiom (SURVEY §2.7)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_f"))
+    )
+    b = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_o"))
+    )
+    return a.join(b, a.k == b.k, "full").select(
+        F.coalesce(a.k, b.k).alias("k"), "n_f", "n_o"
+    )
+
+
+@register(
+    "q_join_semi",
+    family="join",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 150000.0
+        )
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (reference cudf left_semi_join,
+    cpp/src/join/semi_join.cu): customers with >=1 big order.  Semi join
+    never duplicates left rows — cheaper than inner+distinct at scale."""
+    c = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000.0)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "q_join_anti",
+    family="join",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (reference cudf left_anti_join): customers with no
+    orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_cross",
+    family="join",
+    oracle="""
+        SELECT r_name, n_name
+        FROM region CROSS JOIN nation
+        WHERE r_regionkey <> n_regionkey
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (reference how='cross', cpp/src/join/cross_join.cu)
+    — only ever sane when one side is tiny; plan is BroadcastNestedLoop."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).filter(F.col("r_regionkey") != F.col("n_regionkey")).select(
+        "r_name", "n_name"
+    )
+
+
+@register(
+    "q_join_range",
+    family="join",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, p_partkey, p_size, l_quantity
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+                 AND l_quantity >= p_size - 2
+                 AND l_quantity <= p_size + 2
+        WHERE p_size <= 15
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi join + residual range condition (reference libcudf
+    mixed_join: equality + AST condition).  Spark plans the equi part as
+    the join key and evaluates the range as a post-join filter — the
+    right shape at scale (never a nested-loop over the fact table)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    return li.join(
+        p,
+        (li.l_partkey == p.p_partkey)
+        & (li.l_quantity >= p.p_size - 2)
+        & (li.l_quantity <= p.p_size + 2),
+    ).select("l_orderkey", "l_linenumber", "p_partkey", "p_size", "l_quantity")
+
+
+@register(
+    "q_join_theta",
+    family="join",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name, c.c_custkey
+        FROM supplier s
+        JOIN customer c
+          ON c.c_nationkey = s.s_nationkey AND c.c_acctbal > s.s_acctbal
+        WHERE s.s_acctbal > 0
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (theta) join on inequality (reference libcudf
+    conditional_join.cu — not even surfaced through dask-cudf's API;
+    we exceed the reference here).  Broadcast the 10-row supplier side:
+    BroadcastNestedLoop on the small side only."""
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+    c = load_table(spark, sf_dir, "customer")
+    return c.join(
+        F.broadcast(s),
+        (c.c_nationkey == s.s_nationkey) & (c.c_acctbal > s.s_acctbal),
+    ).select("s_suppkey", "s_name", "c_custkey")
+
+
+@register(
+    "q_join_asof",
+    family="join",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.ts, p.ts AS last_purchase_ts,
+               p.value AS last_purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') e
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (dask merge_asof — unsupported on the cudf backend;
+    we implement it, SURVEY §2.3).  Engine op: operators/asof.merge_asof
+    (union + last(ignorenulls) over window — one shuffle, no NLJ).
+    Oracle: DuckDB native ASOF JOIN."""
+    from ..operators.asof import merge_asof
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = merge_asof(
+        clicks,
+        purchases,
+        on="ts",
+        by="user_id",
+        right_value_cols=["ts", "value"],
+        suffix="last_purchase",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("last_purchase_ts"),
+        F.col("last_purchase_value"),
+    )

@@ -1,0 +1,331 @@
+"""Scans, projections, filters, scalar-function packs (SURVEY.md §2.1-2.2, 2.8).
+
+Plan-quality invariants (checked in tests/test_plans.py):
+- projections reach the parquet scan (ReadSchema lists only used cols)
+- predicates reach the scan (PushedFilters non-empty)
+- everything stays in WholeStageCodegen (no Python in the pipeline)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "q_scan_parquet",
+    family="scan",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    """,
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected + filtered parquet scan (reference read_parquet with
+    columns= and filters=; upstream: dask_cudf/io/parquet.py).  Both the
+    projection and the predicate must push into the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+@register(
+    "q_project_arith",
+    family="projection",
+    oracle="""
+        SELECT
+            l_orderkey,
+            l_linenumber,
+            l_extendedprice * (1 - l_discount) AS disc_price,
+            l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+            l_quantity * 2 + 1 AS qty_adj,
+            CAST(l_quantity AS BIGINT) % 7 AS qty_mod
+        FROM lineitem
+        WHERE l_orderkey <= 1000
+    """,
+)
+def q_project_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed-column projection (reference assign/withColumn).  Per-row
+    IEEE arithmetic written identically on both sides is deterministic —
+    no rounding needed (unlike aggregates, see functions/det.py)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        (
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("charge"),
+        (F.col("l_quantity") * 2 + 1).alias("qty_adj"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod"),
+    )
+
+
+@register(
+    "q_filter_pred",
+    family="filter",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE (o_orderstatus = 'F' OR o_totalprice > 100000.0)
+          AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND NOT (o_custkey % 10 = 3)
+    """,
+)
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound boolean-mask filter (reference df[(a|b) & c.isin(...)];
+    cudf apply_boolean_mask, upstream: cpp/src/stream_compaction/)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        ((F.col("o_orderstatus") == "F") | (F.col("o_totalprice") > 100000.0))
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & ~(F.col("o_custkey") % 10 == 3)
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "q_sql_query",
+    family="filter",
+    oracle="""
+        SELECT p_partkey, p_name, p_brand, p_size
+        FROM part
+        WHERE p_size > 20 AND p_type LIKE '%PROMO%' AND p_brand <> 'Brand#13'
+    """,
+)
+def q_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-predicate query (reference df.query('size > 20 and ...'),
+    cudf queryutils numba kernel) — Spark SQL string filter is the
+    strictly-more-general equivalent."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_brand, p_size
+        FROM part
+        WHERE p_size > 20 AND p_type LIKE '%PROMO%' AND p_brand <> 'Brand#13'
+        """
+    )
+
+
+@register(
+    "q_when_clip",
+    family="projection",
+    oracle="""
+        SELECT
+            c_custkey,
+            CASE WHEN c_acctbal < 0 THEN 'debt'
+                 WHEN c_acctbal < 5000 THEN 'low'
+                 ELSE 'high' END AS bal_band,
+            LEAST(GREATEST(c_acctbal, 0.0), 9000.0) AS bal_clipped,
+            COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_masked
+        FROM customer
+    """,
+)
+def q_when_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional replace / clip / mask (reference where/mask/clip;
+    upstream: cpp/src/copying/copy_if_else.cu)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.least(F.greatest(F.col("c_acctbal"), F.lit(0.0)), F.lit(9000.0)).alias(
+            "bal_clipped"
+        ),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")
+        ).alias("seg_masked"),
+    )
+
+
+@register(
+    "q_scalar_pack_str",
+    family="scalar",
+    oracle="""
+        SELECT
+            p_partkey,
+            LENGTH(p_name) AS name_len,
+            UPPER(p_brand) AS brand_upper,
+            LOWER(p_type) AS type_lower,
+            SUBSTRING(p_name, 1, 5) AS name_head,
+            CONCAT_WS('|', p_brand, p_type) AS brand_type,
+            REPLACE(p_type, ' ', '_') AS type_snake,
+            TRIM(p_name) AS name_trim,
+            LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+            CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS is_promo,
+            CASE WHEN regexp_matches(p_name, '^[a-z]+ ') THEN 1 ELSE 0 END AS starts_word,
+            regexp_replace(p_name, '[aeiou]', '*', 'g') AS name_devowel,
+            split_part(p_type, ' ', 1) AS type_first_word,
+            REVERSE(p_brand) AS brand_rev,
+            REPEAT('-', 3) AS dashes
+        FROM part
+    """,
+)
+def q_scalar_pack_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function pack (reference Series.str.* — upstream:
+    python/cudf/cudf/core/column/string.py over cpp/src/strings/)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.length("p_name").alias("name_len"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.trim("p_name").alias("name_trim"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.when(F.col("p_type").like("PROMO%"), 1).otherwise(0).alias("is_promo"),
+        F.when(F.col("p_name").rlike(r"^[a-z]+ "), 1).otherwise(0).alias("starts_word"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("name_devowel"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first_word"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.repeat(F.lit("-"), 3).alias("dashes"),
+    )
+
+
+@register(
+    "q_scalar_pack_date",
+    family="scalar",
+    oracle="""
+        SELECT
+            o_orderkey,
+            EXTRACT(year FROM o_orderdate) AS yr,
+            EXTRACT(month FROM o_orderdate) AS mo,
+            EXTRACT(day FROM o_orderdate) AS dy,
+            EXTRACT(quarter FROM o_orderdate) AS qtr,
+            EXTRACT(doy FROM o_orderdate) AS doy,
+            dayofweek(o_orderdate) + 1 AS dow,
+            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+            strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+            CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+            datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start
+        FROM orders
+        WHERE o_orderkey <= 500
+    """,
+)
+def q_scalar_pack_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime-function pack (reference Series.dt.*; upstream:
+    cpp/src/datetime/datetime_ops.cu).  Note dayofweek off-by-one:
+    Spark Sun=1 vs DuckDB Sun=0 — oracle adds 1."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dy"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+    )
+
+
+@register(
+    "q_scalar_pack_math",
+    family="scalar",
+    oracle="""
+        SELECT
+            l_orderkey,
+            l_linenumber,
+            ABS(l_extendedprice - 50000.0) AS price_dev,
+            FLOOR(l_quantity / 7) AS qty_div7,
+            CAST(CEIL(l_extendedprice / 1000) AS DOUBLE) AS price_kceil,
+            ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
+            ROUND(LN(l_quantity + 1), 6) AS qty_ln,
+            ROUND(LOG10(l_extendedprice), 6) AS price_log10,
+            POWER(l_quantity, 2) AS qty_sq,
+            CAST(l_quantity AS BIGINT) & 15 AS qty_and,
+            xor(CAST(l_quantity AS BIGINT), 5) AS qty_xor,
+            CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
+        FROM lineitem
+        WHERE l_orderkey <= 300
+    """,
+)
+def q_scalar_pack_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math/bitwise pack (reference unary/binary ops; upstream:
+    cpp/src/unary/math_ops.cu, cpp/src/binaryop/).  Transcendentals
+    (ln/log10) are rounded to 6dp — libm last-ulp may differ between
+    JVM and DuckDB; sqrt is IEEE-correctly-rounded so exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 300)
+    q, ep = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(ep - 50000.0).alias("price_dev"),
+        F.floor(q / 7).cast("double").alias("qty_div7"),
+        F.ceil(ep / 1000).cast("double").alias("price_kceil"),
+        F.round(F.sqrt(ep), 6).alias("price_sqrt"),
+        F.round(F.log(q + 1), 6).alias("qty_ln"),
+        F.round(F.log10(ep), 6).alias("price_log10"),
+        F.pow(q, 2).alias("qty_sq"),
+        q.cast("long").bitwiseAND(F.lit(15)).alias("qty_and"),
+        q.cast("long").bitwiseXOR(F.lit(5)).alias("qty_xor"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@register(
+    "q_dropna_fillna",
+    family="filter",
+    oracle="""
+        SELECT
+            c_custkey,
+            COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'UNKNOWN') AS seg_filled,
+            CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_pos
+        FROM customer
+        WHERE (CASE WHEN c_acctbal < -900 THEN NULL ELSE c_acctbal END) IS NOT NULL
+    """,
+)
+def q_dropna_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling pack (reference dropna/fillna/replace; upstream:
+    cpp/src/replace/).  Testdata has no nulls, so nulls are introduced
+    via NULLIF and then handled — exercises na.drop/na.fill paths."""
+    c = load_table(spark, sf_dir, "customer")
+    with_nulls = c.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_n"),
+        F.when(F.col("c_acctbal") < -900, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal_filtered"),
+        F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias("bal_pos"),
+    )
+    return (
+        with_nulls.na.drop(subset=["bal_filtered"])
+        .na.fill({"seg_n": "UNKNOWN"})
+        .select(
+            "c_custkey",
+            F.col("seg_n").alias("seg_filled"),
+            "bal_pos",
+        )
+    )
+
+
+@register(
+    "q_sample",
+    family="filter",
+    oracle=None,  # sampling is engine-specific randomness -> rows-only
+)
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sample (reference df.sample(frac=, random_state=)).
+    Seeded for reproducibility within Spark; no cross-engine oracle."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .sample(fraction=0.1, seed=42)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )

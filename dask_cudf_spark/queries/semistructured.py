@@ -1,0 +1,178 @@
+"""Semi-structured: JSON, arrays/lists, explode, struct (SURVEY.md §2.8, §2.10)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "q_json_extract",
+    family="semistructured",
+    oracle="""
+        SELECT
+            event_id,
+            json_extract_string(props, '$.k') AS k_str,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+        FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONPath field extraction on events.props (reference libcudf
+    get_json_object, cpp/src/json/json_path.cu)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_int"),
+    )
+
+
+@register(
+    "q_explode",
+    family="semistructured",
+    oracle="""
+        SELECT vec_id, u.pos AS pos, CAST(u.v AS DOUBLE) AS v
+        FROM (
+            SELECT vec_id,
+                   unnest(list_transform(range(1, len(embedding) + 1),
+                          i -> struct_pack(pos := i - 1, v := embedding[i]))) AS u
+            FROM embeddings WHERE vec_id < 20
+        )
+    """,
+)
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode of the embedding array (reference cudf explode,
+    cpp/src/lists/explode.cu).  Table-function: 1 row -> N rows."""
+    em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    return em.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", F.col("pos").cast("long").alias("pos"), F.col("v").cast("double").alias("v"))
+
+
+@register(
+    "q_array_pack",
+    family="semistructured",
+    oracle="""
+        SELECT
+            vec_id,
+            len(embedding) AS dim,
+            CAST(embedding[1] AS DOUBLE) AS first_v,
+            CAST(embedding[64] AS DOUBLE) AS last_v,
+            CAST(list_max(embedding) AS DOUBLE) AS max_v,
+            CAST(list_min(embedding) AS DOUBLE) AS min_v,
+            len(list_filter(embedding, x -> x > 0)) AS n_pos,
+            CAST(list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[1] AS DOUBLE) AS sorted_first,
+            CASE WHEN list_contains(list_transform(embedding, x -> x > 0.2), true)
+                 THEN 1 ELSE 0 END AS has_big
+        FROM embeddings
+        WHERE vec_id < 100
+    """,
+)
+def q_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List-function pack on embedding (reference Series.list.*,
+    cpp/src/lists/): size/get/min/max/filter/sort/contains."""
+    em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    e = F.col("embedding")
+    return em.select(
+        "vec_id",
+        F.size(e).cast("long").alias("dim"),
+        F.element_at(e, 1).cast("double").alias("first_v"),
+        F.element_at(e, 64).cast("double").alias("last_v"),
+        F.array_max(e).cast("double").alias("max_v"),
+        F.array_min(e).cast("double").alias("min_v"),
+        F.size(F.filter(e, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.element_at(F.array_sort(F.transform(e, lambda x: x.cast("double"))), 1).alias(
+            "sorted_first"
+        ),
+        F.when(F.exists(e, lambda x: x > 0.2), 1).otherwise(0).alias("has_big"),
+    )
+
+
+@register(
+    "q_struct_ops",
+    family="semistructured",
+    oracle="""
+        SELECT
+            o_orderkey,
+            struct_extract(s, 'custkey') AS custkey,
+            struct_extract(s, 'price') AS price
+        FROM (
+            SELECT o_orderkey,
+                   struct_pack(custkey := o_custkey, price := o_totalprice) AS s
+            FROM orders WHERE o_orderkey <= 400
+        )
+    """,
+)
+def q_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct pack/extract (reference Series.struct accessor) — build a
+    nested column then project fields back out."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_custkey").alias("custkey"), F.col("o_totalprice").alias("price")
+        ).alias("s"),
+    )
+    return nested.select(
+        "o_orderkey",
+        F.col("s.custkey").alias("custkey"),
+        F.col("s.price").alias("price"),
+    )
+
+
+@register(
+    "q_sequence_zip",
+    family="semistructured",
+    oracle="""
+        SELECT
+            n_nationkey,
+            array_to_string(list_transform(range(1, 4), x -> CAST(x * n_nationkey AS VARCHAR)), ',') AS multiples
+        FROM nation
+    """,
+)
+def q_sequence_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array generation + transform (reference sequence/take idioms) —
+    note DuckDB range(1,4) is end-exclusive = Spark sequence(1,3)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(3)),
+                lambda x: (x.cast("long") * F.col("n_nationkey").cast("long")).cast(
+                    "string"
+                ),
+            ),
+            ",",
+        ).alias("multiples"),
+    )
+
+
+@register(
+    "q_explode_udtf",
+    family="udf",
+    oracle="""
+        SELECT o_orderkey, u.part AS priority_word, u.pos AS word_idx
+        FROM (
+            SELECT o_orderkey,
+                   unnest(list_transform(range(1, len(string_split(o_orderpriority, '-')) + 1),
+                          i -> struct_pack(pos := i - 1,
+                                           part := string_split(o_orderpriority, '-')[i]))) AS u
+            FROM orders WHERE o_orderkey <= 200
+        )
+    """,
+)
+def q_explode_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split + posexplode as the table-function surface (reference
+    str.split(expand) + explode)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return o.select(
+        "o_orderkey",
+        F.posexplode(F.split("o_orderpriority", "-")).alias("word_idx", "priority_word"),
+    ).select(
+        "o_orderkey", "priority_word", F.col("word_idx").cast("long").alias("word_idx")
+    )

@@ -1,0 +1,99 @@
+"""Sorts / limits / top-k (SURVEY.md §2.6).
+
+Reference: sample->range-partition->local-sort (upstream:
+dask_cudf/sorting.py sort_values / quantile_divisions).  Spark's
+orderBy runs the identical algorithm (RangePartitioner reservoir
+sample); orderBy().limit(n) collapses to TakeOrderedAndProject — the
+same tree-reduced top-k as the reference's nlargest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "q_sort_global",
+    family="sort",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, o_orderdate, o_orderpriority
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+    """,
+)
+def q_sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global multi-key sort (reference sort_values(by=[...],
+    ascending=[...])).  Fully-keyed ordering so the row sequence is
+    deterministic on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q_topk",
+    family="sort",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nlargest(10, totalprice) (reference per-partition top-k tree
+    reduction) -> TakeOrderedAndProject.  o_orderkey tie-break keeps the
+    answer set deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_head_sorted",
+    family="sort",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        ORDER BY c_custkey
+        LIMIT 25
+    """,
+)
+def q_head_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """head(n) after set_index (reference head is only deterministic on a
+    sorted frame; we require the order explicitly)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.orderBy("c_custkey").limit(25).select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "q_repartition_sorted",
+    family="partitioning",
+    oracle="""
+        SELECT l_suppkey,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY l_suppkey
+    """,
+)
+def q_repartition_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """set_index analog: repartitionByRange + sortWithinPartitions then a
+    key-local aggregation (reference set_index -> divisions -> groupby on
+    index).  Values are unchanged by the physical re-layout — the oracle
+    checks exactly that."""
+    li = load_table(spark, sf_dir, "lineitem")
+    laid_out = li.repartitionByRange(8, "l_suppkey").sortWithinPartitions("l_suppkey")
+    return laid_out.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).cast("double").alias("sum_qty"),
+    )

@@ -1,0 +1,94 @@
+"""Batch twins of the streaming jobs (SURVEY.md §2.9, §7 phase 5).
+
+Each query runs the *same* transformation function as the streaming
+smoke test (dask_cudf_spark/streaming/jobs.py) on the batch events
+table, so the DuckDB oracle checks the streaming logic's semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..sources import load_table
+from ..streaming.jobs import session_agg, sliding_counts, tumbling_counts
+
+_V4 = "CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)"
+
+
+@register(
+    "q_stream_tumbling",
+    family="streaming",
+    oracle=f"""
+        SELECT
+            time_bucket(INTERVAL '1 day', ts) AS window_start,
+            time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
+            event_type,
+            COUNT(*) AS n_events,
+            (SUM({_V4}) / 10000.0) AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window per event_type (custreamz manual accumulation ->
+    F.window)."""
+    return tumbling_counts(load_table(spark, sf_dir, "events"), width="1 day")
+
+
+@register(
+    "q_stream_sliding",
+    family="streaming",
+    oracle="""
+        WITH shifted AS (
+            SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS window_start
+            FROM events, UNNEST([0, 1]) AS t(k)
+        )
+        SELECT
+            window_start,
+            window_start + INTERVAL '1 hour' AS window_end,
+            COUNT(*) AS n_events
+        FROM shifted
+        GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window 1h/30m: every event lands in exactly 2 windows; the
+    oracle materializes both bucket starts explicitly."""
+    return sliding_counts(
+        load_table(spark, sf_dir, "events"), width="1 hour", slide="30 minutes"
+    )
+
+
+@register(
+    "q_stream_session",
+    family="streaming",
+    oracle=f"""
+        WITH m AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m
+        )
+        SELECT
+            user_id,
+            MIN(ts) AS session_start,
+            MAX(ts) + INTERVAL '30 minutes' AS session_end,
+            COUNT(*) AS n_events,
+            (SUM({_V4}) / 10000.0) AS sum_value
+        FROM s
+        GROUP BY user_id, sid
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30m gap) per user; oracle is the gaps-and-islands
+    SQL with Spark's boundary semantics (gap >= 30m starts a new
+    session; session_end = last event + gap)."""
+    return session_agg(load_table(spark, sf_dir, "events"), gap="30 minutes")

@@ -1,0 +1,368 @@
+"""Text analysis & dedup queries on `documents` (SURVEY.md §2.8 nvtext,
+§2.12 LLM-pipeline ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+_EN_STOP_SQL = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'for', 'on', 'with']"
+
+
+@register(
+    "q_text_stats",
+    family="text",
+    oracle="""
+        SELECT
+            lang,
+            COUNT(*) AS n_docs,
+            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+            COUNT(DISTINCT source) AS n_sources,
+            MIN(n_chars) AS min_chars,
+            MAX(n_chars) AS max_chars
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup per language: token counts (nvtext token_count),
+    char stats (reference str.len + groupby agg)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("total_tokens"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "q_token_count",
+    family="text",
+    oracle="""
+        SELECT
+            doc_id,
+            len(string_split(text, ' ')) AS n_tokens,
+            len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+            LENGTH(text) AS n_chars_computed
+        FROM documents
+        WHERE doc_id < 200
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting (nvtext.token_count; BPE-ish regex
+    tokenization is the same expression with a different pattern)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+    )
+
+
+@register(
+    "q_quality_score",
+    family="text",
+    oracle=f"""
+        SELECT
+            doc_id,
+            LENGTH(text) AS n_chars,
+            len(string_split(text, ' ')) AS n_tokens,
+            CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                / len(string_split(text, ' ')) AS mean_token_len,
+            CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                / LENGTH(text) AS alpha_ratio,
+            CAST(len(list_filter(string_split(text, ' '),
+                                 t -> list_contains({_EN_STOP_SQL}, t))) AS DOUBLE)
+                / len(string_split(text, ' ')) AS stopword_ratio
+        FROM documents
+        WHERE doc_id < 300
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter signals (Gopher/C4-style): char/token counts, mean
+    token length, alpha ratio, stopword ratio.  All integer-ratio
+    divisions -> deterministic doubles."""
+    from ..functions.text import _EN_STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_tok
+        ).alias("mean_token_len"),
+        (
+            F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+            / F.length("text")
+        ).alias("alpha_ratio"),
+        (
+            F.size(
+                F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in _EN_STOPWORDS]))
+            ).cast("double")
+            / n_tok
+        ).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "q_hash_exact_dedup",
+    family="dedup",
+    oracle="""
+        SELECT
+            md5(text) AS fp,
+            COUNT(*) AS n_copies,
+            MIN(doc_id) AS keep_id
+        FROM documents
+        GROUP BY md5(text)
+    """,
+)
+def q_hash_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup grouping: one fingerprint per distinct content, the
+    kept id is the smallest (operators/dedup.exact_dedup applies the
+    row_number filter; here we expose the groups for the oracle)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("fp")).agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("keep_id"),
+    )
+
+
+@register(
+    "q_exact_dedup_rows",
+    family="dedup",
+    oracle="""
+        SELECT doc_id, lang, source
+        FROM (
+            SELECT doc_id, lang, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                       ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    """,
+)
+def q_exact_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving rows after normalized exact dedup
+    (operators/dedup.exact_dedup — hash -> keep min id)."""
+    from ..operators.dedup import exact_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id", normalize=True).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "q_jaccard",
+    family="dedup",
+    oracle="""
+        SELECT
+            a.doc_id AS id_a,
+            b.doc_id AS id_b,
+            CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                    list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
+            / len(list_distinct(list_concat(list_distinct(string_split(a.text, ' ')),
+                                            list_distinct(string_split(b.text, ' '))))) AS jaccard
+        FROM documents a
+        JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id < 250
+    """,
+)
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard on adjacent doc pairs (nvtext.jaccard_index).
+    Integer-size ratio -> deterministic double.  (DuckDB's jaccard() is
+    character-based — the oracle computes token-set overlap explicitly.)"""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")).filter(
+        F.col("id_a") < 250
+    )
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    ta = F.array_distinct(F.split("text_a", " "))
+    tb = F.array_distinct(F.split("text_b", " "))
+    return (
+        a.join(b, b.id_b == a.id_a + 1)
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect(ta, tb)).cast("double")
+                / F.size(F.array_union(ta, tb))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "q_edit_distance",
+    family="text",
+    oracle="""
+        SELECT
+            a.doc_id AS id_a,
+            b.doc_id AS id_b,
+            levenshtein(SUBSTRING(a.text, 1, 100), SUBSTRING(b.text, 1, 100)) AS edit_dist
+        FROM documents a
+        JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id < 150
+    """,
+)
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance (nvtext.edit_distance) on 100-char prefixes
+    of adjacent docs — bounded O(100^2) per pair."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")).filter(
+        F.col("id_a") < 150
+    )
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    return a.join(b, b.id_b == a.id_a + 1).select(
+        "id_a",
+        "id_b",
+        F.levenshtein(
+            F.substring("text_a", 1, 100), F.substring("text_b", 1, 100)
+        ).cast("long").alias("edit_dist"),
+    )
+
+
+@register(
+    "q_ngrams",
+    family="text",
+    oracle="""
+        SELECT
+            doc_id,
+            array_to_string(list_transform(range(1, GREATEST(len(string_split(text, ' ')) - 1, 0) + 1),
+                i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i + 1]), ',') AS bigrams
+        FROM documents
+        WHERE doc_id < 50
+    """,
+)
+def q_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word bigrams (nvtext.ngrams_tokenize) as a joined string for a
+    stable hash representation."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+                ),
+                lambda i: F.concat_ws(
+                    "_", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+            ",",
+        ).alias("bigrams"),
+    )
+
+
+@register(
+    "q_minhash_dedup",
+    family="dedup",
+    oracle=None,  # xxhash64 has no DuckDB twin -> rows-only (SURVEY §5.3)
+)
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH fuzzy dedup survivors (operators/dedup.near_dedup_minhash;
+    the NeMo-Curator-on-dask-cudf pattern).  The jaccard *verify* step is
+    oracle-checked separately via q_neardup_blocked."""
+    from ..operators.dedup import near_dedup_minhash
+
+    d = load_table(spark, sf_dir, "documents")
+    return near_dedup_minhash(
+        d, "text", "doc_id", threshold=0.8, num_hashes=16, bands=4, shingle=5
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "q_neardup_blocked",
+    family="dedup",
+    oracle="""
+        SELECT
+            a.doc_id AS id_a,
+            b.doc_id AS id_b,
+            CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                    list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
+            / len(list_distinct(list_concat(list_distinct(string_split(a.text, ' ')),
+                                            list_distinct(string_split(b.text, ' '))))) AS jaccard
+        FROM documents a
+        JOIN documents b
+          ON a.lang = b.lang AND a.source = b.source AND b.doc_id > a.doc_id
+        WHERE CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                      list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
+              / len(list_distinct(list_concat(list_distinct(string_split(a.text, ' ')),
+                                              list_distinct(string_split(b.text, ' '))))) >= 0.5
+    """,
+)
+def q_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact near-dup pairs: block on (lang, source) — the
+    deterministic ground-truth companion to LSH (verifies the verify
+    step end-to-end against the oracle)."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("source_a"),
+        F.col("text").alias("text_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("text").alias("text_b"),
+    )
+    ta = F.array_distinct(F.split("text_a", " "))
+    tb = F.array_distinct(F.split("text_b", " "))
+    jac = F.size(F.array_intersect(ta, tb)).cast("double") / F.size(
+        F.array_union(ta, tb)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("source_a") == F.col("source_b"))
+            & (F.col("id_b") > F.col("id_a")),
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register(
+    "q_simhash",
+    family="dedup",
+    oracle=None,  # xxhash64-based fingerprint: Spark-specific -> rows-only
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (functions/text.simhash64) — near-dups
+    differ in few bits; self-consistency checked in tests."""
+    from ..functions.text import simhash64
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select("doc_id", simhash64("text").alias("simhash"))
+
+
+@register(
+    "q_lang_id",
+    family="text",
+    oracle=None,  # heuristic classifier -> rows-only; accuracy vs `lang` tested
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (functions/text.lang_id_heuristic) next to
+    the ground-truth lang column."""
+    from ..functions.text import lang_id_heuristic
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id_heuristic("text").alias("lang_pred"))

@@ -1,0 +1,206 @@
+"""Window / rolling / cumulative / resample (SURVEY.md §2.5).
+
+Reference: pandas rolling via map_overlap ghost rows + cudf rolling
+kernels (upstream: cpp/src/rolling/).  Spark Window is a strict
+superset: one shuffle on the partition key, sort within partition, no
+ghost-row machinery needed.
+
+Float discipline: rolling/cumulative sums over `value` (4-decimal,
+FIXTURES.md) use scaled int64 so frame-order summation is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.det import scaled_int
+from ..registry import register
+from ..sources import load_table
+
+_V4 = "CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)"  # oracle-side scaled value
+
+
+@register(
+    "q_window_rolling",
+    family="window",
+    oracle=f"""
+        SELECT
+            event_id, user_id, ts,
+            (SUM({_V4}) OVER w / 10000.0) AS roll_sum_3,
+            COUNT(*) OVER w AS roll_n_3,
+            MAX(value) OVER w AS roll_max_3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling(3).sum/count/max per user (reference map_overlap + cudf
+    rolling_window)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.sum(scaled_int("value", 10000)).over(w) / 10000.0).alias("roll_sum_3"),
+        F.count("*").over(w).alias("roll_n_3"),
+        F.max("value").over(w).alias("roll_max_3"),
+    )
+
+
+@register(
+    "q_window_time_range",
+    family="window",
+    oracle="""
+        SELECT
+            event_id, user_id, ts,
+            COUNT(*) OVER w AS n_last_hour,
+            MIN(value) OVER w AS min_last_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based rolling('1h') (reference rolling('5min') on a datetime
+    index) -> rangeBetween over epoch seconds."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.min("value").over(w).alias("min_last_hour"),
+    )
+
+
+@register(
+    "q_window_lag",
+    family="window",
+    oracle="""
+        SELECT
+            event_id, user_id, ts,
+            LAG(value, 1) OVER w AS prev_value,
+            LEAD(value, 1) OVER w AS next_value,
+            value - LAG(value, 1) OVER w AS value_diff,
+            CAST(FLOOR(epoch(ts)) AS BIGINT)
+              - CAST(FLOOR(epoch(LAG(ts, 1) OVER w)) AS BIGINT) AS secs_since_prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shift/diff (reference cudf shift, cpp/src/copying/shift.cu)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        (F.col("value") - F.lag("value", 1).over(w)).alias("value_diff"),
+        (F.col("ts").cast("long") - F.lag(F.col("ts"), 1).over(w).cast("long")).alias(
+            "secs_since_prev"
+        ),
+    )
+
+
+@register(
+    "q_window_cumsum",
+    family="window",
+    oracle=f"""
+        SELECT
+            event_id, user_id, ts,
+            (SUM({_V4}) OVER w / 10000.0) AS cum_value,
+            COUNT(*) OVER w AS cum_n,
+            MAX(value) OVER w AS cum_max
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cumsum/cumcount/cummax per user (reference dask blockwise prefix +
+    carry; cudf scan kernels)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.sum(scaled_int("value", 10000)).over(w) / 10000.0).alias("cum_value"),
+        F.count("*").over(w).alias("cum_n"),
+        F.max("value").over(w).alias("cum_max"),
+    )
+
+
+@register(
+    "q_window_rank",
+    family="window",
+    oracle="""
+        SELECT
+            event_id, event_type, value,
+            RANK() OVER w AS rnk,
+            DENSE_RANK() OVER w AS drnk,
+            ROW_NUMBER() OVER w AS rn,
+            ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+            NTILE(4) OVER w AS quartile
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family (reference cudf rank, cpp/src/sorts/rank.cu)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "q_resample",
+    family="window",
+    oracle=f"""
+        SELECT
+            time_bucket(INTERVAL '1 day', ts) AS day,
+            COUNT(*) AS n_events,
+            (SUM({_V4}) / 10000.0) AS sum_value,
+            COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1
+    """,
+)
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resample('1D').agg (reference dask resample on datetime index) ->
+    date_trunc groupBy; also the batch twin of a tumbling stream window."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").alias("n_events"),
+        (F.sum(scaled_int("value", 10000)) / 10000.0).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

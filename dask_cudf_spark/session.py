@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the engine.
+
+Design notes (SURVEY.md §6): at small scale factors fixed overheads
+dominate, so we keep shuffle partitions low locally; at cluster scale
+AQE re-sizes post-shuffle partitions anyway, so these settings are safe
+defaults for both regimes.  Every knob below is a public Spark conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # Arrow for every Python<->JVM exchange (pandas_udf, toPandas, applyInPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # AQE: runtime partition coalescing, skew-join splitting, broadcast demotion.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic timestamps vs the DuckDB oracle (naive == UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # Broadcast threshold: dims (nation/region/supplier/customer/part) are
+    # broadcast-sized at every SF in testdata; on a real cluster AQE takes over.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # ANSI off: match the reference's permissive pandas-like arithmetic
+    # (overflow wraps, bad casts -> null) rather than erroring mid-pipeline.
+    "spark.sql.ansi.enabled": "false",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "8g",
+}
+
+
+def get_spark(
+    app_name: str = "dask_cudf_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``shuffle_partitions`` defaults to the local core count: right for
+    local[] testing; on a cluster pass a value sized to the data
+    (or rely on AQE coalescing from a high initial value).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(
+        shuffle_partitions if shuffle_partitions is not None else int(cpus)
+    )
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,37 @@
+"""Sources & sinks (SURVEY.md §2.1).
+
+The reference exposes read_parquet/read_csv/read_json/read_orc/read_text/
+read_avro plus to_parquet/to_orc/to_csv/to_json (upstream:
+python/dask_cudf/dask_cudf/io/*).  Spark's readers already implement the
+reference's partitioned-read semantics — row-group splitting, column
+projection, predicate pushdown, hive partition pruning — so these are thin,
+option-mapped wrappers that keep the reference's argument names.
+"""
+
+from .readers import (
+    read_avro,
+    read_csv,
+    read_json,
+    read_orc,
+    read_parquet,
+    read_text,
+)
+from .tables import TABLE_NAMES, load_table, load_tables, register_temp_views
+from .writers import to_csv, to_json, to_orc, to_parquet
+
+__all__ = [
+    "read_parquet",
+    "read_csv",
+    "read_json",
+    "read_orc",
+    "read_text",
+    "read_avro",
+    "to_parquet",
+    "to_orc",
+    "to_csv",
+    "to_json",
+    "TABLE_NAMES",
+    "load_table",
+    "load_tables",
+    "register_temp_views",
+]

@@ -1,0 +1,53 @@
+"""Named-table loading for the driver's testdata layout (TESTDATA.md)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Spark has no nanosecond timestamps (TIMESTAMP is µs); events.ts is
+# parquet TIMESTAMP(NANOS) (FIXTURES.md).  Read nanos as long, then
+# truncate to µs — exactly what DuckDB's TIMESTAMP_NS -> TIMESTAMP cast
+# does, so both engines see identical values.
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Plain parquet scan: vectorized reader,
+    column pruning and filter pushdown apply automatically downstream."""
+    # Timestamps must compare as naive UTC against the oracle even when
+    # the caller's session (e.g. the driver's) didn't set a timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set(_NANOS_CONF, "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose all tables as temp views so spark.sql() queries work."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

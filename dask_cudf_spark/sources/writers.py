@@ -1,0 +1,67 @@
+"""Sink wrappers (SURVEY.md §2.1 to_parquet/to_orc/to_csv/to_json).
+
+``partition_on`` (reference hive-style partitioned write) maps to Spark's
+``partitionBy``; at 100 TB add bucketing for join-heavy keys via
+``bucket_by=(n, cols)`` which writes a bucketed+sorted table — the
+persistent no-shuffle-join layout (SURVEY.md §2.3 sorted merge analog).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def _writer(
+    df: DataFrame,
+    mode: str,
+    partition_on: Sequence[str] | None,
+):
+    w = df.write.mode(mode)
+    if partition_on:
+        w = w.partitionBy(*partition_on)
+    return w
+
+
+def to_parquet(
+    df: DataFrame,
+    path: str,
+    partition_on: Sequence[str] | None = None,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+    bucket_by: tuple[int, Sequence[str]] | None = None,
+    sort_by: Sequence[str] | None = None,
+    table_name: str | None = None,
+) -> None:
+    if bucket_by:
+        n, cols = bucket_by
+        w = df.write.mode(mode).option("path", path).bucketBy(n, *cols)
+        if sort_by:
+            w = w.sortBy(*sort_by)
+        w.format("parquet").saveAsTable(table_name or path.rstrip("/").split("/")[-1])
+        return
+    _writer(df, mode, partition_on).option("compression", compression).parquet(path)
+
+
+def to_orc(
+    df: DataFrame,
+    path: str,
+    partition_on: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    _writer(df, mode, partition_on).orc(path)
+
+
+def to_csv(
+    df: DataFrame,
+    path: str,
+    sep: str = ",",
+    header: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    _writer(df, mode, None).option("sep", sep).option("header", header).csv(path)
+
+
+def to_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    _writer(df, mode, None).json(path)

@@ -1,0 +1,26 @@
+"""Structured Streaming (SURVEY.md §2.9).
+
+The reference family's streaming story (custreamz: Kafka micro-batches,
+processing-time only) is strictly upgraded here: event-time windows,
+watermarks, stateful dedup.  Design rule: every transformation is a
+plain DataFrame->DataFrame function that works on BOTH a batch frame
+(spark.read) and a stream (spark.readStream) — the batch twin is what
+the DuckDB oracle checks; the stream twin is smoke-tested with the
+file source + availableNow trigger (tests/test_streaming.py).
+"""
+
+from .jobs import (
+    events_stream,
+    session_agg,
+    sliding_counts,
+    stream_dedup,
+    tumbling_counts,
+)
+
+__all__ = [
+    "events_stream",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_agg",
+    "stream_dedup",
+]

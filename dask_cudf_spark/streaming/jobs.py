@@ -1,0 +1,96 @@
+"""Stream transformations usable on batch or streaming DataFrames.
+
+Watermarks are applied only when the input is streaming (they are
+meaningless on batch frames); everything else is identical code — the
+Dataflow-model guarantee that a stream over finite input converges to
+the batch answer is what tests/test_streaming.py asserts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.det import scaled_int
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events table (the local stand-in for
+    the reference's Kafka micro-batch source; swap for
+    readStream.format('kafka') in production)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(f"{sf_dir}/")  # dir contains events.parquet
+
+
+def _maybe_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    return df.withWatermark(ts_col, delay) if df.isStreaming else df
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 day") -> DataFrame:
+    """Tumbling event-time window per event_type."""
+    ev = _maybe_watermark(events, "ts", "1 hour")
+    return (
+        ev.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(scaled_int("value", 10000)) / 10000.0).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding event-time window (absent in the reference)."""
+    ev = _maybe_watermark(events, "ts", "1 hour")
+    return (
+        ev.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (absent in the reference): session ends
+    after `gap` of inactivity; end = last event + gap."""
+    ev = _maybe_watermark(events, "ts", "1 hour")
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(scaled_int("value", 10000)) / 10000.0).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, within: str = "1 hour") -> DataFrame:
+    """Stateful dedup on event_id (reference has none).  On a stream the
+    watermark bounds state; on batch it degrades to dropDuplicates."""
+    if events.isStreaming:
+        return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])

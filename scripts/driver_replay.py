@@ -1,0 +1,66 @@
+"""Replay the DRIVER's harness end-to-end: plain SparkSession built the
+way the driver would (local[32], shuffle=32, no engine-specific confs),
+import __spark_entry__, smoke entry() at sf0.001, then compare every
+queries() entry against oracle_sql() via DuckDB at sf0.01.
+
+Usage: python scripts/driver_replay.py [sf_dir]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# Driver-style session: default everything (the contract must not depend
+# on our session factory).
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.ui.enabled", "false")
+    .appName("driver-replay")
+    .getOrCreate()
+)
+
+print("== t1 smoke: entry(spark) ==")
+df = entrymod.entry(spark)
+rows = df.collect()
+print(f"entry -> {len(rows)} rows, schema: {df.schema.simpleString()}")
+assert len(rows) > 0
+
+qs = entrymod.queries()
+oracles = entrymod.oracle_sql()
+print(f"\n== t2: {len(qs)} queries, {len(oracles)} with oracle ==")
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+sys.path.insert(0, "/root/repo/tests")
+from oracle_compare import assert_frames_match  # noqa: E402
+
+failed = []
+for name, fn in sorted(qs.items()):
+    t0 = time.time()
+    try:
+        spdf = fn(spark, SF).toPandas()
+        if name in oracles:
+            ddf = con.execute(oracles[name]).fetchdf()
+            assert_frames_match(spdf, ddf, name)
+            status = f"MATCH  ({len(spdf)} rows)"
+        else:
+            status = f"rows-only ({len(spdf)} rows)"
+    except Exception as e:
+        status = f"FAIL: {str(e)[:200]}"
+        failed.append(name)
+    print(f"  {name:28s} {status}  [{time.time()-t0:.1f}s]")
+
+print(f"\n{'ALL OK' if not failed else 'FAILED: ' + ', '.join(failed)}")
+sys.exit(1 if failed else 0)

@@ -1,0 +1,43 @@
+"""Replay the driver's DuckDB-oracle gate locally at sf0.001 for every
+registered query (fast feedback; the driver runs sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dask_cudf_spark.registry import REGISTRY, _ensure_loaded
+
+from .conftest import SF_DIR
+from .oracle_compare import assert_frames_match
+
+_ensure_loaded()
+
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, duck, name):
+    spec = REGISTRY[name]
+    spark_pdf = spec.fn(spark, SF_DIR).toPandas()
+    duck_pdf = duck.execute(spec.oracle).fetchdf()
+    assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(spark, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()).issubset(set(e.queries()))

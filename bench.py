@@ -1,0 +1,85 @@
+"""Per-round benchmark (BASELINE.md protocol): headline queries at
+$SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per query: full execution forced via df.count() (no driver-collect
+skew), 1 warm-up of the flagship, median of 3 timed runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dask_cudf_spark.registry import all_queries
+from dask_cudf_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+
+# Headline set: one per heavy operator family (SURVEY.md §6).
+HEADLINE = [
+    "q_groupby_sum",        # scan+filter+multi-agg (flagship, TPC-H Q1 shape)
+    "q_groupby_nunique",    # distinct aggregation (expand + 2-phase)
+    "q_join_inner",         # star join fact⋈fact⋈dim + agg
+    "q_join_broadcast",     # broadcast dim joins
+    "q_join_asof",          # custom as-of operator (union + window)
+    "q_sort_global",        # range-partitioned global sort
+    "q_topk",               # TakeOrderedAndProject
+    "q_window_rolling",     # windowed rolling aggregates
+    "q_stream_session",     # session windows (stateful shape)
+    "q_resample",           # time-bucket aggregation
+    "q_hash_exact_dedup",   # content-hash dedup
+    "q_minhash_dedup",      # minhash LSH fuzzy dedup (end-to-end)
+    "q_cosine_sim",         # brute-force ANN top-k
+    "q_text_stats",         # text analytics rollup
+]
+
+
+def main() -> None:
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    # keep stdout clean: the one JSON line must not share the stream
+    # with Spark's console progress bar
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # Warm up JVM / parquet footers once (excluded from timing).
+    queries["q_groupby_sum"](spark, SF_DIR).count()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        times = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            times.append(time.perf_counter() - t0)
+        per_query[name] = round(statistics.median(times), 4)
+
+    total = round(sum(per_query.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_median_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -9,6 +9,19 @@ minhash LSH dedup, ANN search) are compositions of DataFrame ops in
 operator inventory.
 """
 
+from .frame import (
+    Col,
+    Frame,
+    concat,
+    from_dict,
+    from_pandas,
+    from_spark,
+    read_csv,
+    read_json,
+    read_orc,
+    read_parquet,
+    read_text,
+)
 from .registry import REGISTRY, all_oracles, all_queries, register
 from .session import get_spark
 from .sources import load_table, load_tables
@@ -23,4 +36,15 @@ __all__ = [
     "REGISTRY",
     "all_queries",
     "all_oracles",
+    "Frame",
+    "Col",
+    "read_parquet",
+    "read_csv",
+    "read_json",
+    "read_orc",
+    "read_text",
+    "from_pandas",
+    "from_dict",
+    "from_spark",
+    "concat",
 ]

@@ -1,0 +1,887 @@
+"""pandas/dask-cudf-style API facade over Spark DataFrames.
+
+This is the reference's user surface (upstream:
+python/dask_cudf/dask_cudf/core.py DataFrame/Series API) re-expressed
+as a thin wrapper over pyspark.sql.DataFrame: every method builds the
+same declarative plan a native PySpark user would write — the facade
+adds zero execution machinery, so Catalyst sees idiomatic plans
+(pushdown, pruning, broadcast selection all apply).
+
+Frame   ≙ dask_cudf.DataFrame   (partitioned cuDF frames + meta)
+Col     ≙ dask_cudf.Series / cudf column expression
+GroupBy ≙ CudfDataFrameGroupBy  (upstream: dask_cudf/groupby.py)
+
+Laziness matches the reference: everything is lazy until .compute() /
+.to_parquet() / .head().
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Mapping, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------- Col
+class Col:
+    """A lazy column expression (≙ dask_cudf.Series)."""
+
+    def __init__(self, expr: Column):
+        self._c = expr
+
+    # -- operators ----------------------------------------------------
+    def _bin(self, other, op) -> "Col":
+        o = other._c if isinstance(other, Col) else other
+        return Col(op(self._c, o))
+
+    def __add__(self, o):
+        return self._bin(o, lambda a, b: a + b)
+
+    def __radd__(self, o):
+        return self._bin(o, lambda a, b: b + a)
+
+    def __sub__(self, o):
+        return self._bin(o, lambda a, b: a - b)
+
+    def __rsub__(self, o):
+        return self._bin(o, lambda a, b: b - a)
+
+    def __mul__(self, o):
+        return self._bin(o, lambda a, b: a * b)
+
+    def __rmul__(self, o):
+        return self._bin(o, lambda a, b: b * a)
+
+    def __truediv__(self, o):
+        return self._bin(o, lambda a, b: a / b)
+
+    def __mod__(self, o):
+        return self._bin(o, lambda a, b: a % b)
+
+    def __floordiv__(self, o):
+        return self._bin(o, lambda a, b: F.floor(a / b))
+
+    def __pow__(self, o):
+        return self._bin(o, lambda a, b: F.pow(a, b))
+
+    def __neg__(self):
+        return Col(-self._c)
+
+    def __eq__(self, o):  # type: ignore[override]
+        return self._bin(o, lambda a, b: a == b)
+
+    def __ne__(self, o):  # type: ignore[override]
+        return self._bin(o, lambda a, b: a != b)
+
+    def __lt__(self, o):
+        return self._bin(o, lambda a, b: a < b)
+
+    def __le__(self, o):
+        return self._bin(o, lambda a, b: a <= b)
+
+    def __gt__(self, o):
+        return self._bin(o, lambda a, b: a > b)
+
+    def __ge__(self, o):
+        return self._bin(o, lambda a, b: a >= b)
+
+    def __and__(self, o):
+        return self._bin(o, lambda a, b: a & b)
+
+    def __or__(self, o):
+        return self._bin(o, lambda a, b: a | b)
+
+    def __invert__(self):
+        return Col(~self._c)
+
+    # -- pandas-style methods ------------------------------------------
+    def isin(self, values: Iterable[Any]) -> "Col":
+        return Col(self._c.isin(list(values)))
+
+    def between(self, lo, hi) -> "Col":
+        return Col(self._c.between(lo, hi))
+
+    def isna(self) -> "Col":
+        return Col(self._c.isNull())
+
+    def notna(self) -> "Col":
+        return Col(self._c.isNotNull())
+
+    def fillna(self, value) -> "Col":
+        return Col(F.coalesce(self._c, F.lit(value)))
+
+    def astype(self, dtype: str) -> "Col":
+        return Col(self._c.cast(_SPARK_DTYPES.get(dtype, dtype)))
+
+    def abs(self) -> "Col":
+        return Col(F.abs(self._c))
+
+    def round(self, decimals: int = 0) -> "Col":
+        return Col(F.round(self._c, decimals))
+
+    def clip(self, lower=None, upper=None) -> "Col":
+        c = self._c
+        if lower is not None:
+            c = F.greatest(c, F.lit(lower))
+        if upper is not None:
+            c = F.least(c, F.lit(upper))
+        return Col(c)
+
+    def where(self, cond: "Col", other=None) -> "Col":
+        return Col(F.when(cond._c, self._c).otherwise(other))
+
+    def alias(self, name: str) -> "Col":
+        return Col(self._c.alias(name))
+
+    # -- accessors ------------------------------------------------------
+    @property
+    def str(self) -> "StrAccessor":
+        return StrAccessor(self._c)
+
+    @property
+    def dt(self) -> "DtAccessor":
+        return DtAccessor(self._c)
+
+    @property
+    def list(self) -> "ListAccessor":
+        return ListAccessor(self._c)
+
+
+class StrAccessor:
+    """Series.str.* (upstream: cudf/core/column/string.py)."""
+
+    def __init__(self, c: Column):
+        self._c = c
+
+    def len(self):
+        return Col(F.length(self._c))
+
+    def lower(self):
+        return Col(F.lower(self._c))
+
+    def upper(self):
+        return Col(F.upper(self._c))
+
+    def capitalize(self):
+        return Col(F.initcap(self._c))
+
+    def strip(self, to_strip: str | None = None):
+        return Col(F.trim(self._c) if to_strip is None else F.btrim(self._c, F.lit(to_strip)))
+
+    def lstrip(self):
+        return Col(F.ltrim(self._c))
+
+    def rstrip(self):
+        return Col(F.rtrim(self._c))
+
+    def contains(self, pat: str, regex: bool = True):
+        return Col(self._c.rlike(pat) if regex else self._c.contains(pat))
+
+    def match(self, pat: str):
+        return Col(self._c.rlike(f"^{pat}"))
+
+    def startswith(self, s: str):
+        return Col(self._c.startswith(s))
+
+    def endswith(self, s: str):
+        return Col(self._c.endswith(s))
+
+    def find(self, sub: str):
+        return Col(F.instr(self._c, sub) - 1)  # pandas is 0-based, -1 if missing
+
+    def replace(self, pat: str, repl: str, regex: bool = True):
+        if regex:
+            return Col(F.regexp_replace(self._c, pat, repl))
+        return Col(F.replace(self._c, F.lit(pat), F.lit(repl)))
+
+    def slice(self, start: int = 0, stop: int | None = None):
+        length = (stop - start) if stop is not None else 2147483647
+        return Col(F.substring(self._c, start + 1, length))
+
+    def get(self, i: int):
+        return Col(F.substring(self._c, i + 1, 1))
+
+    def split(self, pat: str = r"\s+", regex: bool = True):
+        import re as _re
+
+        return Col(F.split(self._c, pat if regex else _re.escape(pat)))
+
+    def extract(self, pat: str, group: int = 1):
+        return Col(F.regexp_extract(self._c, pat, group))
+
+    def findall(self, pat: str):
+        return Col(F.regexp_extract_all(self._c, F.lit(pat)))
+
+    def count(self, pat: str):
+        return Col(F.regexp_count(self._c, F.lit(pat)))
+
+    def cat(self, others: "Col", sep: str = ""):
+        return Col(F.concat_ws(sep, self._c, others._c))
+
+    def pad(self, width: int, side: str = "left", fillchar: str = " "):
+        fn = F.lpad if side == "left" else F.rpad
+        return Col(fn(self._c, width, fillchar))
+
+    def zfill(self, width: int):
+        return Col(F.lpad(self._c, width, "0"))
+
+    def repeat(self, n: int):
+        return Col(F.repeat(self._c, n))
+
+    def title(self):
+        return Col(F.initcap(self._c))
+
+    def isdigit(self):
+        return Col(self._c.rlike(r"^[0-9]+$"))
+
+    def isalpha(self):
+        return Col(self._c.rlike(r"^[A-Za-z]+$"))
+
+    def isalnum(self):
+        return Col(self._c.rlike(r"^[A-Za-z0-9]+$"))
+
+    def isspace(self):
+        return Col(self._c.rlike(r"^\s+$"))
+
+    def isupper(self):
+        return Col(self._c == F.upper(self._c))
+
+    def islower(self):
+        return Col(self._c == F.lower(self._c))
+
+    def normalize_spaces(self):
+        return Col(F.regexp_replace(self._c, r"\s+", " "))
+
+    def translate(self, table: Mapping[str, str]):
+        src = "".join(table.keys())
+        dst = "".join(table.values())
+        return Col(F.translate(self._c, src, dst))
+
+
+class DtAccessor:
+    """Series.dt.* (upstream: cpp/src/datetime/datetime_ops.cu)."""
+
+    def __init__(self, c: Column):
+        self._c = c
+
+    @property
+    def year(self):
+        return Col(F.year(self._c))
+
+    @property
+    def month(self):
+        return Col(F.month(self._c))
+
+    @property
+    def day(self):
+        return Col(F.dayofmonth(self._c))
+
+    @property
+    def hour(self):
+        return Col(F.hour(self._c))
+
+    @property
+    def minute(self):
+        return Col(F.minute(self._c))
+
+    @property
+    def second(self):
+        return Col(F.second(self._c))
+
+    @property
+    def dayofweek(self):
+        # pandas: Monday=0..Sunday=6; Spark dayofweek: Sunday=1..Saturday=7
+        return Col((F.dayofweek(self._c) + 5) % 7)
+
+    weekday = dayofweek
+
+    @property
+    def dayofyear(self):
+        return Col(F.dayofyear(self._c))
+
+    @property
+    def quarter(self):
+        return Col(F.quarter(self._c))
+
+    @property
+    def is_month_start(self):
+        return Col(F.dayofmonth(self._c) == 1)
+
+    @property
+    def is_month_end(self):
+        return Col(self._c.cast("date") == F.last_day(self._c))
+
+    @property
+    def days_in_month(self):
+        return Col(F.dayofmonth(F.last_day(self._c)))
+
+    @property
+    def is_leap_year(self):
+        y = F.year(self._c)
+        return Col(((y % 4) == 0) & (((y % 100) != 0) | ((y % 400) == 0)))
+
+    def strftime(self, fmt: str):
+        # translate the common strftime directives to Spark's pattern
+        java = (
+            fmt.replace("%Y", "yyyy")
+            .replace("%m", "MM")
+            .replace("%d", "dd")
+            .replace("%H", "HH")
+            .replace("%M", "mm")
+            .replace("%S", "ss")
+        )
+        return Col(F.date_format(self._c, java))
+
+    def floor(self, freq: str):
+        return Col(F.date_trunc(_FREQ_TO_TRUNC[freq], self._c))
+
+    def round(self, freq: str):
+        secs = _FREQ_TO_SECONDS[freq]
+        rounded = F.round(self._c.cast("double") / secs) * secs
+        return Col(F.timestamp_seconds(rounded.cast("long")))
+
+
+class ListAccessor:
+    """Series.list.* (upstream: cpp/src/lists/)."""
+
+    def __init__(self, c: Column):
+        self._c = c
+
+    def len(self):
+        return Col(F.size(self._c))
+
+    def get(self, i: int):
+        # cudf list.get is 0-based; element_at is 1-based
+        return Col(F.element_at(self._c, i + 1))
+
+    def contains(self, v):
+        return Col(F.array_contains(self._c, v))
+
+    def unique(self):
+        return Col(F.array_distinct(self._c))
+
+    def sort_values(self):
+        return Col(F.array_sort(self._c))
+
+    def leaves(self):
+        return Col(F.flatten(self._c))
+
+    def index(self, v):
+        return Col(F.array_position(self._c, v) - 1)
+
+    def take(self, start: int, length: int):
+        return Col(F.slice(self._c, start + 1, length))
+
+
+_SPARK_DTYPES = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "uint32": "bigint",          # Spark has no unsigned -> widen (SURVEY §1)
+    "uint64": "decimal(20,0)",
+    "float32": "float",
+    "float64": "double",
+    "bool": "boolean",
+    "str": "string",
+    "object": "string",
+    "datetime64[ns]": "timestamp",
+    "datetime64[us]": "timestamp",
+}
+
+_FREQ_TO_TRUNC = {"D": "day", "H": "hour", "T": "minute", "min": "minute", "S": "second", "M": "month", "Y": "year", "W": "week"}
+_FREQ_TO_SECONDS = {"D": 86400, "H": 3600, "T": 60, "min": 60, "S": 1}
+
+_AGG_MAP: dict[str, Callable[[str], Column]] = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "size": F.count,
+    "mean": F.avg,
+    "avg": F.avg,
+    "std": F.stddev_samp,
+    "var": F.var_samp,
+    "nunique": F.countDistinct,
+    "collect": F.collect_list,
+    "list": F.collect_list,
+    "first": F.first,
+    "last": F.last,
+    "median": lambda c: F.expr(f"percentile({c}, 0.5)"),
+    "approx_nunique": F.approx_count_distinct,
+}
+
+
+# ------------------------------------------------------------------- Frame
+class Frame:
+    """Lazy distributed DataFrame (≙ dask_cudf.DataFrame)."""
+
+    def __init__(self, sdf: DataFrame):
+        self._sdf = sdf
+
+    # -- plumbing -------------------------------------------------------
+    @property
+    def spark(self) -> DataFrame:
+        """Escape hatch: the underlying pyspark DataFrame."""
+        return self._sdf
+
+    @property
+    def columns(self) -> list[str]:
+        return self._sdf.columns
+
+    @property
+    def dtypes(self) -> list[tuple[str, str]]:
+        return self._sdf.dtypes
+
+    def __getattr__(self, name: str) -> Col:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name in self._sdf.columns:
+            return Col(F.col(name))
+        raise AttributeError(f"no column {name!r}")
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return Col(F.col(key))
+        if isinstance(key, list):
+            return Frame(self._sdf.select(*key))
+        if isinstance(key, Col):  # boolean mask
+            return Frame(self._sdf.filter(key._c))
+        raise TypeError(f"cannot index Frame with {type(key)}")
+
+    def __setitem__(self, name: str, value) -> None:
+        v = value._c if isinstance(value, Col) else F.lit(value)
+        self._sdf = self._sdf.withColumn(name, v)
+
+    # -- projection / mutation -------------------------------------------
+    def assign(self, **kwargs) -> "Frame":
+        sdf = self._sdf
+        for name, v in kwargs.items():
+            sdf = sdf.withColumn(name, v._c if isinstance(v, Col) else F.lit(v))
+        return Frame(sdf)
+
+    def rename(self, columns: Mapping[str, str]) -> "Frame":
+        sdf = self._sdf
+        for old, new in columns.items():
+            sdf = sdf.withColumnRenamed(old, new)
+        return Frame(sdf)
+
+    def drop(self, columns: str | Sequence[str]) -> "Frame":
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        return Frame(self._sdf.drop(*cols))
+
+    def astype(self, dtypes: Mapping[str, str]) -> "Frame":
+        sdf = self._sdf
+        for c, t in dtypes.items():
+            sdf = sdf.withColumn(c, F.col(c).cast(_SPARK_DTYPES.get(t, t)))
+        return Frame(sdf)
+
+    def query(self, expr: str) -> "Frame":
+        """String predicate (reference df.query) — Spark SQL syntax."""
+        return Frame(self._sdf.filter(expr))
+
+    # -- null handling ----------------------------------------------------
+    def dropna(self, subset: Sequence[str] | None = None, how: str = "any") -> "Frame":
+        return Frame(self._sdf.na.drop(how=how, subset=subset))
+
+    def fillna(self, value) -> "Frame":
+        return Frame(self._sdf.na.fill(value))
+
+    def replace(self, to_replace, value) -> "Frame":
+        return Frame(self._sdf.na.replace(to_replace, value))
+
+    # -- relational --------------------------------------------------------
+    def merge(
+        self,
+        right: "Frame",
+        on: str | Sequence[str] | None = None,
+        how: str = "inner",
+        left_on: str | Sequence[str] | None = None,
+        right_on: str | Sequence[str] | None = None,
+        broadcast: bool = False,
+        suffixes: tuple[str, str] = ("_x", "_y"),
+    ) -> "Frame":
+        """merge (upstream: dask_cudf/core.py DataFrame.merge).  how maps
+        pandas names onto Spark join types; `broadcast=True` forces the
+        reference's broadcast_join path (otherwise AQE decides)."""
+        how_map = {
+            "inner": "inner",
+            "left": "left",
+            "right": "right",
+            "outer": "full",
+            "cross": "cross",
+            "leftsemi": "left_semi",
+            "leftanti": "left_anti",
+        }
+        rsdf = right._sdf
+        if broadcast:
+            rsdf = F.broadcast(rsdf)
+        if how == "cross":
+            return Frame(self._sdf.crossJoin(rsdf))
+        if on is not None:
+            keys = [on] if isinstance(on, str) else list(on)
+            # de-dup overlapping non-key columns with suffixes, pandas-style
+            overlap = (set(self._sdf.columns) & set(right._sdf.columns)) - set(keys)
+            left_sdf = self._sdf
+            for c in overlap:
+                left_sdf = left_sdf.withColumnRenamed(c, c + suffixes[0])
+                rsdf = rsdf.withColumnRenamed(c, c + suffixes[1])
+            return Frame(left_sdf.join(rsdf, on=keys, how=how_map[how]))
+        lk = [left_on] if isinstance(left_on, str) else list(left_on or [])
+        rk = [right_on] if isinstance(right_on, str) else list(right_on or [])
+        cond = None
+        for a, b in zip(lk, rk):
+            term = self._sdf[a] == rsdf[b]
+            cond = term if cond is None else (cond & term)
+        return Frame(self._sdf.join(rsdf, on=cond, how=how_map[how]))
+
+    def join(self, right: "Frame", on: str | Sequence[str], how: str = "left") -> "Frame":
+        return self.merge(right, on=on, how=how)
+
+    def merge_asof(
+        self, right: "Frame", on: str, by: str | None = None, **kwargs
+    ) -> "Frame":
+        from .operators.asof import merge_asof as _asof
+
+        return Frame(_asof(self._sdf, right._sdf, on=on, by=by, **kwargs))
+
+    # -- groupby -------------------------------------------------------------
+    def groupby(self, by: str | Sequence[str]) -> "GroupBy":
+        keys = [by] if isinstance(by, str) else list(by)
+        return GroupBy(self._sdf, keys)
+
+    # -- dedup / distinct ------------------------------------------------------
+    def drop_duplicates(
+        self, subset: Sequence[str] | None = None, keep: str = "any"
+    ) -> "Frame":
+        if keep == "any" or subset is None:
+            return Frame(
+                self._sdf.dropDuplicates(subset) if subset else self._sdf.distinct()
+            )
+        raise ValueError(
+            "keep='first'/'last' requires an explicit order; use "
+            "sort_values(...).drop_duplicates(subset) or the window idiom"
+        )
+
+    def nunique(self) -> dict[str, int]:
+        row = self._sdf.select(
+            *[F.countDistinct(c).alias(c) for c in self._sdf.columns]
+        ).collect()[0]
+        return row.asDict()
+
+    # -- sorts / limits ---------------------------------------------------------
+    def sort_values(
+        self,
+        by: str | Sequence[str],
+        ascending: bool | Sequence[bool] = True,
+        na_position: str = "last",
+    ) -> "Frame":
+        keys = [by] if isinstance(by, str) else list(by)
+        asc = [ascending] * len(keys) if isinstance(ascending, bool) else list(ascending)
+        cols = []
+        for k, a in zip(keys, asc):
+            if a:
+                cols.append(
+                    F.asc_nulls_last(k) if na_position == "last" else F.asc_nulls_first(k)
+                )
+            else:
+                cols.append(
+                    F.desc_nulls_last(k) if na_position == "last" else F.desc_nulls_first(k)
+                )
+        return Frame(self._sdf.orderBy(*cols))
+
+    def nlargest(self, n: int, columns: str | Sequence[str]) -> "Frame":
+        keys = [columns] if isinstance(columns, str) else list(columns)
+        return Frame(self._sdf.orderBy(*[F.desc(k) for k in keys]).limit(n))
+
+    def nsmallest(self, n: int, columns: str | Sequence[str]) -> "Frame":
+        keys = [columns] if isinstance(columns, str) else list(columns)
+        return Frame(self._sdf.orderBy(*[F.asc(k) for k in keys]).limit(n))
+
+    def head(self, n: int = 5) -> pd.DataFrame:
+        return self._sdf.limit(n).toPandas()
+
+    def sample(self, frac: float, random_state: int | None = None) -> "Frame":
+        return Frame(self._sdf.sample(fraction=frac, seed=random_state))
+
+    # -- reductions ---------------------------------------------------------------
+    def count(self) -> int:
+        return self._sdf.count()
+
+    def agg(self, spec: Mapping[str, str | Sequence[str]]) -> pd.DataFrame:
+        return self._sdf.agg(*_build_aggs(spec)).toPandas()
+
+    def describe(self) -> pd.DataFrame:
+        return self._sdf.summary().toPandas()
+
+    def value_counts(self, col: str) -> "Frame":
+        return Frame(
+            self._sdf.groupBy(col).agg(F.count("*").alias("count")).orderBy(
+                F.desc("count"), col
+            )
+        )
+
+    def quantile(self, col: str, q: float | Sequence[float], rel_err: float = 1e-4):
+        qs = [q] if isinstance(q, float) else list(q)
+        res = self._sdf.approxQuantile(col, qs, rel_err)
+        return res[0] if isinstance(q, float) else res
+
+    def corr(self, a: str, b: str) -> float:
+        return self._sdf.corr(a, b)
+
+    def cov(self, a: str, b: str) -> float:
+        return self._sdf.cov(a, b)
+
+    # -- UDF escape hatches (reference map_partitions / apply) ----------------------
+    def map_partitions(self, fn: Callable[[pd.DataFrame], pd.DataFrame], schema: str) -> "Frame":
+        """Arbitrary per-partition pandas function (the universal escape
+        hatch, ≙ dask map_partitions).  Arrow-batched; schema required
+        up-front exactly like the reference's `meta`."""
+
+        def gen(it):
+            for pdf in it:
+                yield fn(pdf)
+
+        return Frame(self._sdf.mapInPandas(gen, schema))
+
+    def apply_rows(self, fn: Callable[[pd.Series], Any], out_col: str, out_type: str) -> "Frame":
+        """Row-wise UDF (≙ cudf apply/numba UDF) as a vectorized pandas_udf."""
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(out_type)
+        def _udf(*cols: pd.Series) -> pd.Series:
+            df = pd.concat(cols, axis=1)
+            df.columns = self._sdf.columns[: len(cols)]
+            return df.apply(fn, axis=1)
+
+        return Frame(
+            self._sdf.withColumn(out_col, _udf(*[F.col(c) for c in self._sdf.columns]))
+        )
+
+    # -- physical layout (reference §2.11) ----------------------------------------
+    def repartition(self, npartitions: int, *cols: str) -> "Frame":
+        if cols:
+            return Frame(self._sdf.repartition(npartitions, *cols))
+        return Frame(self._sdf.repartition(npartitions))
+
+    def shuffle(self, on: str | Sequence[str], npartitions: int | None = None) -> "Frame":
+        keys = [on] if isinstance(on, str) else list(on)
+        n = npartitions or self._sdf.sparkSession.sparkContext.defaultParallelism
+        return Frame(self._sdf.repartition(n, *keys))
+
+    def set_index(self, col: str, npartitions: int | None = None) -> "Frame":
+        """Reference set_index ≙ range partition + sort within partitions
+        (divisions become Spark's range boundaries)."""
+        n = npartitions or self._sdf.sparkSession.sparkContext.defaultParallelism
+        return Frame(
+            self._sdf.repartitionByRange(n, col).sortWithinPartitions(col)
+        )
+
+    def persist(self) -> "Frame":
+        return Frame(self._sdf.cache())
+
+    @property
+    def npartitions(self) -> int:
+        return self._sdf.rdd.getNumPartitions()
+
+    # -- materialization --------------------------------------------------------
+    def compute(self) -> pd.DataFrame:
+        """≙ dask .compute(): gather to the client as pandas (Arrow path)."""
+        return self._sdf.toPandas()
+
+    def to_parquet(self, path: str, partition_on: Sequence[str] | None = None, **kw) -> None:
+        from .sources.writers import to_parquet as _tp
+
+        _tp(self._sdf, path, partition_on=partition_on, **kw)
+
+    def to_orc(self, path: str, **kw) -> None:
+        from .sources.writers import to_orc as _to
+
+        _to(self._sdf, path, **kw)
+
+    def to_csv(self, path: str, **kw) -> None:
+        from .sources.writers import to_csv as _tc
+
+        _tc(self._sdf, path, **kw)
+
+    def to_json(self, path: str, **kw) -> None:
+        from .sources.writers import to_json as _tj
+
+        _tj(self._sdf, path, **kw)
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._sdf.explain(mode)
+
+
+# ------------------------------------------------------------------ GroupBy
+class GroupBy:
+    """≙ CudfDataFrameGroupBy (upstream: dask_cudf/groupby.py).
+
+    agg() accepts the reference's dict form {col: fn | [fns]}; every agg
+    plans as Spark partial->final HashAggregate (the same
+    chunk/combine/aggregate tree the reference hand-builds)."""
+
+    def __init__(self, sdf: DataFrame, keys: list[str]):
+        self._sdf = sdf
+        self._keys = keys
+
+    def agg(self, spec: Mapping[str, str | Sequence[str]]) -> Frame:
+        return Frame(self._sdf.groupBy(*self._keys).agg(*_build_aggs(spec)))
+
+    aggregate = agg
+
+    def _simple(self, fn_name: str, numeric_cols: Sequence[str] | None = None) -> Frame:
+        cols = numeric_cols or [
+            c
+            for c, t in self._sdf.dtypes
+            if c not in self._keys
+            and t in ("bigint", "int", "double", "float", "smallint", "tinyint")
+        ]
+        return self.agg({c: fn_name for c in cols})
+
+    def sum(self, cols: Sequence[str] | None = None) -> Frame:
+        return self._simple("sum", cols)
+
+    def mean(self, cols: Sequence[str] | None = None) -> Frame:
+        return self._simple("mean", cols)
+
+    def min(self, cols: Sequence[str] | None = None) -> Frame:
+        return self._simple("min", cols)
+
+    def max(self, cols: Sequence[str] | None = None) -> Frame:
+        return self._simple("max", cols)
+
+    def std(self, cols: Sequence[str] | None = None) -> Frame:
+        return self._simple("std", cols)
+
+    def var(self, cols: Sequence[str] | None = None) -> Frame:
+        return self._simple("var", cols)
+
+    def count(self) -> Frame:
+        return Frame(
+            self._sdf.groupBy(*self._keys).agg(F.count("*").alias("count"))
+        )
+
+    size = count
+
+    def nunique(self, col: str) -> Frame:
+        return Frame(
+            self._sdf.groupBy(*self._keys).agg(
+                F.countDistinct(col).alias(f"{col}_nunique")
+            )
+        )
+
+    def apply(self, fn: Callable[[pd.DataFrame], pd.DataFrame], schema: str) -> Frame:
+        """≙ groupby.apply: whole group as pandas -> pandas (applyInPandas)."""
+        return Frame(self._sdf.groupBy(*self._keys).applyInPandas(fn, schema))
+
+    def rolling(self, window: int, order_by: str) -> "RollingGroupBy":
+        return RollingGroupBy(self._sdf, self._keys, window, order_by)
+
+    def shift(self, col: str, periods: int = 1, order_by: str | None = None) -> Frame:
+        w = Window.partitionBy(*self._keys).orderBy(order_by or self._keys[-1])
+        return Frame(
+            self._sdf.withColumn(f"{col}_shift", F.lag(col, periods).over(w))
+        )
+
+    def cumsum(self, col: str, order_by: str) -> Frame:
+        w = (
+            Window.partitionBy(*self._keys)
+            .orderBy(order_by)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return Frame(self._sdf.withColumn(f"{col}_cumsum", F.sum(col).over(w)))
+
+
+class RollingGroupBy:
+    """≙ df.groupby(k).rolling(n) (reference map_overlap + cudf rolling)."""
+
+    def __init__(self, sdf: DataFrame, keys: list[str], window: int, order_by: str):
+        self._sdf = sdf
+        self._keys = keys
+        self._w = (
+            Window.partitionBy(*keys)
+            .orderBy(order_by)
+            .rowsBetween(-(window - 1), Window.currentRow)
+        )
+
+    def _apply(self, col: str, fn, name: str) -> Frame:
+        return Frame(self._sdf.withColumn(name, fn(col).over(self._w)))
+
+    def sum(self, col: str) -> Frame:
+        return self._apply(col, F.sum, f"{col}_roll_sum")
+
+    def mean(self, col: str) -> Frame:
+        return self._apply(col, F.avg, f"{col}_roll_mean")
+
+    def min(self, col: str) -> Frame:
+        return self._apply(col, F.min, f"{col}_roll_min")
+
+    def max(self, col: str) -> Frame:
+        return self._apply(col, F.max, f"{col}_roll_max")
+
+    def count(self, col: str) -> Frame:
+        return self._apply(col, F.count, f"{col}_roll_count")
+
+
+def _build_aggs(spec: Mapping[str, str | Sequence[str]]) -> list[Column]:
+    out = []
+    for col, fns in spec.items():
+        for fn in [fns] if isinstance(fns, str) else fns:
+            agg = _AGG_MAP[fn]
+            out.append(agg(col).alias(f"{col}_{fn}" if not isinstance(fns, str) else col))
+    return out
+
+
+# ----------------------------------------------------------- module-level API
+def from_spark(sdf: DataFrame) -> Frame:
+    return Frame(sdf)
+
+
+def from_pandas(spark: SparkSession, pdf: pd.DataFrame) -> Frame:
+    """≙ dask_cudf.from_pandas / from_cudf."""
+    return Frame(spark.createDataFrame(pdf))
+
+
+def from_dict(spark: SparkSession, data: Mapping[str, Sequence[Any]]) -> Frame:
+    return from_pandas(spark, pd.DataFrame(data))
+
+
+def concat(frames: Sequence[Frame]) -> Frame:
+    """≙ dask_cudf.concat(axis=0): align by name, null-fill missing."""
+    out = frames[0]._sdf
+    for f in frames[1:]:
+        out = out.unionByName(f._sdf, allowMissingColumns=True)
+    return Frame(out)
+
+
+def read_parquet(spark: SparkSession, path: str, **kw) -> Frame:
+    from .sources.readers import read_parquet as _rp
+
+    return Frame(_rp(spark, path, **kw))
+
+
+def read_csv(spark: SparkSession, path: str, **kw) -> Frame:
+    from .sources.readers import read_csv as _rc
+
+    return Frame(_rc(spark, path, **kw))
+
+
+def read_json(spark: SparkSession, path: str, **kw) -> Frame:
+    from .sources.readers import read_json as _rj
+
+    return Frame(_rj(spark, path, **kw))
+
+
+def read_orc(spark: SparkSession, path: str, **kw) -> Frame:
+    from .sources.readers import read_orc as _ro
+
+    return Frame(_ro(spark, path, **kw))
+
+
+def read_text(spark: SparkSession, path: str, **kw) -> Frame:
+    from .sources.readers import read_text as _rt
+
+    return Frame(_rt(spark, path, **kw))

@@ -1,0 +1,229 @@
+"""Facade API parity vs pandas (the reference's own test strategy:
+oracle tests against pandas, SURVEY.md §5 — dd.assert_eq style)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from dask_cudf_spark import frame as dcs
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def pdf_customer():
+    return pd.read_parquet(f"{SF_DIR}/customer.parquet")
+
+
+@pytest.fixture(scope="module")
+def pdf_orders():
+    return pd.read_parquet(f"{SF_DIR}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def f_customer(spark):
+    return dcs.read_parquet(spark, f"{SF_DIR}/customer.parquet")
+
+
+@pytest.fixture(scope="module")
+def f_orders(spark):
+    return dcs.read_parquet(spark, f"{SF_DIR}/orders.parquet")
+
+
+def eq(got: pd.DataFrame, want: pd.DataFrame, sort_by=None, **kw):
+    if sort_by:
+        got = got.sort_values(sort_by).reset_index(drop=True)
+        want = want.sort_values(sort_by).reset_index(drop=True)
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, **kw)
+
+
+def test_mask_filter_assign(f_customer, pdf_customer):
+    got = (
+        f_customer[(f_customer.c_acctbal > 1000) & (f_customer.c_mktsegment == "BUILDING")]
+        .assign(bal_k=f_customer.c_acctbal / 1000.0)[["c_custkey", "bal_k"]]
+        .compute()
+    )
+    want = pdf_customer[
+        (pdf_customer.c_acctbal > 1000) & (pdf_customer.c_mktsegment == "BUILDING")
+    ].assign(bal_k=pdf_customer.c_acctbal / 1000.0)[["c_custkey", "bal_k"]]
+    eq(got, want, sort_by="c_custkey")
+
+
+def test_query_string(f_customer, pdf_customer):
+    got = f_customer.query("c_acctbal > 5000 and c_nationkey < 10").compute()
+    want = pdf_customer.query("c_acctbal > 5000 and c_nationkey < 10")
+    eq(got, want, sort_by="c_custkey")
+
+
+def test_merge_inner_suffixes(f_orders, f_customer, pdf_orders, pdf_customer):
+    got = (
+        f_orders.merge(
+            f_customer.rename({"c_custkey": "o_custkey"}), on="o_custkey", how="inner"
+        )[["o_orderkey", "c_name"]]
+        .compute()
+    )
+    want = pdf_orders.merge(
+        pdf_customer.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
+    )[["o_orderkey", "c_name"]]
+    eq(got, want, sort_by="o_orderkey")
+
+
+def test_merge_left_on_right_on(f_orders, f_customer, pdf_orders, pdf_customer):
+    got = f_orders.merge(
+        f_customer, left_on="o_custkey", right_on="c_custkey", how="left"
+    )[["o_orderkey", "c_name"]].compute()
+    want = pdf_orders.merge(
+        pdf_customer, left_on="o_custkey", right_on="c_custkey", how="left"
+    )[["o_orderkey", "c_name"]]
+    eq(got, want, sort_by="o_orderkey")
+
+
+def test_groupby_agg_dict(f_orders, pdf_orders):
+    got = (
+        f_orders.groupby("o_orderpriority")
+        .agg({"o_totalprice": ["min", "max", "count"]})
+        .compute()
+    )
+    want = (
+        pdf_orders.groupby("o_orderpriority")["o_totalprice"]
+        .agg(["min", "max", "count"])
+        .reset_index()
+        .rename(
+            columns={
+                "min": "o_totalprice_min",
+                "max": "o_totalprice_max",
+                "count": "o_totalprice_count",
+            }
+        )
+    )
+    eq(got, want, sort_by="o_orderpriority")
+
+
+def test_groupby_mean(f_customer, pdf_customer):
+    got = f_customer.groupby("c_mktsegment").mean(["c_acctbal"]).compute()
+    want = (
+        pdf_customer.groupby("c_mktsegment")["c_acctbal"].mean().reset_index()
+    ).rename(columns={"c_acctbal": "c_acctbal"})
+    eq(got, want, sort_by="c_mktsegment", check_exact=False)
+
+
+def test_sort_nlargest(f_orders, pdf_orders):
+    got = f_orders.nlargest(7, "o_totalprice").compute()
+    want = pdf_orders.nlargest(7, "o_totalprice")
+    eq(
+        got.reset_index(drop=True),
+        want.reset_index(drop=True),
+    )
+
+
+def test_str_accessor(f_customer, pdf_customer):
+    c = f_customer
+    got = c.assign(
+        up=c.c_mktsegment.str.lower(),
+        has=c.c_mktsegment.str.contains("BUILD", regex=False),
+        head3=c.c_mktsegment.str.slice(0, 3),
+        nlen=c.c_name.str.len(),
+    )[["c_custkey", "up", "has", "head3", "nlen"]].compute()
+    want = pdf_customer.assign(
+        up=pdf_customer.c_mktsegment.str.lower(),
+        has=pdf_customer.c_mktsegment.str.contains("BUILD", regex=False),
+        head3=pdf_customer.c_mktsegment.str.slice(0, 3),
+        nlen=pdf_customer.c_name.str.len(),
+    )[["c_custkey", "up", "has", "head3", "nlen"]]
+    eq(got, want, sort_by="c_custkey")
+
+
+def test_dt_accessor(f_orders, pdf_orders):
+    got = f_orders.assign(
+        yr=f_orders.o_orderdate.dt.year,
+        dow=f_orders.o_orderdate.dt.dayofweek,
+        q=f_orders.o_orderdate.dt.quarter,
+    )[["o_orderkey", "yr", "dow", "q"]].compute()
+    want = pdf_orders.assign(
+        yr=pdf_orders.o_orderdate.dt.year,
+        dow=pdf_orders.o_orderdate.dt.dayofweek,
+        q=pdf_orders.o_orderdate.dt.quarter,
+    )[["o_orderkey", "yr", "dow", "q"]]
+    eq(got, want, sort_by="o_orderkey")
+
+
+def test_drop_duplicates_value_counts(f_orders, pdf_orders):
+    got = f_orders[["o_orderstatus"]].drop_duplicates().compute()
+    want = pdf_orders[["o_orderstatus"]].drop_duplicates()
+    eq(got, want, sort_by="o_orderstatus")
+
+    got_vc = f_orders.value_counts("o_orderstatus").compute()
+    want_vc = (
+        pdf_orders["o_orderstatus"].value_counts().reset_index()
+    )
+    want_vc.columns = ["o_orderstatus", "count"]
+    eq(got_vc, want_vc, sort_by="o_orderstatus")
+
+
+def test_concat_missing_cols(spark):
+    a = dcs.from_dict(spark, {"x": [1, 2], "y": ["a", "b"]})
+    b = dcs.from_dict(spark, {"x": [3], "z": [9.0]})
+    got = dcs.concat([a, b]).compute()
+    assert sorted(got.columns) == ["x", "y", "z"]
+    assert len(got) == 3
+    assert got[got.x == 3]["y"].isna().all()
+
+
+def test_map_partitions(f_customer, pdf_customer):
+    got = f_customer.map_partitions(
+        lambda pdf: pdf.assign(doubled=pdf.c_acctbal * 2)[["c_custkey", "doubled"]],
+        schema="c_custkey bigint, doubled double",
+    ).compute()
+    want = pdf_customer.assign(doubled=pdf_customer.c_acctbal * 2)[
+        ["c_custkey", "doubled"]
+    ]
+    eq(got, want, sort_by="c_custkey")
+
+
+def test_groupby_apply(f_customer, pdf_customer):
+    def topbal(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.nlargest(1, "c_acctbal")[["c_mktsegment", "c_custkey"]]
+
+    got = f_customer.groupby("c_mktsegment").apply(
+        topbal, schema="c_mktsegment string, c_custkey bigint"
+    ).compute()
+    want = (
+        pdf_customer.groupby("c_mktsegment", group_keys=False)
+        .apply(topbal, include_groups=True)
+        .reset_index(drop=True)
+    )
+    eq(got, want, sort_by="c_mktsegment")
+
+
+def test_rolling(f_orders, pdf_orders):
+    got = (
+        f_orders.groupby("o_custkey")
+        .rolling(3, order_by="o_orderdate")
+        .sum("o_totalprice")[["o_orderkey", "o_totalprice_roll_sum"]]
+        .compute()
+    )
+    pdf = pdf_orders.sort_values(["o_custkey", "o_orderdate"])
+    want = pdf.assign(
+        o_totalprice_roll_sum=pdf.groupby("o_custkey")["o_totalprice"]
+        .rolling(3, min_periods=1)
+        .sum()
+        .reset_index(level=0, drop=True)
+    )[["o_orderkey", "o_totalprice_roll_sum"]]
+    eq(got, want, sort_by="o_orderkey", check_exact=False)
+
+
+def test_set_index_layout(f_orders):
+    laid = f_orders.set_index("o_custkey", npartitions=4)
+    assert laid.npartitions == 4
+    assert laid.count() == f_orders.count()
+
+
+def test_sink_roundtrip(tmp_path, f_customer):
+    out = str(tmp_path / "cust_out")
+    f_customer.to_parquet(out, partition_on=["c_mktsegment"])
+    back = pd.read_parquet(out)
+    assert len(back) == f_customer.count()
+    assert "c_mktsegment" in back.columns

@@ -46,19 +46,84 @@ def char_ngrams(col: Column | str, n: int = 5) -> Column:
     )
 
 
+_MERSENNE_P = (1 << 31) - 1  # permutation modulus (fits all arithmetic in long)
+
+
+def minhash_band_buckets(
+    col: Column | str, bands: int = 4, rows_per_band: int = 4, shingle: int = 5
+) -> Column:
+    """LSH band buckets directly: array<long> of `bands` bucket hashes.
+
+    The whole computation is ONE expression with the signature fold as
+    the direct input of the final transform, so the fold is evaluated
+    exactly once per row.  (Referencing a signature column k times lets
+    CollapseProject inline k copies — measured 4-16x slower; HOFs get no
+    codegen subexpression elimination.)
+
+    Accumulator shape: array<array<long>> = bands x rows_per_band mins;
+    final step hashes each band's slice (xxhash64 over array<long>).
+    """
+    sig = minhash_signature(col, num_hashes=bands * rows_per_band, shingle=shingle)
+    # let-binding trick: wrap the signature in a 1-element array and bind
+    # it as a lambda variable -> the `s` references inside are variable
+    # reads, and the expensive fold runs exactly once per row.
+    return F.element_at(
+        F.transform(
+            F.array(sig),
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.slice(s, b * rows_per_band + 1, rows_per_band)),
+            ),
+        ),
+        1,
+    )
+
+
+def _minhash_perm_constants(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signature(col: Column | str, num_hashes: int = 16, shingle: int = 5) -> Column:
     """nvtext.minhash: array of num_hashes min-hash values over character
-    shingles.  Seeded xxhash64 per permutation — all JVM-side; one pass.
+    shingles — all JVM-side, one pass.
+
+    Each shingle is hashed ONCE (xxhash64), then the k permutations are
+    affine maps h_i(x) = (a_i*x + b_i) mod p over the base hash — the
+    standard minhash trick; ~10x cheaper than re-hashing the string per
+    permutation and ANSI-safe (no 64-bit overflow: operands < 2^62).
 
     Scale note: signature is O(num_hashes) per row with no shuffle; the
     LSH banding that follows (operators/dedup.py) is where the shuffle is.
     """
-    shingles = F.array_distinct(char_ngrams(col, shingle))
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    base = F.transform(
+        F.array_distinct(char_ngrams(col, shingle)),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)),
+    )
+    consts = _minhash_perm_constants(num_hashes)
+    init = F.array(*[F.lit(_MERSENNE_P).cast("long")] * num_hashes)
+    # ONE fold over the shingle hashes updating all k mins at once.
+    # (k separate array_min(transform(...)) exprs would re-evaluate the
+    # shingling k times after CollapseProject inlining — measured 16x
+    # slower at sf0.1.)
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
+                    for a, b in consts
+                ]
+            ),
+            lambda x, y: F.least(x, y),
+        ),
     )
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import doc_fingerprint, minhash_signature, tokenize
+from ..functions.text import doc_fingerprint, minhash_band_buckets, tokenize
 
 
 def exact_dedup(
@@ -54,48 +54,40 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    # minhash_band_buckets is one self-contained expression -> the
+    # signature fold runs exactly once per row (see functions/text.py).
+    banded = df.select(
         F.col(id_col).alias("__id"),
-        minhash_signature(text_col, num_hashes=num_hashes, shingle=shingle).alias(
-            "__sig"
-        ),
-    )
-    banded = sig.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("__sig", b * rows_per_band + r + 1).cast(
-                                        "string"
-                                    )
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
+        F.posexplode(
+            minhash_band_buckets(
+                text_col, bands=bands, rows_per_band=rows_per_band, shingle=shingle
             )
-        ).alias("bb"),
-    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
-    # Cap pathological buckets (skew guard): at most cap_bucket ids pair up.
-    wb = Window.partitionBy("band", "bucket").orderBy("__id")
-    capped = banded.withColumn("__rn", F.row_number().over(wb)).filter(
-        F.col("__rn") <= cap_bucket
+        ).alias("band", "bucket"),
     )
-    a = capped.select("band", "bucket", F.col("__id").alias("id_a"))
-    b = capped.select("band", "bucket", F.col("__id").alias("id_b"))
+
+    # Pair generation inside each bucket via collect_list + nested
+    # transform: ONE shuffle (the groupBy), no self-join (a self-join
+    # would recompute the whole signature pipeline for both sides).
+    # slice(...) caps pathological buckets (skew guard): a degenerate
+    # bucket contributes at most cap_bucket^2/2 pairs, never O(n^2).
+    buckets = banded.groupBy("band", "bucket").agg(
+        F.slice(F.array_sort(F.collect_list("__id")), 1, cap_bucket).alias("ids")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size("ids")),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+    )
     return (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.filter(F.size("ids") > 1)
+        .select(pair.alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -125,18 +117,25 @@ def near_dedup_minhash(
     cands = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle=shingle
     )
-    docs = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    # tokenize ONCE per doc before the pair join (the projection stays
+    # below the join in the plan), not once per candidate pair
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(tokenize(text_col)).alias("__toks"),
+    )
     pairs = (
-        cands.join(docs.withColumnRenamed("__id", "id_a"), on="id_a")
-        .withColumnRenamed("__text", "text_a")
+        cands.join(
+            toks.select(F.col("__id").alias("id_a"), F.col("__toks").alias("toks_a")),
+            on="id_a",
+        )
         .join(
-            docs.withColumnRenamed("__id", "id_b").withColumnRenamed(
-                "__text", "text_b"
-            ),
+            toks.select(F.col("__id").alias("id_b"), F.col("__toks").alias("toks_b")),
             on="id_b",
         )
     )
-    verified = token_jaccard(pairs, "text_a", "text_b").filter(
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = F.size(F.array_union("toks_a", "toks_b")).cast("double")
+    verified = pairs.withColumn("jaccard", inter / union).filter(
         F.col("jaccard") >= threshold
     )
     # every verified dup (id_b side) maps to the smallest matching id_a

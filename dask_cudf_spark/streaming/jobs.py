@@ -20,11 +20,20 @@ def events_stream(
     """File-source stream over the events table (the local stand-in for
     the reference's Kafka micro-batch source; swap for
     readStream.format('kafka') in production)."""
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    reader = spark.readStream.schema(schema)
+    path = f"{sf_dir}/events.parquet"
+    # same ns->us normalization as sources.tables.load_table
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # the file source wants a directory; glob-filter to just the events file
+    reader = spark.readStream.schema(schema).option(
+        "pathGlobFilter", "events.parquet"
+    )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(f"{sf_dir}/")  # dir contains events.parquet
+    stream = reader.parquet(sf_dir)
+    if stream.schema["ts"].dataType.simpleString() == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream
 
 
 def _maybe_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:

@@ -1,0 +1,124 @@
+"""Plan-quality gates (SURVEY.md: 'explain the plan and iterate until
+it's the plan you'd want').  These assertions encode the 100TB-scale
+invariants: pushdown reaches the scan, dims broadcast, aggregation is
+partial->final, top-k never globally sorts, and the Python boundary
+stays out of JVM-only pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_cudf_spark.registry import REGISTRY, _ensure_loaded
+from dask_cudf_spark.sources import load_table
+
+from .conftest import SF_DIR
+
+_ensure_loaded()
+
+
+def plan(spark, name: str, mode: str = "formatted") -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def test_scan_pushdown(spark):
+    p = plan(spark, "q_scan_parquet")
+    assert "PushedFilters: [" in p and "l_shipdate" in p.split("PushedFilters")[1][:200]
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    # projection pruned to exactly the used columns
+    for col in ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"]:
+        assert col in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_filter_pushdown_through_query(spark):
+    p = plan(spark, "q_filter_pred")
+    assert "PushedFilters: [" in p
+    assert "IsNotNull" in p or "GreaterThan" in p
+
+
+def test_broadcast_join_plan(spark):
+    p = plan(spark, "q_join_broadcast")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_star_join_broadcasts_dims(spark):
+    # lineitem⋈orders⋈customer: at test scale all joins may broadcast,
+    # but there must be no cartesian/nested-loop anywhere
+    p = plan(spark, "q_join_inner")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_partial_final_aggregate(spark):
+    p = plan(spark, "q_groupby_sum")
+    # two HashAggregate nodes (partial + final) around an exchange
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_topk_is_take_ordered(spark):
+    p = plan(spark, "q_topk")
+    assert "TakeOrderedAndProject" in p
+    # no full sort node
+    assert "Sort [" not in p or "TakeOrderedAndProject" in p
+
+
+def test_no_python_in_native_pipelines(spark):
+    # every query that claims native-only must not cross into Python
+    for name in ["q_groupby_sum", "q_join_inner", "q_window_rolling", "q_cosine_sim"]:
+        p = plan(spark, name)
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, name
+        assert "FlatMapGroupsInPandas" not in p, name
+
+
+def test_semi_anti_plans(spark):
+    for name, kind in [("q_join_semi", "LeftSemi"), ("q_join_anti", "LeftAnti")]:
+        p = plan(spark, name)
+        assert kind in p, f"{name} should plan a {kind} join"
+
+
+def test_codegen_coverage(spark):
+    # flagship stays inside whole-stage codegen (no interpreted gaps)
+    p = plan(spark, "q_groupby_sum", mode="codegen")
+    assert "WholeStageCodegen" in p
+
+
+def test_facade_broadcast_hint(spark):
+    from dask_cudf_spark import frame as dcs
+
+    o = dcs.read_parquet(spark, f"{SF_DIR}/orders.parquet")
+    c = dcs.read_parquet(spark, f"{SF_DIR}/customer.parquet").rename(
+        {"c_custkey": "o_custkey"}
+    )
+    j = o.merge(c, on="o_custkey", broadcast=True)
+    p = j.spark._sc._jvm.PythonSQLUtils.explainString(
+        j.spark._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in p
+
+
+def test_cosine_corpus_not_shuffled(spark):
+    # brute-force ANN must broadcast the query side; corpus side scans once
+    p = plan(spark, "q_cosine_sim")
+    assert "BroadcastNestedLoopJoin" in p  # neq condition -> NLJ on broadcast side
+    # corpus never exchanges before the join
+    pre_join = p.split("Join")[0]
+    assert "Exchange hashpartitioning" not in pre_join
+
+
+def test_scaled_sum_stays_integral(spark):
+    # determinism invariant: flagship sums are long until the final division
+    li = load_table(spark, SF_DIR, "lineitem")
+    from dask_cudf_spark.functions.det import scaled_int
+
+    assert dict(li.select(scaled_int("l_extendedprice", 100).alias("c")).dtypes)[
+        "c"
+    ] == "bigint"
+    assert (
+        li.agg(F.sum(scaled_int("l_extendedprice", 100)).alias("s")).dtypes[0][1]
+        == "bigint"
+    )

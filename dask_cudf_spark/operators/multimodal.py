@@ -1,0 +1,202 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Reference context (SURVEY.md §2.12): dask-cudf pipelines carry media as
+binary columns with struct metadata alongside text (the NeMo-Curator
+pattern); decode/feature-extraction runs per-partition on the GPU. Here
+the same model is Spark-first:
+
+- payload: ``BinaryType`` column (parquet stores it natively; at 100 TB
+  the payloads dominate I/O, so metadata lives in a separate struct
+  column — predicate pushdown on metadata never touches the bytes).
+- metadata: ``StructType`` (modality, n_bytes, checksum) — filter/join
+  on it JVM-side without deserializing payloads.
+- frame sampling: pure SQL (``sequence`` + ``substring`` over binary) —
+  no Python, scales linearly, never shuffles.
+- decode / feature-extract: Arrow-batched ``mapInPandas`` — the real
+  plumbing (schema, batch iteration, partition-parallel). The actual
+  image/audio codecs are NOT in this container, so ``decode_payload``
+  gates on the library import and otherwise uses a deterministic fake
+  (byte-level stats) so tests exercise the full path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+#: metadata carried next to every payload; filterable without I/O on bytes
+PAYLOAD_META = StructType(
+    [
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", StringType()),
+    ]
+)
+
+
+def attach_payload(
+    df: DataFrame, text_col: str = "text", modality: str = "image"
+) -> DataFrame:
+    """Attach a binary payload + metadata struct.
+
+    Test stand-in: payload = UTF-8 bytes of ``text_col`` (deterministic,
+    oracle-checkable). In production the payload column comes straight
+    off parquet; only the metadata construction below is the pattern.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "meta",
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.sha2(payload, 256).alias("checksum"),
+        ),
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    frame_bytes: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Fixed-size frame sampling over a binary payload (the video
+    frame-sample / audio windowing primitive), pure SQL.
+
+    Emits one row per full frame: (frame_idx, frame: binary). Partial
+    tail frames are dropped — frame count is a closed-form function of
+    n_bytes, so the op is oracle-checkable without blob support in the
+    oracle engine. No shuffle: explode is partition-local.
+    """
+    n = F.octet_length(F.col(payload_col))
+    # start offsets 1, 1+stride, ... while offset+frame_bytes-1 <= n
+    starts = F.when(
+        n >= frame_bytes,
+        F.sequence(F.lit(1), n - frame_bytes + 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    frames = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("long").alias("frame_idx"),
+            F.col(payload_col).substr(s, F.lit(frame_bytes)).alias("frame"),
+        ),
+    )
+    return df.select("*", F.explode(frames).alias("__f")).select(
+        *df.columns, F.col("__f.frame_idx"), F.col("__f.frame")
+    )
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_mean", DoubleType()),
+        StructField("byte_min", LongType()),
+        StructField("byte_max", LongType()),
+        StructField("head_hash", LongType()),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-payload feature extraction via Arrow-batched ``mapInPandas``.
+
+    The features are deterministic byte-level stats — the stand-in for
+    an image embedding / audio fingerprint. The plumbing is the real
+    pattern: payloads arrive as Arrow binary batches, features leave as
+    a fixed-width frame; runs partition-parallel with no shuffle.
+    """
+    import numpy as np
+
+    def compute(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            arrs = [np.frombuffer(b, dtype=np.uint8) for b in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [a.size for a in arrs],
+                    "byte_mean": [
+                        round(float(a.mean()), 6) if a.size else 0.0 for a in arrs
+                    ],
+                    "byte_min": [int(a.min()) if a.size else 0 for a in arrs],
+                    "byte_max": [int(a.max()) if a.size else 0 for a in arrs],
+                    # rolling-hash of the first 16 bytes (content fingerprint)
+                    "head_hash": [
+                        int(
+                            sum(int(v) * 31**i for i, v in enumerate(a[:16]))
+                            % (1 << 61)
+                        )
+                        for a in arrs
+                    ],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(compute, FEATURE_SCHEMA)
+
+
+def decode_payload(
+    df: DataFrame, payload_col: str = "payload", modality: str = "image"
+) -> DataFrame:
+    """Decode payloads to (height, width, channels) via the real codec
+    when available; this container has no image/audio libraries, so the
+    codec import is gated and the call raises ``NotImplementedError``
+    with the exact production recipe.
+
+    Production: replace `_decode_stub` with PIL/libav inside the same
+    mapInPandas signature — schema, batching, and parallelism are
+    already correct.
+    """
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as err:
+        raise NotImplementedError(
+            "payload decode requires an image/audio codec (PIL / libav) "
+            "not present in this environment; use extract_features() for "
+            "the codec-free feature path — the mapInPandas plumbing is "
+            "identical"
+        ) from err
+    raise NotImplementedError("real codec path not wired in this build")
+
+
+def dedup_payloads(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Exact multimodal dedup on payload checksum — metadata-only
+    (never compares bytes pairwise), one shuffle on the 256-bit hash."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.sha2(F.col(payload_col), 256)).orderBy(
+        *[F.col(c) for c in df.columns if c != payload_col][:1] or [F.lit(1)]
+    )
+    return df.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    ).drop("__rn")
+
+
+__all__ = [
+    "PAYLOAD_META",
+    "FEATURE_SCHEMA",
+    "attach_payload",
+    "sample_frames",
+    "extract_features",
+    "decode_payload",
+    "dedup_payloads",
+    "BinaryType",
+]

@@ -156,6 +156,88 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    centroid_stride: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse centroids -> inverted lists ->
+    probe the nprobe nearest lists per query -> exact cosine re-rank.
+
+    Coarse centroids are a deterministic sample of corpus vectors (the
+    ``n_centroids`` smallest ids divisible by ``centroid_stride``) —
+    driver-collected like a trained IVF codebook (16 x 64 floats), then
+    inlined as literals so list assignment is a partition-local
+    expression: the corpus NEVER shuffles. Candidate generation is a
+    broadcast join on list id; only candidates shuffle (for the
+    per-query window). Recall/cost dial = nprobe/n_centroids.
+    """
+    seeds = (
+        corpus.filter((F.col(id_col) % centroid_stride) == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cent_ids = [int(r[0]) for r in seeds]
+    cent_arr = F.array(
+        *[
+            F.array(*[F.lit(float(v)) for v in r[1]])
+            for r in seeds
+        ]
+    )
+
+    def nearest_lists(vec, n: int):
+        """ids of the n nearest centroids (by cosine, 6dp, ties -> lower
+        centroid index), as an array expression."""
+        scored = F.transform(
+            cent_arr,
+            lambda c, i: F.struct(
+                (-F.round(cosine(vec, c), 6)).alias("negcos"),
+                i.alias("cidx"),
+            ),
+        )
+        return F.transform(
+            F.slice(F.array_sort(scored), 1, n), lambda s: s["cidx"]
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.element_at(nearest_lists(F.col(vec_col), 1), 1).alias("__list"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(nearest_lists(F.col(vec_col), nprobe)).alias("__list"),
+    )
+    scored = c.join(F.broadcast(q), on="__list").filter(
+        F.col("neighbor_id") != F.col("__qid")
+    )
+    scored = scored.withColumn(
+        "cosine", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6)
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+    out._ivf_centroid_ids = cent_ids  # introspection / oracle construction
+    return out
+
+
 def centroids(
     df: DataFrame,
     label_col: str = "label",

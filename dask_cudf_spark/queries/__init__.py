@@ -7,6 +7,7 @@ One module per operator family from SURVEY.md §2; every query has a
 from . import (  # noqa: F401
     aggregates,
     joins,
+    multimodal,
     relational,
     semistructured,
     setops,

@@ -1,0 +1,118 @@
+"""Multimodal-column queries (SURVEY.md §2.12): binary payloads + typed
+metadata over `documents` (payload = UTF-8 bytes of text — the
+deterministic test stand-in for image/audio blobs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "q_multimodal_meta",
+    family="multimodal",
+    oracle="""
+        SELECT
+            source,
+            COUNT(*) AS n_payloads,
+            CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+            CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+            COUNT(DISTINCT md5(text)) AS n_distinct_payloads
+        FROM documents
+        GROUP BY source
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only rollup over binary payloads: size stats + distinct
+    content count per source, all from the metadata struct / payload
+    hash — the bytes are never deserialized, so at 100 TB this reads the
+    (tiny) metadata column stripes only."""
+    from ..operators.multimodal import attach_payload
+
+    docs = attach_payload(load_table(spark, sf_dir, "documents"))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_payloads"),
+        F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+        F.max(F.col("meta.n_bytes")).alias("max_bytes"),
+        F.countDistinct(F.col("meta.checksum")).alias("n_distinct_payloads"),
+    )
+
+
+@register(
+    "q_multimodal_frames",
+    family="multimodal",
+    oracle="""
+        SELECT
+            doc_id,
+            CAST(CASE WHEN octet_length(encode(text)) >= 64
+                 THEN (octet_length(encode(text)) - 64) // 32 + 1
+                 ELSE 0 END AS BIGINT) AS n_frames,
+            CAST(CASE WHEN octet_length(encode(text)) >= 64
+                 THEN ((octet_length(encode(text)) - 64) // 32 + 1) * 64
+                 ELSE 0 END AS BIGINT) AS bytes_sampled
+        FROM documents
+        WHERE doc_id < 100
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video/audio windowing stand-in): 64-byte frames,
+    stride 32, pure-SQL explode — the Spark side materializes every
+    frame and measures it; the oracle checks the closed-form frame
+    count (the oracle engine lacks blob slicing)."""
+    from ..operators.multimodal import attach_payload, sample_frames
+
+    docs = attach_payload(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    )
+    frames = sample_frames(docs, frame_bytes=64, stride=32)
+    counted = frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.octet_length("frame")).alias("bytes_sampled"),
+    )
+    # docs too short for one frame still appear, with zero frames
+    all_docs = docs.select("doc_id")
+    return (
+        all_docs.join(counted, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_frames", F.lit(0)).alias("n_frames"),
+            F.coalesce("bytes_sampled", F.lit(0)).alias("bytes_sampled"),
+        )
+    )
+
+
+@register(
+    "q_multimodal_features",
+    family="multimodal",
+    oracle="""
+        SELECT
+            doc_id,
+            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+            ROUND(list_sum(list_transform(range(1, length(text) + 1),
+                    i -> ascii(substring(text, i, 1)))) * 1.0
+                  / length(text), 6) AS byte_mean,
+            CAST(list_min(list_transform(range(1, length(text) + 1),
+                    i -> ascii(substring(text, i, 1)))) AS BIGINT) AS byte_min,
+            CAST(list_max(list_transform(range(1, length(text) + 1),
+                    i -> ascii(substring(text, i, 1)))) AS BIGINT) AS byte_max
+        FROM documents
+        WHERE doc_id < 100
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction (operators/multimodal.
+    extract_features): the mapInPandas decode stand-in. Oracle checks
+    the byte statistics exactly (documents text is ASCII, so
+    char codes == UTF-8 bytes); head_hash is engine-specific and
+    excluded from the compared columns."""
+    from ..operators.multimodal import attach_payload, extract_features
+
+    docs = attach_payload(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    )
+    return extract_features(docs).select(
+        "doc_id", "n_bytes", "byte_mean", "byte_min", "byte_max"
+    )

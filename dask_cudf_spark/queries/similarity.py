@@ -110,6 +110,84 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(em, queries, dim=64, k=5, n_planes=6, seed=42)
 
 
+def _duck_cos(x: str, y: str) -> str:
+    dot = (
+        f"list_sum(list_transform(range(1, 65), "
+        f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))"
+    )
+    nx = (
+        f"sqrt(list_sum(list_transform(range(1, 65), "
+        f"i -> CAST({x}[i] AS DOUBLE) * CAST({x}[i] AS DOUBLE))))"
+    )
+    ny = (
+        f"sqrt(list_sum(list_transform(range(1, 65), "
+        f"i -> CAST({y}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE))))"
+    )
+    return f"ROUND({dot} / ({nx} * {ny}), 6)"
+
+
+@register(
+    "q_ann_ivf",
+    family="similarity",
+    oracle=f"""
+        WITH seeds AS (
+            SELECT cid, cvec, ROW_NUMBER() OVER (ORDER BY cid) - 1 AS cidx
+            FROM (
+                SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                WHERE vec_id % 13 = 0 ORDER BY vec_id LIMIT 16
+            )
+        ),
+        assign AS (
+            SELECT neighbor_id, cvec, list_id FROM (
+                SELECT e.vec_id AS neighbor_id, e.embedding AS cvec,
+                       s.cidx AS list_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY -{_duck_cos("e.embedding", "s.cvec")}, s.cidx
+                       ) AS rn
+                FROM embeddings e CROSS JOIN seeds s
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT query_id, qvec, list_id FROM (
+                SELECT e.vec_id AS query_id, e.embedding AS qvec,
+                       s.cidx AS list_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY -{_duck_cos("e.embedding", "s.cvec")}, s.cidx
+                       ) AS rn
+                FROM embeddings e CROSS JOIN seeds s
+                WHERE e.vec_id < 10
+            ) WHERE rn <= 4
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT p.query_id, a.neighbor_id,
+                   {_duck_cos("p.qvec", "a.cvec")} AS cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY {_duck_cos("p.qvec", "a.cvec")} DESC, a.neighbor_id
+                   ) AS rank
+            FROM probes p
+            JOIN assign a ON a.list_id = p.list_id
+                         AND a.neighbor_id <> p.query_id
+        ) WHERE rank <= 5
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN (operators/similarity.ivf_topk): deterministic
+    coarse codebook (driver-collected, literal-inlined), partition-local
+    list assignment — corpus never shuffles — broadcast probe join, exact
+    re-rank. Fully oracle-checked (assignment + probing replicated in
+    SQL), unlike the rows-only LSH path."""
+    from ..operators.similarity import ivf_topk
+
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(em, queries, n_centroids=16, nprobe=4, k=5)
+
+
 @register(
     "q_vector_norms",
     family="similarity",

@@ -110,6 +110,40 @@ def test_cosine_corpus_not_shuffled(spark):
     assert "Exchange hashpartitioning" not in pre_join
 
 
+def test_plan_audit_api(spark):
+    from dask_cudf_spark.plans import assert_scalable, audit
+
+    df = REGISTRY["q_join_broadcast"].fn(spark, SF_DIR)
+    a = assert_scalable(
+        df, forbid_python=True, require_broadcast_join=True
+    )
+    assert a.n_cartesian == 0
+
+    scan = REGISTRY["q_scan_parquet"].fn(spark, SF_DIR)
+    a = audit(scan)
+    assert any("l_shipdate" in f for f in a.pushed_filters)
+    assert a.read_schemas and "l_extendedprice" not in a.read_schemas[0]
+
+
+def test_ivf_corpus_never_shuffles(spark):
+    # IVF list assignment is a literal-codebook expression; the corpus
+    # must reach the probe join without an Exchange on its side
+    from dask_cudf_spark.plans import audit
+
+    df = REGISTRY["q_ann_ivf"].fn(spark, SF_DIR)
+    a = audit(df)
+    assert a.n_broadcast_hash_joins >= 1  # probes broadcast, corpus streams
+    pre_join = a.text.split("Join")[0]
+    assert "Exchange hashpartitioning" not in pre_join
+
+
+def test_multimodal_frames_stay_jvm_side(spark):
+    from dask_cudf_spark.plans import assert_scalable
+
+    df = REGISTRY["q_multimodal_frames"].fn(spark, SF_DIR)
+    assert_scalable(df, forbid_python=True)
+
+
 def test_scaled_sum_stays_integral(spark):
     # determinism invariant: flagship sums are long until the final division
     li = load_table(spark, SF_DIR, "lineitem")

@@ -60,6 +60,9 @@ def main() -> None:
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
+        # per-query warm-up excluded from timing (BASELINE.md protocol):
+        # first execution pays JIT/codegen compilation, not data cost
+        fn(spark, SF_DIR).count()
         times = []
         for _ in range(RUNS):
             t0 = time.perf_counter()

@@ -106,24 +106,30 @@ def minhash_signature(col: Column | str, num_hashes: int = 16, shingle: int = 5)
         lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)),
     )
     consts = _minhash_perm_constants(num_hashes)
-    init = F.array(*[F.lit(_MERSENNE_P).cast("long")] * num_hashes)
-    # ONE fold over the shingle hashes updating all k mins at once.
-    # (k separate array_min(transform(...)) exprs would re-evaluate the
-    # shingling k times after CollapseProject inlining — measured 16x
-    # slower at sf0.1.)
-    return F.aggregate(
-        base,
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
-                    for a, b in consts
-                ]
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in consts])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in consts])
+    p = F.lit(_MERSENNE_P).cast("long")
+    # let-bind the shingle hashes once (1-element-array transform trick;
+    # a bare `base` referenced k times would be inlined k times by
+    # CollapseProject — measured 16x slower), then one SCALAR fold per
+    # permutation.  HOFs are interpreted, so allocation dominates: the
+    # scalar accumulator allocates nothing per shingle, vs the
+    # all-k-at-once zip_with fold which allocated two 16-element arrays
+    # per shingle (measured ~3x slower + GC pressure at 32 threads).
+    return F.element_at(
+        F.transform(
+            F.array(base),
+            lambda bs: F.zip_with(
+                a_arr,
+                b_arr,
+                lambda a, b: F.aggregate(
+                    bs,
+                    p,
+                    lambda acc, h: F.least(acc, F.pmod(h * a + b, p)),
+                ),
             ),
-            lambda x, y: F.least(x, y),
         ),
+        1,
     )
 
 
@@ -131,31 +137,47 @@ def simhash64(col: Column | str, shingle: int = 4) -> Column:
     """SimHash: 64-bit fingerprint; near-dups differ in few bits
     (compare with bit_count(a ^ b) <= k).
 
-    Pure SQL: for each bit b, sum +-1 votes of xxhash64(shingle) bit b,
-    then pack the sign bits.  O(64 * shingles) JVM expression.
+    Pure SQL, ONE pass: a single fold over the shingle hashes carries
+    all 63 bit-vote counters in an array<long> accumulator, then the
+    sign bits are packed.  (The naive form — 63 independent
+    aggregate() votes — inlines 63 copies of the shingling pipeline
+    after CollapseProject, measured ~60x slower; same trap as
+    minhash_signature, same fix.)
     """
     hashes = F.transform(
         F.array_distinct(char_ngrams(col, shingle)), lambda s: F.xxhash64(s)
     )
-
-    def _bit_vote(b: int):
-        # closure factory: the merge lambda must be exactly binary
-        # (pyspark derives the HOF arity from the signature)
-        mask = F.lit(1 << b).cast("long")
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
-        )
-
-    bits = [
-        F.when(_bit_vote(b) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        for b in range(63)  # keep sign bit clear
-    ]
-    out = F.lit(0).cast("long")
-    for b, bit in enumerate(bits):
-        out = out + (bit * F.lit(1 << b).cast("long"))
-    return out
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(63)])
+    one = F.lit(1).cast("long")
+    neg = F.lit(-1).cast("long")
+    zero = F.lit(0).cast("long")
+    # let-bind the hashes once, then one allocation-free scalar vote
+    # fold per bit (same interpreted-HOF cost model as
+    # minhash_signature: scalar accumulators beat per-element array
+    # rebuilds).  Bit b is set iff its +-1 vote sum is positive.
+    return F.element_at(
+        F.transform(
+            F.array(hashes),
+            lambda hs: F.aggregate(
+                F.transform(
+                    masks,
+                    lambda m: F.when(
+                        F.aggregate(
+                            hs,
+                            zero,
+                            lambda acc, h: acc
+                            + F.when(h.bitwiseAND(m) != 0, one).otherwise(neg),
+                        )
+                        > 0,
+                        m,
+                    ).otherwise(zero),
+                ),
+                zero,
+                lambda a, x: a + x,
+            ),
+        ),
+        1,
+    )
 
 
 _EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint, minhash_band_buckets, tokenize
+from ..sources.tables import scale_out
 
 
 def exact_dedup(
@@ -54,6 +55,9 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
+    # signature evaluation is interpreted (HOFs get no codegen) and
+    # compute-bound -> make sure it doesn't run on one input split
+    df = scale_out(df)
     # minhash_band_buckets is one self-contained expression -> the
     # signature fold runs exactly once per row (see functions/text.py).
     banded = df.select(

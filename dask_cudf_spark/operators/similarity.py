@@ -20,6 +20,8 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.tables import scale_out
+
 
 def dot(a, b):
     """Dot product of two array<numeric> columns in double precision.
@@ -58,14 +60,26 @@ def cosine_topk(
     queries must be small: it is broadcast, so the plan is a
     BroadcastNestedLoopJoin over the corpus — a single scan, no shuffle
     of the corpus, then a per-query top-k window."""
+    # norms are per-row, not per-pair: precompute each side once so the
+    # O(Q x N) pair stage does a single interpreted fold (the dot), not
+    # three.  scale_out: scoring is compute-bound -> use every core.
     q = queries.select(
-        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+        F.col(query_id_col).alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qnorm"),
     )
-    scored = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    scored = scale_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cnorm"),
     ).join(F.broadcast(q), F.col("neighbor_id") != F.col("__qid"))
     scored = scored.withColumn(
-        "cosine", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6)
+        "cosine",
+        F.round(
+            dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qnorm") * F.col("__cnorm")),
+            6,
+        ),
     )
     w = Window.partitionBy("__qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -127,21 +141,28 @@ def lsh_bucket_topk(
             sig = sig + b
         return sig.cast("long")
 
-    c = corpus.select(
+    c = scale_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cnorm"),
         signature(F.col(vec_col)).alias("__bucket"),
     )
     q = queries.select(
         F.col(query_id_col).alias("__qid"),
         F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qnorm"),
         signature(F.col(vec_col)).alias("__bucket"),
     )
     scored = c.join(F.broadcast(q), on="__bucket").filter(
         F.col("neighbor_id") != F.col("__qid")
     )
     scored = scored.withColumn(
-        "cosine", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6)
+        "cosine",
+        F.round(
+            dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qnorm") * F.col("__cnorm")),
+            6,
+        ),
     )
     w = Window.partitionBy("__qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -207,7 +228,7 @@ def ivf_topk(
             F.slice(F.array_sort(scored), 1, n), lambda s: s["cidx"]
         )
 
-    c = corpus.select(
+    c = scale_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         F.element_at(nearest_lists(F.col(vec_col), 1), 1).alias("__list"),

@@ -309,23 +309,30 @@ def q_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact near-dup pairs: block on (lang, source) — the
     deterministic ground-truth companion to LSH (verifies the verify
     step end-to-end against the oracle)."""
-    d = load_table(spark, sf_dir, "documents")
+    from ..sources import scale_out
+
+    # tokenize ONCE per row (projection below the join); a per-pair
+    # tokenization inside the join condition costs O(pairs), not O(rows)
+    d = scale_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
     a = d.select(
         F.col("doc_id").alias("id_a"),
         F.col("lang").alias("lang_a"),
         F.col("source").alias("source_a"),
-        F.col("text").alias("text_a"),
+        F.col("toks").alias("toks_a"),
     )
     b = d.select(
         F.col("doc_id").alias("id_b"),
         F.col("lang").alias("lang_b"),
         F.col("source").alias("source_b"),
-        F.col("text").alias("text_b"),
+        F.col("toks").alias("toks_b"),
     )
-    ta = F.array_distinct(F.split("text_a", " "))
-    tb = F.array_distinct(F.split("text_b", " "))
-    jac = F.size(F.array_intersect(ta, tb)).cast("double") / F.size(
-        F.array_union(ta, tb)
+    jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
+        F.array_union("toks_a", "toks_b")
     )
     return (
         a.join(
@@ -349,8 +356,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (functions/text.simhash64) — near-dups
     differ in few bits; self-consistency checked in tests."""
     from ..functions.text import simhash64
+    from ..sources import scale_out
 
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = scale_out(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    )
     return d.select("doc_id", simhash64("text").alias("simhash"))
 
 

@@ -29,7 +29,11 @@ _DEFAULTS = {
     # (overflow wraps, bad casts -> null) rather than erroring mid-pipeline.
     "spark.sql.ansi.enabled": "false",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": "8g",
+    # local[32] runs 32 concurrent tasks in ONE JVM; interpreted HOF
+    # stages are allocation-heavy, so give the collector headroom
+    # (the box has 128 GiB; on a cluster executor memory is set by the
+    # deploy, not here).
+    "spark.driver.memory": "32g",
 }
 
 

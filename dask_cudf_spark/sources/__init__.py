@@ -16,7 +16,13 @@ from .readers import (
     read_parquet,
     read_text,
 )
-from .tables import TABLE_NAMES, load_table, load_tables, register_temp_views
+from .tables import (
+    TABLE_NAMES,
+    load_table,
+    load_tables,
+    register_temp_views,
+    scale_out,
+)
 from .writers import to_csv, to_json, to_orc, to_parquet
 
 __all__ = [
@@ -34,4 +40,5 @@ __all__ = [
     "load_table",
     "load_tables",
     "register_temp_views",
+    "scale_out",
 ]

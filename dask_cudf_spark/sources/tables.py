@@ -43,6 +43,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure compute-bound stages use every core.
+
+    A small parquet file arrives as ONE input split, so an expensive
+    per-row stage (minhash signatures, simhash votes, cosine scoring —
+    all interpreted higher-order functions) runs on one core while the
+    rest idle.  At 100 TB the input has thousands of splits and this is
+    a no-op; below the core count it round-robins once (the shuffle
+    moves only what a single split holds, so it is cheap by
+    construction).  This is the moral twin of dask-cudf's
+    ``repartition(npartitions=...)`` before a compute-heavy
+    ``map_partitions``."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -454,3 +454,146 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").applyInPandas(
         agg_group, schema="l_returnflag string, revenue double, n_rows bigint"
     )
+
+
+@register(
+    "q_pivot_onehot",
+    family="aggregate",
+    oracle="""
+        SELECT
+            source,
+            CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+            CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
+            CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+            CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+            CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de
+        FROM documents
+        GROUP BY source
+    """,
+)
+def q_pivot_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot / get_dummies (reference str.get_dummies, cudf
+    one_hot_encoding) as the pivot idiom.  Explicit pivot values keep
+    the schema static (no extra distinct-values job) — required for a
+    deterministic plan and a single pass at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    out = (
+        d.groupBy("source")
+        .pivot("lang", ["en", "zh", "fr", "es", "de"])
+        .count()
+    )
+    return out.select(
+        "source",
+        *[
+            F.coalesce(F.col(lang), F.lit(0)).cast("long").alias(f"n_{lang}")
+            for lang in ["en", "zh", "fr", "es", "de"]
+        ],
+    )
+
+
+@register(
+    "q_bucketize_hist",
+    family="aggregate",
+    oracle="""
+        SELECT
+            CAST(FLOOR(l_extendedprice / 10000.0) AS BIGINT) AS bucket,
+            COUNT(*) AS n,
+            ROUND(MIN(l_extendedprice), 2) AS lo,
+            ROUND(MAX(l_extendedprice), 2) AS hi
+        FROM lineitem
+        GROUP BY 1
+    """,
+)
+def q_bucketize_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """digitize/cut histogram (cudf digitize; pandas cut) via fixed-width
+    bucket arithmetic — pure codegen expression, one shuffle on the
+    (low-cardinality) bucket id."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 10000.0).cast("long")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "q_factorize",
+    family="aggregate",
+    oracle="""
+        WITH codes AS (
+            SELECT c_mktsegment,
+                   DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1 AS code
+            FROM (SELECT DISTINCT c_mktsegment FROM customer)
+        )
+        SELECT c.c_custkey, c.c_mktsegment, CAST(k.code AS BIGINT) AS code
+        FROM customer c JOIN codes k USING (c_mktsegment)
+        WHERE c.c_custkey < 200
+    """,
+)
+def q_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """factorize / categorical codes (cudf factorize): build the code
+    table from the DISTINCT values (small), window-rank THAT, then
+    broadcast-join codes back.  A global dense_rank over the full table
+    would funnel every row through one partition; ranking only the
+    distinct set keeps the window trivial and the join broadcast."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    codes = (
+        c.select("c_mktsegment")
+        .distinct()
+        .withColumn(
+            "code",
+            (F.dense_rank().over(Window.orderBy("c_mktsegment")) - 1).cast("long"),
+        )
+    )
+    return (
+        c.filter(F.col("c_custkey") < 200)
+        .join(F.broadcast(codes), on="c_mktsegment")
+        .select("c_custkey", "c_mktsegment", "code")
+    )
+
+
+@register(
+    "q_describe",
+    family="aggregate",
+    oracle="""
+        SELECT 'l_quantity' AS col,
+               COUNT(l_quantity) AS n,
+               ROUND(AVG(l_quantity), 6) AS mean,
+               ROUND(STDDEV_SAMP(l_quantity), 6) AS std,
+               CAST(MIN(l_quantity) AS DOUBLE) AS min,
+               CAST(MAX(l_quantity) AS DOUBLE) AS max
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount' AS col,
+               COUNT(l_discount) AS n,
+               ROUND(AVG(l_discount), 6) AS mean,
+               ROUND(STDDEV_SAMP(l_discount), 6) AS std,
+               CAST(MIN(l_discount) AS DOUBLE) AS min,
+               CAST(MAX(l_discount) AS DOUBLE) AS max
+        FROM lineitem
+    """,
+)
+def q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe() (dask/cudf describe -> count/mean/std/min/max per
+    column), typed (df.summary() returns strings).  One aggregate scan
+    per column batch; Catalyst shares the underlying scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def stats(colname: str) -> DataFrame:
+        c = F.col(colname)
+        return li.agg(
+            F.lit(colname).alias("col"),
+            F.count(c).alias("n"),
+            F.round(F.avg(c), 6).alias("mean"),
+            F.round(F.stddev_samp(c), 6).alias("std"),
+            F.min(c).cast("double").alias("min"),
+            F.max(c).cast("double").alias("max"),
+        )
+
+    return stats("l_quantity").unionAll(stats("l_discount"))

@@ -329,3 +329,46 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sample(fraction=0.1, seed=42)
         .select("l_orderkey", "l_linenumber", "l_quantity")
     )
+
+
+@register(
+    "q_combine_first",
+    family="projection",
+    oracle="""
+        SELECT
+            COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+            COALESCE(a.price_a, b.price_b) AS price,
+            COALESCE(a.prio_a, b.prio_b) AS priority
+        FROM (
+            SELECT o_orderkey, o_totalprice AS price_a,
+                   o_orderpriority AS prio_a
+            FROM orders WHERE o_orderkey < 500
+        ) a
+        FULL OUTER JOIN (
+            SELECT o_orderkey, o_totalprice AS price_b,
+                   o_orderpriority AS prio_b
+            FROM orders WHERE o_orderkey BETWEEN 250 AND 750
+        ) b USING (o_orderkey)
+    """,
+)
+def q_combine_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """combine_first / align (reference index-aligned null-filling
+    merge): full outer join on the key + per-column COALESCE — the SQL
+    realization of pandas alignment.  Shuffles both sides on the key
+    once; at scale prefer the larger side pre-partitioned."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price_a"),
+        F.col("o_orderpriority").alias("prio_a"),
+    )
+    b = o.filter(F.col("o_orderkey").between(250, 750)).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price_b"),
+        F.col("o_orderpriority").alias("prio_b"),
+    )
+    return a.join(b, on="o_orderkey", how="full_outer").select(
+        "o_orderkey",
+        F.coalesce("price_a", "price_b").alias("price"),
+        F.coalesce("prio_a", "prio_b").alias("priority"),
+    )

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -220,4 +220,73 @@ def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("v_sum"),
+    )
+
+
+@register(
+    "q_neardup_embedding",
+    family="dedup",
+    oracle=f"""
+        SELECT label, id_a, id_b, cosine, rank FROM (
+            SELECT a.label,
+                   a.vec_id AS id_a,
+                   b.vec_id AS id_b,
+                   {_duck_cos("a.embedding", "b.embedding")} AS cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.label
+                       ORDER BY {_duck_cos("a.embedding", "b.embedding")} DESC,
+                                a.vec_id, b.vec_id
+                   ) AS rank
+            FROM embeddings a
+            JOIN embeddings b
+              ON a.label = b.label AND b.vec_id > a.vec_id
+            WHERE a.vec_id < 300 AND b.vec_id < 300
+        ) WHERE rank <= 3
+    """,
+)
+def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate candidates: block on label (the
+    cluster id — the production pattern blocks on a coarse quantizer
+    cell), score pairs within blocks, keep the top-3 most similar per
+    block.  Norms precomputed per row; pairs only form within blocks so
+    the join never goes quadratic in the corpus."""
+    from ..operators.similarity import dot, l2_norm
+    from ..sources import scale_out
+
+    em = (
+        scale_out(load_table(spark, sf_dir, "embeddings"))
+        .filter(F.col("vec_id") < 300)
+        .select(
+            "label",
+            "vec_id",
+            "embedding",
+            l2_norm(F.col("embedding")).alias("__norm"),
+        )
+    )
+    a = em.select(
+        "label",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("__va"),
+        F.col("__norm").alias("__na"),
+    )
+    b = em.select(
+        "label",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("__vb"),
+        F.col("__norm").alias("__nb"),
+    )
+    pairs = a.join(b, on="label").filter(F.col("id_b") > F.col("id_a"))
+    scored = pairs.withColumn(
+        "cosine",
+        F.round(
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+        ),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("cosine"), F.asc("id_a"), F.asc("id_b")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("label", "id_a", "id_b", "cosine", F.col("rank").cast("long").alias("rank"))
     )

@@ -376,3 +376,109 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", lang_id_heuristic("text").alias("lang_pred"))
+
+
+@register(
+    "q_token_filter",
+    family="text",
+    oracle=f"""
+        SELECT
+            doc_id,
+            len(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '))
+                AS n_tokens,
+            len(list_filter(
+                string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '),
+                t -> NOT list_contains({_EN_STOP_SQL}, t)))
+                AS n_kept,
+            array_to_string(
+                list_filter(
+                    string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '),
+                    t -> NOT list_contains({_EN_STOP_SQL}, t))[1:5],
+                ' ') AS kept_head
+        FROM documents
+        WHERE doc_id < 200
+    """,
+)
+def q_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalize_spaces + filter_tokens (nvtext replace/filter_tokens,
+    upstream cpp/src/text/replace.cu): whitespace normalization, then
+    stopword removal as an array filter — all codegen-free-of-Python,
+    partition-local."""
+    stop = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split(F.regexp_replace("text", r"\s+", " "), " ")
+    kept = F.filter(toks, lambda t: ~t.isin(*[F.lit(w) for w in stop]))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(F.slice(kept, 1, 5), " ").alias("kept_head"),
+    )
+
+
+@register(
+    "q_stem_tokens",
+    family="text",
+    oracle="""
+        SELECT
+            doc_id,
+            len(list_distinct(list_transform(
+                string_split(text, ' '),
+                t -> regexp_replace(t, '(ing|ed|es|s)$', ''))))
+                AS n_stems,
+            len(list_distinct(string_split(text, ' '))) AS n_tokens_distinct
+        FROM documents
+        WHERE doc_id < 200
+    """,
+)
+def q_stem_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-stripping stemmer (porter_stemmer stand-in; nvtext
+    porter_stemmer upstream cpp/src/text/stemmer.cu): strip common
+    suffixes per token, count distinct stems vs distinct raw tokens.
+    The regex is dialect-neutral (tested identical in both engines)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split("text", " ")
+    stems = F.transform(toks, lambda t: F.regexp_replace(t, "(ing|ed|es|s)$", ""))
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(stems)).cast("long").alias("n_stems"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_tokens_distinct"),
+    )
+
+
+@register(
+    "q_rolling_fingerprint",
+    family="text",
+    oracle="""
+        SELECT
+            doc_id,
+            CAST(list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(text) + 1),
+                                   i -> CAST(ascii(text[i]) AS BIGINT))),
+                (a, c) -> (a * 31 + c) % 1000000007) AS BIGINT)
+                AS fingerprint
+        FROM documents
+        WHERE doc_id < 200
+    """,
+)
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint via polynomial rolling hash over the char
+    codes (Rabin-Karp family; the content-defined-chunking primitive).
+    Modulus 1e9+7 keeps every intermediate < 2^35 — exact in both
+    engines' int64.  Interpreted HOF -> scale_out for core use."""
+    from ..sources import scale_out
+
+    d = scale_out(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    )
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length("text")),
+        lambda i: F.ascii(F.col("text").substr(i, F.lit(1))).cast("long"),
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * 31 + c, F.lit(1000000007)),
+    )
+    return d.select("doc_id", fp.cast("long").alias("fingerprint"))

@@ -1,0 +1,97 @@
+"""Skew-aware aggregation and join helpers (SURVEY.md §2.11, §4).
+
+The reference exposes ``split_out`` / ``split_every`` to keep hot
+groupby keys from overwhelming one partition (upstream:
+python/dask_cudf/dask_cudf/groupby.py).  Spark's partial->final
+HashAggregate already handles decomposable aggs; the cases that still
+hurt at 100 TB are (a) aggregations where the partial state itself is
+big per key (collect_list/countDistinct on hot keys) and (b) joins with
+a hot key on the big side.  The standard answer is SALTING: append a
+random-ish factor to the key, do the heavy step over (key, salt), then
+recombine — two cheap shuffles with bounded partition sizes instead of
+one unbounded one.  AQE's skew-join splitting covers (b) for sort-merge
+joins; salted_collect/salted_sum cover (a) and make the pattern
+available as an explicit, testable operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int, on: Column | str | None = None) -> DataFrame:
+    """Append a deterministic __salt in [0, n_salts): hash of a
+    high-cardinality column when given (reproducible runs), else a
+    per-row random draw (fine for aggregation: results don't depend on
+    salt assignment)."""
+    if on is not None:
+        salt = F.pmod(F.xxhash64(on), F.lit(n_salts))
+    else:
+        salt = (F.rand() * n_salts).cast("int")
+    return df.withColumn("__salt", salt)
+
+
+def salted_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    n_salts: int = 16,
+    salt_on: Column | str | None = None,
+) -> DataFrame:
+    """Two-phase skew-safe sum: partial sum over (keys, salt) — at most
+    ``n_salts`` partials per hot key per shuffle partition — then final
+    sum over keys.  Result identical to a direct groupBy().sum()."""
+    partial = (
+        with_salt(df, n_salts, salt_on)
+        .groupBy(*keys, "__salt")
+        .agg(F.sum(value_col).alias("__partial"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("__partial").alias(f"sum_{value_col}"))
+
+
+def salted_collect(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    n_salts: int = 16,
+    salt_on: Column | str | None = None,
+) -> DataFrame:
+    """Skew-safe collect_list: collect per (keys, salt), then flatten the
+    per-salt lists — no single task ever materializes a hot key's full
+    list during the shuffle.  Output sorted for determinism."""
+    partial = (
+        with_salt(df, n_salts, salt_on)
+        .groupBy(*keys, "__salt")
+        .agg(F.collect_list(value_col).alias("__chunk"))
+    )
+    return partial.groupBy(*keys).agg(
+        F.array_sort(F.flatten(F.collect_list("__chunk"))).alias(f"{value_col}_list")
+    )
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe exact distinct count: salt BY THE VALUE (same value ->
+    same salt, so cross-salt double counting is impossible), distinct
+    within (keys, salt), count partials, sum.  The hot key's distinct
+    set is split across n_salts tasks."""
+    partial = (
+        df.withColumn("__salt", F.pmod(F.xxhash64(value_col), F.lit(n_salts)))
+        .select(*keys, "__salt", value_col)
+        .distinct()
+        .groupBy(*keys, "__salt")
+        .agg(F.count("*").alias("__n"))
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__n").alias(f"n_distinct_{value_col}")
+    )
+
+
+__all__ = ["with_salt", "salted_sum", "salted_collect", "salted_count_distinct"]

@@ -597,3 +597,75 @@ def q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return stats("l_quantity").unionAll(stats("l_discount"))
+
+
+@register(
+    "q_skew_salted_sum",
+    family="partitioning",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_l_quantity
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def q_skew_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase sum (operators/skew.salted_sum): partial over
+    (key, salt) bounds any hot key's per-task state to n_salts chunks;
+    the recombine shuffles only n_keys x n_salts rows.  Identical result
+    to a direct groupBy — the oracle is the direct form."""
+    from ..operators.skew import salted_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    )
+    return salted_sum(
+        li, ["l_returnflag"], "q", n_salts=16, salt_on="l_returnflag"
+    ).withColumnRenamed("sum_q", "sum_l_quantity")
+
+
+@register(
+    "q_skew_salted_collect",
+    family="partitioning",
+    oracle="""
+        SELECT l_returnflag,
+               list_sort(list(l_orderkey)) AS l_orderkey_list
+        FROM lineitem
+        WHERE l_orderkey < 500
+        GROUP BY l_returnflag
+    """,
+)
+def q_skew_salted_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe collect_list (operators/skew.salted_collect): per-salt
+    chunks flatten after the shuffle, so no task buffers a hot key's
+    whole list.  Sorted output for cross-engine determinism."""
+    from ..operators.skew import salted_collect
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return salted_collect(
+        li, ["l_returnflag"], "l_orderkey", n_salts=8, salt_on="l_orderkey"
+    ).withColumnRenamed("l_orderkey_list", "l_orderkey_list")
+
+
+@register(
+    "q_skew_salted_nunique",
+    family="partitioning",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_distinct_l_suppkey
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def q_skew_salted_nunique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact distinct count (operators/skew.
+    salted_count_distinct): value-hash salting splits a hot key's
+    distinct set across tasks with no double counting."""
+    from ..operators.skew import salted_count_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_count_distinct(
+        li, ["l_returnflag"], "l_suppkey", n_salts=16
+    ).withColumn(
+        "n_distinct_l_suppkey", F.col("n_distinct_l_suppkey").cast("long")
+    )

@@ -92,3 +92,25 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL with Spark's boundary semantics (gap >= 30m starts a new
     session; session_end = last event + gap)."""
     return session_agg(load_table(spark, sf_dir, "events"), gap="30 minutes")
+
+
+@register(
+    "q_stream_stateful",
+    family="streaming",
+    oracle=f"""
+        SELECT
+            user_id,
+            COUNT(*) AS n_events,
+            (SUM({_V4}) / 10000.0) AS total_value
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the arbitrary-stateful operator
+    (streaming/jobs.stateful_user_totals; applyInPandasWithState on a
+    stream).  The scaled-int accumulation makes stream slicing
+    irrelevant to the result, so one oracle covers both modes."""
+    from ..streaming.jobs import stateful_user_totals
+
+    return stateful_user_totals(load_table(spark, sf_dir, "events"))

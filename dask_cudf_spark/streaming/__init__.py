@@ -11,6 +11,7 @@ file source + availableNow trigger (tests/test_streaming.py).
 
 from .jobs import (
     events_stream,
+    stateful_user_totals,
     session_agg,
     sliding_counts,
     stream_dedup,
@@ -19,6 +20,7 @@ from .jobs import (
 
 __all__ = [
     "events_stream",
+    "stateful_user_totals",
     "tumbling_counts",
     "sliding_counts",
     "session_agg",

@@ -103,3 +103,52 @@ def stream_dedup(events: DataFrame, within: str = "1 hour") -> DataFrame:
             ["event_id"]
         )
     return events.dropDuplicates(["event_id"])
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful aggregation (reference custreamz kept Python
+    state per key; here: ``applyInPandasWithState``): per-user running
+    event count and value total, carried in explicit GroupState across
+    micro-batches.  On batch input it computes the same totals with a
+    plain aggregation (the Dataflow-model twin the oracle can check).
+
+    Value is accumulated as a scaled int64 (functions/det.py discipline)
+    so stream and batch agree bit-for-bit regardless of batch slicing.
+    """
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            (F.sum(scaled_int("value", 10000)) / 10000.0).alias("total_value"),
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total_scaled = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total_scaled += int(
+                (pdf["value"] * 10000).round().astype("int64").sum()
+            )
+        state.update((n, total_scaled))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total_scaled / 10000.0],
+            }
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType="n bigint, total_scaled bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

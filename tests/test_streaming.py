@@ -64,3 +64,27 @@ def test_stream_dedup_smoke(spark, tmp_path):
     batch_n = load_table(spark, SF_DIR, "events").dropDuplicates(["event_id"]).count()
     assert len(got) == batch_n
     assert got["event_id"].is_unique
+
+
+def test_stateful_user_totals_converges(spark, tmp_path):
+    from dask_cudf_spark.streaming import stateful_user_totals
+
+    batch = stateful_user_totals(load_table(spark, SF_DIR, "events")).toPandas()
+    stream = stateful_user_totals(events_stream(spark, SF_DIR))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("s_stateful")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_stateful"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode re-emits a key on every batch; keep the last emission
+    got = (
+        spark.table("s_stateful")
+        .toPandas()
+        .groupby("user_id", as_index=False)
+        .last()
+    )
+    assert_frames_match(got, batch, "stream_stateful")

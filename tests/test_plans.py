@@ -156,3 +156,58 @@ def test_scaled_sum_stays_integral(spark):
         li.agg(F.sum(scaled_int("l_extendedprice", 100)).alias("s")).dtypes[0][1]
         == "bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Global sweep: every registered query must satisfy the baseline scale
+# invariants.  Explicit allowlists keep exceptions visible and reviewed.
+
+# queries whose SEMANTICS are a Python UDF surface (Arrow-batched)
+_PYTHON_OK = {
+    "q_udaf_grouped",        # applyInPandas is the operator under test
+    "q_explode_udtf",        # Python UDTF
+    "q_multimodal_features", # mapInPandas decode stand-in
+    "q_stream_stateful",     # batch twin is JVM, stream twin is stateful python
+}
+# queries that intentionally build a cartesian/nested-loop product
+_CARTESIAN_OK = {"q_join_cross"}
+
+
+def _all_query_names():
+    return sorted(REGISTRY)
+
+
+def test_no_accidental_cartesian(spark):
+    from dask_cudf_spark.plans import audit
+
+    bad = []
+    for name in _all_query_names():
+        if name in _CARTESIAN_OK:
+            continue
+        a = audit(REGISTRY[name].fn(spark, SF_DIR))
+        if a.n_cartesian:
+            bad.append(name)
+    assert not bad, f"CartesianProduct in: {bad}"
+
+
+def test_python_boundary_only_in_udf_queries(spark):
+    from dask_cudf_spark.plans import audit
+
+    bad = []
+    for name in _all_query_names():
+        if name in _PYTHON_OK:
+            continue
+        a = audit(REGISTRY[name].fn(spark, SF_DIR))
+        if a.python_nodes:
+            bad.append((name, a.python_nodes))
+    assert not bad, f"unexpected Python nodes: {bad}"
+
+
+def test_salted_aggs_are_two_phase(spark):
+    # the salted ops must show two aggregate layers and shuffle on
+    # (key, salt) first — the skew-safety property itself
+    from dask_cudf_spark.plans import audit
+
+    a = audit(REGISTRY["q_skew_salted_sum"].fn(spark, SF_DIR))
+    assert a.n_hash_aggregates >= 4  # partial+final for each of 2 phases
+    assert "__salt" in a.text

@@ -1,15 +1,21 @@
 """Text-analysis column functions (SURVEY.md §2.8 nvtext family, §2.12).
 
-Everything here is a *pure Column expression* (JVM-side, whole-stage
-codegen) — no Python UDFs in the hot path.  These are the building
-blocks the LLM-pipeline operators (dedup, fingerprinting, quality
-filtering) compose; at 100 TB they run inside the scan stage.
+Everything here is a *pure Column expression* (JVM-side) except
+:func:`minhash_signature_np`, the Arrow-vectorized signature variant
+(numpy pandas_udf) that the dedup operator uses by default — Catalyst
+higher-order functions are interpreted, so for the heaviest per-row
+kernel the columnar-batch path wins, exactly the trade cuDF makes with
+GPU kernels.  These are the building blocks the LLM-pipeline operators
+(dedup, fingerprinting, quality filtering) compose; at 100 TB they run
+inside the scan stage.
 
 Reference parity: nvtext tokenize/token_count/ngrams/minhash/jaccard
 (upstream: cpp/src/text/*) re-expressed as Spark SQL expressions.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -243,3 +249,64 @@ def doc_fingerprint(col: Column | str, normalize: bool = True) -> Column:
     if normalize:
         s = F.lower(F.trim(F.regexp_replace(s, r"\s+", " ")))
     return F.md5(s)
+
+
+def minhash_signature_np(
+    col: Column | str, num_hashes: int = 16, shingle: int = 5
+) -> Column:
+    """Arrow-vectorized minhash signature (numpy inside a pandas_udf).
+
+    Same construction as :func:`minhash_signature` (distinct character
+    shingles -> base hash -> k affine permutations mod 2^31-1 -> min per
+    permutation) with a polynomial shingle hash instead of xxhash64 so
+    the whole batch vectorizes in numpy.  Signatures therefore differ
+    from the SQL variant in VALUE but not in distribution/semantics —
+    minhash collision probability still equals shingle-set Jaccard.
+
+    Why this exists: Catalyst higher-order functions are interpreted
+    (no codegen), so the SQL fold is allocation-heavy and JIT-sensitive;
+    the Arrow path moves columnar batches once per partition and does
+    O(shingles x k) SIMD work — the same trade cuDF makes with GPU
+    kernels (upstream nvtext minhash, cpp/src/text/minhashes.cu).
+    """
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
+    consts = _minhash_perm_constants(num_hashes)
+    a_vec = [a for a, _ in consts]
+    b_vec = [b for _, b in consts]
+    p = _MERSENNE_P
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _mh(texts: pd.Series) -> pd.Series:
+        A = np.array(a_vec, dtype=np.int64)
+        B = np.array(b_vec, dtype=np.int64)
+        pows = np.array([31**j for j in range(shingle)][::-1], dtype=np.int64)
+        out = []
+        for t in texts:
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+            n = b.size - (shingle - 1)
+            if n <= 0:
+                out.append([p] * len(a_vec))
+                continue
+            sh = np.zeros(n, dtype=np.int64)
+            for j in range(shingle):
+                sh += b[j : j + n] * pows[j]  # < 31^shingle * 256: no overflow
+            sh = np.unique(sh) % p
+            mins = ((sh[:, None] * A[None, :] + B[None, :]) % p).min(axis=0)
+            out.append(mins.tolist())
+        return pd.Series(out)
+
+    return _mh(_c(col))
+
+
+def band_buckets_from_sig(
+    sig: Column, bands: int, rows_per_band: int
+) -> Column:
+    """LSH band bucket hashes (array<long>, one per band) from a
+    precomputed signature column — native expression, works with either
+    signature implementation."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.slice(sig, b * rows_per_band + 1, rows_per_band)),
+    )

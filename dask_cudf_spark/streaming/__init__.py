@@ -10,8 +10,10 @@ file source + availableNow trigger (tests/test_streaming.py).
 """
 
 from .jobs import (
+    event_type_dims,
     events_stream,
     stateful_user_totals,
+    stream_static_enrich,
     session_agg,
     sliding_counts,
     stream_dedup,
@@ -20,6 +22,8 @@ from .jobs import (
 
 __all__ = [
     "events_stream",
+    "event_type_dims",
+    "stream_static_enrich",
     "stateful_user_totals",
     "tumbling_counts",
     "sliding_counts",

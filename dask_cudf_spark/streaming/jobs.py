@@ -152,3 +152,33 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_static_enrich(events: DataFrame, dims: DataFrame) -> DataFrame:
+    """Stream-static join (SURVEY.md §2.9; absent in the reference): a
+    streaming fact joined to a static broadcast dimension — the standard
+    enrichment topology.  The static side is planned once and broadcast
+    to every micro-batch; works identically on a batch frame."""
+    return (
+        events.join(F.broadcast(dims), on="event_type")
+        .groupBy("event_type", "type_class")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(scaled_int("value", 10000)) / 10000.0).alias("sum_value"),
+        )
+    )
+
+
+def event_type_dims(spark: SparkSession) -> DataFrame:
+    """Tiny static dimension for the enrichment demo: event_type ->
+    class (conversion vs engagement vs problem)."""
+    return spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("error", "problem"),
+        ],
+        ["event_type", "type_class"],
+    )

@@ -88,3 +88,13 @@ def test_stateful_user_totals_converges(spark, tmp_path):
         .last()
     )
     assert_frames_match(got, batch, "stream_stateful")
+
+
+def test_stream_static_join_converges(spark, tmp_path):
+    from dask_cudf_spark.streaming import event_type_dims, stream_static_enrich
+
+    dims = event_type_dims(spark)
+    batch = stream_static_enrich(load_table(spark, SF_DIR, "events"), dims).toPandas()
+    stream = stream_static_enrich(events_stream(spark, SF_DIR), dims)
+    got = _run_stream_to_pandas(stream, tmp_path, "s_enrich")
+    assert_frames_match(got, batch, "stream_static_join")

@@ -123,3 +123,28 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS cust_bucketed")
         spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path, customer):
+    """Hive-partitioned writes + a partition predicate must prune at
+    planning time (PartitionFilters in the scan) — the layout that makes
+    100 TB interactive when queries filter on the partition key."""
+    out = str(tmp_path / "pq_parts")
+    sources.to_parquet(customer, out, partition_on=["c_mktsegment"])
+    back = sources.read_parquet(spark, out)
+    df = back.filter(back.c_mktsegment == "BUILDING")
+    from dask_cudf_spark.plans import explain_str
+
+    p = explain_str(df)
+    assert "PartitionFilters" in p and "c_mktsegment" in p.split("PartitionFilters")[1][:200]
+    n_segments = customer.select("c_mktsegment").distinct().count()
+    assert df.count() * n_segments < customer.count() * 2  # actually pruned rows
+
+
+def test_read_avro_unavailable_is_clear(spark, tmp_path):
+    """spark-avro isn't on this classpath; the wrapper must surface
+    Spark's actionable error (package coordinates), not crash opaquely."""
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="avro|AVRO"):
+        sources.read_avro(spark, str(tmp_path / "nope.avro")).count()

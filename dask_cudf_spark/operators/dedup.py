@@ -205,3 +205,63 @@ def near_dedup_minhash(
     return df.join(
         to_drop.select(F.col("id_b").alias(id_col)), on=id_col, how="left_anti"
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    final step of production fuzzy dedup (duplicate PAIRS -> duplicate
+    CLUSTERS; one survivor per component).  Returns (node, component)
+    where component = the smallest node id reachable.
+
+    Each iteration: every node takes min(own label, neighbors' labels) —
+    one shuffle join + one aggregation; converges in O(graph diameter)
+    iterations (near-dup graphs are shallow).  Lineage is truncated per
+    iteration with localCheckpoint so the plan doesn't grow
+    exponentially; on a cluster use a checkpoint dir instead.  The
+    driver-side loop with an early-exit count is the documented pattern
+    for iterative algorithms on DataFrames (no GraphX dependency).
+    """
+    und = (
+        edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+        .union(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vertex_pool = und.select("n")
+    if nodes is not None:
+        vertex_pool = vertex_pool.union(nodes.select(F.col(nodes.columns[0]).alias("n")))
+    labels = (
+        vertex_pool.distinct()
+        .withColumn("component", F.col("n"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            und.join(labels.withColumnRenamed("n", "m"), on="m")
+            .groupBy("n")
+            .agg(F.min("component").alias("__nbr_min"))
+        )
+        updated = (
+            labels.join(nbr, on="n", how="left")
+            .select(
+                "n",
+                F.least(
+                    F.col("component"), F.coalesce("__nbr_min", F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce("__nbr_min", F.col("component"))
+                    < F.col("component")
+                ).alias("__changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.filter(F.col("__changed")).count()
+        labels = updated.drop("__changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("n").alias("node"), "component")

@@ -176,3 +176,33 @@ def q_explode_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "o_orderkey", "priority_word", F.col("word_idx").cast("long").alias("word_idx")
     )
+
+
+@register(
+    "q_json_full_parse",
+    family="semistructured",
+    oracle="""
+        SELECT
+            event_id,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+            CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                 THEN 'high' ELSE 'low' END AS k_band
+        FROM events
+        WHERE event_id < 300
+    """,
+)
+def q_json_full_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full JSON parse to a typed struct (from_json — exceeds the
+    reference's path-extraction-only surface, SURVEY.md §2.8) with
+    downstream typed arithmetic on the parsed fields."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    parsed = ev.withColumn(
+        "p", F.from_json("props", "struct<k: bigint>")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") % 10).alias("k_mod"),
+        F.when(F.col("p.k") > 50, "high").otherwise("low").alias("k_band"),
+    )

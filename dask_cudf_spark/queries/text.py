@@ -482,3 +482,73 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, c: F.pmod(acc * 31 + c, F.lit(1000000007)),
     )
     return d.select("doc_id", fp.cast("long").alias("fingerprint"))
+
+
+@register(
+    "q_dedup_components",
+    family="dedup",
+    oracle="""
+        WITH RECURSIVE
+        pairs(a, b) AS (
+            SELECT x.doc_id, y.doc_id
+            FROM documents x JOIN documents y
+              ON x.lang = y.lang AND x.source = y.source
+             AND y.doc_id > x.doc_id
+            WHERE x.doc_id < 200 AND y.doc_id < 200
+              AND CAST(len(list_intersect(list_distinct(string_split(x.text, ' ')),
+                                          list_distinct(string_split(y.text, ' ')))) AS DOUBLE)
+                  / len(list_distinct(list_concat(list_distinct(string_split(x.text, ' ')),
+                                                  list_distinct(string_split(y.text, ' '))))) >= 0.6
+        ),
+        und(a, b) AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        reach(n, m) AS (
+            SELECT a, b FROM und
+            UNION
+            SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a
+        ),
+        nodes(n) AS (SELECT doc_id FROM documents WHERE doc_id < 200)
+        SELECT nodes.n AS node,
+               LEAST(nodes.n, COALESCE(MIN(reach.m), nodes.n)) AS component
+        FROM nodes LEFT JOIN reach ON reach.n = nodes.n
+        GROUP BY nodes.n
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster extraction: deterministic blocked near-dup
+    pairs (token jaccard >= 0.6 within (lang, source)) -> connected
+    components via iterative min-label propagation
+    (operators/dedup.connected_components).  The oracle replays the
+    same graph's transitive closure with a recursive CTE — a fully
+    checked ITERATIVE algorithm, not just one-hop dedup."""
+    from ..operators.dedup import connected_components
+    from ..sources import scale_out
+
+    d = scale_out(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ).select("doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("toks"))
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("source_a"),
+        F.col("toks").alias("toks_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("toks").alias("toks_b"),
+    )
+    jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("source_a") == F.col("source_b"))
+            & (F.col("id_b") > F.col("id_a")),
+        )
+        .filter(jac >= 0.6)
+        .select("id_a", "id_b")
+    )
+    return connected_components(edges, nodes=d.select("doc_id"))

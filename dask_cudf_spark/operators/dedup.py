@@ -158,11 +158,16 @@ def near_dedup_minhash(
     bands: int = 4,
     shingle: int = 5,
     impl: str = "vectorized",
+    clusters: bool = False,
 ) -> DataFrame:
     """Full fuzzy-dedup: LSH candidates -> exact-jaccard verify ->
-    connected docs collapse to the min id (single-link via min-id
-    propagation on verified pairs; one iteration — chains beyond one hop
-    are rare at high thresholds, documented approximation)."""
+    connected docs collapse to the min id.
+
+    ``clusters=False`` (default): one-hop min-id propagation — chains
+    beyond one hop are rare at high thresholds (documented
+    approximation).  ``clusters=True``: full connected components over
+    the verified-pair graph (operators/dedup.connected_components), the
+    exact single-link semantics production pipelines use."""
     # duplicate candidate pairs (docs agreeing on >1 band) are harmless
     # here — the min-id groupBy re-aggregates — so skip their dedup
     # shuffle and spend ~1% extra verify work instead
@@ -200,7 +205,17 @@ def near_dedup_minhash(
     verified = pairs.withColumn("jaccard", inter / union).filter(
         F.col("jaccard") >= threshold
     )
-    # every verified dup (id_b side) maps to the smallest matching id_a
+    if clusters:
+        # production shape: collapse each connected CLUSTER of verified
+        # pairs to its min-id representative (full transitive closure,
+        # not one hop) — survivors = nodes that are their own component
+        comp = connected_components(verified.select("id_a", "id_b"))
+        to_drop = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+        return df.join(to_drop, on=id_col, how="left_anti")
+    # one-hop: every verified dup (id_b side) maps to the smallest
+    # matching id_a
     to_drop = verified.groupBy("id_b").agg(F.min("id_a").alias("keep_id"))
     return df.join(
         to_drop.select(F.col("id_b").alias(id_col)), on=id_col, how="left_anti"

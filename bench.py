@@ -60,18 +60,21 @@ def main() -> None:
     # Warm up JVM / parquet footers once (excluded from timing).
     queries["q_groupby_sum"](spark, SF_DIR).count()
 
-    per_query: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        # per-query warm-up excluded from timing (BASELINE.md protocol):
-        # first execution pays JIT/codegen compilation, not data cost
-        fn(spark, SF_DIR).count()
-        times = []
-        for _ in range(RUNS):
+    # Interleaved rounds (BASELINE.md protocol): the host's steal-time
+    # bursts last minutes, so back-to-back samples of one query can ALL
+    # land inside a burst.  Round-robin over the whole headline list
+    # spreads each query's RUNS samples across the full bench duration;
+    # min per query then rejects any burst that didn't cover every
+    # round.  Round 0 is the per-query warm-up (JIT/codegen,
+    # Python-worker spawn) and is discarded.
+    times: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for rnd in range(RUNS + 1):
+        for name in HEADLINE:
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
-            times.append(time.perf_counter() - t0)
-        per_query[name] = round(min(times), 4)
+            queries[name](spark, SF_DIR).count()
+            if rnd > 0:
+                times[name].append(time.perf_counter() - t0)
+    per_query = {name: round(min(ts), 4) for name, ts in times.items()}
 
     total = round(sum(per_query.values()), 4)
     print(

@@ -669,3 +669,37 @@ def q_skew_salted_nunique(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "n_distinct_l_suppkey", F.col("n_distinct_l_suppkey").cast("long")
     )
+
+
+@register(
+    "q_grouping_sets",
+    family="aggregate",
+    oracle="""
+        SELECT
+            COALESCE(l_returnflag, 'ALL') AS rf,
+            COALESCE(l_linestatus, 'ALL') AS ls,
+            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+            COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (absent in the reference's pandas model,
+    SURVEY.md §2.4 'free upside'): three aggregation grains in ONE scan
+    + one shuffle, vs three separate groupBys in the reference idiom."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__li_gs")
+    return spark.sql(
+        """
+        SELECT
+            COALESCE(l_returnflag, 'ALL') AS rf,
+            COALESCE(l_linestatus, 'ALL') AS ls,
+            SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+            COUNT(*) AS n
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """
+    )

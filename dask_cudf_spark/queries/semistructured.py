@@ -206,3 +206,39 @@ def q_json_full_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p.k") % 10).alias("k_mod"),
         F.when(F.col("p.k") > 50, "high").otherwise("low").alias("k_band"),
     )
+
+
+@register(
+    "q_map_ops",
+    family="semistructured",
+    oracle="""
+        SELECT
+            doc_id,
+            map(['lang', 'source'], [lang, source])['lang'][1] AS lang_val,
+            map(['lang', 'source'], [lang, source])['source'][1] AS source_val,
+            CAST(cardinality(map(['lang', 'source'], [lang, source])) AS BIGINT)
+                AS n_entries,
+            array_to_string(map_keys(map(['lang', 'source'], [lang, source])), ',')
+                AS keys_csv
+        FROM documents
+        WHERE doc_id < 200
+    """,
+)
+def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType operations — cuDF has NO map type (SURVEY.md §1: modeled
+    there as list<struct<k,v>>); Spark's MapType is a strict superset,
+    exercised here: construction from arrays, key lookup, cardinality,
+    key enumeration.  Output flattened to scalars so the cross-engine
+    hash compare stays well-defined."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    m = F.map_from_arrays(
+        F.array(F.lit("lang"), F.lit("source")),
+        F.array(F.col("lang"), F.col("source")),
+    )
+    return d.select(
+        "doc_id",
+        F.element_at(m, "lang").alias("lang_val"),
+        F.element_at(m, "source").alias("source_val"),
+        F.size(m).cast("long").alias("n_entries"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+    )

@@ -204,3 +204,38 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(scaled_int("value", 10000)) / 10000.0).alias("sum_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "q_interval_arith",
+    family="window",
+    oracle="""
+        SELECT
+            event_id,
+            CAST(ts AS TIMESTAMP) + INTERVAL '90 minutes' AS ts_plus_90m,
+            CAST(ts AS TIMESTAMP) - INTERVAL '1 day' AS ts_minus_1d,
+            CAST(FLOOR(date_part('epoch', CAST(ts AS TIMESTAMP)
+                 - TIMESTAMP '2024-01-01')) AS BIGINT) AS secs_since_jan1,
+            CAST(date_part('hour', CAST(ts AS TIMESTAMP)
+                 + INTERVAL '90 minutes') AS BIGINT) AS shifted_hour
+        FROM events
+        WHERE event_id < 300
+    """,
+)
+def q_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration/timedelta arithmetic (reference duration[ns] dtype ->
+    DayTimeIntervalType, SURVEY.md §1): timestamp +- interval literals,
+    timestamp difference as elapsed seconds, component extraction after
+    the shift."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    shifted = F.col("ts") + F.expr("INTERVAL 90 MINUTES")
+    return ev.select(
+        "event_id",
+        shifted.alias("ts_plus_90m"),
+        (F.col("ts") - F.expr("INTERVAL 1 DAY")).alias("ts_minus_1d"),
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lit("2024-01-01").cast("timestamp"))
+        ).alias("secs_since_jan1"),
+        F.hour(shifted).cast("long").alias("shifted_hour"),
+    )

@@ -190,9 +190,12 @@ def test_groupby_apply(f_customer, pdf_customer):
     got = f_customer.groupby("c_mktsegment").apply(
         topbal, schema="c_mktsegment string, c_custkey bigint"
     ).compute()
+    # equivalent to per-group nlargest(1, c_acctbal): stable desc sort
+    # then head(1) per group (avoids pandas' groupby.apply deprecation)
     want = (
-        pdf_customer.groupby("c_mktsegment", group_keys=False)
-        .apply(topbal, include_groups=True)
+        pdf_customer.sort_values("c_acctbal", ascending=False, kind="stable")
+        .groupby("c_mktsegment")
+        .head(1)[["c_mktsegment", "c_custkey"]]
         .reset_index(drop=True)
     )
     eq(got, want, sort_by="c_mktsegment")

@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -552,3 +552,40 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     return connected_components(edges, nodes=d.select("doc_id"))
+
+
+@register(
+    "q_vocab_topk",
+    family="text",
+    oracle="""
+        SELECT token, n, rank FROM (
+            SELECT token, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+            FROM (
+                SELECT t.token, COUNT(*) AS n
+                FROM documents, unnest(string_split(text, ' ')) AS t(token)
+                GROUP BY t.token
+            )
+        ) WHERE rank <= 50
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary construction: token frequency over all
+    documents, top-50 (the vocab/BPE-seed primitive of training-data
+    pipelines).  explode is partition-local; the count shuffles on
+    token (uniform-ish); top-k is TakeOrderedAndProject — no global
+    sort."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), F.asc("token"))
+            ).cast("long"),
+        )
+    )

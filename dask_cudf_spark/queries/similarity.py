@@ -92,15 +92,35 @@ def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_lsh_sig(vec: str, dim: int = 64, n_planes: int = 6, seed: int = 42) -> str:
+    """DuckDB replica of lsh_bucket_topk's hyperplane signature: the
+    planes are deterministic literals (seeded), the dot is the same
+    sequential float64 sum, the sign bits pack identically."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(p) for p in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({lit}::DOUBLE[])[i]))"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
 @register(
     "q_ann_lsh",
     family="similarity",
-    oracle=None,  # LSH bucketing is engine-specific -> rows-only; recall tested
+    oracle=None,  # replaced at import time below (needs generated plane literals)
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH
     (operators/similarity.lsh_bucket_topk) — the 100TB path: candidates
-    only within matching signature buckets, exact re-rank inside."""
+    only within matching signature buckets, exact re-rank inside.
+    Fully oracle-checked: the seeded hyperplanes are replicated as SQL
+    literals, so bucketing AND re-rank replay exactly in DuckDB."""
     from ..operators.similarity import lsh_bucket_topk
 
     em = load_table(spark, sf_dir, "embeddings")
@@ -108,6 +128,29 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return lsh_bucket_topk(em, queries, dim=64, k=5, n_planes=6, seed=42)
+
+
+def _install_lsh_oracle() -> None:
+    from ..registry import REGISTRY
+
+    sig_c = _duck_lsh_sig("c.embedding")
+    sig_q = _duck_lsh_sig("q.embedding")
+    REGISTRY["q_ann_lsh"].oracle = f"""
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT q.vec_id AS query_id,
+                   c.vec_id AS neighbor_id,
+                   {_duck_cos("q.embedding", "c.embedding")} AS cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_duck_cos("q.embedding", "c.embedding")} DESC,
+                                c.vec_id
+                   ) AS rank
+            FROM embeddings q
+            JOIN embeddings c
+              ON {sig_q} = {sig_c} AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < 10
+        ) WHERE rank <= 5
+    """
 
 
 def _duck_cos(x: str, y: str) -> str:
@@ -290,3 +333,6 @@ def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("label", "id_a", "id_b", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+_install_lsh_oracle()

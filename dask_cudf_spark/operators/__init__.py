@@ -4,14 +4,39 @@ ops (no RDDs, no row-at-a-time Python), per SURVEY.md §2.3/§2.12.
 """
 
 from .asof import merge_asof
-from .dedup import exact_dedup, minhash_lsh_candidates, near_dedup_minhash
-from .similarity import cosine_topk, lsh_bucket_topk
+from .dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_lsh_candidates,
+    near_dedup_minhash,
+    token_jaccard,
+)
+from .multimodal import (
+    attach_payload,
+    dedup_payloads,
+    extract_features,
+    sample_frames,
+)
+from .similarity import centroids, cosine_topk, ivf_topk, lsh_bucket_topk
+from .skew import salted_collect, salted_count_distinct, salted_sum, with_salt
 
 __all__ = [
     "merge_asof",
     "exact_dedup",
     "minhash_lsh_candidates",
     "near_dedup_minhash",
+    "token_jaccard",
+    "connected_components",
+    "attach_payload",
+    "sample_frames",
+    "extract_features",
+    "dedup_payloads",
     "cosine_topk",
     "lsh_bucket_topk",
+    "ivf_topk",
+    "centroids",
+    "salted_sum",
+    "salted_collect",
+    "salted_count_distinct",
+    "with_salt",
 ]

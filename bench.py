@@ -32,6 +32,7 @@ HEADLINE = [
     "q_groupby_sum",        # scan+filter+multi-agg (flagship, TPC-H Q1 shape)
     "q_groupby_nunique",    # distinct aggregation (expand + 2-phase)
     "q_join_inner",         # star join fact⋈fact⋈dim + agg
+    "q_tpch_q5_shape",      # six-way join, broadcast dim chain
     "q_join_broadcast",     # broadcast dim joins
     "q_join_asof",          # custom as-of operator (union + window)
     "q_sort_global",        # range-partitioned global sort

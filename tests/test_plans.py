@@ -225,3 +225,15 @@ def test_salted_aggs_are_two_phase(spark):
     a = audit(REGISTRY["q_skew_salted_sum"].fn(spark, SF_DIR))
     assert a.n_hash_aggregates >= 4  # partial+final for each of 2 phases
     assert "__salt" in a.text
+
+
+def test_tpch_shapes_broadcast_dims_and_push_dates(spark):
+    from dask_cudf_spark.plans import audit
+
+    a = audit(REGISTRY["q_tpch_q5_shape"].fn(spark, SF_DIR))
+    assert a.n_broadcast_hash_joins >= 3  # supplier, nation, region chain
+    assert a.n_cartesian == 0
+    q3 = audit(REGISTRY["q_tpch_q3_shape"].fn(spark, SF_DIR))
+    assert any("o_orderdate" in f for f in q3.pushed_filters)
+    assert any("l_shipdate" in f for f in q3.pushed_filters)
+    assert q3.has_take_ordered  # top-10 must not globally sort

@@ -458,3 +458,43 @@ def q_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "q_tpch_q18_shape",
+    family="join",
+    oracle="""
+        SELECT
+            c_custkey,
+            o_orderkey,
+            CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+            CAST(big.total_qty AS BIGINT) AS total_qty
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN (
+            SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
+        ) big ON o_orderkey = big.l_orderkey
+    """,
+)
+def q_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): aggregate subquery with
+    HAVING feeding a join — the group-filter-then-join pattern.  The
+    aggregate runs BEFORE the join, so only qualifying orderkeys (few)
+    reach the fact-fact join; at scale this ordering is the difference
+    between joining 150M rows and joining thousands."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_orderdate", "total_qty")
+    )

@@ -498,3 +498,47 @@ def q_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .select("c_custkey", "o_orderkey", "o_orderdate", "total_qty")
     )
+
+
+@register(
+    "q_exists_subquery",
+    family="join",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 300000
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders o2
+            WHERE o2.o_custkey = c.c_custkey
+              AND o2.o_orderstatus = 'F'
+              AND o2.o_totalprice < 50000
+        )
+    """,
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subqueries — Catalyst decorrelates
+    them into semi/anti joins automatically (SURVEY.md §4: dask-expr has
+    no subquery support at all; the reference idiom is manual isin over
+    a computed key list)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("__c_ex")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__o_ex")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM __c_ex c
+        WHERE EXISTS (
+            SELECT 1 FROM __o_ex o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM __o_ex o2
+            WHERE o2.o_custkey = c.c_custkey
+              AND o2.o_orderstatus = 'F'
+              AND o2.o_totalprice < 50000
+        )
+        """
+    )

@@ -239,3 +239,64 @@ def q_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("secs_since_jan1"),
         F.hour(shifted).cast("long").alias("shifted_hour"),
     )
+
+
+@register(
+    "q_sessionize_gaps",
+    family="window",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CASE WHEN CAST(ts AS TIMESTAMP)
+                          - LAG(CAST(ts AS TIMESTAMP)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL '30 minutes'
+                        OR LAG(CAST(ts AS TIMESTAMP)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id)
+                           IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked
+        )
+        SELECT user_id,
+               CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: lag + gap flag + running sum
+    assigns session ids with plain windows — the manual form of
+    session_window (q_stream_session), portable to any engine and
+    giving explicit ids.  One shuffle on user_id; both windows share
+    the same partitioning so the second sort is free."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_lag)
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("new_session"),
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("new_session").over(w_run).cast("long")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

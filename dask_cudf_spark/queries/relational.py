@@ -409,3 +409,32 @@ def q_scalar_pack_str2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.locate("1", F.col("c_name")).cast("long").alias("pos_one"),
         F.bit_count("c_custkey").cast("long").alias("key_bits"),
     )
+
+
+@register(
+    "q_melt_unpivot",
+    family="projection",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, metric, CAST(val AS DOUBLE) AS val
+        FROM (
+            UNPIVOT (
+                SELECT l_orderkey, l_linenumber, l_quantity,
+                       l_extendedprice, l_discount
+                FROM lineitem WHERE l_orderkey < 100
+            )
+            ON l_quantity, l_extendedprice, l_discount
+            INTO NAME metric VALUE val
+        )
+    """,
+)
+def q_melt_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """melt / wide-to-long unpivot (reference dask dd.melt over cudf):
+    Spark's native unpivot — one narrow scan, no shuffle, rows expand
+    partition-locally."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )

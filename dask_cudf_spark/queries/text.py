@@ -367,7 +367,29 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_lang_id",
     family="text",
-    oracle=None,  # heuristic classifier -> rows-only; accuracy vs `lang` tested
+    oracle=f"""
+        WITH sig AS (
+            SELECT doc_id, lang,
+                   GREATEST(LENGTH(text), 1) AS total,
+                   LENGTH(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
+                   LENGTH(regexp_replace(text, '[^éèêàçùôî]', '', 'g')) AS fr,
+                   LENGTH(regexp_replace(text, '[^ñáíóúü¿¡]', '', 'g')) AS es,
+                   LENGTH(regexp_replace(text, '[^äöüß]', '', 'g')) AS de,
+                   len(list_filter(string_split(lower(text), ' '),
+                       t -> list_contains({_EN_STOP_SQL}, t))) AS stop_hits
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE
+                   WHEN cjk * 10 > total THEN 'zh'
+                   WHEN fr > es THEN (CASE WHEN fr > de THEN 'fr' ELSE 'de' END)
+                   WHEN es > de THEN 'es'
+                   WHEN de > 0 THEN 'de'
+                   WHEN stop_hits > 0 THEN 'en'
+                   ELSE 'unknown'
+               END AS lang_pred
+        FROM sig
+    """,  # the heuristic is pure SQL -> fully replicated in DuckDB
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (functions/text.lang_id_heuristic) next to

@@ -11,6 +11,7 @@ file source + availableNow trigger (tests/test_streaming.py).
 
 from .jobs import (
     event_type_dims,
+    materialize_rollup,
     events_stream,
     stateful_user_totals,
     stream_static_enrich,
@@ -23,6 +24,7 @@ from .jobs import (
 __all__ = [
     "events_stream",
     "event_type_dims",
+    "materialize_rollup",
     "stream_static_enrich",
     "stateful_user_totals",
     "tumbling_counts",

@@ -182,3 +182,28 @@ def event_type_dims(spark: SparkSession) -> DataFrame:
         ],
         ["event_type", "type_class"],
     )
+
+
+def materialize_rollup(
+    stream_df: DataFrame, path: str, checkpoint: str, query_name: str = "rollup"
+):
+    """Continuous-aggregate sink (the hypertable-rollup pattern): each
+    micro-batch rewrites the materialized rollup parquet atomically via
+    foreachBatch — readers always see a complete, current rollup.
+    Works with complete-mode aggregations (no watermark needed); for
+    append-mode flows swap the overwrite for an idempotent
+    partition-overwrite on the window column.
+
+    Returns the StreamingQuery (caller awaits termination)."""
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -98,3 +98,19 @@ def test_stream_static_join_converges(spark, tmp_path):
     stream = stream_static_enrich(events_stream(spark, SF_DIR), dims)
     got = _run_stream_to_pandas(stream, tmp_path, "s_enrich")
     assert_frames_match(got, batch, "stream_static_join")
+
+
+def test_materialize_rollup_matches_batch(spark, tmp_path):
+    """Continuous-aggregate parquet sink: stream-materialized rollup ==
+    batch rollup (the hypertable / incremental-rollup pattern)."""
+    from dask_cudf_spark.streaming import materialize_rollup
+
+    batch = tumbling_counts(load_table(spark, SF_DIR, "events")).toPandas()
+    q = materialize_rollup(
+        tumbling_counts(events_stream(spark, SF_DIR)),
+        path=str(tmp_path / "rollup_pq"),
+        checkpoint=str(tmp_path / "ckpt_rollup"),
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "rollup_pq")).toPandas()
+    assert_frames_match(got, batch, "materialized_rollup")

@@ -242,3 +242,45 @@ def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).cast("long").alias("n_entries"),
         F.array_join(F.map_keys(m), ",").alias("keys_csv"),
     )
+
+
+@register(
+    "q_python_udtf",
+    family="udf",
+    oracle="""
+        SELECT doc_id,
+               CAST(u.token_idx AS BIGINT) AS token_idx,
+               u.token AS token
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(string_split(text, ' ')) + 1),
+                          i -> struct_pack(token_idx := i - 1,
+                                           token := string_split(text, ' ')[i]))) AS u
+            FROM documents WHERE doc_id < 50
+        )
+    """,
+)
+def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Python UDTF (@udtf, Spark 3.5+): one input row -> N output
+    rows from arbitrary Python, consumed via LATERAL join.  Determinism
+    declared so results are oracle-checkable; the reference's table-
+    function surface (explode / str.split(expand)) has no user-defined
+    equivalent at all."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token_idx bigint, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    ).createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token_idx, t.token
+        FROM __docs_udtf d, LATERAL tokenize_udtf(d.text) t
+        """
+    )

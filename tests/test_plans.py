@@ -182,6 +182,7 @@ _PYTHON_OK = {
     "q_stream_stateful",     # batch twin is JVM, stream twin is stateful python
     "q_minhash_dedup",       # vectorized numpy signature (declared Arrow path)
     "q_cosine_sim",          # vectorized BLAS scoring (declared Arrow path)
+    "q_python_udtf",         # the Python UDTF surface is the op under test
 }
 # queries that intentionally build a cartesian/nested-loop product
 _CARTESIAN_OK = {"q_join_cross"}

@@ -611,3 +611,47 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
     )
+
+
+@register(
+    "q_train_test_split",
+    family="text",
+    oracle="""
+        WITH assigned AS (
+            SELECT doc_id, lang,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                        AS BIGINT) % 10 AS bucket
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < 8 THEN 'train'
+                    WHEN bucket = 8 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang,
+               COUNT(*) AS n_docs,
+               MIN(doc_id) AS min_id,
+               MAX(doc_id) AS max_id
+        FROM assigned
+        GROUP BY 1, 2
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment (80/10/10) —
+    the scalable data-split method for training pipelines: no sampling
+    state, no shuffle to assign, stable across reruns and engines
+    (md5-derived bucket, verified identical arithmetic in the oracle).
+    Per-split-per-language counts audit the split balance."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 10
+    )
+    assigned = d.withColumn(
+        "split",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test"),
+    )
+    return assigned.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

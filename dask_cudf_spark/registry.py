@@ -53,15 +53,45 @@ def register(
     return deco
 
 
-def all_queries() -> dict[str, QueryFn]:
+def ordered_specs() -> list[QuerySpec]:
+    """Registry in driver-facing order: round-robin across families so a
+    prefix of ANY length covers the widest possible family spread, with
+    oracle-backed queries first within each family and all oracle-less
+    (rows-only) queries pushed to the very end.
+
+    Rationale: the verification driver scores only the FIRST 50 entries
+    of ``queries()`` in insertion order; depth-first module order left
+    whole families (windows, sorts, text, ...) without a correctness
+    row, and burned scored slots on rows-only queries.  With 17
+    families, positions 1-50 now hold ~3 oracle-backed queries of every
+    family."""
     _ensure_loaded()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    by_family: dict[str, list[QuerySpec]] = {}
+    for spec in REGISTRY.values():
+        by_family.setdefault(spec.family, []).append(spec)
+    for specs in by_family.values():
+        specs.sort(key=lambda s: s.oracle is None)  # stable: oracle-backed first
+    interleaved: list[QuerySpec] = []
+    queues = list(by_family.values())
+    while queues:
+        remaining: list[list[QuerySpec]] = []
+        for queue in queues:
+            interleaved.append(queue.pop(0))
+            if queue:
+                remaining.append(queue)
+        queues = remaining
+    with_oracle = [s for s in interleaved if s.oracle is not None]
+    rows_only = [s for s in interleaved if s.oracle is None]
+    return with_oracle + rows_only
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {spec.name: spec.fn for spec in ordered_specs()}
 
 
 def all_oracles() -> dict[str, str]:
-    _ensure_loaded()
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        spec.name: spec.oracle for spec in ordered_specs() if spec.oracle is not None
     }
 
 

@@ -14,16 +14,83 @@ from pyspark.sql import functions as F
 from ..functions.det import scaled_int
 
 
+#: JSON payload schema for events on a Kafka topic (one event per
+#: record value); mirrors events.parquet minus the wire-level columns
+#: Kafka itself provides (topic/partition/offset/timestamp).
+KAFKA_EVENTS_JSON_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def kafka_events_reader(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+):
+    """Configured ``readStream.format('kafka')`` reader (the reference's
+    custreamz Kafka micro-batch source, upstream: custreamz/kafka.py).
+    Returned WITHOUT ``.load()`` so the plan can be built and tested
+    where the spark-sql-kafka package / a broker is unavailable; callers
+    chain ``.load()`` then ``parse_kafka_events``.
+
+    maxOffsetsPerTrigger is the backpressure knob: at cluster scale it
+    bounds each micro-batch so one slow batch can't snowball."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    return reader
+
+
+def parse_kafka_events(raw: DataFrame) -> DataFrame:
+    """Kafka wire frame (key/value binary + topic/partition/offset/
+    timestamp) -> typed events frame.  Works on any DataFrame with the
+    Kafka source's schema, streaming or batch — tests feed it a batch
+    frame shaped like the wire format, so the parse logic is fully
+    covered without a broker."""
+    payload = F.from_json(
+        F.col("value").cast("string"), KAFKA_EVENTS_JSON_SCHEMA
+    ).alias("e")
+    return raw.select(payload).select("e.*")
+
+
 def events_stream(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    source: str = "files",
+    brokers: str = "localhost:9092",
+    topic: str = "events",
 ) -> DataFrame:
-    """File-source stream over the events table (the local stand-in for
-    the reference's Kafka micro-batch source; swap for
-    readStream.format('kafka') in production)."""
+    """Micro-batch event stream.  source='files' replays events.parquet
+    as a file-source stream (the sandbox stand-in); source='kafka' is
+    the production path: readStream.format('kafka') -> JSON parse to the
+    same schema, so every downstream job is source-agnostic."""
+    if source == "kafka":
+        raw = kafka_events_reader(
+            spark, brokers, topic, max_offsets_per_trigger=max_files_per_trigger
+        ).load()
+        return parse_kafka_events(raw)
+
     path = f"{sf_dir}/events.parquet"
-    # same ns->us normalization as sources.tables.load_table
+    # same ns->us normalization as sources.tables.load_table; scoped so
+    # the session-wide conf is restored after the schema probe
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    try:
+        schema = spark.read.parquet(path).schema
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     # the file source wants a directory; glob-filter to just the events file
     reader = spark.readStream.schema(schema).option(
         "pathGlobFilter", "events.parquet"
@@ -125,11 +192,16 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
+
         n, total_scaled = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
+            # floor(x*s + 0.5): half-UP, mirroring scaled_int exactly —
+            # pandas .round() is half-to-even and would diverge from the
+            # batch path on exact-.5 scaled values
             total_scaled += int(
-                (pdf["value"] * 10000).round().astype("int64").sum()
+                np.floor(pdf["value"].to_numpy() * 10000 + 0.5).astype("int64").sum()
             )
         state.update((n, total_scaled))
         import pandas as pd

@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -438,34 +439,117 @@ def q_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stem_tokens_oracle() -> str:
+    from ..functions.porter import porter_pipeline_sql
+
+    pipeline = porter_pipeline_sql(
+        """SELECT doc_id, w AS orig, w FROM (
+               SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents WHERE doc_id < 200)"""
+    )
+    return f"""
+        WITH {pipeline}
+        SELECT doc_id,
+               COUNT(DISTINCT w) AS n_stems,
+               array_to_string(list_sort(list(DISTINCT w))[1:8], ' ')
+                   AS stems_head
+        FROM stemmed
+        GROUP BY doc_id
+    """
+
+
 @register(
     "q_stem_tokens",
     family="text",
-    oracle="""
-        SELECT
-            doc_id,
-            len(list_distinct(list_transform(
-                string_split(text, ' '),
-                t -> regexp_replace(t, '(ing|ed|es|s)$', ''))))
-                AS n_stems,
-            len(list_distinct(string_split(text, ' '))) AS n_tokens_distinct
-        FROM documents
-        WHERE doc_id < 200
-    """,
+    oracle=None,  # set below: generated from the shared Porter rule tables
 )
 def q_stem_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Suffix-stripping stemmer (porter_stemmer stand-in; nvtext
-    porter_stemmer upstream cpp/src/text/stemmer.cu): strip common
-    suffixes per token, count distinct stems vs distinct raw tokens.
-    The regex is dialect-neutral (tested identical in both engines)."""
+    """Full Porter stemmer, steps 1a-5b (nvtext porter_stemmer, upstream
+    cpp/src/text/stemmer.cu): per-doc distinct stem count + the first 8
+    sorted stems.  Engine path = pure-Python Porter inside an
+    Arrow-batched pandas_udf (memoized per token — vocab is tiny
+    relative to token count); oracle = SQL generated from the SAME rule
+    tables (functions/porter.py), so rules cannot drift between the
+    two.  Partition-local, no shuffle before the final projection."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    from ..functions.porter import porter_stem
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def distinct_stems(texts: pd.Series) -> pd.Series:
+        from functools import lru_cache
+
+        stem = lru_cache(maxsize=1 << 16)(porter_stem)
+        return texts.map(
+            lambda t: sorted({stem(tok) for tok in t.split(" ")})
+        )
+
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    toks = F.split("text", " ")
-    stems = F.transform(toks, lambda t: F.regexp_replace(t, "(ing|ed|es|s)$", ""))
-    return d.select(
+    stems = distinct_stems("text")
+    return d.select("doc_id", stems.alias("s")).select(
         "doc_id",
-        F.size(F.array_distinct(stems)).cast("long").alias("n_stems"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_tokens_distinct"),
+        F.size("s").cast("long").alias("n_stems"),
+        F.array_join(F.slice("s", 1, 8), " ").alias("stems_head"),
     )
+
+
+# generated oracle (import-time, like q_ann_lsh): SQL translation of the
+# same Porter rule tables the pandas_udf uses
+from ..registry import REGISTRY as _REG  # noqa: E402
+
+_REG["q_stem_tokens"].oracle = _stem_tokens_oracle()
+
+
+@register(
+    "q_subword_tokens",
+    family="text",
+    oracle=None,  # set below: generated from the shared vocab + hash scheme
+)
+def q_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword tokenization with a hash vocab (nvtext subword_tokenize,
+    upstream cpp/src/text/subword/): greedy longest-prefix WordPiece
+    segmentation against a literal vocab, pieces mapped to ids by
+    md5-hash mod bucket count (functions/subword.py).  Per-doc output
+    is order-insensitive (counts + id sum) so the oracle — the same
+    greedy loop as a DuckDB recursive CTE — hash-matches exactly.
+    Arrow-batched with per-word memoization; embarrassingly parallel,
+    zero shuffle before the final projection."""
+    from ..functions.subword import piece_id, subword_pieces
+
+    @F.pandas_udf("n_pieces long, n_distinct_pieces long, id_sum long")
+    def seg_stats(texts: pd.Series) -> pd.DataFrame:
+        from functools import lru_cache
+
+        pieces_of = lru_cache(maxsize=1 << 16)(
+            lambda w: tuple(subword_pieces(w))
+        )
+        pid = lru_cache(maxsize=1 << 16)(piece_id)
+        rows = []
+        for t in texts:
+            pieces = [p for w in t.split(" ") for p in pieces_of(w)]
+            rows.append(
+                (len(pieces), len(set(pieces)), sum(pid(p) for p in pieces))
+            )
+        return pd.DataFrame(
+            rows, columns=["n_pieces", "n_distinct_pieces", "id_sum"]
+        )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select("doc_id", seg_stats("text").alias("s")).select(
+        "doc_id", "s.n_pieces", "s.n_distinct_pieces", "s.id_sum"
+    )
+
+
+def _subword_oracle() -> str:
+    from ..functions.subword import subword_oracle_sql
+
+    return subword_oracle_sql(
+        """SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents WHERE doc_id < 200"""
+    )
+
+
+_REG["q_subword_tokens"].oracle = _subword_oracle()
 
 
 @register(

@@ -186,6 +186,139 @@ def simhash64(col: Column | str, shingle: int = 4) -> Column:
     )
 
 
+# ------------------------------------------------- md5-based oracle twins
+#
+# xxhash64 has no DuckDB implementation, so the xxhash-based minhash /
+# simhash above are rows-only under the correctness driver.  The
+# functions below are the ORACLE-CHECKABLE twins: same algorithms, base
+# hash swapped for the first 60 bits of md5 — which both engines
+# compute bit-identically (Spark conv(substr(md5(x),1,15),16,10),
+# DuckDB CAST('0x'||substr(md5(x),1,15) AS BIGINT)).  The SQL
+# generators emit DuckDB expressions from the SAME permutation
+# constants, the q_ann_lsh literal-replay pattern.  md5 is ~5x slower
+# than xxhash64, so the production dedup path stays on xxhash; these
+# twins exist to hash-verify the LSH pipeline end-to-end.
+
+
+def md5_long(col: Column | str) -> Column:
+    """First 60 bits of md5 as a non-negative long (DuckDB twin:
+    ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("long")
+
+
+def _md5_long_sql(e: str) -> str:
+    return f"CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"
+
+
+def _char_shingle_hashes_sql(e: str, shingle: int, mod: int | None) -> str:
+    """DuckDB: distinct char-`shingle`-gram md5-longs of expr `e`
+    (optionally mod `mod`) — the twin of array_distinct(char_ngrams)
+    + md5_long."""
+    grams = (
+        f"list_distinct(list_transform(range(greatest(len({e}) - {shingle - 1}, 0)), "
+        f"i -> substr({e}, i + 1, {shingle})))"
+    )
+    h = _md5_long_sql("s")
+    if mod is not None:
+        h = f"({h} % {mod})"
+    return f"list_transform({grams}, s -> {h})"
+
+
+def minhash_signature_md5(
+    col: Column | str, num_hashes: int = 16, shingle: int = 5
+) -> Column:
+    """minhash_signature with the md5 base hash (oracle twin; same
+    affine permutations from _minhash_perm_constants)."""
+    base = F.transform(
+        F.array_distinct(char_ngrams(col, shingle)),
+        lambda s: F.pmod(md5_long(s), F.lit(_MERSENNE_P)),
+    )
+    consts = _minhash_perm_constants(num_hashes)
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in consts])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in consts])
+    p = F.lit(_MERSENNE_P).cast("long")
+    return F.element_at(
+        F.transform(
+            F.array(base),
+            lambda bs: F.zip_with(
+                a_arr,
+                b_arr,
+                lambda a, b: F.aggregate(
+                    bs,
+                    p,
+                    lambda acc, h: F.least(acc, F.pmod(h * a + b, p)),
+                ),
+            ),
+        ),
+        1,
+    )
+
+
+def minhash_md5_sig_sql(e: str, num_hashes: int = 16, shingle: int = 5) -> str:
+    """DuckDB twin of minhash_signature_md5: a LIST expression (use
+    inside ``SELECT ... AS sig``).  Emitted from the same permutation
+    constants as the Spark path."""
+    consts = _minhash_perm_constants(num_hashes)
+    hv = _char_shingle_hashes_sql(e, shingle, _MERSENNE_P)
+    mins = ", ".join(
+        f"coalesce(list_min(list_transform(hv, h -> (h * {a} + {b}) % {_MERSENNE_P})), {_MERSENNE_P})"
+        for a, b in consts
+    )
+    # bind hv once via a single-element unnest-free trick: DuckDB allows
+    # referencing a lateral alias in the same SELECT via a subquery;
+    # callers instead get a two-step form: sig over a hv column they
+    # must provide as `hv` (see q_minhash_pairs oracle).
+    return f"[{mins}]", hv
+
+
+def simhash16_md5(col: Column | str, shingle: int = 4) -> Column:
+    """16-bit SimHash over md5 shingle hashes (oracle twin of
+    simhash64's vote semantics: bit b set iff the +-1 vote sum over
+    distinct shingles is > 0)."""
+    hashes = F.transform(
+        F.array_distinct(char_ngrams(col, shingle)), lambda s: md5_long(s)
+    )
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(16)])
+    one = F.lit(1).cast("long")
+    neg = F.lit(-1).cast("long")
+    zero = F.lit(0).cast("long")
+    return F.element_at(
+        F.transform(
+            F.array(hashes),
+            lambda hs: F.aggregate(
+                F.transform(
+                    masks,
+                    lambda m: F.when(
+                        F.aggregate(
+                            hs,
+                            zero,
+                            lambda acc, h: acc
+                            + F.when(h.bitwiseAND(m) != 0, one).otherwise(neg),
+                        )
+                        > 0,
+                        m,
+                    ).otherwise(zero),
+                ),
+                zero,
+                lambda a, x: a + x,
+            ),
+        ),
+        1,
+    )
+
+
+def simhash16_md5_sql(e: str, shingle: int = 4) -> str:
+    """DuckDB twin of simhash16_md5 as a scalar expression."""
+    hv = _char_shingle_hashes_sql(e, shingle, None)
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform({hv}, "
+        f"h -> CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    return f"CAST({bit_terms} AS BIGINT)"
+
+
 _EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
 
 

@@ -7,6 +7,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..registry import REGISTRY as _REG
 from ..registry import register
 from ..sources import load_table
 
@@ -348,21 +349,136 @@ def q_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_oracle() -> str:
+    from ..functions.text import simhash16_md5_sql
+
+    return f"""
+        SELECT doc_id, {simhash16_md5_sql("text")} AS simhash
+        FROM documents WHERE doc_id < 100
+    """
+
+
 @register(
     "q_simhash",
     family="dedup",
-    oracle=None,  # xxhash64-based fingerprint: Spark-specific -> rows-only
+    oracle=None,  # set below: generated md5-twin SQL (same vote rules)
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (functions/text.simhash64) — near-dups
-    differ in few bits; self-consistency checked in tests."""
-    from ..functions.text import simhash64
+    """SimHash fingerprints — near-dups differ in few bits (compare
+    with bit_count(a ^ b) <= k).  This query runs the md5-based 16-bit
+    twin (functions/text.simhash16_md5) so the DuckDB oracle can replay
+    the identical vote computation; the production 64-bit xxhash
+    variant (simhash64, ~5x faster base hash) keeps pytest coverage."""
+    from ..functions.text import simhash16_md5
     from ..sources import scale_out
 
     d = scale_out(
         load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     )
-    return d.select("doc_id", simhash64("text").alias("simhash"))
+    return d.select("doc_id", simhash16_md5("text").alias("simhash"))
+
+
+_REG["q_simhash"].oracle = _simhash_oracle()
+
+
+def _minhash_pairs_oracle() -> str:
+    from ..functions.text import minhash_md5_sig_sql
+
+    sig_expr, hv_expr = minhash_md5_sig_sql("text", num_hashes=16, shingle=5)
+    band_selects = "\n            UNION ALL ".join(
+        f"SELECT {b} AS band, array_to_string(sig[{b * 4 + 1}:{b * 4 + 4}], '_') AS key, "
+        "doc_id, sig FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id < 300 AND len(text) >= 5
+        ),
+        hs AS (SELECT doc_id, {hv_expr} AS hv FROM docs),
+        sigs AS (SELECT doc_id, {sig_expr} AS sig FROM hs),
+        bands AS (
+            {band_selects}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_filter(range(16), i -> a.sig[i + 1] = b.sig[i + 1]))
+                       AS n_match
+            FROM bands a JOIN bands b USING (band, key)
+            WHERE b.doc_id > a.doc_id
+        )
+        SELECT id_a, id_b, n_match
+        FROM cand
+        WHERE CAST(n_match AS DOUBLE) / 16 >= 0.8
+    """
+
+
+@register(
+    "q_minhash_pairs",
+    family="dedup",
+    oracle=None,  # set below: generated from the same LSH constants
+)
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs, ORACLE-CHECKED end to end: md5-base
+    signatures (functions/text.minhash_signature_md5) -> 4x4 band keys
+    -> bucket self-join -> signature-agreement score, with the DuckDB
+    oracle replaying the identical permutation constants and banding.
+    This is the verification twin of q_minhash_dedup (xxhash + capped
+    in-bucket pair generation — the throughput path); same one-shuffle
+    LSH topology, so a hash-match here certifies the pipeline's
+    banding/scoring logic, not just its components."""
+    from ..functions.text import minhash_signature_md5
+    from ..sources import scale_out
+
+    d = scale_out(
+        load_table(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") < 300) & (F.length("text") >= 5)
+        )
+    )
+    s = d.select(
+        "doc_id", minhash_signature_md5("text", 16, 5).alias("sig")
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.array_join(
+                    F.transform(
+                        F.slice("sig", b * 4 + 1, 4),
+                        lambda x: x.cast("string"),
+                    ),
+                    "_",
+                ).alias("key"),
+            )
+            for b in range(4)
+        ]
+    )
+    e = s.select(
+        "doc_id", "sig", F.explode(band_structs).alias("bk")
+    ).select("doc_id", "sig", "bk.band", "bk.key")
+    a = e.select(
+        F.col("band"), F.col("key"),
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"),
+    )
+    b = e.select(
+        F.col("band"), F.col("key"),
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"),
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda t: t
+        )
+    ).cast("long")
+    return (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("id_b") > F.col("id_a"))
+        .select("id_a", "id_b", n_match.alias("n_match"))
+        .distinct()
+        .filter(F.col("n_match").cast("double") / 16 >= 0.8)
+    )
+
+
+_REG["q_minhash_pairs"].oracle = _minhash_pairs_oracle()
 
 
 @register(
@@ -495,8 +611,6 @@ def q_stem_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # generated oracle (import-time, like q_ann_lsh): SQL translation of the
 # same Porter rule tables the pandas_udf uses
-from ..registry import REGISTRY as _REG  # noqa: E402
-
 _REG["q_stem_tokens"].oracle = _stem_tokens_oracle()
 
 

@@ -183,6 +183,8 @@ _PYTHON_OK = {
     "q_minhash_dedup",       # vectorized numpy signature (declared Arrow path)
     "q_cosine_sim",          # vectorized BLAS scoring (declared Arrow path)
     "q_python_udtf",         # the Python UDTF surface is the op under test
+    "q_stem_tokens",         # full Porter stemmer pandas_udf (nvtext parity)
+    "q_subword_tokens",      # greedy WordPiece pandas_udf (nvtext parity)
 }
 # queries that intentionally build a cartesian/nested-loop product
 _CARTESIAN_OK = {"q_join_cross"}

@@ -482,6 +482,96 @@ _REG["q_minhash_pairs"].oracle = _minhash_pairs_oracle()
 
 
 @register(
+    "q_curation_pipeline",
+    family="text",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang, text,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CAST(len(list_filter(string_split(text, ' '),
+                            t -> list_contains({_EN_STOP_SQL}, t))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS stop_ratio
+            FROM documents
+        ),
+        kept AS (
+            SELECT * FROM scored
+            WHERE n_tokens >= 20 AND stop_ratio >= 0.02
+        ),
+        deduped AS (
+            SELECT * FROM kept
+            WHERE doc_id IN (
+                SELECT MIN(doc_id) FROM kept GROUP BY md5(text)
+            )
+        ),
+        assigned AS (
+            SELECT lang, n_tokens,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                        AS BIGINT) % 10 AS bucket
+            FROM deduped
+        )
+        SELECT CASE WHEN bucket < 8 THEN 'train'
+                    WHEN bucket = 8 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM assigned
+        GROUP BY 1, 2
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation, composed from the engine's own
+    stages (the NeMo-Curator-on-dask-cudf topology): quality filter
+    (token count + stopword ratio, Gopher/C4-style) -> exact dedup
+    (md5 content fingerprint, keep lowest doc_id) -> deterministic
+    hash train/val/test split -> per-split audit rollup.
+
+    Scale shape: the filter and both hash assignments are scan-stage
+    expressions (no shuffle); dedup is ONE shuffle on the content
+    digest (uniform keys, no skew); the rollup is a partial-agg
+    groupBy on (split, lang) — 3 shuffles total end-to-end, none of
+    which grows with duplicate cardinality."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    stop_ratio = (
+        F.size(
+            F.filter(
+                toks,
+                lambda t: t.isin(*[F.lit(w) for w in
+                                   ["the", "a", "of", "and", "to",
+                                    "in", "is", "for", "on", "with"]]),
+            )
+        ).cast("double")
+        / n_tok
+    )
+    kept = d.select(
+        "doc_id", "lang", "text", n_tok.cast("long").alias("n_tokens")
+    ).filter((F.col("n_tokens") >= 20) & (stop_ratio >= 0.02))
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 10
+    )
+    assigned = deduped.withColumn(
+        "split",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test"),
+    )
+    return assigned.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+@register(
     "q_lang_id",
     family="text",
     oracle=f"""

@@ -224,13 +224,33 @@ def _char_shingle_hashes_sql(e: str, shingle: int, mod: int | None) -> str:
     return f"list_transform({grams}, s -> {h})"
 
 
+def _token_hashes_sql(e: str, mod: int | None) -> str:
+    """DuckDB: distinct whitespace-token md5-longs of expr `e` — the
+    twin of array_distinct(split) + md5_long (token-SET minhash)."""
+    toks = f"list_distinct(string_split({e}, ' '))"
+    h = _md5_long_sql("s")
+    if mod is not None:
+        h = f"({h} % {mod})"
+    return f"list_transform({toks}, s -> {h})"
+
+
 def minhash_signature_md5(
-    col: Column | str, num_hashes: int = 16, shingle: int = 5
+    col: Column | str,
+    num_hashes: int = 16,
+    shingle: int = 5,
+    unit: str = "char",
 ) -> Column:
     """minhash_signature with the md5 base hash (oracle twin; same
-    affine permutations from _minhash_perm_constants)."""
+    affine permutations from _minhash_perm_constants).  unit='char'
+    shingles characters (near-dup detection robust to small edits);
+    unit='token' minhashes the distinct-token SET, estimating exactly
+    the token jaccard that q_neardup_blocked verifies."""
+    if unit == "token":
+        items = F.array_distinct(F.split(_c(col), " "))
+    else:
+        items = F.array_distinct(char_ngrams(col, shingle))
     base = F.transform(
-        F.array_distinct(char_ngrams(col, shingle)),
+        items,
         lambda s: F.pmod(md5_long(s), F.lit(_MERSENNE_P)),
     )
     consts = _minhash_perm_constants(num_hashes)
@@ -254,12 +274,17 @@ def minhash_signature_md5(
     )
 
 
-def minhash_md5_sig_sql(e: str, num_hashes: int = 16, shingle: int = 5) -> str:
+def minhash_md5_sig_sql(
+    e: str, num_hashes: int = 16, shingle: int = 5, unit: str = "char"
+) -> str:
     """DuckDB twin of minhash_signature_md5: a LIST expression (use
     inside ``SELECT ... AS sig``).  Emitted from the same permutation
     constants as the Spark path."""
     consts = _minhash_perm_constants(num_hashes)
-    hv = _char_shingle_hashes_sql(e, shingle, _MERSENNE_P)
+    if unit == "token":
+        hv = _token_hashes_sql(e, _MERSENNE_P)
+    else:
+        hv = _char_shingle_hashes_sql(e, shingle, _MERSENNE_P)
     mins = ", ".join(
         f"coalesce(list_min(list_transform(hv, h -> (h * {a} + {b}) % {_MERSENNE_P})), {_MERSENNE_P})"
         for a, b in consts

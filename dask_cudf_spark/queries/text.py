@@ -392,8 +392,7 @@ def _minhash_pairs_oracle() -> str:
     )
     return f"""
         WITH docs AS (
-            SELECT doc_id, text FROM documents
-            WHERE doc_id < 300 AND len(text) >= 5
+            SELECT doc_id, text FROM documents WHERE len(text) >= 5
         ),
         hs AS (SELECT doc_id, {hv_expr} AS hv FROM docs),
         sigs AS (SELECT doc_id, {sig_expr} AS sig FROM hs),
@@ -419,21 +418,23 @@ def _minhash_pairs_oracle() -> str:
     oracle=None,  # set below: generated from the same LSH constants
 )
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs, ORACLE-CHECKED end to end: md5-base
-    signatures (functions/text.minhash_signature_md5) -> 4x4 band keys
-    -> bucket self-join -> signature-agreement score, with the DuckDB
-    oracle replaying the identical permutation constants and banding.
-    This is the verification twin of q_minhash_dedup (xxhash + capped
-    in-bucket pair generation — the throughput path); same one-shuffle
-    LSH topology, so a hash-match here certifies the pipeline's
-    banding/scoring logic, not just its components."""
+    """MinHash+LSH candidate pairs over the FULL corpus, ORACLE-CHECKED
+    end to end: md5-base char-5-gram signatures (functions/text.
+    minhash_signature_md5) -> 4x4 band keys -> bucket self-join ->
+    signature-agreement score, with the DuckDB oracle replaying the
+    identical permutation constants and banding.  Char shingles, not
+    token sets: this corpus draws from a tiny shared vocabulary, so
+    token-set jaccard saturates near 1 between ARBITRARY long docs
+    (measured: 12k+ "pairs" at 0.8) while char-shingle jaccard stays
+    discriminative.  This is the verification twin of q_minhash_dedup
+    (xxhash + capped in-bucket pair generation — the throughput path);
+    same one-shuffle LSH topology, so a hash-match here certifies the
+    pipeline's banding/scoring logic, not just its components."""
     from ..functions.text import minhash_signature_md5
     from ..sources import scale_out
 
     d = scale_out(
-        load_table(spark, sf_dir, "documents").filter(
-            (F.col("doc_id") < 300) & (F.length("text") >= 5)
-        )
+        load_table(spark, sf_dir, "documents").filter(F.length("text") >= 5)
     )
     s = d.select(
         "doc_id", minhash_signature_md5("text", 16, 5).alias("sig")

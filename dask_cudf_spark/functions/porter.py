@@ -20,10 +20,6 @@ Algorithm notes (public spec, "An algorithm for suffix stripping"):
 
 from __future__ import annotations
 
-import re
-
-_VOWELS = "aeiou"
-
 # (suffix, replacement) with condition m > 0
 STEP2_RULES: list[tuple[str, str]] = [
     ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
@@ -50,116 +46,133 @@ STEP4_SUFFIXES: list[str] = [
 
 # ----------------------------------------------------------------- python path
 
-def _cv(word: str) -> str:
-    out = []
-    for i, ch in enumerate(word):
-        if ch in _VOWELS:
-            out.append("V")
-        elif ch == "y" and i > 0 and out[i - 1] == "C":
-            out.append("V")
-        else:
-            out.append("C")
-    return "".join(out)
+def build_porter_stem():
+    """Factory returning a self-contained stemmer closure.
 
+    The closure (and its nested helpers) reference nothing at module
+    scope except the rule-table DATA, so cloudpickle serializes it BY
+    VALUE — a Spark Python worker that cannot import this package (the
+    driver was launched from an arbitrary cwd with only sys.path
+    pointing here) can still run the UDF.  A module-level function
+    would pickle by reference and crash such workers on import."""
+    step2 = sorted(STEP2_RULES, key=lambda r: -len(r[0]))
+    step3 = sorted(STEP3_RULES, key=lambda r: -len(r[0]))
+    step4 = sorted(STEP4_SUFFIXES, key=lambda s: -len(s))
 
-def _m(stem: str) -> int:
-    return len(re.findall(r"V+C+", _cv(stem)))
+    def _cv(word):
+        out = []
+        for i, ch in enumerate(word):
+            if ch in "aeiou":
+                out.append("V")
+            elif ch == "y" and i > 0 and out[i - 1] == "C":
+                out.append("V")
+            else:
+                out.append("C")
+        return "".join(out)
 
+    def _m(stem):
+        import re
 
-def _has_vowel(stem: str) -> bool:
-    return "V" in _cv(stem)
+        return len(re.findall(r"V+C+", _cv(stem)))
 
+    def _has_vowel(stem):
+        return "V" in _cv(stem)
 
-def _ends_double_c(word: str) -> bool:
-    return (
-        len(word) >= 2
-        and word[-1] == word[-2]
-        and _cv(word).endswith("CC")
-    )
+    def _ends_double_c(word):
+        return (
+            len(word) >= 2
+            and word[-1] == word[-2]
+            and _cv(word).endswith("CC")
+        )
 
+    def _ends_cvc(word):
+        return (
+            len(word) >= 3
+            and _cv(word).endswith("CVC")
+            and word[-1] not in "wxy"
+        )
 
-def _ends_cvc(word: str) -> bool:
-    return (
-        len(word) >= 3
-        and _cv(word).endswith("CVC")
-        and word[-1] not in "wxy"
-    )
+    def stem(word):
+        w = word
+        if len(w) <= 2:
+            return w
 
+        # step 1a
+        if w.endswith("sses"):
+            w = w[:-4] + "ss"
+        elif w.endswith("ies"):
+            w = w[:-3] + "i"
+        elif w.endswith("ss"):
+            pass
+        elif w.endswith("s"):
+            w = w[:-1]
 
-def porter_stem(word: str) -> str:
-    """Stem one lowercase token through steps 1a-5b."""
-    w = word
-    if len(w) <= 2:
+        # step 1b (+ conditional cleanup when ed/ing actually stripped)
+        fired = False
+        if w.endswith("eed"):
+            if _m(w[:-3]) > 0:
+                w = w[:-1]
+        elif w.endswith("ed"):
+            if _has_vowel(w[:-2]):
+                w = w[:-2]
+                fired = True
+        elif w.endswith("ing"):
+            if _has_vowel(w[:-3]):
+                w = w[:-3]
+                fired = True
+        if fired:
+            if w.endswith(("at", "bl", "iz")):
+                w = w + "e"
+            elif _ends_double_c(w) and w[-1] not in "lsz":
+                w = w[:-1]
+            elif _m(w) == 1 and _ends_cvc(w):
+                w = w + "e"
+
+        # step 1c
+        if w.endswith("y") and _has_vowel(w[:-1]):
+            w = w[:-1] + "i"
+
+        # step 2
+        for suf, repl in step2:
+            if w.endswith(suf):
+                if _m(w[: -len(suf)]) > 0:
+                    w = w[: -len(suf)] + repl
+                break
+
+        # step 3
+        for suf, repl in step3:
+            if w.endswith(suf):
+                if _m(w[: -len(suf)]) > 0:
+                    w = w[: -len(suf)] + repl
+                break
+
+        # step 4
+        for suf in step4:
+            if w.endswith(suf):
+                st = w[: -len(suf)]
+                if _m(st) > 1 and (suf != "ion" or st.endswith(("s", "t"))):
+                    w = st
+                break
+
+        # step 5a
+        if w.endswith("e"):
+            st = w[:-1]
+            if _m(st) > 1 or (_m(st) == 1 and not _ends_cvc(st)):
+                w = st
+
+        # step 5b
+        if _m(w) > 1 and _ends_double_c(w) and w.endswith("l"):
+            w = w[:-1]
+
         return w
 
-    # step 1a
-    if w.endswith("sses"):
-        w = w[:-4] + "ss"
-    elif w.endswith("ies"):
-        w = w[:-3] + "i"
-    elif w.endswith("ss"):
-        pass
-    elif w.endswith("s"):
-        w = w[:-1]
+    return stem
 
-    # step 1b (+ conditional cleanup when ed/ing actually stripped)
-    fired = False
-    if w.endswith("eed"):
-        if _m(w[:-3]) > 0:
-            w = w[:-1]
-    elif w.endswith("ed"):
-        if _has_vowel(w[:-2]):
-            w = w[:-2]
-            fired = True
-    elif w.endswith("ing"):
-        if _has_vowel(w[:-3]):
-            w = w[:-3]
-            fired = True
-    if fired:
-        if w.endswith(("at", "bl", "iz")):
-            w = w + "e"
-        elif _ends_double_c(w) and w[-1] not in "lsz":
-            w = w[:-1]
-        elif _m(w) == 1 and _ends_cvc(w):
-            w = w + "e"
 
-    # step 1c
-    if w.endswith("y") and _has_vowel(w[:-1]):
-        w = w[:-1] + "i"
-
-    # step 2
-    for suf, repl in sorted(STEP2_RULES, key=lambda r: -len(r[0])):
-        if w.endswith(suf):
-            if _m(w[: -len(suf)]) > 0:
-                w = w[: -len(suf)] + repl
-            break
-
-    # step 3
-    for suf, repl in sorted(STEP3_RULES, key=lambda r: -len(r[0])):
-        if w.endswith(suf):
-            if _m(w[: -len(suf)]) > 0:
-                w = w[: -len(suf)] + repl
-            break
-
-    # step 4
-    for suf in sorted(STEP4_SUFFIXES, key=lambda s: -len(s)):
-        if w.endswith(suf):
-            stem = w[: -len(suf)]
-            if _m(stem) > 1 and (suf != "ion" or stem.endswith(("s", "t"))):
-                w = stem
-            break
-
-    # step 5a
-    if w.endswith("e"):
-        stem = w[:-1]
-        if _m(stem) > 1 or (_m(stem) == 1 and not _ends_cvc(stem)):
-            w = stem
-
-    # step 5b
-    if _m(w) > 1 and _ends_double_c(w) and w.endswith("l"):
-        w = w[:-1]
-
-    return w
+#: module-level instance for driver-side use (tests, oracle parity);
+#: being a factory product, it STILL pickles by value if captured in a
+#: UDF closure (its __qualname__ is not resolvable in this module)
+porter_stem = build_porter_stem()
 
 
 # -------------------------------------------------------------- sql generation

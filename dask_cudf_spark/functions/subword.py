@@ -17,8 +17,6 @@ recursive CTE and the same ids via
 
 from __future__ import annotations
 
-import hashlib
-
 VOCAB: list[str] = [
     # multi-char pieces tuned to nothing in particular — the point is
     # deterministic segmentation, not linguistic quality
@@ -32,31 +30,42 @@ VOCAB: list[str] = [
 
 VOCAB_HASH_BUCKETS = 30000
 
-# greedy match order: longest first, then lexicographic
-_VOCAB_ORDERED = sorted(VOCAB, key=lambda v: (-len(v), v))
+def build_subword_tokenizer():
+    """Factory returning self-contained (pieces, piece_id) closures.
+
+    Like porter.build_porter_stem: no module-scope function references,
+    so cloudpickle ships them BY VALUE and Spark workers need not be
+    able to import this package (driver launched from arbitrary cwd)."""
+    vocab_ordered = sorted(VOCAB, key=lambda v: (-len(v), v))
+    buckets = VOCAB_HASH_BUCKETS
+
+    def pieces(word):
+        out = []
+        i = 0
+        n = len(word)
+        while i < n:
+            best = None
+            for v in vocab_ordered:
+                if word.startswith(v, i):
+                    best = v
+                    break
+            if best is None:
+                best = word[i]
+            out.append(best)
+            i += len(best)
+        return out
+
+    def piece_id(piece):
+        import hashlib
+
+        return int(hashlib.md5(piece.encode()).hexdigest()[:15], 16) % buckets
+
+    return pieces, piece_id
 
 
-def subword_pieces(word: str) -> list[str]:
-    """Greedy longest-prefix segmentation; single-char fallback."""
-    pieces: list[str] = []
-    i = 0
-    n = len(word)
-    while i < n:
-        best = None
-        for v in _VOCAB_ORDERED:
-            if word.startswith(v, i):
-                best = v
-                break
-        if best is None:
-            best = word[i]
-        pieces.append(best)
-        i += len(best)
-    return pieces
-
-
-def piece_id(piece: str) -> int:
-    """Hash-vocab id: first 60 bits of md5 mod VOCAB_HASH_BUCKETS."""
-    return int(hashlib.md5(piece.encode()).hexdigest()[:15], 16) % VOCAB_HASH_BUCKETS
+#: module-level instances for driver-side use (tests, oracle parity);
+#: factory products still pickle by value when captured in UDF closures
+subword_pieces, piece_id = build_subword_tokenizer()
 
 
 def subword_oracle_sql(words_cte: str) -> str:

@@ -145,6 +145,46 @@ def test_subword_sql_twin_word_level():
         assert got[i] == want, f"{w}: {got[i]} != {want}"
 
 
+def test_udf_closures_pickle_by_value():
+    """The stemmer/tokenizer closures must survive unpickling in a
+    process that CANNOT import dask_cudf_spark (Spark workers when the
+    driver ran from a foreign cwd with only sys.path pointing at the
+    repo — the external harness's setup).  Factory-produced closures
+    pickle by value; a module-level function would pickle by reference
+    and reintroduce the worker ImportError this guards against."""
+    import pickle
+    import subprocess
+    import sys
+    import tempfile
+
+    from pyspark import cloudpickle
+
+    payload = cloudpickle.dumps(
+        (porter_stem, subword_pieces, piece_id)
+    )
+    with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as f:
+        f.write(payload)
+        path = f.name
+    # fresh interpreter, no repo on sys.path: unpickle and execute
+    code = (
+        "import pickle,sys\n"
+        f"stem, pieces, pid = pickle.load(open({path!r}, 'rb'))\n"
+        "assert 'dask_cudf_spark' not in sys.modules\n"
+        "assert stem('caresses') == 'caress'\n"
+        "assert pieces('table') == ['tab', 'le']\n"
+        "assert pid('le') >= 0\n"
+        "print('OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd="/tmp",
+        env={"PATH": "/usr/bin:/bin"},
+    )
+    assert out.returncode == 0 and "OK" in out.stdout, out.stderr
+
+
 @pytest.mark.parametrize("piece", ["tab", "le", "e", "x", "zz"])
 def test_piece_id_matches_duckdb_hash(piece):
     con = duckdb.connect()

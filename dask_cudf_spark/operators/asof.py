@@ -34,23 +34,43 @@ def merge_asof(
     suffix: str = "right",
     direction: str = "backward",
     allow_exact_matches: bool = True,
+    tolerance=None,
 ) -> DataFrame:
     """pandas.merge_asof semantics on Spark DataFrames.
 
-    For each left row, attach the most recent (backward) or next
-    (forward) right row's value columns within the same `by` group.
+    For each left row, attach the most recent (backward), next
+    (forward), or closest-in-time (nearest; ties prefer backward) right
+    row's value columns within the same `by` group.  `nearest` costs
+    one extra in-partition sort (both directions are evaluated over the
+    same single shuffle), never a second shuffle.
+
+    `tolerance` (a number for numeric `on`, or seconds for timestamp
+    `on`) nulls out matches farther than the given distance, mirroring
+    pandas; it is applied after the window pass so it adds no shuffle.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     by_cols = [by] if isinstance(by, str) else list(by or [])
     if right_value_cols is None:
         right_value_cols = [c for c in right.columns if c not in by_cols and c != on]
     out_names = {c: f"{suffix}_{c}" for c in right_value_cols}
+    carry = list(right_value_cols)
+    if direction == "nearest" or tolerance is not None:
+        # carry the matched right timestamp to measure distance per side
+        out_names = {**out_names, "__on": "__right_on"}
+        carry = carry + ["__on"]
 
     left_tagged = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(out_names[c]) for c in right_value_cols],
+        *[
+            F.lit(None)
+            .cast(right.schema[c if c != "__on" else on].dataType)
+            .alias(out_names[c])
+            for c in carry
+        ],
     )
     right_tagged = right.select(
         *by_cols,
@@ -61,29 +81,81 @@ def merge_asof(
             if c not in by_cols and c != on
         ],
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(out_names[c]) for c in right_value_cols],
+        *[F.col(c if c != "__on" else on).alias(out_names[c]) for c in carry],
     )
     unioned = left_tagged.unionByName(right_tagged)
 
     # Exact matches visible <=> right rows order before left at equal ts.
     tie = F.asc("__is_left") if allow_exact_matches else F.desc("__is_left")
-    if direction == "backward":
-        w = (
-            Window.partitionBy(*by_cols)
-            .orderBy(F.asc(on), tie)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
-    else:
-        w = (
-            Window.partitionBy(*by_cols)
-            .orderBy(F.desc(on), tie)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
-
-    picked = unioned.select(
-        *[c for c in unioned.columns if c not in out_names.values()],
-        *[pick(out_names[c]).over(w).alias(out_names[c]) for c in right_value_cols],
+    w_bwd = (
+        Window.partitionBy(*by_cols)
+        .orderBy(F.asc(on), tie)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return picked.filter(F.col("__is_left") == 1).drop("__is_left")
+    w_fwd = (
+        Window.partitionBy(*by_cols)
+        .orderBy(F.desc(on), tie)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+    def pick(c, w):
+        return F.last(c, ignorenulls=True).over(w)
+
+    from pyspark.sql.types import TimestampType
+
+    is_ts = isinstance(left.schema[on].dataType, TimestampType)
+
+    def micros(c):
+        return F.unix_micros(c) if is_ts else c
+
+    keep = [c for c in unioned.columns if c not in out_names.values()]
+    if direction == "backward":
+        picked = unioned.select(
+            *keep, *[pick(out_names[c], w_bwd).alias(out_names[c]) for c in carry]
+        )
+    elif direction == "forward":
+        picked = unioned.select(
+            *keep, *[pick(out_names[c], w_fwd).alias(out_names[c]) for c in carry]
+        )
+    else:
+        # nearest: evaluate both directions (one shuffle, two sorts),
+        # then choose per row by time distance; ties -> backward
+        both = unioned.select(
+            *keep,
+            *[pick(out_names[c], w_bwd).alias(f"__b_{out_names[c]}") for c in carry],
+            *[pick(out_names[c], w_fwd).alias(f"__f_{out_names[c]}") for c in carry],
+        )
+        b_ts = F.col("__b___right_on")
+        f_ts = F.col("__f___right_on")
+        use_bwd = f_ts.isNull() | (
+            b_ts.isNotNull()
+            & (
+                (micros(F.col(on)) - micros(b_ts))
+                <= (micros(f_ts) - micros(F.col(on)))
+            )
+        )
+        picked = both.select(
+            *keep,
+            *[
+                F.when(use_bwd, F.col(f"__b_{out_names[c]}"))
+                .otherwise(F.col(f"__f_{out_names[c]}"))
+                .alias(out_names[c])
+                for c in carry
+            ],
+        )
+    if tolerance is not None:
+        # distance in µs for timestamps, raw units for numerics
+        tol = int(tolerance * 1_000_000) if is_ts else tolerance
+        dist = F.abs(micros(F.col(on)) - micros(F.col("__right_on")))
+        within = F.col("__right_on").isNotNull() & (dist <= F.lit(tol))
+        picked = picked.select(
+            *[c for c in picked.columns if c not in out_names.values()],
+            *[
+                F.when(within, F.col(out_names[c])).alias(out_names[c])
+                for c in right_value_cols
+            ],
+        )
+    return (
+        picked.filter(F.col("__is_left") == 1)
+        .drop("__is_left", "__right_on")
+    )

@@ -308,6 +308,148 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_inputs(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return clicks, purchases
+
+
+@register(
+    "q_join_asof_forward",
+    family="join",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.ts, p.ts AS next_purchase_ts,
+               p.value AS next_purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') e
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id AND e.ts <= p.ts
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click gets the NEXT purchase at-or-after
+    it (pandas merge_asof direction='forward'; dask surface, unsupported
+    on the cudf backend).  Same single-shuffle union+window plan as
+    backward — only the in-partition sort order flips.
+    Oracle: DuckDB native ASOF with the inequality reversed."""
+    from ..operators.asof import merge_asof
+
+    clicks, purchases = _asof_inputs(spark, sf_dir)
+    out = merge_asof(
+        clicks,
+        purchases,
+        on="ts",
+        by="user_id",
+        right_value_cols=["ts", "value"],
+        suffix="next_purchase",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("next_purchase_ts"),
+        F.col("next_purchase_value"),
+    )
+
+
+@register(
+    "q_join_asof_nearest",
+    family="join",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.ts, p.ts AS near_purchase_ts,
+               p.value AS near_purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') e
+        LEFT JOIN LATERAL (
+            SELECT ts, value FROM events p
+            WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+            ORDER BY abs(epoch_us(p.ts) - epoch_us(e.ts)), p.ts
+            LIMIT 1
+        ) p ON true
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: each click gets the closest-in-time purchase,
+    ties to the earlier (backward) one — pandas direction='nearest'.
+    Engine evaluates both directions over ONE shuffle (two in-partition
+    sorts) then picks per row by µs distance; never a nested loop.
+    Oracle: LEFT JOIN LATERAL ordered by absolute distance (the
+    tie-break `p.ts` ASC prefers the backward side, matching pandas)."""
+    from ..operators.asof import merge_asof
+
+    clicks, purchases = _asof_inputs(spark, sf_dir)
+    out = merge_asof(
+        clicks,
+        purchases,
+        on="ts",
+        by="user_id",
+        right_value_cols=["ts", "value"],
+        suffix="near_purchase",
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("near_purchase_ts"),
+        F.col("near_purchase_value"),
+    )
+
+
+@register(
+    "q_join_asof_tolerance",
+    family="join",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CASE WHEN p_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(p_ts) <= 86400000000
+                    THEN p_ts END AS recent_purchase_ts,
+               CASE WHEN p_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(p_ts) <= 86400000000
+                    THEN p_value END AS recent_purchase_value
+        FROM (
+            SELECT e.event_id, e.user_id, e.ts,
+                   p.ts AS p_ts, p.value AS p_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') e
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON e.user_id = p.user_id AND e.ts >= p.ts
+        )
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a 24-hour tolerance: matches farther
+    than the window are nulled out (pandas merge_asof tolerance=).
+    The tolerance check is a post-window filter on the carried right
+    timestamp — no extra shuffle.  Median purchase gap in events is
+    ~34 h, so the cut is discriminating on this corpus.
+    Oracle: ASOF JOIN wrapped in a distance CASE."""
+    from ..operators.asof import merge_asof
+
+    clicks, purchases = _asof_inputs(spark, sf_dir)
+    out = merge_asof(
+        clicks,
+        purchases,
+        on="ts",
+        by="user_id",
+        right_value_cols=["ts", "value"],
+        suffix="recent_purchase",
+        direction="backward",
+        tolerance=86400,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("recent_purchase_ts"),
+        F.col("recent_purchase_value"),
+    )
+
+
 @register(
     "q_tpch_q3_shape",
     family="join",

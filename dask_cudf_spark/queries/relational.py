@@ -344,6 +344,52 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stratified_sample",
+    family="filter",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        FROM lineitem
+        WHERE CASE WHEN l_returnflag = 'N'
+                   THEN substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                               || CAST(l_linenumber AS VARCHAR)), 1, 1)
+                        IN ('0', '1')
+                   ELSE substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                               || CAST(l_linenumber AS VARCHAR)), 1, 1)
+                        IN ('0', '1', '2', '3', '4', '5', '6', '7')
+              END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-class) hash sample — the class-rebalancing step of
+    a training-data pipeline: downsample the majority class ('N', ~half
+    of lineitem) to 2/16 of the hash space while keeping 8/16 of the
+    minority classes.  Same md5 hash-bucket idiom as q_sample: the keep
+    decision is a pure function of the row key, so it is reproducible
+    across engines, reruns, and cluster sizes, and the filter runs
+    map-side — no shuffle, no driver round-trip, survives 100 TB
+    unchanged.  (df.stat.sampleBy is the RNG-seeded API-parity path;
+    its per-partition seeding is not stable under repartitioning.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        1,
+        1,
+    )
+    keep = F.when(
+        F.col("l_returnflag") == "N", bucket.isin("0", "1")
+    ).otherwise(bucket.isin("0", "1", "2", "3", "4", "5", "6", "7"))
+    return li.filter(keep).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+
+
+@register(
     "q_combine_first",
     family="projection",
     oracle="""

@@ -336,3 +336,50 @@ def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_lsh_oracle()
+
+
+@register(
+    "q_embed_quantize",
+    family="similarity",
+    oracle="""
+        SELECT vec_id,
+               ROUND(127.0 / maxabs, 6) AS q_scale,
+               array_to_string(list_transform(range(1, 65),
+                   i -> CAST(CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                        * (127.0 / maxabs) + 0.5) AS INTEGER)
+                             AS VARCHAR)), ',') AS q_vals
+        FROM (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(range(1, 65),
+                       i -> abs(CAST(embedding[i] AS DOUBLE)))) AS maxabs
+            FROM embeddings
+            WHERE vec_id < 300
+        )
+        WHERE maxabs > 0
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column (the storage /
+    ANN-index compression step of an embedding pipeline): per-vector
+    scale = 127 / max|v_i|, q_i = floor(v_i * scale + 0.5).  Pure
+    elementwise math — map-side only, no shuffle, scales linearly to
+    any corpus size.  floor(x+0.5) is used instead of round() so both
+    engines apply the same explicit half-up rule (float32 widens to
+    float64 exactly, so all intermediate arithmetic is bit-identical).
+    Quantized vector is emitted comma-joined: the driver comparator
+    hashes pandas rows and cannot hash raw arrays."""
+    em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(e, F.abs))
+    with_scale = em.select(
+        "vec_id", e.alias("e"), (F.lit(127.0) / maxabs).alias("scale")
+    ).filter(maxabs > 0)
+    q = F.transform(
+        F.col("e"),
+        lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("int").cast("string"),
+    )
+    return with_scale.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("q_scale"),
+        F.array_join(q, ",").alias("q_vals"),
+    )

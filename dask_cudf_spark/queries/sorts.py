@@ -76,6 +76,34 @@ def q_head_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_group_head",
+    family="sort",
+    oracle="""
+        SELECT user_id, event_id, ts, event_type
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) <= 3
+    """,
+)
+def q_group_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby(k).head(n) (dask GroupBy.head; upstream:
+    dask/dataframe/groupby.py) — first 3 events per user in event-time
+    order.  One shuffle on the group key + in-partition sort; the
+    row_number filter prunes before any downstream op, so at 100 TB the
+    output is bounded by 3x|users| regardless of fan-in.  Ties broken
+    by event_id so the pick is total-order deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+@register(
     "q_repartition_sorted",
     family="partitioning",
     oracle="""

@@ -300,3 +300,66 @@ def q_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@register(
+    "q_group_zscore",
+    family="window",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_suppkey,
+               ROUND((q - mean_q) / std_q, 6) AS z_qty
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_suppkey,
+                   CAST(l_quantity AS DOUBLE) AS q,
+                   CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w AS DOUBLE)
+                        / COUNT(*) OVER w AS DOUBLE) AS mean_q,
+                   sqrt((CAST(SUM(CAST(l_quantity AS BIGINT)
+                                  * CAST(l_quantity AS BIGINT)) OVER w AS DOUBLE)
+                         - CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w AS DOUBLE)
+                           * CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w AS DOUBLE)
+                           / COUNT(*) OVER w)
+                        / (COUNT(*) OVER w - 1)) AS std_q
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_suppkey)
+        )
+        WHERE std_q > 0
+    """,
+)
+def q_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization (groupby.transform('zscore') —
+    the per-source feature-scaling step of a training pipeline).  Mean
+    and std are derived from EXACT integer sums (sum, sum-of-squares,
+    count over an unordered partition window): integer-valued doubles
+    sum exactly in float64, so the result is bit-stable regardless of
+    partition merge order — the discipline that keeps the oracle hash
+    green at any SF (functions/det.py).  One shuffle on l_suppkey;
+    Spark computes all three window aggregates in a single pass over
+    the same exchange (no self-join with the groupby, which is the
+    naive two-shuffle phrasing)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey")
+    qi = F.col("l_quantity").cast("long")
+    s1 = F.sum(qi).over(w).cast("double")
+    s2 = F.sum(qi * qi).over(w).cast("double")
+    n = F.count("*").over(w)
+    mean_q = s1 / n
+    std_q = F.sqrt((s2 - s1 * s1 / n) / (n - 1))
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_suppkey",
+            F.col("l_quantity").cast("double").alias("q"),
+            mean_q.alias("mean_q"),
+            std_q.alias("std_q"),
+        )
+        .filter(F.col("std_q") > 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_suppkey",
+            F.round((F.col("q") - F.col("mean_q")) / F.col("std_q"), 6).alias("z_qty"),
+        )
+    )

@@ -88,10 +88,12 @@ def q_head_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_group_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     """groupby(k).head(n) (dask GroupBy.head; upstream:
     dask/dataframe/groupby.py) — first 3 events per user in event-time
-    order.  One shuffle on the group key + in-partition sort; the
-    row_number filter prunes before any downstream op, so at 100 TB the
-    output is bounded by 3x|users| regardless of fan-in.  Ties broken
-    by event_id so the pick is total-order deterministic."""
+    order.  One shuffle on the group key + in-partition sort; Spark 4
+    additionally plans a PARTIAL WindowGroupLimit below the exchange,
+    so each map task ships only its local top-3 per group — shuffle
+    bytes are bounded by 3x|users| at 100 TB regardless of fan-in
+    (asserted in tests/test_plans.py).  Ties broken by event_id so the
+    pick is total-order deterministic."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")

@@ -240,3 +240,65 @@ def test_tpch_shapes_broadcast_dims_and_push_dates(spark):
     assert any("o_orderdate" in f for f in q3.pushed_filters)
     assert any("l_shipdate" in f for f in q3.pushed_filters)
     assert q3.has_take_ordered  # top-10 must not globally sort
+
+
+def test_asof_variants_single_shuffle(spark):
+    # nearest evaluates BOTH directions over the same exchange: still 1
+    from dask_cudf_spark.plans import audit
+
+    for name in [
+        "q_join_asof",
+        "q_join_asof_forward",
+        "q_join_asof_nearest",
+        "q_join_asof_tolerance",
+    ]:
+        a = audit(REGISTRY[name].fn(spark, SF_DIR))
+        assert a.n_shuffles == 1, (name, a.n_shuffles)
+        assert not a.python_nodes, name
+        # event_type filters must reach the parquet scan
+        assert any("event_type" in f for f in a.pushed_filters), name
+
+
+def test_group_zscore_single_pass(spark):
+    # all three window aggregates (sum, sumsq, count) over ONE exchange;
+    # never the naive groupby + self-join (2 shuffles + a join)
+    from dask_cudf_spark.plans import audit
+
+    a = audit(REGISTRY["q_group_zscore"].fn(spark, SF_DIR))
+    assert a.n_shuffles == 1
+    assert a.n_broadcast_hash_joins + a.n_sort_merge_joins == 0
+    assert not a.python_nodes
+
+
+def test_mapside_ops_never_shuffle(spark):
+    # hash-bucket sampling and elementwise quantization are pure map
+    # work: any exchange here would be a scale bug
+    from dask_cudf_spark.plans import audit
+
+    for name in ["q_sample", "q_stratified_sample", "q_embed_quantize"]:
+        a = audit(REGISTRY[name].fn(spark, SF_DIR))
+        assert a.n_shuffles == 0, (name, a.n_shuffles)
+        assert not a.python_nodes, name
+
+
+def test_curation_pipeline_shuffle_budget(spark):
+    # quality filter (map) -> exact dedup (1 shuffle on text hash) ->
+    # split stats (1 shuffle on the groupBy): 2 total.  A third
+    # exchange means someone broke the single-pass dedup.
+    from dask_cudf_spark.plans import audit
+
+    a = audit(REGISTRY["q_curation_pipeline"].fn(spark, SF_DIR))
+    assert a.n_shuffles == 2, a.n_shuffles
+    assert not a.python_nodes
+    assert a.n_cartesian == 0
+
+
+def test_group_head_prunes_before_output(spark):
+    from dask_cudf_spark.plans import audit
+
+    a = audit(REGISTRY["q_group_head"].fn(spark, SF_DIR))
+    assert a.n_shuffles == 1
+    # Spark 4 plans a PARTIAL WindowGroupLimit below the exchange: each
+    # map task keeps only its local top-3 per group BEFORE shuffling —
+    # the property that bounds shuffle bytes by 3x|groups| at 100 TB
+    assert a.text.count("WindowGroupLimit") >= 2, a.text[:500]

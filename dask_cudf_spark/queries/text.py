@@ -944,3 +944,63 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@register(
+    "q_tfidf_topterms",
+    family="text",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, t.token
+            FROM documents, unnest(string_split(text, ' ')) AS t(token)
+        ),
+        tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        ),
+        df AS (
+            SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, token, tf, score, rank FROM (
+            SELECT tf.doc_id, tf.token, tf.tf,
+                   CAST(tf.tf * ((1000000 * n.n_docs) // df.df) AS BIGINT)
+                       AS score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ((1000000 * n.n_docs) // df.df) DESC,
+                                tf.token) AS rank
+            FROM tf JOIN df USING (token) CROSS JOIN n
+        ) WHERE rank <= 5
+    """,
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf keyword extraction: top-5 terms per document by
+    tf * idf, with idf as the INTEGER ratio floor(1e6 * N / df) instead
+    of a float log — bigint-exact on both engines, so the oracle hash
+    can never flake on libm last-ulp differences (the log() variant is a
+    one-line swap for users).  Plan: explode is map-side; tf shuffles on
+    (doc_id, token); the document-frequency table is vocabulary-sized
+    (« corpus) and BROADCAST to the tf side; N joins as a broadcast
+    1-row relation, so the only data-sized shuffles are the two
+    aggregations and the per-doc top-5 window."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_t = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.groupBy().agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            (F.col("tf") * F.expr("(1000000 * n_docs) div df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "token", "tf", "score", "rank")
+    )

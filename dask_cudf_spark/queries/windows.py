@@ -363,3 +363,33 @@ def q_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("q") - F.col("mean_q")) / F.col("std_q"), 6).alias("z_qty"),
         )
     )
+
+
+@register(
+    "q_window_ntile",
+    family="window",
+    oracle="""
+        SELECT doc_id, lang, n_chars,
+               CAST(ntile(4) OVER (PARTITION BY lang
+                                   ORDER BY n_chars, doc_id) AS BIGINT)
+                   AS quartile
+        FROM documents
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartile bucketing per language (the curriculum /
+    difficulty-banding step of a training pipeline; pandas qcut per
+    group).  Standard-SQL ntile puts remainders in the leading buckets
+    identically in both engines; doc_id tiebreak makes the assignment
+    total-order deterministic.  Partitioned by lang, so no
+    single-partition global window at scale."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

@@ -302,3 +302,15 @@ def test_group_head_prunes_before_output(spark):
     # map task keeps only its local top-3 per group BEFORE shuffling —
     # the property that bounds shuffle bytes by 3x|groups| at 100 TB
     assert a.text.count("WindowGroupLimit") >= 2, a.text[:500]
+
+
+def test_tfidf_broadcasts_vocab_side(spark):
+    # document-frequency table is vocabulary-sized: must broadcast to
+    # the tf side, never shuffle-join the corpus-sized tf relation
+    from dask_cudf_spark.plans import audit
+
+    a = audit(REGISTRY["q_tfidf_topterms"].fn(spark, SF_DIR))
+    assert a.n_broadcast_hash_joins >= 1
+    assert a.n_sort_merge_joins == 0 and a.n_shuffled_hash_joins == 0
+    assert a.n_cartesian == 0  # N joins as broadcast NLJ, not cartesian
+    assert not a.python_nodes

@@ -15,5 +15,6 @@ from . import (  # noqa: F401
     sorts,
     streaming,
     text,
+    tpch,
     windows,
 )

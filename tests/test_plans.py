@@ -314,3 +314,62 @@ def test_tfidf_broadcasts_vocab_side(spark):
     assert a.n_sort_merge_joins == 0 and a.n_shuffled_hash_joins == 0
     assert a.n_cartesian == 0  # N joins as broadcast NLJ, not cartesian
     assert not a.python_nodes
+
+
+def test_tpch_q1_single_shuffle_partial_agg(spark):
+    # the canonical scan-bound query: pushdown reaches the scan, one
+    # data-sized shuffle (partial->final agg); the second exchange is
+    # the ORDER BY over the ~6 grouped rows — constant-sized at any SF
+    from dask_cudf_spark.plans import assert_scalable
+
+    a = assert_scalable(
+        REGISTRY["q_tpch_q1"].fn(spark, SF_DIR),
+        max_shuffles=2,
+        forbid_python=True,
+        require_pushed_filter="l_shipdate",
+    )
+    assert a.n_hash_aggregates >= 2
+
+
+def test_tpch_q6_scan_bound(spark):
+    from dask_cudf_spark.plans import assert_scalable
+
+    a = assert_scalable(
+        REGISTRY["q_tpch_q6"].fn(spark, SF_DIR),
+        max_shuffles=1,
+        forbid_python=True,
+        require_pushed_filter="l_discount",
+    )
+    assert a.n_hash_aggregates >= 2
+
+
+def test_tpch_q19_stays_hash_join(spark):
+    # OR-of-ANDs residual must NOT degrade the equi-join to
+    # nested-loop/cartesian — the classic Q19 plan trap
+    from dask_cudf_spark.plans import audit
+
+    a = audit(REGISTRY["q_tpch_q19"].fn(spark, SF_DIR))
+    assert a.n_broadcast_hash_joins >= 1
+    assert a.n_nested_loop_joins == 0 and a.n_cartesian == 0
+
+
+def test_tpch_q7_broadcasts_all_dims(spark):
+    # supplier + nation x2 broadcast; only fact-fact joins may shuffle
+    from dask_cudf_spark.plans import audit
+
+    a = audit(REGISTRY["q_tpch_q7"].fn(spark, SF_DIR))
+    assert a.n_broadcast_exchanges >= 3, a.text[:800]
+    assert a.n_cartesian == 0 and not a.python_nodes
+
+
+def test_curation_pipeline_shuffle_budget(spark):
+    # quality filter + both hash assignments are scan-stage; dedup is
+    # ONE digest shuffle; rollup is one partial-agg groupBy.  The
+    # docstring promises <=3 data shuffles end-to-end — hold it to that.
+    from dask_cudf_spark.plans import assert_scalable
+
+    assert_scalable(
+        REGISTRY["q_curation_pipeline"].fn(spark, SF_DIR),
+        max_shuffles=3,
+        forbid_python=True,
+    )

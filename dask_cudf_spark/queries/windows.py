@@ -393,3 +393,41 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+@register(
+    "q_window_firstlast",
+    family="window",
+    oracle="""
+        SELECT
+            event_id, user_id,
+            first_value(event_type) OVER w AS first_type,
+            last_value(event_type)  OVER w AS last_type,
+            nth_value(event_type, 2) OVER w AS second_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over the full partition
+    frame (pandas groupby.first/last/nth; cudf first/last window aggs).
+    The frame is explicitly UNBOUNDED..UNBOUNDED — the default frame
+    (unbounded..current) silently turns last_value into 'current row'
+    in BOTH engines, a classic correctness trap.  (event_id tiebreak
+    keeps the in-partition order total, so nth is deterministic.)  One
+    shuffle on user_id; no global window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )

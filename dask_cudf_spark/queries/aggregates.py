@@ -749,3 +749,71 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (l_returnflag, l_linestatus))
         """
     )
+
+
+@register(
+    "q_mode_bool_agg",
+    family="aggregate",
+    oracle="""
+        WITH per AS (
+            SELECT
+                event_type,
+                CAST(hour(ts) AS BIGINT) AS hr,
+                COUNT(*) AS cnt,
+                bool_and(value > 0)   AS ba,
+                bool_or(value > 500)  AS bo
+            FROM events
+            GROUP BY event_type, hour(ts)
+        ),
+        md AS (
+            SELECT event_type, hr AS mode_hour FROM (
+                SELECT event_type, hr,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY cnt DESC, hr DESC) AS rn
+                FROM per
+            ) WHERE rn = 1
+        )
+        SELECT
+            a.event_type,
+            m.mode_hour,
+            a.all_positive,
+            a.any_large
+        FROM (
+            SELECT event_type,
+                   bool_and(ba) AS all_positive,
+                   bool_or(bo)  AS any_large
+            FROM per GROUP BY event_type
+        ) a JOIN md m USING (event_type)
+    """,
+)
+def q_mode_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode + bool_and/bool_or (pandas Series.mode /
+    groupby.all/any; cudf groupby all/any reductions).
+
+    Spark's built-in F.mode is tie-nondeterministic, so the mode is
+    computed as a two-level aggregation with an explicit tiebreak:
+    count per (event_type, hour), then max(struct(cnt, hr)) picks the
+    most frequent hour, ties resolved to the LARGEST hour — the same
+    total order the oracle's ORDER BY cnt DESC, hr DESC encodes.
+    bool_and/bool_or re-aggregate losslessly over the first level
+    (all-of-alls, any-of-anys), so the whole query is one scan and two
+    shuffles (the second over |event_type| x 24 rows — trivial at any
+    scale).  Both levels plan as partial->final HashAggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.groupBy("event_type", F.hour("ts").cast("long").alias("hr"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.bool_and(F.col("value") > 0).alias("ba"),
+            F.bool_or(F.col("value") > 500).alias("bo"),
+        )
+    )
+    return (
+        per.groupBy("event_type")
+        .agg(
+            F.max(F.struct("cnt", "hr")).getField("hr").alias("mode_hour"),
+            F.bool_and("ba").alias("all_positive"),
+            F.bool_or("bo").alias("any_large"),
+        )
+        .select("event_type", "mode_hour", "all_positive", "any_large")
+    )

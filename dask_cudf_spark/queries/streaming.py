@@ -8,6 +8,7 @@ table, so the DuckDB oracle checks the streaming logic's semantics.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_table
@@ -140,4 +141,38 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return stream_static_enrich(
         load_table(spark, sf_dir, "events"), event_type_dims(spark)
+    )
+
+
+@register(
+    "q_stream_stream_join",
+    family="streaming",
+    oracle="""
+        SELECT
+            p.event_id AS purchase_id,
+            p.user_id,
+            COUNT(*) AS n_prior_clicks,
+            CAST(MIN(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS min_lag_us
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND c.ts <= p.ts
+         AND c.ts > p.ts - INTERVAL '1 hour'
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        GROUP BY p.event_id, p.user_id
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (streaming/jobs.purchase_click_attribution): purchases joined to the
+    same user's clicks in the prior hour, rolled up per purchase.  The
+    join itself is the streaming-verified op (tests/test_streaming.py);
+    the rollup here gives the oracle a compact deterministic surface."""
+    from ..streaming.jobs import purchase_click_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = purchase_click_attribution(ev, ev, horizon="1 hour")
+    return pairs.groupBy("purchase_id", "user_id").agg(
+        F.count("*").alias("n_prior_clicks"),
+        F.min("lag_us").alias("min_lag_us"),
     )

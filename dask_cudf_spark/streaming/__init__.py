@@ -13,6 +13,7 @@ from .jobs import (
     event_type_dims,
     materialize_rollup,
     events_stream,
+    purchase_click_attribution,
     stateful_user_totals,
     stream_static_enrich,
     session_agg,
@@ -25,6 +26,7 @@ __all__ = [
     "events_stream",
     "event_type_dims",
     "materialize_rollup",
+    "purchase_click_attribution",
     "stream_static_enrich",
     "stateful_user_totals",
     "tumbling_counts",

@@ -279,3 +279,49 @@ def materialize_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def purchase_click_attribution(
+    purchases: DataFrame, clicks: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join (SURVEY.md §2.9; the reference's
+    custreamz has no join operator — this is the Spark-native upgrade):
+    each purchase is joined to the same user's clicks in the preceding
+    ``horizon`` (0 <= purchase_ts - click_ts < horizon).
+
+    In streaming mode BOTH sides carry watermarks and the join condition
+    is time-bounded, so Spark can expire click state older than
+    (watermark - horizon) — state stays O(clicks per horizon), not
+    O(stream length).  On batch frames the same code plans as a
+    SortMergeJoin keyed on user_id with the range predicate applied
+    post-match: one shuffle per side, no broadcast (both sides are
+    facts), skew-safe under AQE.
+
+    Pass two *independent* stream instances for the streaming case (two
+    readStream handles over the same source), which sidesteps
+    self-join-on-one-handle restrictions and mirrors the production
+    topology (two topics)."""
+    p = (
+        _maybe_watermark(purchases, "ts", "1 hour")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        _maybe_watermark(clicks, "ts", "2 hours")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+    cond = (
+        (p["user_id"] == c["c_user"])
+        & (c["c_ts"] <= p["p_ts"])
+        & (c["c_ts"] > p["p_ts"] - F.expr(f"INTERVAL {horizon}"))
+    )
+    return p.join(c, cond, "inner").select(
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )

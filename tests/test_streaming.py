@@ -166,3 +166,27 @@ def test_materialize_rollup_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(str(tmp_path / "rollup_pq")).toPandas()
     assert_frames_match(got, batch, "materialized_rollup")
+
+
+def test_stream_stream_join_converges(spark, tmp_path):
+    """Stream-stream interval join (two independent stream handles over
+    the same file source) must produce exactly the batch join's pairs."""
+    from dask_cudf_spark.streaming import purchase_click_attribution
+
+    ev = load_table(spark, SF_DIR, "events")
+    batch = purchase_click_attribution(ev, ev).toPandas()
+
+    pairs = purchase_click_attribution(
+        events_stream(spark, SF_DIR), events_stream(spark, SF_DIR)
+    )
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("s_ssjoin_append")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssjoin"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("s_ssjoin_append").toPandas()
+    assert_frames_match(got, batch, "stream_stream_join")

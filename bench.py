@@ -5,7 +5,9 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Per query: full execution forced via df.count() (no driver-collect
-skew), a per-query warm-up run (JIT/codegen), then MIN of BENCH_RUNS
+skew), two per-query warm-up runs (the Python-worker/Arrow + C2-JIT
+paths only reach steady state on the third execution — measured on
+q_minhash_dedup: 18.6 -> 6.3 -> 2.5 -> 2.1 s), then MIN of BENCH_RUNS
 timed runs.  Min, not median: this host shows hypervisor steal-time
 spikes (measured ~6% mean, bursty), which inflate arbitrary runs by
 seconds; the minimum is the standard noise-robust estimator of a
@@ -66,14 +68,14 @@ def main() -> None:
     # land inside a burst.  Round-robin over the whole headline list
     # spreads each query's RUNS samples across the full bench duration;
     # min per query then rejects any burst that didn't cover every
-    # round.  Round 0 is the per-query warm-up (JIT/codegen,
-    # Python-worker spawn) and is discarded.
+    # round.  Rounds 0-1 are per-query warm-up (JIT/codegen,
+    # Python-worker spawn, C2 tiered compile) and are discarded.
     times: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for rnd in range(RUNS + 1):
+    for rnd in range(RUNS + 2):
         for name in HEADLINE:
             t0 = time.perf_counter()
             queries[name](spark, SF_DIR).count()
-            if rnd > 0:
+            if rnd > 1:
                 times[name].append(time.perf_counter() - t0)
     per_query = {name: round(min(ts), 4) for name, ts in times.items()}
 

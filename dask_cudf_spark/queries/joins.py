@@ -684,3 +684,58 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "q_merge_indicator",
+    family="join",
+    oracle="""
+        WITH c AS (
+            SELECT c_custkey, c_name FROM customer WHERE c_nationkey <= 12
+        ),
+        o AS (
+            SELECT o_custkey, COUNT(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT
+            COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+            c.c_name,
+            COALESCE(o.n_orders, 0) AS n_orders,
+            CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL
+                 THEN 'both'
+                 WHEN o.o_custkey IS NULL THEN 'left_only'
+                 ELSE 'right_only' END AS merge_ind
+        FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_merge_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas/dask merge(how='outer', indicator=True) (upstream: dask
+    merge passthrough of pandas _merge categorical): full outer join
+    plus the provenance column ('both' / 'left_only' / 'right_only').
+    The left side is restricted to nations 0-12 so all three indicator
+    values actually occur.  One shuffle per side on the key; the
+    indicator is a null-test projection on top of the join — no extra
+    pass.  At scale this is the standard reconciliation/diff topology
+    (which keys are only in yesterday's snapshot?)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") <= 12)
+        .select("c_custkey", "c_name")
+    )
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    j = cust.join(od, cust["c_custkey"] == od["o_custkey"], "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.when(
+            F.col("c_custkey").isNotNull() & F.col("o_custkey").isNotNull(), "both"
+        )
+        .when(F.col("o_custkey").isNull(), "left_only")
+        .otherwise("right_only")
+        .alias("merge_ind"),
+    )

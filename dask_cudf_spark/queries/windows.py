@@ -11,6 +11,7 @@ FIXTURES.md) use scaled int64 so frame-order summation is exact.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -430,4 +431,99 @@ def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_type").over(w).alias("first_type"),
         F.last("event_type").over(w).alias("last_type"),
         F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )
+
+
+@register(
+    "q_rank_methods",
+    family="window",
+    oracle="""
+        SELECT
+            doc_id, lang, n_chars,
+            RANK() OVER w AS rank_min,
+            RANK() OVER w + COUNT(*) OVER t - 1 AS rank_max,
+            RANK() OVER w + (COUNT(*) OVER t - 1) / 2.0 AS rank_avg,
+            DENSE_RANK() OVER w AS rank_dense
+        FROM documents
+        WINDOW w AS (PARTITION BY lang ORDER BY n_chars),
+               t AS (PARTITION BY lang, n_chars)
+    """,
+)
+def q_rank_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas/cudf rank(method='min'|'max'|'average'|'dense') (upstream:
+    cpp/src/sorts/rank.cu RANK_METHOD enum).  SQL RANK() is method=min;
+    max and average are derived from it with the tie-group size
+    (count over PARTITION BY key, value): max = min + ties - 1,
+    average = min + (ties-1)/2 — no second sort, the tie count is a
+    separate unordered window over the same shuffle.  n_chars within a
+    lang has real ties, so all four methods differ on this data."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    t = Window.partitionBy("lang", "n_chars")
+    ties = F.count("*").over(t)
+    rmin = F.rank().over(w)
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        rmin.alias("rank_min"),
+        (rmin + ties - 1).alias("rank_max"),
+        (rmin + (ties - 1) / 2.0).alias("rank_avg"),
+        F.dense_rank().over(w).alias("rank_dense"),
+    )
+
+
+@register(
+    "q_ewm",
+    family="window",
+    oracle="""
+        WITH RECURSIVE seq AS (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ), ewm AS (
+            SELECT user_id, event_id, rn, value AS y
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.user_id, s.event_id, s.rn, 0.5 * s.value + 0.5 * e.y
+            FROM seq s JOIN ewm e
+              ON s.user_id = e.user_id AND s.rn = e.rn + 1
+        )
+        SELECT user_id, event_id,
+               CAST(FLOOR(y * 1000000 + 0.5) AS BIGINT) AS ewm_micro
+        FROM ewm
+    """,
+)
+def q_ewm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted mean per user (pandas/cudf
+    Series.ewm(alpha, adjust=False).mean(); upstream: cudf ewm —
+    beyond plain SQL windows).  The recurrence
+    y_t = (1-a)*y_{t-1} + a*x_t is inherently sequential PER KEY but
+    embarrassingly parallel ACROSS keys, so it maps to applyInPandas
+    after one shuffle on user_id: each group streams through pandas'
+    C ewm kernel in a single Arrow batch.  alpha=0.5 makes both
+    multiplications exact binary halvings, so Spark and the oracle's
+    recursive CTE compute bit-identical doubles; the output is the
+    half-up scaled micro-unit int (functions/det.py discipline —
+    plain ROUND(6) flakes on exact .5 ties, numpy half-even vs SQL
+    half-up).  At cluster scale state is O(1) per key and the shuffle
+    is the only data movement."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def ewm_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        y = pdf["value"].ewm(alpha=0.5, adjust=False).mean()
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "ewm_micro": np.floor(y * 1000000 + 0.5).astype("int64"),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        ewm_group, schema="user_id long, event_id long, ewm_micro long"
     )

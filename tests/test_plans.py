@@ -185,6 +185,7 @@ _PYTHON_OK = {
     "q_python_udtf",         # the Python UDTF surface is the op under test
     "q_stem_tokens",         # full Porter stemmer pandas_udf (nvtext parity)
     "q_subword_tokens",      # greedy WordPiece pandas_udf (nvtext parity)
+    "q_ewm",                 # per-key sequential recurrence via applyInPandas
 }
 # queries that intentionally build a cartesian/nested-loop product
 _CARTESIAN_OK = {"q_join_cross"}

@@ -43,8 +43,14 @@ class PlanAudit:
 
     @property
     def n_shuffles(self) -> int:
-        """Data-moving exchanges (broadcast exchanges excluded)."""
-        return self.n_exchanges - self.n_broadcast_exchanges
+        """Data-moving exchanges (broadcast exchanges excluded).
+
+        ``n_exchanges`` already counts only plain ``(n) Exchange`` nodes
+        (the regex cannot match ``(n) BroadcastExchange``), so it IS the
+        shuffle count; subtracting broadcasts again went negative on
+        broadcast-heavy plans and silently weakened every <= budget
+        assertion."""
+        return self.n_exchanges
 
 
 _PYTHON_NODES = (

@@ -424,3 +424,576 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Completing the 22-query TPC-H suite.  The trimmed testdata schema has no
+# partsupp table and no l_commitdate / l_receiptdate / l_shipmode /
+# c_phone columns, so Q2/Q11/Q16/Q20 bridge part<->supplier through the
+# DISTINCT (l_partkey, l_suppkey) pairs actually shipped, Q4/Q21 replace
+# the commit/receipt-date lateness predicate with l_shipdate vs
+# o_orderdate, Q12 groups by l_returnflag instead of l_shipmode, and Q22
+# derives the "country code" from c_nationkey.  The join/agg/subquery
+# TOPOLOGY of each query — which is what the optimizer and the 100 TB
+# plan care about — is preserved.
+
+
+@register(
+    "q_tpch_q2",
+    family="tpch",
+    oracle="""
+        WITH ps AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        ),
+        cand AS (
+            SELECT p_partkey, p_name, s_suppkey, s_name, n_name, s_acctbal
+            FROM part
+            JOIN ps ON l_partkey = p_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE p_type = 'LARGE' AND p_size <= 15
+        ),
+        mn AS (
+            SELECT p_partkey AS mk, MIN(s_acctbal) AS min_bal
+            FROM cand GROUP BY 1
+        )
+        SELECT p_partkey, p_name, s_name, n_name, s_acctbal
+        FROM cand JOIN mn ON p_partkey = mk AND s_acctbal = min_bal
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for each qualifying part, the
+    supplier(s) with the minimum cost — here s_acctbal stands in for the
+    missing ps_supplycost, and the shipped (partkey, suppkey) pairs for
+    partsupp.  The correlated MIN subquery becomes a window min over
+    p_partkey: ONE shuffle of the (already part-filtered, tiny) candidate
+    set, not a groupBy + self-join rescan.  part/supplier/nation all
+    broadcast; the only wide op is the DISTINCT pair extraction, which at
+    100 TB is a map-side-combined shuffle of two int columns."""
+    from pyspark.sql import Window
+
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 15)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cand = (
+        pairs.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .drop("min_bal")
+    )
+
+
+@register(
+    "q_tpch_q4",
+    family="tpch",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-07-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): EXISTS semi-join from orders
+    into lineitem with a non-equi lateness predicate (l_shipdate >
+    o_orderdate replaces the missing commit/receipt dates), then a
+    5-group count.  LEFT SEMI keeps the probe side at one row per order
+    (no fan-out, no distinct needed); the date filter prunes orders
+    before the shuffle, and the final agg is map-side partial into 5
+    groups."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sem = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "q_tpch_q8",
+    family="tpch",
+    oracle="""
+        WITH v AS (
+            SELECT
+                CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                     AS BIGINT) AS vol_s4,
+                n2.n_name AS supp_nation
+            FROM lineitem
+            JOIN part     ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation n2 ON n2.n_nationkey = s_nationkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON n1.n_nationkey = c_nationkey
+            JOIN region   ON r_regionkey = n1.n_regionkey
+            WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+        )
+        SELECT
+            o_year,
+            CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN vol_s4 ELSE 0 END)
+                 AS BIGINT) AS nation_vol_s4,
+            CAST(SUM(vol_s4) AS BIGINT) AS total_vol_s4,
+            SUM(CASE WHEN supp_nation = 'NATION_2' THEN vol_s4 ELSE 0 END) * 1.0
+                / SUM(vol_s4) AS mkt_share
+        FROM v
+        GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_2's share of PROMO-part
+    revenue sold to ASIA customers, per year.  The deepest join tree in
+    the suite (8 tables).  Scale plan: part / supplier / customer /
+    nation x2 / region broadcast (customer is the largest dim but still
+    ~1/40 of lineitem); the two fact tables join on orderkey after both
+    are filtered — the date filter on orders prunes BEFORE the join so
+    only 2 of 6+ years of lineitem rows shuffle.  The share is a ratio
+    of two scaled-int sums (both returned for the oracle hash), so the
+    division is one deterministic IEEE op on exact integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    nat = F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("vol_s4")).otherwise(F.lit(0)))
+    tot = F.sum("vol_s4")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("vol_s4"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            nat.alias("nation_vol_s4"),
+            tot.alias("total_vol_s4"),
+            (nat * F.lit(1.0) / tot).alias("mkt_share"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q9",
+    family="tpch",
+    oracle="""
+        SELECT
+            n_name AS nation,
+            CAST(year(o_orderdate) AS BIGINT) AS o_year,
+            CAST(SUM(CAST(FLOOR(
+                (l_extendedprice * (1 - l_discount)
+                 - 0.5 * p_retailprice * l_quantity) * 10000 + 0.5)
+                AS BIGINT)) AS BIGINT) AS sum_profit_s4
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        WHERE p_name LIKE 'red%'
+        GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): profit on red parts by supplier
+    nation and year.  Cost basis is 0.5 * p_retailprice * l_quantity in
+    place of the missing ps_supplycost — same expression shape (a
+    part-side attribute times quantity).  part (LIKE-filtered),
+    supplier, nation broadcast; lineitem-orders is the one fact-fact
+    shuffle.  The LIKE filter reaches the part scan, cutting the
+    broadcast to ~1/8 of parts before it ships."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = F.floor(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 10000
+        + 0.5
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).alias("sum_profit_s4"))
+    )
+
+
+@register(
+    "q_tpch_q11",
+    family="tpch",
+    oracle="""
+        WITH v AS (
+            SELECT
+                l_partkey AS partkey,
+                CAST(SUM(CAST(FLOOR(
+                    l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS value_s4
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation   ON n_nationkey = s_nationkey
+            WHERE n_regionkey = 3
+            GROUP BY l_partkey
+        )
+        SELECT partkey, value_s4
+        FROM v
+        WHERE value_s4 > (SELECT AVG(value_s4) * 1.5 FROM v)
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification): per-part shipped
+    value from region-3 suppliers, keeping parts 1.5x above the GLOBAL
+    per-part average — the scalar-aggregate-subquery HAVING shape.  The
+    lineitem bridge stands in for partsupp.  Spark plan: one shuffle for
+    the per-part agg; the threshold is a single-row re-aggregation of
+    that (small) result, broadcast back as a one-row cross join.  The
+    static plan prints the lineitem subtree under both branches, but
+    AQE exchange reuse collapses them at runtime (ReusedExchange,
+    asserted in tests/test_plans.py) — the fact is scanned and shuffled
+    ONCE per execution.  At 100 TB the threshold side is a one-row
+    exchange, not a rescan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3)
+    val = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    v = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(val).alias("value_s4"))
+    )
+    total = v.agg((F.avg("value_s4") * F.lit(1.5)).alias("threshold"))
+    return (
+        v.join(F.broadcast(total))
+        .filter(F.col("value_s4") > F.col("threshold"))
+        .select("partkey", "value_s4")
+    )
+
+
+@register(
+    "q_tpch_q12",
+    family="tpch",
+    oracle="""
+        SELECT
+            l_returnflag,
+            CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+            CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_returnflag
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / critical priority): conditional
+    pivot-count of order priorities per line class (l_returnflag stands
+    in for the missing l_shipmode).  The date filter prunes lineitem at
+    the scan; the orderkey join is the single shuffle; the CASE sums are
+    map-side partials into 3 groups."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q16",
+    family="tpch",
+    oracle="""
+        WITH ps AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        )
+        SELECT
+            p_brand, p_type, p_size,
+            COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM ps
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): distinct supplier count
+    per (brand, type, size) excluding flagged suppliers — NOT IN
+    anti-join + count-distinct shape.  The complaint filter becomes
+    s_acctbal < 0 (the only supplier-side predicate available).  Plan:
+    the DISTINCT pair shuffle is the wide op; the excluded-supplier set
+    is tiny and anti-joins as a broadcast; part broadcasts; the final
+    count-distinct re-shuffles only the filtered groups."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+    )
+    return (
+        pairs.join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_tpch_q20",
+    family="tpch",
+    oracle="""
+        WITH excess AS (
+            SELECT l_suppkey
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_name LIKE 'red%'
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY l_suppkey, l_partkey
+            HAVING SUM(CAST(l_quantity AS BIGINT)) > 60
+        )
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE s_suppkey IN (SELECT l_suppkey FROM excess)
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers who shipped more
+    than a threshold quantity of any red part in 1997 — nested
+    IN-subquery over a grouped HAVING, i.e. agg -> semi-join.  Plan:
+    part LIKE-filter broadcasts into the lineitem scan (date filter
+    pushed down), ONE shuffle on (suppkey, partkey) for the HAVING agg,
+    then the small qualifying-supplier set semi-joins the supplier dim.
+    At 100 TB nothing but the filtered agg ever shuffles."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    excess = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > 60)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@register(
+    "q_tpch_q21",
+    family="tpch",
+    oracle="""
+        WITH fl AS (
+            SELECT l_orderkey, l_suppkey, l_shipdate
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE o_orderstatus = 'F'
+        ),
+        per_order AS (
+            SELECT l_orderkey AS ok,
+                   MAX(l_shipdate) AS max_ship,
+                   COUNT(DISTINCT l_suppkey) AS n_supp
+            FROM fl GROUP BY 1
+        ),
+        late AS (
+            SELECT fl.l_orderkey, fl.l_suppkey
+            FROM fl JOIN per_order ON fl.l_orderkey = ok
+            WHERE n_supp >= 2 AND fl.l_shipdate = max_ship
+            GROUP BY 1, 2
+        ),
+        uniq AS (
+            SELECT l_orderkey FROM late GROUP BY 1 HAVING COUNT(*) = 1
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM late
+        JOIN uniq USING (l_orderkey)
+        JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY s_name
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): for finished
+    multi-supplier orders, the supplier whose shipment was STRICTLY last
+    (l_shipdate vs the missing receipt/commit dates) — the EXISTS /
+    NOT-EXISTS double self-join, re-expressed as two groupBys: per-order
+    (max shipdate, supplier count), then per-order count of
+    max-achieving suppliers == 1.  Every step shuffles on l_orderkey, so
+    after the first exchange the join and both aggs are co-partitioned —
+    one wide shuffle total, vs the textbook plan's two lineitem
+    self-joins.  Supplier broadcasts at the end onto a tiny result."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    fl = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    )
+    per_order = fl.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    late = (
+        fl.join(
+            per_order,
+            (F.col("l_orderkey") == F.col("ok"))
+            & (F.col("n_supp") >= 2)
+            & (F.col("l_shipdate") == F.col("max_ship")),
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    uniq = (
+        late.groupBy(F.col("l_orderkey").alias("uk"))
+        .agg(F.count("*").alias("n_late"))
+        .filter(F.col("n_late") == 1)
+        .select("uk")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        late.join(uniq, F.col("l_orderkey") == F.col("uk"), "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
+    "q_tpch_q22",
+    family="tpch",
+    oracle="""
+        WITH avgbal AS (
+            SELECT SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0
+                       / COUNT(*) AS abal
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT
+            CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+            COUNT(*) AS numcust,
+            (SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0)
+                AS totacctbal
+        FROM customer, avgbal
+        WHERE c_acctbal > abal
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '2000-01-01'
+          )
+        GROUP BY c_nationkey % 5
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): dormant high-balance
+    customers per country code — scalar AVG subquery + NOT EXISTS
+    anti-join + grouped count/sum.  Adaptations: country code =
+    c_nationkey % 5 (no c_phone), and "no orders" becomes "no orders
+    since 2000" (every testdata customer has SOME order).  The average
+    uses the scaled-int discipline so the threshold is bit-identical in
+    both engines.  Plan: the scalar avg is a one-row broadcast; the
+    anti-join shuffles customer against the date-filtered, custkey-
+    projected orders; final agg into 5 groups is map-side partial."""
+    c = load_table(spark, sf_dir, "customer")
+    avgbal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(scaled_int("c_acctbal", 100)) / F.lit(100.0) / F.count("*")
+            ).alias("abal")
+        )
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avgbal))
+        .filter(F.col("c_acctbal") > F.col("abal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).cast("long").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum(scaled_int("c_acctbal", 100)) / F.lit(100.0)).alias("totacctbal"),
+        )
+    )

@@ -374,3 +374,62 @@ def test_curation_pipeline_stays_scalable(spark):
         max_shuffles=2,
         forbid_python=True,
     )
+
+
+def test_tpch_q8_deep_join_tree_broadcasts_every_dim(spark):
+    # 8-table tree: part/supplier/customer/nation x2/region all broadcast;
+    # the ONLY data-sized exchanges are the lineitem-orders fact join and
+    # the final per-year agg.  Date + type filters reach the scans.
+    from dask_cudf_spark.plans import assert_scalable
+
+    a = assert_scalable(
+        REGISTRY["q_tpch_q8"].fn(spark, SF_DIR),
+        forbid_python=True,
+        require_pushed_filter="o_orderdate",
+        require_broadcast_join=True,
+    )
+    assert a.n_broadcast_hash_joins >= 6
+    assert any("p_type" in f for f in a.pushed_filters)
+
+
+def test_tpch_q4_semi_join_no_fanout(spark):
+    # EXISTS becomes LEFT SEMI (one output row per order, no distinct);
+    # the order-date range prunes the probe side at the scan
+    from dask_cudf_spark.plans import assert_scalable
+
+    a = assert_scalable(
+        REGISTRY["q_tpch_q4"].fn(spark, SF_DIR),
+        forbid_python=True,
+        require_pushed_filter="o_orderdate",
+    )
+    assert "LeftSemi" in a.text
+
+
+def test_tpch_q11_reuses_fact_exchange_at_runtime(spark):
+    # the scalar-subquery threshold branch shares v's per-part shuffle:
+    # the STATIC plan prints the lineitem subtree twice, but AQE's
+    # exchange reuse collapses it — the executed plan must contain a
+    # ReusedExchange so the fact is scanned/shuffled once per run
+    from dask_cudf_spark.plans import audit, explain_str
+
+    df = REGISTRY["q_tpch_q11"].fn(spark, SF_DIR)
+    a = audit(df)
+    assert a.n_cartesian == 0 and not a.python_nodes
+    df.collect()
+    executed = explain_str(df, "simple")
+    assert "isFinalPlan=true" in executed
+    assert "ReusedExchange" in executed, executed
+
+
+def test_tpch_q21_stays_on_orderkey_partitioning(spark):
+    # the lateness double-self-join is re-expressed as groupBys + joins
+    # all keyed on l_orderkey; after the first exchange everything is
+    # co-partitioned, and the status filter reaches the orders scan
+    from dask_cudf_spark.plans import assert_scalable
+
+    a = assert_scalable(
+        REGISTRY["q_tpch_q21"].fn(spark, SF_DIR),
+        forbid_python=True,
+        require_pushed_filter="o_orderstatus",
+    )
+    assert a.n_cartesian == 0

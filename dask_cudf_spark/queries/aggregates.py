@@ -817,3 +817,38 @@ def q_mode_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "mode_hour", "all_positive", "any_large")
     )
+
+
+@register(
+    "q_crosstab",
+    family="aggregate",
+    oracle="""
+        SELECT
+            lang,
+            CAST(SUM(CASE WHEN n_chars < 220 THEN 1 ELSE 0 END) AS BIGINT)
+                AS short_docs,
+            CAST(SUM(CASE WHEN n_chars >= 220 AND n_chars < 380 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS medium_docs,
+            CAST(SUM(CASE WHEN n_chars >= 380 THEN 1 ELSE 0 END) AS BIGINT)
+                AS long_docs,
+            COUNT(*) AS all_docs
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def q_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas/cudf crosstab (upstream: cudf.crosstab -> pivot_table
+    count): contingency table of lang x document-length band with a row
+    margin.  Expressed as conditional-sum pivoting (the scalable idiom:
+    one map-side-combined shuffle into |langs| groups), not a pivot()
+    call — identical output, and the band predicates fold into
+    whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    short = F.col("n_chars") < 220
+    medium = (F.col("n_chars") >= 220) & (F.col("n_chars") < 380)
+    return docs.groupBy("lang").agg(
+        F.sum(F.when(short, 1).otherwise(0)).alias("short_docs"),
+        F.sum(F.when(medium, 1).otherwise(0)).alias("medium_docs"),
+        F.sum(F.when(~short & ~medium, 1).otherwise(0)).alias("long_docs"),
+        F.count("*").alias("all_docs"),
+    )

@@ -496,3 +496,41 @@ def q_melt_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+@register(
+    "q_map_dict",
+    family="projection",
+    oracle="""
+        SELECT event_id, event_type,
+               CASE event_type
+                   WHEN 'click' THEN 1.0
+                   WHEN 'view' THEN 0.5
+                   WHEN 'purchase' THEN 10.0
+                   WHEN 'signup' THEN 5.0
+                   ELSE 0.0
+               END AS type_weight
+        FROM events
+    """,
+)
+def q_map_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas/cudf Series.map({...}) (upstream: cudf Series.map dict
+    path): value recoding through a small literal mapping.  Implemented
+    as a MapType literal + element_at — stays a pure projection (no
+    join, no shuffle, codegen'd), which is the right shape for a <1k
+    mapping at any scale; bigger mappings graduate to a broadcast
+    join.  Unmapped keys default via coalesce (pandas NaN -> 0.0 here
+    to keep the column non-null)."""
+    ev = load_table(spark, sf_dir, "events")
+    weights = {"click": 1.0, "view": 0.5, "purchase": 10.0, "signup": 5.0}
+    pairs: list = []
+    for k, v in weights.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    mapping = F.create_map(*pairs)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.coalesce(
+            F.element_at(mapping, F.col("event_type")), F.lit(0.0)
+        ).alias("type_weight"),
+    )

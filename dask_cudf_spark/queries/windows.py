@@ -527,3 +527,72 @@ def q_ewm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         ewm_group, schema="user_id long, event_id long, ewm_micro long"
     )
+
+
+@register(
+    "q_pct_change",
+    family="window",
+    oracle="""
+        SELECT user_id, event_id, value,
+               (value - LAG(value) OVER w) / LAG(value) OVER w AS pct_change
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas/cudf Series.pct_change() per key (upstream: cudf
+    pct_change -> diff/shift composition).  One shuffle on user_id; the
+    first row per key is NULL (no predecessor), matching pandas.  The
+    ratio is a subtract + divide on the raw doubles — two IEEE ops on
+    identical inputs, bit-deterministic in both engines (value > 0 in
+    this data, so no div-by-zero path)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        ((F.col("value") - prev) / prev).alias("pct_change"),
+    )
+
+
+@register(
+    "q_cumprod",
+    family="window",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(FLOOR(list_reduce(list(1 + l_discount) OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), (a, b) -> a * b) * 1000000 + 0.5) AS BIGINT) AS cum_factor_s6
+        FROM lineitem
+    """,
+)
+def q_cumprod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas/cudf cumprod per group (upstream: cudf
+    groupby.cumprod): running product of (1 + l_discount) over each
+    order's lines — the compounding-factor pattern.  Spark's product
+    aggregate over a cumulative row frame; ONE shuffle on l_orderkey.
+    Groups are <= 13 rows and factors are in [1, 1.1], so the double
+    product is far from over/underflow.  Oracle note: DuckDB's windowed
+    product() is NOT a sequential fold (it drifts from the in-order
+    multiply by far more than an ulp), so the oracle replays Spark's
+    left-to-right accumulation explicitly with list_reduce over the
+    ordered frame; the scaled-int projection then hashes exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # l_linenumber is NOT unique within an order in this data; ties in
+    # a cumulative frame make the running value engine-dependent, so the
+    # order is made total with the remaining line attributes.
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.product(1 + F.col("l_discount")).over(w)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(cum * 1000000 + 0.5).cast("long").alias("cum_factor_s6"),
+    )

@@ -101,12 +101,17 @@ def merge_asof(
     def pick(c, w):
         return F.last(c, ignorenulls=True).over(w)
 
-    from pyspark.sql.types import TimestampType
+    from pyspark.sql.types import TimestampNTZType, TimestampType
 
-    is_ts = isinstance(left.schema[on].dataType, TimestampType)
+    # parquet timestamps may surface as TIMESTAMP or TIMESTAMP_NTZ
+    # depending on writer metadata; both need the µs conversion (a raw
+    # ts - ts is an INTERVAL, not comparable to a numeric tolerance)
+    is_ts = isinstance(left.schema[on].dataType, (TimestampType, TimestampNTZType))
 
     def micros(c):
-        return F.unix_micros(c) if is_ts else c
+        # cast NTZ -> instant first; unix_micros requires TIMESTAMP and
+        # the session-tz offset cancels in every distance we compute
+        return F.unix_micros(c.cast("timestamp")) if is_ts else c
 
     keep = [c for c in unioned.columns if c not in out_names.values()]
     if direction == "backward":

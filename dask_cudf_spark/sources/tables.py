@@ -39,6 +39,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
             )
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # parquet timestamp[us] with isAdjustedToUTC=false surfaces
+            # as TIMESTAMP_NTZ under Spark 4's NTZ inference; downstream
+            # code (unix_* conversions, bigint casts, watermarks) is
+            # written against TIMESTAMP, and with the session tz pinned
+            # UTC above the instant values are identical.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

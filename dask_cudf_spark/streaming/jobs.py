@@ -100,6 +100,10 @@ def events_stream(
     stream = reader.parquet(sf_dir)
     if stream.schema["ts"].dataType.simpleString() == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif stream.schema["ts"].dataType.simpleString() == "timestamp_ntz":
+        # same normalization as sources.tables.load_table: naive µs
+        # parquet timestamps -> TIMESTAMP under the UTC session tz
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -852,3 +852,75 @@ def q_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~short & ~medium, 1).otherwise(0)).alias("long_docs"),
         F.count("*").alias("all_docs"),
     )
+
+
+@register(
+    "q_cogroup_udf",
+    family="udf",
+    oracle="""
+        SELECT c_custkey,
+               CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_s2,
+               CAST(COUNT(o_custkey) AS BIGINT) AS n_orders,
+               CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                      AS BIGINT)), 0) AS BIGINT)
+                   AS total_spend_s2
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        WHERE c_custkey < 500
+        GROUP BY c_custkey, c_acctbal
+    """,
+)
+def q_cogroup_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map UDF (dask's align-two-frames-then-apply;
+    upstream: dask map_partitions over aligned frames): customer and
+    orders are co-partitioned on the key and each (cust_pdf, orders_pdf)
+    pair is handed to ONE Python function — the escape hatch when
+    per-key logic needs both sides at once and can't be a join+agg.
+    Here the function computes order count + scaled spend so the result
+    IS oracle-checkable as a LEFT JOIN aggregate.
+
+    Scale: groupBy(...).cogroup(...).applyInPandas is exactly one hash
+    shuffle per side (same as the equivalent join), Arrow-batched per
+    key group; the closure is self-contained (numpy/pandas only, no
+    module-level engine imports) so it pickles by value for workers
+    that never saw this repo's sys.path."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 500)
+        .select("c_custkey", "c_acctbal")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 500)
+        .select("o_custkey", "o_totalprice")
+    )
+
+    def merge(key, cpdf, opdf):
+        import numpy as np
+        import pandas as pd
+
+        spend = (
+            int(np.floor(opdf["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64").sum())
+            if len(opdf)
+            else 0
+        )
+        bal = int(
+            np.floor(cpdf["c_acctbal"].to_numpy() * 100 + 0.5).astype("int64").sum()
+        )
+        return pd.DataFrame(
+            {
+                "c_custkey": [key[0]],
+                "acctbal_s2": [bal],
+                "n_orders": [len(opdf)],
+                "total_spend_s2": [spend],
+            }
+        )
+
+    return (
+        cust.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(
+            merge,
+            "c_custkey bigint, acctbal_s2 bigint, n_orders bigint, "
+            "total_spend_s2 bigint",
+        )
+    )

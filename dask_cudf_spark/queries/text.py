@@ -1004,3 +1004,246 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("doc_id", "token", "tf", "score", "rank")
     )
+
+
+@register(
+    "q_doc_packing",
+    family="text",
+    oracle="""
+        WITH toks AS (
+            SELECT lang,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+                   doc_id,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        packed AS (
+            SELECT lang, shard, doc_id, n_tokens,
+                   CAST(FLOOR(
+                       (SUM(n_tokens) OVER (
+                            PARTITION BY lang, shard
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        ) - n_tokens) / 2048.0
+                   ) AS BIGINT) AS pack_id
+            FROM toks
+        )
+        SELECT lang, shard, pack_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM packed
+        GROUP BY lang, shard, pack_id
+    """,
+)
+def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: assign documents to
+    fixed-token-budget packs (2048 tokens) by running-token-count
+    chunking — each doc goes to pack floor(preceding_tokens / budget)
+    within its (lang, shard) stream, the sequential-packing scheme used
+    when batch-building training sequences.
+
+    Scale: the naive version windows over PARTITION BY lang, which at
+    100 TB serializes each language through ONE task.  Packing has no
+    cross-doc semantics, so the stream is pre-sharded by an md5 hash
+    digit of doc_id: 16 independent packing streams per language, each
+    a separate window partition -> parallelism = 16 x n_langs, one
+    shuffle total, and the pack assignment is still a pure function of
+    the data (reproducible across engines, runs, and cluster sizes)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("shard"),
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0).cast("long"),
+    )
+    return packed.groupBy("lang", "shard", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "q_pii_redact",
+    family="text",
+    oracle=r"""
+        WITH decorated AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or 555-'
+                        || CAST(doc_id % 10000 AS VARCHAR) AS raw
+            FROM documents
+            WHERE doc_id < 300
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\.[a-z]+'))
+                    AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(raw, '555-[0-9]+'))
+                    AS BIGINT) AS n_phones,
+               regexp_replace(
+                   regexp_replace(raw, '[a-z0-9]+@[a-z]+\.[a-z]+',
+                                  '<EMAIL>', 'g'),
+                   '555-[0-9]+', '<PHONE>', 'g') AS redacted
+        FROM decorated
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing, a standard pre-training curation pass: regex
+    redaction of emails and phone numbers with per-doc match counts
+    (for curation telemetry).  The corpus has no organic PII, so each
+    doc is first decorated with a deterministic synthetic email+phone
+    derived from doc_id — both engines build the identical string, so
+    the redaction path is genuinely exercised end-to-end.
+
+    Scale: pure map-side string expressions (regexp_replace /
+    regexp_count are JVM codegen'd) — zero shuffles, trivially linear
+    at 100 TB.  The patterns stay in the RE2-compatible subset so Java
+    and DuckDB regex semantics agree."""
+    email_pat = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    phone_pat = r"555-[0-9]+"
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        (F.col("doc_id") % 10000).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(email_pat)).cast("long").alias("n_emails"),
+        F.regexp_count(raw, F.lit(phone_pat)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(raw, email_pat, "<EMAIL>"), phone_pat, "<PHONE>"
+        ).alias("redacted"),
+    )
+
+
+@register(
+    "q_repetition_ngrams",
+    family="text",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents
+            WHERE doc_id < 400
+        ),
+        g AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(len(toks) - 2),
+                       i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                   ) AS tg
+            FROM t
+            WHERE len(toks) >= 3
+        )
+        SELECT doc_id,
+               CAST(len(tg) AS BIGINT) AS n_trigrams,
+               CAST(len(list_distinct(tg)) AS BIGINT) AS n_unique,
+               CAST(FLOOR(
+                   (1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg))
+                   * 1000000 + 0.5) AS BIGINT) AS dup_frac_s6
+        FROM g
+    """,
+)
+def q_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition / boilerplate scoring: fraction of duplicated
+    word-trigrams per document — the Gopher/RefinedWeb-style quality
+    signal used to drop template-y or looping text before training.
+
+    Scale: per-row array expressions only (split -> transform over a
+    sequence -> array_distinct), all inside whole-stage codegen; zero
+    shuffles, no UDF.  The score is emitted as a scaled int (s6) per
+    the det.py discipline so the hash never flakes on float formatting."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    t = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    g = t.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, size(toks) - 3),"
+            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+        ).alias("tg"),
+    )
+    n_tg = F.size("tg").cast("long")
+    n_uniq = F.size(F.array_distinct("tg")).cast("long")
+    return g.select(
+        "doc_id",
+        n_tg.alias("n_trigrams"),
+        n_uniq.alias("n_unique"),
+        F.floor((1.0 - n_uniq.cast("double") / n_tg) * 1000000 + 0.5)
+        .cast("long")
+        .alias("dup_frac_s6"),
+    )
+
+
+@register(
+    "q_domain_mix_weights",
+    family="text",
+    oracle="""
+        WITH per AS (
+            SELECT source,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            FROM documents
+            GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   COUNT(*) AS n_sources
+            FROM per
+        )
+        SELECT source, n_tokens,
+               CAST(FLOOR(CAST(n_tokens AS DOUBLE) / total_tokens
+                          * 1000000 + 0.5) AS BIGINT) AS share_s6,
+               CAST(FLOOR(CAST(total_tokens AS DOUBLE) / n_sources / n_tokens
+                          * 1000000 + 0.5) AS BIGINT) AS weight_s6
+        FROM per CROSS JOIN tot
+    """,
+)
+def q_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-source token share and the
+    resampling weight that would flatten the mix to uniform across
+    sources (weight = target_share / actual_share).  The output feeds a
+    weighted hash-sampler (q_sample idiom: keep-rate = weight * base)
+    when rebalancing a crawl-heavy corpus.
+
+    Scale: one aggregation shuffle on source; the per-source table is
+    domain-cardinality (tiny), so totals join back as a BROADCAST
+    1-row relation — no window-over-everything single-task stage."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.floor(F.col("n_tokens").cast("double") / F.col("total_tokens") * 1000000 + 0.5)
+        .cast("long")
+        .alias("share_s6"),
+        F.floor(
+            F.col("total_tokens").cast("double")
+            / F.col("n_sources")
+            / F.col("n_tokens")
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("weight_s6"),
+    )

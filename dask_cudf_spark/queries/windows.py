@@ -596,3 +596,208 @@ def q_cumprod(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.floor(cum * 1000000 + 0.5).cast("long").alias("cum_factor_s6"),
     )
+
+
+@register(
+    "q_ffill",
+    family="window",
+    oracle="""
+        WITH masked AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+            FROM events
+        )
+        SELECT user_id, event_id,
+               CAST(FLOOR(COALESCE(last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), -1.0) * 10000 + 0.5) AS BIGINT) AS v_filled_s4
+        FROM masked
+    """,
+)
+def q_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill imputation (pandas/cudf ``ffill``, upstream: cudf
+    DataFrame.ffill): sensor-style gap filling — readings taken during
+    'error' events are nulled, then each user's series carries the last
+    valid value forward in (ts, event_id) order.  Leading nulls (no
+    prior valid value) surface as the -1 sentinel so the row stays
+    hashable.
+
+    Spark has no ffill verb; ``last(col, ignorenulls=True)`` over the
+    cumulative row frame IS the operator — ONE shuffle on user_id, one
+    in-partition sort, identical cost shape to any windowed op at
+    100 TB (skewed users would be range-sharded like q_doc_packing)."""
+    ev = load_table(spark, sf_dir, "events")
+    masked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(-1.0))
+    return masked.select(
+        "user_id",
+        "event_id",
+        F.floor(filled * 10000 + 0.5).cast("long").alias("v_filled_s4"),
+    )
+
+
+@register(
+    "q_interpolate_linear",
+    family="window",
+    oracle="""
+        WITH masked AS (
+            SELECT user_id, event_id, ts,
+                   epoch_us(ts) AS t_us,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+            FROM events
+        ),
+        w AS (
+            SELECT user_id, event_id, t_us, v,
+                   last_value(v IGNORE NULLS) OVER wb AS prev_v,
+                   last_value(CASE WHEN v IS NOT NULL THEN t_us END
+                              IGNORE NULLS) OVER wb AS prev_t,
+                   first_value(v IGNORE NULLS) OVER wf AS next_v,
+                   first_value(CASE WHEN v IS NOT NULL THEN t_us END
+                               IGNORE NULLS) OVER wf AS next_t
+            FROM masked
+            WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, event_id,
+               CAST(FLOOR(COALESCE(
+                   CASE WHEN v IS NOT NULL THEN v
+                        WHEN prev_v IS NULL THEN next_v
+                        WHEN next_v IS NULL THEN prev_v
+                        WHEN next_t = prev_t THEN prev_v
+                        ELSE prev_v + (next_v - prev_v)
+                             * ((CAST(t_us AS DOUBLE) - prev_t)
+                                / (CAST(next_t AS DOUBLE) - prev_t))
+                   END, -1.0) * 10000 + 0.5) AS BIGINT) AS v_interp_s4
+        FROM w
+    """,
+)
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing readings (pandas/cudf
+    ``interpolate(method='linear')``, upstream: cudf Series.interpolate):
+    null out 'error' readings, then reconstruct each from the straight
+    line between its nearest valid neighbors, weighted by event-time
+    distance.  Boundary rules match pandas: leading gaps take the next
+    valid value, trailing gaps the previous; all-null series surface
+    the -1 sentinel.
+
+    Spark has no interpolate verb; the operator is two window passes
+    over ONE shuffle on user_id (a cumulative last() and its reversed
+    first() share the partitioning, Spark just re-sorts in place).  The
+    arithmetic is written identically in both engines (double ops are
+    IEEE-deterministic per row), and the result is emitted as a scaled
+    int per the det.py discipline."""
+    ev = load_table(spark, sf_dir, "events")
+    masked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_micros("ts").alias("t_us"),
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_valid = F.when(F.col("v").isNotNull(), F.col("t_us"))
+    w = masked.select(
+        "user_id",
+        "event_id",
+        "t_us",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("prev_v"),
+        F.last(t_valid, ignorenulls=True).over(wb).alias("prev_t"),
+        F.first("v", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(t_valid, ignorenulls=True).over(wf).alias("next_t"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .when(F.col("next_t") == F.col("prev_t"), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (
+                (F.col("t_us").cast("double") - F.col("prev_t"))
+                / (F.col("next_t").cast("double") - F.col("prev_t"))
+            )
+        )
+    )
+    return w.select(
+        "user_id",
+        "event_id",
+        F.floor(F.coalesce(interp, F.lit(-1.0)) * 10000 + 0.5)
+        .cast("long")
+        .alias("v_interp_s4"),
+    )
+
+
+@register(
+    "q_rolling_median",
+    family="window",
+    oracle=f"""
+        WITH s AS (
+            SELECT user_id, event_id, ts, {_V4} AS v_s4 FROM events
+        )
+        SELECT user_id, event_id,
+               CAST(2 * quantile_cont(v_s4, 0.5) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS med2_s4
+        FROM s
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 5-row median per user (pandas/cudf
+    ``rolling(5).median()``; cudf rolling supports arbitrary aggs) —
+    the robust-smoothing denoiser.  Spark's exact ``percentile``
+    aggregate runs as a window function over the same row frame.
+
+    Determinism: the median interpolates between two SCALED-INT
+    neighbors, so 2x the result is an exact integer double on both
+    engines (Spark's lo+(hi-lo)*0.5 and DuckDB's (1-f)*lo+f*hi are both
+    exact here) — no float-formatting hazard.  Cost shape: one shuffle
+    on user_id; the per-frame sort is O(w log w) on a 5-row frame."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 10000 + 0.5).cast("long").alias("v_s4"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    med = F.expr("percentile(v_s4, 0.5)").over(w)
+    return s.select(
+        "user_id",
+        "event_id",
+        (2 * med).cast("long").alias("med2_s4"),
+    )

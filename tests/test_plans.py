@@ -433,3 +433,34 @@ def test_tpch_q21_stays_on_orderkey_partitioning(spark):
         require_pushed_filter="o_orderstatus",
     )
     assert a.n_cartesian == 0
+
+
+def test_curation_ops_shuffle_budgets(spark):
+    # the round-2 curation/imputation family: each op's scale story is
+    # a fixed shuffle budget (documented in its docstring)
+    from dask_cudf_spark.plans import audit
+
+    budgets = {
+        "q_pii_redact": 0,          # pure map-side regex
+        "q_repetition_ngrams": 0,   # per-row array expressions
+        "q_doc_packing": 1,         # sharded window + reusable agg
+        "q_ffill": 1,               # one shuffle on user_id
+        "q_interpolate_linear": 1,  # fwd+bwd windows share partitioning
+        "q_rolling_median": 1,      # one shuffle on user_id
+    }
+    for name, max_shuffles in budgets.items():
+        a = audit(REGISTRY[name].fn(spark, SF_DIR))
+        assert a.n_shuffles <= max_shuffles, (name, a.n_shuffles)
+        assert not a.python_nodes, name
+        assert a.n_cartesian == 0, name
+
+
+def test_cogroup_is_two_shuffles_no_join_fallback(spark):
+    # cogroup must plan as co-partitioned FlatMapCoGroupsInPandas —
+    # one exchange per side, never a join + regroup
+    from dask_cudf_spark.plans import audit
+
+    a = audit(REGISTRY["q_cogroup_udf"].fn(spark, SF_DIR))
+    assert a.n_shuffles == 2, a.n_shuffles
+    assert a.n_cartesian == 0
+    assert a.n_sort_merge_joins + a.n_broadcast_hash_joins == 0

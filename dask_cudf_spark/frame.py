@@ -492,6 +492,47 @@ class Frame:
     def replace(self, to_replace, value) -> "Frame":
         return Frame(self._sdf.na.replace(to_replace, value))
 
+    def ffill(
+        self,
+        subset: Sequence[str],
+        by: Sequence[str],
+        order: Sequence[str],
+    ) -> "Frame":
+        """Forward-fill nulls along `order` within `by` groups (pandas/
+        cudf ``ffill``).  A distributed frame has no implicit row order,
+        so the axis is explicit — the same reason dask_cudf only ffills
+        along sorted divisions.  One shuffle on `by` regardless of how
+        many columns fill."""
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        sdf = self._sdf
+        for c in subset:
+            sdf = sdf.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        return Frame(sdf)
+
+    def bfill(
+        self,
+        subset: Sequence[str],
+        by: Sequence[str],
+        order: Sequence[str],
+    ) -> "Frame":
+        """Backward-fill: mirror of :meth:`ffill` over the forward-
+        looking frame (first valid value at or after the current row).
+        Shares ffill's partitioning, so chaining
+        ``.ffill(...).bfill(...)`` still plans ONE shuffle."""
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(*order)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        sdf = self._sdf
+        for c in subset:
+            sdf = sdf.withColumn(c, F.first(c, ignorenulls=True).over(w))
+        return Frame(sdf)
+
     # -- relational --------------------------------------------------------
     def merge(
         self,

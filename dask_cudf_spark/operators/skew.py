@@ -94,4 +94,48 @@ def salted_count_distinct(
     )
 
 
-__all__ = ["with_salt", "salted_sum", "salted_collect", "salted_count_distinct"]
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    left_on: str,
+    right_on: str,
+    salt_on: Column | str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe shuffle join for a hot-keyed fact against a dim too big
+    to broadcast: the fact side gets a deterministic salt in
+    [0, n_salts) from ``salt_on`` (any high-cardinality sibling column),
+    the dim side is replicated once per salt, and the join runs on
+    (key, salt) — a hot key's rows spread over ``n_salts`` tasks instead
+    of melting one.  Result is identical to the unsalted join: each fact
+    row matches exactly the one dim replica carrying its salt.
+
+    Decision ladder at 100 TB: broadcast the dim if it fits; else let
+    AQE's skew-join splitting handle sort-merge skew; reach for explicit
+    salting when the skew is known and extreme (a handful of keys with
+    ~all the rows) — AQE splits partitions, but a single monster KEY
+    still lands in one partition without salting.  Cost: dim side grows
+    n_salts×, so keep n_salts small and the dim projected to the joined
+    columns."""
+    f = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(salt_on), F.lit(n_salts)).cast("int")
+    )
+    d = dim.withColumn(
+        "__salt_d", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    joined = f.join(
+        d,
+        (F.col(left_on) == F.col(right_on)) & (F.col("__salt") == F.col("__salt_d")),
+        how,
+    )
+    return joined.drop("__salt", "__salt_d")
+
+
+__all__ = [
+    "with_salt",
+    "salted_sum",
+    "salted_collect",
+    "salted_count_distinct",
+    "salted_join",
+]

@@ -924,3 +924,53 @@ def q_cogroup_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_spend_s2 bigint",
         )
     )
+
+
+@register(
+    "q_skew_salted_join",
+    family="partitioning",
+    oracle="""
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_s2
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact⋈dim join (operators/skew.salted_join): lineitem
+    joins part on (partkey, salt) with the dim replicated 8x, then
+    rolls up revenue per brand.  The dim side carries a shuffle_hash
+    hint so the demo exercises the real salted SHUFFLE join even at
+    test scale where Spark would otherwise broadcast — at 100 TB this
+    is the shape that survives one partkey owning half the fact table
+    when the dim is too big to broadcast and AQE's partition-splitting
+    can't divide a single hot KEY.  Result is provably identical to
+    the plain join (the oracle runs the unsalted SQL)."""
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand")
+        .hint("shuffle_hash")
+    )
+    joined = salted_join(
+        li,
+        part,
+        "l_partkey",
+        "p_partkey",
+        salt_on=F.concat_ws(
+            ":", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+        ),
+        n_salts=8,
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")).alias(
+            "revenue_s2"
+        ),
+    )

@@ -230,3 +230,43 @@ def test_sink_roundtrip(tmp_path, f_customer):
     back = pd.read_parquet(out)
     assert len(back) == f_customer.count()
     assert "c_mktsegment" in back.columns
+
+
+def test_ffill_bfill(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "a", "b", "b"],
+            "i": [1, 2, 3, 4, 1, 2],
+            "v": [None, 10.0, None, 20.0, None, None],
+        }
+    )
+    f = dcs.from_pandas(spark, pdf)
+
+    def norm(vals):
+        return [None if pd.isna(x) else x for x in vals]
+
+    got_f = (
+        f.ffill(["v"], by=["k"], order=["i"])
+        .spark.orderBy("k", "i")
+        .toPandas()["v"]
+        .tolist()
+    )
+    exp_f = pdf.sort_values(["k", "i"]).groupby("k")["v"].ffill().tolist()
+    assert norm(got_f) == norm(exp_f)
+
+    got_b = (
+        f.bfill(["v"], by=["k"], order=["i"])
+        .spark.orderBy("k", "i")
+        .toPandas()["v"]
+        .tolist()
+    )
+    exp_b = pdf.sort_values(["k", "i"]).groupby("k")["v"].bfill().tolist()
+    assert norm(got_b) == norm(exp_b)
+
+    # chained fill plans a single exchange (shared partitioning)
+    chained = f.ffill(["v"], by=["k"], order=["i"]).bfill(
+        ["v"], by=["k"], order=["i"]
+    )
+    from dask_cudf_spark.plans import audit
+
+    assert audit(chained.spark).n_shuffles == 1

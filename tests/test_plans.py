@@ -464,3 +464,16 @@ def test_cogroup_is_two_shuffles_no_join_fallback(spark):
     assert a.n_shuffles == 2, a.n_shuffles
     assert a.n_cartesian == 0
     assert a.n_sort_merge_joins + a.n_broadcast_hash_joins == 0
+
+
+def test_salted_join_is_shuffle_not_broadcast(spark):
+    # the whole point of the salted join: the dim must NOT broadcast
+    # (that would make salting a no-op demo) and nothing may plan as
+    # cartesian/nested-loop despite the compound join condition
+    from dask_cudf_spark.plans import audit
+
+    a = audit(REGISTRY["q_skew_salted_join"].fn(spark, SF_DIR))
+    assert a.n_broadcast_hash_joins == 0, "dim broadcast defeats salting demo"
+    assert a.n_cartesian == 0
+    assert a.n_nested_loop_joins == 0
+    assert a.n_shuffled_hash_joins + a.n_sort_merge_joins >= 1

@@ -18,7 +18,13 @@ from .multimodal import (
     sample_frames,
 )
 from .similarity import centroids, cosine_topk, ivf_topk, lsh_bucket_topk
-from .skew import salted_collect, salted_count_distinct, salted_sum, with_salt
+from .skew import (
+    salted_collect,
+    salted_count_distinct,
+    salted_join,
+    salted_sum,
+    with_salt,
+)
 
 __all__ = [
     "merge_asof",
@@ -36,6 +42,7 @@ __all__ = [
     "ivf_topk",
     "centroids",
     "salted_sum",
+    "salted_join",
     "salted_collect",
     "salted_count_distinct",
     "with_salt",

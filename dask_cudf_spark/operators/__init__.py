@@ -15,6 +15,7 @@ from .multimodal import (
     attach_payload,
     dedup_payloads,
     extract_features,
+    resample_signal,
     sample_frames,
 )
 from .similarity import centroids, cosine_topk, ivf_topk, lsh_bucket_topk
@@ -36,6 +37,7 @@ __all__ = [
     "attach_payload",
     "sample_frames",
     "extract_features",
+    "resample_signal",
     "dedup_payloads",
     "cosine_topk",
     "lsh_bucket_topk",

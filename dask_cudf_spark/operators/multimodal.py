@@ -200,3 +200,65 @@ __all__ = [
     "dedup_payloads",
     "BinaryType",
 ]
+
+
+def resample_signal(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    factor: int = 8,
+    head: int = 4,
+) -> DataFrame:
+    """Signal decimation via block-mean pooling (the audio-resample /
+    image-downscale stand-in): each payload's byte stream is split into
+    ``factor``-byte blocks (tail remainder dropped) and each block
+    reduces to its mean.  Real decode/resample (libsndfile/PIL) slots into the
+    same mapInPandas body; the plumbing — Arrow binary batches in,
+    fixed-width frame out, partition-parallel, zero shuffles — is the
+    production pattern.
+
+    Determinism: block means are emitted as scaled ints
+    (sum * (10000 // factor), exact while 10000 % factor == 0) and the
+    signal mean as an integer floor — bit-identical to the oracle's
+    closed-form SQL.  ``head_csv`` carries the first ``head`` block
+    means for spot inspection."""
+    if 10000 % factor:
+        raise ValueError("factor must divide 10000 for exact scaled means")
+    scale = 10000 // factor
+    out_schema = (
+        f"{id_col} bigint, n_blocks bigint, sig_mean_s4 bigint, head_csv string"
+    )
+
+    def pool(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, n_blocks, means, heads = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                a = np.frombuffer(payload, dtype=np.uint8)
+                nb = a.size // factor
+                ids.append(int(doc_id))
+                n_blocks.append(nb)
+                if nb:
+                    sums = (
+                        a[: nb * factor]
+                        .reshape(nb, factor)
+                        .sum(axis=1, dtype=np.int64)
+                    )
+                    s4 = sums * scale
+                    means.append(int(s4.sum() // nb))
+                    heads.append(",".join(str(int(x)) for x in s4[:head]))
+                else:
+                    means.append(-1)
+                    heads.append("")
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_blocks": n_blocks,
+                    "sig_mean_s4": means,
+                    "head_csv": heads,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(pool, out_schema)

@@ -116,3 +116,47 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(docs).select(
         "doc_id", "n_bytes", "byte_mean", "byte_min", "byte_max"
     )
+
+
+@register(
+    "q_multimodal_resample",
+    family="multimodal",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, text, length(text) AS n
+            FROM documents
+            WHERE doc_id < 150
+        ),
+        b AS (
+            SELECT doc_id, n // 8 AS n_blocks,
+                   list_transform(
+                       range(n // 8),
+                       b -> 1250 * list_sum(list_transform(
+                                range(8),
+                                i -> ascii(substring(text, b*8 + i + 1, 1))))
+                   ) AS s4
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(n_blocks AS BIGINT) AS n_blocks,
+               CAST(CASE WHEN n_blocks > 0
+                         THEN CAST(list_sum(s4) AS BIGINT) // n_blocks
+                         ELSE -1 END AS BIGINT) AS sig_mean_s4,
+               COALESCE(array_to_string(s4[1:4], ','), '') AS head_csv
+        FROM b
+    """,
+)
+def q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-mean signal decimation over binary payloads
+    (operators/multimodal.resample_signal): the audio-resample /
+    image-downscale plumbing as Arrow-batched mapInPandas — numpy
+    reshape+sum per payload, factor 8.  The oracle replays the pooling
+    closed-form over the same bytes (documents text is ASCII, so char
+    codes == payload bytes); scaled-int block means make the comparison
+    exact.  Zero shuffles: pure partition-parallel map work."""
+    from ..operators.multimodal import attach_payload, resample_signal
+
+    docs = attach_payload(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    )
+    return resample_signal(docs, factor=8, head=4)

@@ -114,3 +114,103 @@ def test_simhash_range(pair):
     for t in pair:
         sig = _np_minhash(t)
         assert all(0 <= v < (1 << 31) for v in sig)
+
+
+# ------------------------------------------------- curation-op invariants
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=4000), min_size=1, max_size=300),
+    st.integers(min_value=64, max_value=4096),
+)
+def test_doc_packing_assignment_invariants(tokens, budget):
+    """Pure-python mirror of q_doc_packing's pack rule
+    pack = floor((cumsum - x) / budget): packs are contiguous from 0,
+    no doc is lost, and every pack's PRECEDING-token total stays under
+    the budget (each pack overflows only by its final doc — the
+    sequential-packing contract)."""
+    cum = 0
+    packs: dict[int, list[int]] = {}
+    for x in tokens:
+        cum += x
+        p = (cum - x) // budget
+        packs.setdefault(p, []).append(x)
+    ids = sorted(packs)
+    assert ids[0] == 0
+    assert sum(len(v) for v in packs.values()) == len(tokens)
+    for p in ids:
+        preceding = sum(packs[p]) - packs[p][-1]
+        assert preceding < budget
+    # pack ids never decrease along the stream (monotone cumsum)
+    seen = []
+    cum = 0
+    for x in tokens:
+        cum += x
+        seen.append((cum - x) // budget)
+    assert seen == sorted(seen)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),  # time offset
+            st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_linear_interpolation_bounded_by_neighbors(points):
+    """Pure-python mirror of q_interpolate_linear's formula: every
+    reconstructed value lies within [min, max] of its bracketing valid
+    neighbors; observed values pass through unchanged; boundary gaps
+    copy the single available neighbor."""
+    pts = sorted(
+        ((t + i, v) for i, (t, v) in enumerate(points)),  # strictly increasing t
+        key=lambda p: p[0],
+    )
+    valid = [(t, v) for t, v in pts if v is not None]
+    for idx, (t, v) in enumerate(pts):
+        prev = next(
+            ((tv, vv) for tv, vv in reversed(valid) if tv <= t), None
+        )
+        nxt = next(((tv, vv) for tv, vv in valid if tv >= t), None)
+        if v is not None:
+            got = v
+        elif prev is None and nxt is None:
+            continue
+        elif prev is None:
+            got = nxt[1]
+        elif nxt is None:
+            got = prev[1]
+        elif nxt[0] == prev[0]:
+            got = prev[1]
+        else:
+            got = prev[1] + (nxt[1] - prev[1]) * (
+                (t - prev[0]) / (nxt[0] - prev[0])
+            )
+        if v is not None:
+            assert got == v
+        elif prev is not None and nxt is not None:
+            lo, hi = min(prev[1], nxt[1]), max(prev[1], nxt[1])
+            assert lo - 1e-9 <= got <= hi + 1e-9
+
+
+@given(st.binary(min_size=0, max_size=512), st.sampled_from([2, 4, 5, 8, 10]))
+def test_block_pool_scaled_means_exact(payload, factor):
+    """resample_signal's scaled-int discipline: block means scaled by
+    10000 are exact integers (10000 % factor == 0) and bounded by the
+    block's min/max bytes."""
+    import numpy as np
+
+    a = np.frombuffer(payload, dtype=np.uint8)
+    nb = a.size // factor
+    if not nb:
+        return
+    blocks = a[: nb * factor].reshape(nb, factor)
+    sums = blocks.sum(axis=1, dtype=np.int64)
+    s4 = sums * (10000 // factor)
+    for i in range(nb):
+        assert int(blocks[i].min()) * 10000 <= int(s4[i]) <= int(blocks[i].max()) * 10000
+        # scaled mean is exactly sum * 10000 / factor (no remainder)
+        assert int(s4[i]) * factor == int(sums[i]) * 10000

@@ -533,6 +533,57 @@ class Frame:
             sdf = sdf.withColumn(c, F.first(c, ignorenulls=True).over(w))
         return Frame(sdf)
 
+    def interpolate(
+        self,
+        subset: Sequence[str],
+        by: Sequence[str],
+        axis_col: str,
+    ) -> "Frame":
+        """Linear-interpolate nulls in `subset` along the numeric or
+        timestamp axis `axis_col` within `by` groups (pandas/cudf
+        ``interpolate(method='index')``): each gap is reconstructed from
+        the straight line between its bracketing valid values, weighted
+        by axis distance; boundary gaps copy the single available
+        neighbor (no extrapolation).  One shuffle on `by` — the forward
+        and backward window passes share the partitioning."""
+        from pyspark.sql import types as T
+
+        axis_t = self._sdf.schema[axis_col].dataType
+        if isinstance(axis_t, (T.TimestampType, T.TimestampNTZType)):
+            axis = F.unix_micros(F.col(axis_col).cast("timestamp"))
+        else:
+            axis = F.col(axis_col).cast("double")
+        wb = (
+            Window.partitionBy(*by)
+            .orderBy(axis_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*by)
+            .orderBy(axis_col)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        sdf = self._sdf.withColumn("__ax", axis)
+        for c in subset:
+            t_valid = F.when(F.col(c).isNotNull(), F.col("__ax"))
+            pv = F.last(c, ignorenulls=True).over(wb)
+            pt = F.last(t_valid, ignorenulls=True).over(wb)
+            nv = F.first(c, ignorenulls=True).over(wf)
+            nt = F.first(t_valid, ignorenulls=True).over(wf)
+            filled = (
+                F.when(F.col(c).isNotNull(), F.col(c))
+                .when(pv.isNull(), nv)
+                .when(nv.isNull(), pv)
+                .when(nt == pt, pv)
+                .otherwise(
+                    pv
+                    + (nv - pv)
+                    * ((F.col("__ax") - pt) / (nt - pt))
+                )
+            )
+            sdf = sdf.withColumn(c, filled)
+        return Frame(sdf.drop("__ax"))
+
     # -- relational --------------------------------------------------------
     def merge(
         self,

@@ -270,3 +270,28 @@ def test_ffill_bfill(spark):
     from dask_cudf_spark.plans import audit
 
     assert audit(chained.spark).n_shuffles == 1
+
+
+def test_interpolate_linear(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "a", "b", "b"],
+            "t": [0.0, 10.0, 20.0, 30.0, 0.0, 10.0],
+            "v": [None, 1.0, None, 3.0, None, None],
+        }
+    )
+    f = dcs.from_pandas(spark, pdf)
+    got = (
+        f.interpolate(["v"], by=["k"], axis_col="t")
+        .spark.orderBy("k", "t")
+        .toPandas()["v"]
+        .tolist()
+    )
+    # leading gap copies next valid; interior gap is the t-weighted
+    # line (t=20 halfway between 10 and 30 -> 2.0); all-null stays null
+    exp = [1.0, 1.0, 2.0, 3.0, None, None]
+    assert [None if pd.isna(x) else x for x in got] == exp
+
+    from dask_cudf_spark.plans import audit
+
+    assert audit(f.interpolate(["v"], by=["k"], axis_col="t").spark).n_shuffles == 1

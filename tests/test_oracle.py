@@ -41,3 +41,17 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()).issubset(set(e.queries()))
+
+
+def test_driver_scoring_window_covers_every_family():
+    """The driver records CORRECTNESS rows for only the FIRST 50
+    queries() entries (round-1 VERDICT finding): that window must hold
+    at least one oracle-backed query of EVERY family, and no oracle-less
+    query may burn a scored slot."""
+    from dask_cudf_spark.registry import ordered_specs
+
+    specs = ordered_specs()
+    all_families = {s.family for s in specs}
+    window = specs[:50]
+    assert {s.family for s in window} == all_families
+    assert all(s.oracle is not None for s in window)

@@ -974,3 +974,77 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_s2"
         ),
     )
+
+
+@register(
+    "q_mad_outliers",
+    family="aggregate",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, event_id,
+                   CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v_s4
+            FROM events
+        ),
+        m AS (
+            SELECT user_id, event_id, v_s4,
+                   CAST(2 * quantile_cont(v_s4, 0.5)
+                        OVER (PARTITION BY user_id) AS BIGINT) AS med2
+            FROM s
+        ),
+        d AS (
+            SELECT user_id, event_id, med2,
+                   abs(2 * v_s4 - med2) AS dev2
+            FROM m
+        ),
+        md AS (
+            SELECT user_id, med2, dev2,
+                   CAST(2 * quantile_cont(dev2, 0.5)
+                        OVER (PARTITION BY user_id) AS BIGINT) AS mad4
+            FROM d
+        )
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               MIN(med2) AS med2_s4,
+               MIN(mad4) AS mad4_s4,
+               CAST(SUM(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM md
+        GROUP BY user_id
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation (the
+    data-quality screen that, unlike z-scores, a few extreme values
+    can't poison): per user, flag readings with |v - median| > 1.5 MAD
+    and report the robust stats.  Entirely in scaled-int space — the
+    median of int64s lands on .0/.5 so 2x it is exact, deviations stay
+    integral, and the 1.5x threshold compares as 2*dev > 3*MAD with no
+    division — bit-identical on both engines.
+
+    Plan: two full-partition window percentiles + the final rollup all
+    share ONE shuffle on user_id (Spark keeps the partitioning across
+    the dependent window passes)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 10000 + 0.5).cast("long").alias("v_s4"),
+    )
+    w = Window.partitionBy("user_id")
+    m = s.withColumn(
+        "med2", (2 * F.expr("percentile(v_s4, 0.5)").over(w)).cast("long")
+    )
+    d = m.withColumn("dev2", F.abs(2 * F.col("v_s4") - F.col("med2")))
+    md = d.withColumn(
+        "mad4", (2 * F.expr("percentile(dev2, 0.5)").over(w)).cast("long")
+    )
+    return md.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("med2").alias("med2_s4"),
+        F.min("mad4").alias("mad4_s4"),
+        F.sum((2 * F.col("dev2") > 3 * F.col("mad4")).cast("long")).alias(
+            "n_outliers"
+        ),
+    )

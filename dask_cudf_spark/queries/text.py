@@ -1247,3 +1247,82 @@ def q_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("weight_s6"),
     )
+
+
+@register(
+    "q_split_leakage",
+    family="text",
+    oracle="""
+        WITH assigned AS (
+            SELECT doc_id, text,
+                   CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                                     1, 6)) AS BIGINT) % 10 < 8
+                        THEN 'train'
+                        WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                                     1, 6)) AS BIGINT) % 10 = 8
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        ),
+        train_fp AS (
+            SELECT DISTINCT md5(array_to_string(string_split(text, ' ')[1:5],
+                                                ' ')) AS fp
+            FROM assigned WHERE split = 'train'
+        ),
+        ev AS (
+            SELECT split, doc_id,
+                   md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp
+            FROM assigned WHERE split <> 'train'
+        )
+        SELECT ev.split,
+               COUNT(*) AS n_docs,
+               CAST(COUNT(train_fp.fp) AS BIGINT) AS n_leaked,
+               COALESCE(MIN(CASE WHEN train_fp.fp IS NOT NULL
+                                 THEN ev.doc_id END), -1) AS first_leaked_id
+        FROM ev LEFT JOIN train_fp ON ev.fp = train_fp.fp
+        GROUP BY ev.split
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check — the eval-integrity pass every
+    training pipeline needs: after the deterministic hash split
+    (q_train_test_split's assignment), find val/test documents whose
+    content fingerprint also appears in ANY train document.  The
+    fingerprint is the leading 5-token shingle — the boilerplate-prefix
+    proxy that catches template near-dups, which this corpus really has
+    (the exact-text hash finds zero dups, so it would be a vacuous
+    check here; swapping in sha2(text) generalizes to exact leakage).
+
+    Plan: train fingerprints dedupe with one shuffle on fp, then the
+    eval side joins on fp — both sides shuffle on the fingerprint (the
+    train set is corpus-sized, never broadcastable at 100 TB) and the
+    rollup is split-cardinality.  LEFT JOIN against the DISTINCT train
+    side keeps the count exact (≤1 match per eval row)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 10
+    )
+    prefix5 = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5))
+    assigned = d.select(
+        "doc_id",
+        F.md5(prefix5).alias("fp"),
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    train_fp = (
+        assigned.filter(F.col("split") == "train").select("fp").distinct()
+        .withColumnRenamed("fp", "t_fp")
+    )
+    ev = assigned.filter(F.col("split") != "train")
+    joined = ev.join(train_fp, ev["fp"] == train_fp["t_fp"], "left")
+    return joined.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.count("t_fp").alias("n_leaked"),
+        F.coalesce(
+            F.min(F.when(F.col("t_fp").isNotNull(), F.col("doc_id"))), F.lit(-1)
+        ).alias("first_leaked_id"),
+    )

@@ -10,6 +10,7 @@ option-mapped wrappers that keep the reference's argument names.
 
 from .readers import (
     read_avro,
+    read_binary_files,
     read_csv,
     read_json,
     read_orc,
@@ -32,6 +33,7 @@ __all__ = [
     "read_orc",
     "read_text",
     "read_avro",
+    "read_binary_files",
     "to_parquet",
     "to_orc",
     "to_csv",

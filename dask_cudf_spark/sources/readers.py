@@ -136,3 +136,31 @@ def read_text(
 def read_avro(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """Requires the spark-avro package on the classpath; gated import-style."""
     return spark.read.format("avro").load(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str | list[str],
+    glob: str | None = None,
+    recursive: bool = False,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Read raw files as binary rows via Spark's built-in ``binaryFile``
+    source — the real multimodal ingestion path (images / audio / video
+    land as one row per file: path, modificationTime, length, content).
+    Pairs with operators/multimodal: ``content`` is the payload column
+    the frame-sampling / feature-extraction / resample operators take.
+
+    ``max_bytes`` filters oversized blobs BY METADATA (the `length`
+    column comes from the file listing, so pruned files' bytes are
+    never read — at 100 TB the filter is pushed to the source and this
+    matters).  ``glob`` maps to pathGlobFilter (e.g. "*.png")."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df

@@ -148,3 +148,29 @@ def test_read_avro_unavailable_is_clear(spark, tmp_path):
 
     with pytest.raises(Exception, match="avro|AVRO"):
         sources.read_avro(spark, str(tmp_path / "nope.avro")).count()
+
+
+def test_read_binary_files(spark, tmp_path):
+    """binaryFile source: one row per file with metadata + content;
+    max_bytes prunes on the listing-derived length column."""
+    from dask_cudf_spark.sources import read_binary_files
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01\x02payload-a")
+    (tmp_path / "b.bin").write_bytes(b"b" * 64)
+    (tmp_path / "skip.txt").write_bytes(b"x")
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert bytes(rows["a.bin"]["content"]) == b"\x00\x01\x02payload-a"
+    assert rows["b.bin"]["length"] == 64
+
+    small = read_binary_files(spark, str(tmp_path), glob="*.bin", max_bytes=32)
+    assert [r["path"].rsplit("/", 1)[-1] for r in small.collect()] == ["a.bin"]
+
+    # the length filter must prune via the source's metadata column,
+    # not after materializing content
+    plan = small._sc._jvm.PythonSQLUtils.explainString(
+        small._jdf.queryExecution(), "formatted"
+    )
+    assert "binaryFile" in plan or "BinaryFile" in plan

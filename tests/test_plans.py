@@ -186,6 +186,8 @@ _PYTHON_OK = {
     "q_stem_tokens",         # full Porter stemmer pandas_udf (nvtext parity)
     "q_subword_tokens",      # greedy WordPiece pandas_udf (nvtext parity)
     "q_ewm",                 # per-key sequential recurrence via applyInPandas
+    "q_cogroup_udf",         # cogrouped applyInPandas is the op under test
+    "q_multimodal_resample", # mapInPandas block-mean pooling (codec stand-in)
 }
 # queries that intentionally build a cartesian/nested-loop product
 _CARTESIAN_OK = {"q_join_cross"}

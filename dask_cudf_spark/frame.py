@@ -865,6 +865,19 @@ class GroupBy:
             )
         )
 
+    def median(self, col: str) -> Frame:
+        """Exact per-group median (cudf groupby.median; Spark's
+        `percentile` aggregate — partial/final mergeable, one shuffle)."""
+        return self.quantile(col, 0.5, name=f"{col}_median")
+
+    def quantile(self, col: str, q: float = 0.5, name: str | None = None) -> Frame:
+        """Exact interpolated per-group quantile (cudf groupby.quantile)."""
+        return Frame(
+            self._sdf.groupBy(*self._keys).agg(
+                F.expr(f"percentile({col}, {q})").alias(name or f"{col}_q{q}")
+            )
+        )
+
     def apply(self, fn: Callable[[pd.DataFrame], pd.DataFrame], schema: str) -> Frame:
         """≙ groupby.apply: whole group as pandas -> pandas (applyInPandas)."""
         return Frame(self._sdf.groupBy(*self._keys).applyInPandas(fn, schema))
@@ -916,6 +929,16 @@ class RollingGroupBy:
 
     def count(self, col: str) -> Frame:
         return self._apply(col, F.count, f"{col}_roll_count")
+
+    def median(self, col: str) -> Frame:
+        """Rolling exact median (cudf rolling supports arbitrary aggs;
+        Spark's percentile aggregate runs over the same row frame)."""
+        return Frame(
+            self._sdf.withColumn(
+                f"{col}_roll_median",
+                F.expr(f"percentile({col}, 0.5)").over(self._w),
+            )
+        )
 
 
 def _build_aggs(spec: Mapping[str, str | Sequence[str]]) -> list[Column]:

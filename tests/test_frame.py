@@ -295,3 +295,45 @@ def test_interpolate_linear(spark):
     from dask_cudf_spark.plans import audit
 
     assert audit(f.interpolate(["v"], by=["k"], axis_col="t").spark).n_shuffles == 1
+
+
+def test_groupby_median_quantile_rolling_median(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 4 + ["b"] * 3,
+            "i": [1, 2, 3, 4, 1, 2, 3],
+            "v": [1.0, 3.0, 2.0, 10.0, 5.0, 7.0, 6.0],
+        }
+    )
+    f = dcs.from_pandas(spark, pdf)
+
+    med = {
+        r["k"]: r["v_median"]
+        for r in f.groupby("k").median("v").spark.collect()
+    }
+    exp = pdf.groupby("k")["v"].median().to_dict()
+    assert med == exp
+
+    q75 = {
+        r["k"]: r["v_q0.75"]
+        for r in f.groupby("k").quantile("v", 0.75).spark.collect()
+    }
+    exp75 = pdf.groupby("k")["v"].quantile(0.75).to_dict()
+    assert q75 == pytest.approx(exp75)
+
+    roll = (
+        f.groupby("k")
+        .rolling(3, order_by="i")
+        .median("v")
+        .spark.orderBy("k", "i")
+        .toPandas()["v_roll_median"]
+        .tolist()
+    )
+    exp_roll = (
+        pdf.sort_values(["k", "i"])
+        .groupby("k")["v"]
+        .rolling(3, min_periods=1)
+        .median()
+        .tolist()
+    )
+    assert roll == pytest.approx(exp_roll)

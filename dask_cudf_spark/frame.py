@@ -695,6 +695,42 @@ class Frame:
     def head(self, n: int = 5) -> pd.DataFrame:
         return self._sdf.limit(n).toPandas()
 
+    def tail(self, n: int = 5) -> pd.DataFrame:
+        """Last n rows in the frame's current order (driver-collect,
+        like dask .tail() pulling from the final partition)."""
+        return pd.DataFrame(self._sdf.tail(n), columns=self._sdf.columns)
+
+    def melt(
+        self,
+        id_vars: str | Sequence[str],
+        value_vars: str | Sequence[str],
+        var_name: str = "variable",
+        value_name: str = "value",
+    ) -> "Frame":
+        """Wide-to-long (dask dd.melt) via Spark's native unpivot — rows
+        expand partition-locally, no shuffle."""
+        ids = [id_vars] if isinstance(id_vars, str) else list(id_vars)
+        vals = [value_vars] if isinstance(value_vars, str) else list(value_vars)
+        return Frame(self._sdf.unpivot(ids, vals, var_name, value_name))
+
+    def pivot_table(
+        self,
+        index: str | Sequence[str],
+        columns: str,
+        values: str,
+        aggfunc: str = "sum",
+        pivot_values: Sequence[str] | None = None,
+    ) -> "Frame":
+        """Long-to-wide (pandas pivot_table): groupBy(index).pivot(columns)
+        with the chosen aggregate.  Pass ``pivot_values`` (the distinct
+        column values) when known — it skips Spark's extra distinct scan
+        over the pivot column, the variant that matters at 100 TB."""
+        idx = [index] if isinstance(index, str) else list(index)
+        piv = self._sdf.groupBy(*idx).pivot(
+            columns, list(pivot_values) if pivot_values is not None else None
+        )
+        return Frame(piv.agg(_AGG_MAP[aggfunc](values)))
+
     def sample(self, frac: float, random_state: int | None = None) -> "Frame":
         return Frame(self._sdf.sample(fraction=frac, seed=random_state))
 

@@ -337,3 +337,36 @@ def test_groupby_median_quantile_rolling_median(spark):
         .tolist()
     )
     assert roll == pytest.approx(exp_roll)
+
+
+def test_melt_pivot_tail(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", "a", "b"],
+            "x": [1.0, 2.0, 3.0],
+            "y": [10.0, 20.0, 30.0],
+        }
+    )
+    f = dcs.from_pandas(spark, pdf)
+
+    long = (
+        f.melt("k", ["x", "y"]).spark.orderBy("k", "variable", "value").toPandas()
+    )
+    exp = (
+        pdf.melt(id_vars="k", value_vars=["x", "y"])
+        .sort_values(["k", "variable", "value"])
+        .reset_index(drop=True)
+    )
+    assert long.values.tolist() == exp.values.tolist()
+
+    wide = (
+        f.melt("k", ["x", "y"])
+        .pivot_table(index="k", columns="variable", values="value",
+                     aggfunc="sum", pivot_values=["x", "y"])
+        .spark.orderBy("k")
+        .toPandas()
+    )
+    assert wide["x"].tolist() == [3.0, 3.0]
+    assert wide["y"].tolist() == [30.0, 30.0]
+
+    assert len(f.tail(2)) == 2

@@ -538,6 +538,7 @@ class Frame:
         subset: Sequence[str],
         by: Sequence[str],
         axis_col: str,
+        tiebreak: Sequence[str] = (),
     ) -> "Frame":
         """Linear-interpolate nulls in `subset` along the numeric or
         timestamp axis `axis_col` within `by` groups (pandas/cudf
@@ -545,7 +546,11 @@ class Frame:
         the straight line between its bracketing valid values, weighted
         by axis distance; boundary gaps copy the single available
         neighbor (no extrapolation).  One shuffle on `by` — the forward
-        and backward window passes share the partitioning."""
+        and backward window passes share the partitioning.
+
+        Pass ``tiebreak`` columns (e.g. an id) whenever `axis_col` can
+        repeat within a group: without a total order the neighbor choice
+        at duplicate axis values is partition-order-dependent."""
         from pyspark.sql import types as T
 
         axis_t = self._sdf.schema[axis_col].dataType
@@ -553,14 +558,15 @@ class Frame:
             axis = F.unix_micros(F.col(axis_col).cast("timestamp"))
         else:
             axis = F.col(axis_col).cast("double")
+        order = [axis_col, *tiebreak]
         wb = (
             Window.partitionBy(*by)
-            .orderBy(axis_col)
+            .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         wf = (
             Window.partitionBy(*by)
-            .orderBy(axis_col)
+            .orderBy(*order)
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         sdf = self._sdf.withColumn("__ax", axis)
@@ -697,8 +703,13 @@ class Frame:
 
     def tail(self, n: int = 5) -> pd.DataFrame:
         """Last n rows in the frame's current order (driver-collect,
-        like dask .tail() pulling from the final partition)."""
-        return pd.DataFrame(self._sdf.tail(n), columns=self._sdf.columns)
+        like dask .tail() pulling from the final partition).  The
+        collected rows round-trip through a tiny Spark frame so dtypes
+        arrive via the same Arrow path head() uses, not as object
+        columns from raw Row tuples."""
+        rows = self._sdf.tail(n)
+        spark = self._sdf.sparkSession
+        return spark.createDataFrame(rows, schema=self._sdf.schema).toPandas()
 
     def melt(
         self,
@@ -907,10 +918,13 @@ class GroupBy:
         return self.quantile(col, 0.5, name=f"{col}_median")
 
     def quantile(self, col: str, q: float = 0.5, name: str | None = None) -> Frame:
-        """Exact interpolated per-group quantile (cudf groupby.quantile)."""
+        """Exact interpolated per-group quantile (cudf groupby.quantile).
+        The default output name replaces '.' with '_' (v_q0_75) so the
+        column stays addressable without backticks."""
+        default = f"{col}_q{q}".replace(".", "_")
         return Frame(
             self._sdf.groupBy(*self._keys).agg(
-                F.expr(f"percentile({col}, {q})").alias(name or f"{col}_q{q}")
+                F.expr(f"percentile({col}, {q})").alias(name or default)
             )
         )
 
@@ -969,11 +983,8 @@ class RollingGroupBy:
     def median(self, col: str) -> Frame:
         """Rolling exact median (cudf rolling supports arbitrary aggs;
         Spark's percentile aggregate runs over the same row frame)."""
-        return Frame(
-            self._sdf.withColumn(
-                f"{col}_roll_median",
-                F.expr(f"percentile({col}, 0.5)").over(self._w),
-            )
+        return self._apply(
+            col, lambda c: F.expr(f"percentile({c}, 0.5)"), f"{col}_roll_median"
         )
 
 

@@ -118,6 +118,12 @@ def salted_join(
     still lands in one partition without salting.  Cost: dim side grows
     n_salts×, so keep n_salts small and the dim projected to the joined
     columns."""
+    if how not in ("inner", "left"):
+        # right/full would emit n_salts null-padded copies of every
+        # UNMATCHED dim key (one per exploded replica) — not the
+        # unsalted join's answer; those joins need a different recipe
+        # (salt the other side, or dedup unmatched replicas after)
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
     f = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(salt_on), F.lit(n_salts)).cast("int")
     )
@@ -126,7 +132,7 @@ def salted_join(
     )
     joined = f.join(
         d,
-        (F.col(left_on) == F.col(right_on)) & (F.col("__salt") == F.col("__salt_d")),
+        (f[left_on] == d[right_on]) & (f["__salt"] == d["__salt_d"]),
         how,
     )
     return joined.drop("__salt", "__salt_d")

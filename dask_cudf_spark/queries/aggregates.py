@@ -1006,7 +1006,7 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_events,
                MIN(med2) AS med2_s4,
                MIN(mad4) AS mad4_s4,
-               CAST(SUM(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN 4 * dev2 > 3 * mad4 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_outliers
         FROM md
         GROUP BY user_id
@@ -1018,8 +1018,9 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't poison): per user, flag readings with |v - median| > 1.5 MAD
     and report the robust stats.  Entirely in scaled-int space — the
     median of int64s lands on .0/.5 so 2x it is exact, deviations stay
-    integral, and the 1.5x threshold compares as 2*dev > 3*MAD with no
-    division — bit-identical on both engines.
+    integral, and with dev2 = 2|v-med| and mad4 = 4*MAD the 1.5x
+    threshold compares as 4*dev2 > 3*mad4 with no division —
+    bit-identical on both engines.
 
     Plan: two full-partition window percentiles + the final rollup all
     share ONE shuffle on user_id (Spark keeps the partitioning across
@@ -1044,7 +1045,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("med2").alias("med2_s4"),
         F.min("mad4").alias("mad4_s4"),
-        F.sum((2 * F.col("dev2") > 3 * F.col("mad4")).cast("long")).alias(
+        F.sum((4 * F.col("dev2") > 3 * F.col("mad4")).cast("long")).alias(
             "n_outliers"
         ),
     )

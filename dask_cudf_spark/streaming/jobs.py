@@ -80,6 +80,10 @@ def events_stream(
         return parse_kafka_events(raw)
 
     path = f"{sf_dir}/events.parquet"
+    # the NTZ->TIMESTAMP cast below interprets naive micros in the
+    # SESSION timezone — pin UTC (as load_table does) so a plain
+    # non-UTC session's stream agrees with the batch path
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # same ns->us normalization as sources.tables.load_table; scoped so
     # the session-wide conf is restored after the schema probe
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)

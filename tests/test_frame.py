@@ -315,7 +315,7 @@ def test_groupby_median_quantile_rolling_median(spark):
     assert med == exp
 
     q75 = {
-        r["k"]: r["v_q0.75"]
+        r["k"]: r["v_q0_75"]
         for r in f.groupby("k").quantile("v", 0.75).spark.collect()
     }
     exp75 = pdf.groupby("k")["v"].quantile(0.75).to_dict()
@@ -370,3 +370,30 @@ def test_melt_pivot_tail(spark):
     assert wide["y"].tolist() == [30.0, 30.0]
 
     assert len(f.tail(2)) == 2
+
+
+def test_salted_join_same_name_keys_and_how_guard(spark):
+    import pytest as _pytest
+
+    from dask_cudf_spark.operators import salted_join
+    from pyspark.sql import functions as F
+
+    fact = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 30.0)], ["k", "v"]
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "name"])
+
+    out = salted_join(fact, dim, "k", "k", salt_on=F.col("v"), n_salts=4)
+    rows = sorted((r["v"], r["name"]) for r in out.collect())
+    assert rows == [(10.0, "a"), (20.0, "a"), (30.0, "b")]
+
+    with _pytest.raises(ValueError):
+        salted_join(fact, dim, "k", "k", salt_on=F.col("v"), how="full")
+
+
+def test_tail_preserves_dtypes(spark):
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": [1.5, 2.5, 3.5]})
+    f = dcs.from_pandas(spark, pdf)
+    t = f.tail(2)
+    assert str(t["a"].dtype) == "int64"
+    assert str(t["b"].dtype) == "float64"

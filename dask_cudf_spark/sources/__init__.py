@@ -35,6 +35,7 @@ __all__ = [
     "read_avro",
     "read_binary_files",
     "to_parquet",
+    "upsert_partitions",
     "to_orc",
     "to_csv",
     "to_json",

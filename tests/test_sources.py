@@ -174,3 +174,30 @@ def test_read_binary_files(spark, tmp_path):
         small._jdf.queryExecution(), "formatted"
     )
     assert "binaryFile" in plan or "BinaryFile" in plan
+
+
+def test_upsert_partitions_touches_only_present_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dask_cudf_spark.sources.writers import to_parquet, upsert_partitions
+
+    base = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0), ("c", 4, 40.0)],
+        ["part", "id", "v"],
+    )
+    path = str(tmp_path / "upsert")
+    to_parquet(base, path, partition_on=["part"])
+
+    # rewrite ONLY partition 'b' with corrected values (and fewer rows)
+    fix = spark.createDataFrame([("b", 3, 99.0)], ["part", "id", "v"])
+    upsert_partitions(fix, path, partition_on=["part"])
+
+    got = sorted(
+        (r["part"], r["id"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    )
+    assert got == [("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 99.0), ("c", 4, 40.0)]
+
+    # rerun is idempotent
+    upsert_partitions(fix, path, partition_on=["part"])
+    assert spark.read.parquet(path).count() == 4

@@ -1326,3 +1326,163 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("t_fp").isNotNull(), F.col("doc_id"))), F.lit(-1)
         ).alias("first_leaked_id"),
     )
+
+
+@register(
+    "q_dedup_keep_best",
+    family="dedup",
+    oracle="""
+        SELECT key_hash, doc_id, n_chars, n_dups
+        FROM (
+            SELECT md5(array_to_string(string_split(text, ' ')[1:2], ' '))
+                       AS key_hash,
+                   doc_id, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(array_to_string(
+                           string_split(text, ' ')[1:2], ' '))
+                       ORDER BY n_chars DESC, doc_id) AS rn,
+                   COUNT(*) OVER (
+                       PARTITION BY md5(array_to_string(
+                           string_split(text, ' ')[1:2], ' '))) AS n_dups
+            FROM documents
+        )
+        WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked dedup: within each content-key cluster keep the
+    single best representative (longest text, doc_id tiebreak) — the
+    standard curation step after exact/near-dup bucketing, where you keep
+    the highest-quality copy instead of an arbitrary one.  The cluster
+    key here is the md5 of the first-2-token prefix (the testdata has no
+    full-text dups; prefix keys give real multi-member clusters).
+
+    Scale: groupBy + max_by(struct) instead of a row_number window — the
+    aggregate gets map-side partial combine, so the single shuffle moves
+    one row per (key, map-task) rather than every row, and no task ever
+    materializes a whole cluster.  The struct orders (n_chars DESC,
+    doc_id ASC) via (n_chars, -doc_id) lexicographic max."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 2))).alias(
+            "key_hash"
+        ),
+    )
+    return d.groupBy("key_hash").agg(
+        F.expr(
+            "max_by(doc_id, struct(n_chars, -doc_id))"
+        ).alias("doc_id"),
+        F.max("n_chars").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+@register(
+    "q_dup_cluster_sizes",
+    family="dedup",
+    oracle="""
+        SELECT cluster_size, COUNT(*) AS n_clusters
+        FROM (
+            SELECT COUNT(*) AS cluster_size
+            FROM documents
+            GROUP BY md5(array_to_string(string_split(text, ' ')[1:2], ' '))
+        )
+        GROUP BY cluster_size
+    """,
+)
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster size histogram — the diagnostic you run before
+    committing to a dedup pass (how much of the corpus is duplicated,
+    and is there a degenerate mega-cluster that needs a cap?).
+
+    Scale: two groupBys, both with map-side partial aggregation; the
+    first shuffles one row per distinct key, the second one row per
+    distinct cluster size (a handful).  No windows, no UDFs."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 2))).alias(
+            "key_hash"
+        )
+    )
+    sizes = d.groupBy("key_hash").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+
+
+@register(
+    "q_decontaminate",
+    family="text",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, source, string_split(text, ' ') AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(
+                       range(len(toks) - 2),
+                       i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                   )) AS tg
+            FROM t
+            WHERE len(toks) >= 3
+        ),
+        bench AS (SELECT DISTINCT tg FROM g WHERE source = 'src0'),
+        flagged AS (
+            SELECT DISTINCT a.doc_id
+            FROM g a JOIN bench USING (tg)
+            WHERE a.source <> 'src0'
+        )
+        SELECT t.source,
+               COUNT(*) AS n_docs,
+               COUNT(f.doc_id) AS n_contaminated
+        FROM t
+        LEFT JOIN flagged f ON t.doc_id = f.doc_id
+        WHERE t.source <> 'src0'
+        GROUP BY t.source
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share a
+    word-trigram with the held-out benchmark set (source 'src0' stands in
+    for the benchmark corpus), reported as per-source contamination
+    counts.  This is the n-gram-overlap decontamination pass every
+    training pipeline runs against eval suites.
+
+    Scale: benchmark shingles are DISTINCT'd then broadcast (a real eval
+    suite is tiny next to a 100 TB corpus), so the corpus-side shingle
+    stream is filtered by a broadcast semi join — the corpus never
+    shuffles on shingle.  The only shuffles are the distinct on flagged
+    doc_ids and the final per-source rollup, both tiny.  Shingling is
+    transform(sequence(...)) inside codegen, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    g = t.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 3),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+            )
+        ).alias("tg"),
+    )
+    bench = (
+        g.filter(F.col("source") == "src0").select("tg").distinct()
+    )
+    flagged = (
+        g.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "tg", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    base = t.filter(F.col("source") != "src0").select("doc_id", "source")
+    return (
+        base.join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("contaminated").alias("n_contaminated"),
+        )
+    )

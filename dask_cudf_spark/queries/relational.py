@@ -534,3 +534,33 @@ def q_map_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(mapping, F.col("event_type")), F.lit(0.0)
         ).alias("type_weight"),
     )
+
+
+@register(
+    "q_scan_pushdown_ts",
+    family="scan",
+    oracle="""
+        SELECT event_id, ts, user_id, event_type
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+          AND event_type IN ('click', 'purchase')
+    """,
+)
+def q_scan_pushdown_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-range + IN-list scan over the events stream table
+    (reference read_parquet(filters=[...]) time-slice pattern — the
+    hot path of any log/event store query).
+
+    Scale: both predicates and the 4-column projection reach the parquet
+    scan (PushedFilters shows GreaterThanOrEqual/LessThan on ts and
+    In(event_type) even through load_table's NTZ-normalization cast —
+    verified via explain), so at 100 TB the reader prunes row groups by
+    ts min/max stats and never materializes dropped columns.  Zero
+    shuffles, zero UDFs."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+        & F.col("event_type").isin("click", "purchase")
+    ).select("event_id", "ts", "user_id", "event_type")

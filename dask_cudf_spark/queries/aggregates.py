@@ -1049,3 +1049,40 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers"
         ),
     )
+
+
+@register(
+    "q_decimal_agg",
+    family="aggregate",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price,
+               CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS min_price,
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS max_price,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def q_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point aggregation (cuDF Decimal32/64/128Dtype lattice,
+    SURVEY §1): cast to DECIMAL(18,2) first, so the grouped SUM is exact
+    integer arithmetic — no float accumulation-order nondeterminism —
+    then one final cast to DOUBLE for the comparator.  This is the
+    money-column pattern: at 100 TB a double SUM drifts with partitioning
+    while a decimal SUM is bit-stable under any shuffle schedule.
+
+    Scale: single groupBy with map-side partial aggregation; Spark
+    widens the accumulator to DECIMAL(28,2) automatically (no overflow
+    below ~1e26 total)."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(dec).cast("double").alias("total_price"),
+        F.min(dec).cast("double").alias("min_price"),
+        F.max(dec).cast("double").alias("max_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

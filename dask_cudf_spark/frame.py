@@ -703,13 +703,22 @@ class Frame:
 
     def tail(self, n: int = 5) -> pd.DataFrame:
         """Last n rows in the frame's current order (driver-collect,
-        like dask .tail() pulling from the final partition).  The
-        collected rows round-trip through a tiny Spark frame so dtypes
-        arrive via the same Arrow path head() uses, not as object
-        columns from raw Row tuples."""
+        like dask .tail() pulling from the final partition).  Collected
+        rows are converted driver-side with pandas — no second trip of
+        the data through executors — and dtypes are aligned to the
+        Arrow dtypes of an empty slice so they match what head()'s
+        toPandas() path produces."""
         rows = self._sdf.tail(n)
-        spark = self._sdf.sparkSession
-        return spark.createDataFrame(rows, schema=self._sdf.schema).toPandas()
+        empty = self._sdf.limit(0).toPandas()
+        out = pd.DataFrame.from_records(
+            [r.asDict() for r in rows], columns=list(empty.columns)
+        )
+        for c, dt in empty.dtypes.items():
+            try:
+                out[c] = out[c].astype(dt)
+            except (TypeError, ValueError):
+                pass  # nested/array columns keep their collected dtype
+        return out
 
     def melt(
         self,

@@ -109,8 +109,12 @@ def merge_asof(
     is_ts = isinstance(left.schema[on].dataType, (TimestampType, TimestampNTZType))
 
     def micros(c):
-        # cast NTZ -> instant first; unix_micros requires TIMESTAMP and
-        # the session-tz offset cancels in every distance we compute
+        # cast NTZ -> instant first; unix_micros requires TIMESTAMP.
+        # CONTRACT: the session timezone must be a fixed-offset zone
+        # (load_table pins UTC session-wide).  Under a DST zone the
+        # NTZ->instant offset is time-dependent, so tolerance/nearest
+        # distances straddling a DST transition would shift by the DST
+        # delta; with a fixed offset it cancels in every distance.
         return F.unix_micros(c.cast("timestamp")) if is_ts else c
 
     keep = [c for c in unioned.columns if c not in out_names.values()]

@@ -1498,7 +1498,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("contaminated", F.lit(1))
     )
-    base = t.filter(F.col("source") != "src0").select("doc_id", "source")
+    # denominator over ALL docs (not the >=3-token shingle stream): a doc
+    # too short to shingle still counts in n_docs, matching the oracle's
+    # unfiltered final FROM
+    base = d.filter(F.col("source") != "src0").select("doc_id", "source")
     return (
         base.join(flagged, "doc_id", "left")
         .groupBy("source")

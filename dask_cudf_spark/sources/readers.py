@@ -134,7 +134,16 @@ def read_text(
 
 
 def read_avro(spark: SparkSession, path: str | list[str]) -> DataFrame:
-    """Requires the spark-avro package on the classpath; gated import-style."""
+    """Requires the spark-avro package on the classpath; gated import-style.
+
+    Environment note (probed 2026-08-14): $SPARK_HOME/jars ships only
+    the avro CORE jars (avro/avro-ipc/avro-mapred 1.12.1), NOT the
+    spark-avro DATASOURCE jar (org.apache.spark:spark-avro_2.13), and
+    no spark-sql-kafka jar either — so in this sandbox only the
+    error path of this reader (and the construction path of the Kafka
+    reader) can execute.  On a real cluster add
+    ``--packages org.apache.spark:spark-avro_2.13:<spark-version>``.
+    """
     return spark.read.format("avro").load(path)
 
 

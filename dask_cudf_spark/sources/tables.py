@@ -31,6 +31,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     column pruning and filter pushdown apply automatically downstream."""
     # Timestamps must compare as naive UTC against the oracle even when
     # the caller's session (e.g. the driver's) didn't set a timezone.
+    # Intentionally session-wide and never restored: NTZ casts and
+    # timestamp rendering are re-evaluated lazily long after this call
+    # returns (streaming micro-batches, deferred actions), so a
+    # scoped save/restore would silently flip results mid-query.
+    # streaming/jobs.events_stream documents the same contract.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set(_NANOS_CONF, "true")

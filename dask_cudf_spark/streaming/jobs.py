@@ -81,8 +81,11 @@ def events_stream(
 
     path = f"{sf_dir}/events.parquet"
     # the NTZ->TIMESTAMP cast below interprets naive micros in the
-    # SESSION timezone — pin UTC (as load_table does) so a plain
-    # non-UTC session's stream agrees with the batch path
+    # SESSION timezone — pin UTC for the session's LIFETIME, the same
+    # deliberate session-wide contract as sources.tables.load_table.
+    # Unlike nanosAsLong below (restored after the schema probe), this
+    # must NOT be restored: the cast is re-evaluated in every
+    # micro-batch for as long as the stream runs.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # same ns->us normalization as sources.tables.load_table; scoped so
     # the session-wide conf is restored after the schema probe

@@ -1510,3 +1510,43 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("contaminated").alias("n_contaminated"),
         )
     )
+
+
+def _bpe_oracle() -> str:
+    from ..functions.bpe import bpe_encode_sql
+
+    return f"""
+        SELECT doc_id,
+               {bpe_encode_sql("text")} AS bpe,
+               len(string_split({bpe_encode_sql("text")}, ' '))
+                   AS n_bpe_tokens
+        FROM documents
+        WHERE doc_id < 100
+    """
+
+
+@register(
+    "q_bpe_encode",
+    family="text",
+    oracle=None,  # set below: generated from the shipped merge table
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-vocab byte-pair encoding (nvtext byte_pair_encoding
+    parity; upstream loads a pretrained merge-pair table and so do we:
+    functions/bpe.CORPUS_MERGES, trained by functions/bpe.train_bpe on
+    the corpus vocabulary).  Encoding is a pure JVM replace-chain fold
+    in rank order — no UDF, runs inside the scan stage at 100 TB — and
+    the DuckDB oracle replays the identical chain with the merge table
+    inlined as literals."""
+    from ..functions.bpe import bpe_encode_expr
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    bpe = bpe_encode_expr("text")
+    return d.select(
+        "doc_id",
+        bpe.alias("bpe"),
+        F.size(F.split(bpe, " ")).alias("n_bpe_tokens"),
+    )
+
+
+_REG["q_bpe_encode"].oracle = _bpe_oracle()

@@ -544,8 +544,10 @@ def q_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     pct_change -> diff/shift composition).  One shuffle on user_id; the
     first row per key is NULL (no predecessor), matching pandas.  The
     ratio is a subtract + divide on the raw doubles — two IEEE ops on
-    identical inputs, bit-deterministic in both engines (value > 0 in
-    this data, so no div-by-zero path)."""
+    identical inputs, bit-deterministic in both engines.  try_divide,
+    not /: under ANSI mode a zero predecessor (present at sf>=0.1)
+    would throw, while DuckDB's double division yields NULL — try_divide
+    is exactly that NULL semantics."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("value").over(w)
@@ -553,7 +555,7 @@ def q_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "value",
-        ((F.col("value") - prev) / prev).alias("pct_change"),
+        F.try_divide(F.col("value") - prev, prev).alias("pct_change"),
     )
 
 

@@ -15,6 +15,7 @@ from .jobs import (
     events_stream,
     purchase_click_attribution,
     stateful_user_totals,
+    stateful_user_totals_tws,
     stream_static_enrich,
     session_agg,
     sliding_counts,
@@ -29,6 +30,7 @@ __all__ = [
     "purchase_click_attribution",
     "stream_static_enrich",
     "stateful_user_totals",
+    "stateful_user_totals_tws",
     "tumbling_counts",
     "sliding_counts",
     "session_agg",

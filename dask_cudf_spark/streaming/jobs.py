@@ -237,6 +237,83 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Spark 4.x ``transformWithStateInPandas`` successor of
+    :func:`stateful_user_totals` (SURVEY §2.9): the same per-user
+    running (count, scaled-int total) carried in a typed ValueState
+    inside a StatefulProcessor, so stream and batch agree bit-for-bit.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``; rocksdbjni ships with
+    Spark 4) — transformWithState is not supported by the default HDFS
+    provider.  Callers set the conf before starting the query so the
+    choice stays scoped to their stream.  On batch input it computes
+    the identical totals with a plain aggregation (the Dataflow-model
+    twin the oracle checks via q_stream_stateful).
+
+    Environment note (probed 2026-08-14): the TWS state protocol talks
+    protobuf between the JVM state server and the Python worker, and
+    ``google.protobuf`` is NOT installed in this sandbox (and cannot
+    be), so the streaming path fails at runner init with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE / ImportError.  The
+    construction + batch paths are tested; the streaming convergence
+    test self-skips on exactly that signature and will run for real
+    wherever protobuf exists (any normal cluster image).
+    """
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            (F.sum(scaled_int("value", 10000)) / 10000.0).alias("total_value"),
+        )
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # class defined in function scope -> cloudpickle ships it BY VALUE,
+    # so workers never import this module (see verify-skill round-2 bug)
+    class _Totals(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getValueState(
+                "totals", "n bigint, total_scaled bigint"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import numpy as np
+            import pandas as pd
+
+            n, total_scaled = (
+                self._state.get() if self._state.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                # floor(x*s + 0.5): half-UP, mirroring scaled_int (see
+                # stateful_user_totals)
+                total_scaled += int(
+                    np.floor(pdf["value"].to_numpy() * 10000 + 0.5)
+                    .astype("int64")
+                    .sum()
+                )
+            self._state.update((n, total_scaled))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total_scaled / 10000.0],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Totals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_static_enrich(events: DataFrame, dims: DataFrame) -> DataFrame:
     """Stream-static join (SURVEY.md §2.9; absent in the reference): a
     streaming fact joined to a static broadcast dimension — the standard

@@ -14,13 +14,20 @@ training is out of scope there too.  This module therefore ships
   test in tests/test_text_bpe.py), and
 - :func:`bpe_encode_expr` / :func:`bpe_encode_sql` — twin encoders.
 
-Encoding is expressed as a NESTED REPLACE CHAIN over a space-separated
-symbol representation (" h e l l o " -> apply " a b "->" ab " per merge
-in rank order).  Both engines' ``replace`` scan left-to-right over
-non-overlapping occurrences, which is exactly BPE's greedy in-order
-merge application, so the Spark plan and the DuckDB oracle are the
-same expression and stay bit-identical.  Everything is JVM-side
-(no Python boundary): at 100 TB the encode runs inside the scan stage.
+Encoding is expressed as a NESTED REPLACE CHAIN over a DOUBLE-space-
+separated symbol representation (" h  e  l  l  o " -> apply
+" a  b " -> " ab " per merge in rank order).  Symbols are separated by
+TWO spaces so that adjacent matches never share a boundary character:
+each match consumes one of the two boundary spaces on either side and
+the single-space replacement restores the two-space invariant, making
+one non-overlapping left-to-right ``replace`` pass per merge exactly
+BPE's greedy in-order merge application — including CONSECUTIVE
+occurrences ("banana" with merge (a,n) -> [b, an, an, a]), which a
+single-space representation misses because the trailing space of one
+match is the leading space of the next.  The Spark plan and the DuckDB
+oracle are the same expression and stay bit-identical.  Everything is
+JVM-side (no Python boundary): at 100 TB the encode runs inside the
+scan stage.
 """
 
 from __future__ import annotations
@@ -92,12 +99,14 @@ CORPUS_MERGES: list[tuple[str, str]] = [
 
 def bpe_segment(word: str, merges: Sequence[tuple[str, str]]) -> list[str]:
     """Pure-Python reference encoder (test twin of the column
-    expression): space-separate the chars, apply each merge in rank
-    order as a left-to-right non-overlapping replace."""
-    s = " " + " ".join(word) + " "
+    expression): double-space-separate the chars, apply each merge in
+    rank order as a left-to-right non-overlapping replace.  The
+    two-space separator keeps adjacent matches from sharing a boundary
+    space (see module docstring), so one pass per merge suffices."""
+    s = " " + "  ".join(word) + " "
     for a, b in merges:
-        s = s.replace(f" {a} {b} ", f" {a}{b} ")
-    return s.strip().split(" ") if word else []
+        s = s.replace(f" {a}  {b} ", f" {a}{b} ")
+    return s.split() if word else []
 
 
 def bpe_encode_expr(
@@ -117,18 +126,19 @@ def bpe_encode_expr(
                     F.sequence(F.lit(1), F.length(word)),
                     lambda i: F.substring(word, i, F.lit(1)),
                 ),
-                " ",
+                "  ",
             ),
             F.lit(" "),
         )
         folded = reduce(
             lambda acc, m: F.replace(
-                acc, F.lit(f" {m[0]} {m[1]} "), F.lit(f" {m[0]}{m[1]} ")
+                acc, F.lit(f" {m[0]}  {m[1]} "), F.lit(f" {m[0]}{m[1]} ")
             ),
             merges,
             spaced,
         )
-        return F.trim(folded)
+        # interior boundaries are exactly two spaces -> collapse to one
+        return F.replace(F.trim(folded), F.lit("  "), F.lit(" "))
 
     c = F.col(col) if isinstance(col, str) else col
     return F.array_join(F.transform(F.split(c, " "), encode_word), " ")
@@ -142,14 +152,14 @@ def bpe_encode_sql(
     merges = CORPUS_MERGES if merges is None else merges
     spaced = (
         "(' ' || array_to_string(list_transform(range(len(w)), "
-        "i -> substr(w, i + 1, 1)), ' ') || ' ')"
+        "i -> substr(w, i + 1, 1)), '  ') || ' ')"
     )
     folded = spaced
     for a, b in merges:
-        folded = f"replace({folded}, ' {a} {b} ', ' {a}{b} ')"
+        folded = f"replace({folded}, ' {a}  {b} ', ' {a}{b} ')"
     return (
         f"array_to_string(list_transform(string_split({expr}, ' '), "
-        f"w -> trim({folded})), ' ')"
+        f"w -> replace(trim({folded}), '  ', ' ')), ' ')"
     )
 
 

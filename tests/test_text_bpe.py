@@ -52,6 +52,77 @@ def test_shipped_merges_provenance():
     assert train_bpe(wc, 40) == CORPUS_MERGES
 
 
+def _trainer_apply(word: str, merges) -> list[str]:
+    """Reference segmentation: apply merges exactly the way train_bpe's
+    vocabulary-update loop does (rank order, greedy left-to-right with
+    i += 2 on a merge).  The encoder must reproduce this."""
+    sym = list(word)
+    for a, b in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(sym):
+            if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def test_consecutive_merge_occurrences():
+    """Regression (round-4 ADVICE): adjacent matches share a boundary in
+    a single-space representation, so 'banana' with merge (a,n) used to
+    encode as [b, an, a, n, a].  The double-space representation must
+    merge BOTH occurrences, matching the trainer's own application."""
+    merges = [("a", "n")]
+    assert bpe_segment("banana", merges) == ["b", "an", "an", "a"]
+    assert bpe_segment("banana", merges) == _trainer_apply(
+        "banana", merges
+    )
+    # run of identical symbols: greedy pairs, odd one left over
+    assert bpe_segment("aaaaa", [("a", "a")]) == ["aa", "aa", "a"]
+    # cascaded merges over repeats
+    m2 = [("a", "n"), ("an", "an")]
+    assert bpe_segment("banana", m2) == ["b", "anan", "a"]
+    assert bpe_segment("banana", m2) == _trainer_apply("banana", m2)
+
+
+def test_spark_encoder_consecutive_occurrences(spark):
+    """The Spark expression and DuckDB SQL twins share the fixed
+    representation: verify both on the 'banana' case."""
+    import duckdb
+
+    from dask_cudf_spark.functions.bpe import bpe_encode_sql
+
+    merges = [("a", "n")]
+    row = (
+        spark.range(1)
+        .select(bpe_encode_expr(F.lit("banana nab"), merges).alias("bpe"))
+        .collect()[0]
+    )
+    assert row["bpe"] == "b an an a n a b"
+    sql_expr = bpe_encode_sql("'banana nab'", merges)
+    (got,) = duckdb.sql(f"SELECT {sql_expr}").fetchone()
+    assert got == "b an an a n a b"
+
+
+def test_segmentation_matches_trainer_on_corpus_words():
+    """Every corpus word segments identically under the encoder twin and
+    the trainer's own merge application (the artifact's ground truth)."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT DISTINCT text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    words = {w for (t,) in rows for w in t.split(" ") if w}
+    for w in sorted(words):
+        assert bpe_segment(w, CORPUS_MERGES) == _trainer_apply(
+            w, CORPUS_MERGES
+        ), w
+
+
 def test_segmentation_lossless():
     for w in ["customer", "window", "stream", "spark", "a", "query"]:
         toks = bpe_segment(w, CORPUS_MERGES)

@@ -28,6 +28,62 @@ from ..functions.text import (
 from ..sources.tables import scale_out
 
 
+def _bucket_pairs(ids_col: str, cap_bucket: int, on_oversize: str):
+    """Column expression exploding a sorted in-bucket id array into
+    candidate-pair structs (id_a, id_b), id_a < id_b — no self-join.
+
+    Buckets of <= ``cap_bucket`` ids emit all n*(n-1)/2 pairs.  Larger
+    (degenerate) buckets follow ``on_oversize`` — NEVER a silent tail
+    drop (round-4 ADVICE: real corpora have >10k identical-boilerplate
+    docs per band key, and slicing under-deduplicated them silently):
+
+    - ``'star'``: pair the bucket's min id with every other id — O(n)
+      pairs covering every member; downstream verification plus
+      single-link components recover the full cluster whenever members
+      agree with the min (identical-boilerplate buckets do).
+    - ``'error'``: raise_error() inside the plan with the bucket size,
+      failing the job loudly so the cap can be raised deliberately.
+    - ``'truncate'``: the historical slice() behavior (measurement
+      only).
+
+    CaseWhen evaluates only the taken branch per row, so the O(n^2)
+    all-pairs expression never runs on an oversized bucket.
+    """
+    if on_oversize not in ("star", "error", "truncate"):
+        raise ValueError(f"on_oversize must be star|error|truncate, got {on_oversize!r}")
+    ids = F.col(ids_col)
+    oversize = F.size(ids) > cap_bucket
+
+    def all_pairs(arr):
+        return F.flatten(
+            F.transform(
+                arr,
+                lambda x, i: F.transform(
+                    F.slice(arr, i + 2, F.size(arr)),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+
+    if on_oversize == "truncate":
+        return F.explode(
+            all_pairs(F.when(oversize, F.slice(ids, 1, cap_bucket)).otherwise(ids))
+        )
+    if on_oversize == "star":
+        star = F.transform(
+            F.slice(ids, 2, F.size(ids)),
+            lambda y: F.struct(
+                F.element_at(ids, 1).alias("id_a"), y.alias("id_b")
+            ),
+        )
+        return F.explode(F.when(oversize, star).otherwise(all_pairs(ids)))
+    msg = F.concat(
+        F.lit(f"minhash LSH bucket exceeds cap_bucket={cap_bucket}: size="),
+        F.size(ids).cast("string"),
+    )
+    return F.explode(F.when(oversize, F.raise_error(msg)).otherwise(all_pairs(ids)))
+
+
 def exact_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -55,6 +111,7 @@ def minhash_lsh_candidates(
     cap_bucket: int = 1000,
     distinct: bool = True,
     impl: str = "vectorized",
+    on_oversize: str = "star",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -110,10 +167,11 @@ def minhash_lsh_candidates(
     # Pair generation inside each bucket via collect_list + nested
     # transform: ONE shuffle (the groupBy), no self-join (a self-join
     # would recompute the whole signature pipeline for both sides).
-    # slice(...) caps pathological buckets (skew guard): a degenerate
-    # bucket contributes at most cap_bucket^2/2 pairs, never O(n^2).
+    # _bucket_pairs caps pathological buckets (skew guard) under the
+    # explicit on_oversize policy — a degenerate bucket contributes
+    # O(n) star pairs (default) or fails loudly, never O(n^2).
     buckets = banded.groupBy("band", "bucket").agg(
-        F.slice(F.array_sort(F.collect_list("__id")), 1, cap_bucket).alias("ids")
+        F.array_sort(F.collect_list("__id")).alias("ids")
     )
     # pair generation is compute-bound but its INPUT bytes are tiny, so
     # AQE coalesces the post-agg stage to one partition (measured: the
@@ -122,20 +180,9 @@ def minhash_lsh_candidates(
     # work spread across the cluster; the extra exchange moves only the
     # (band, bucket, ids) aggregates.
     buckets = scale_out(buckets)
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                "ids",
-                lambda x, i: F.transform(
-                    F.slice(F.col("ids"), i + 2, F.size("ids")),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                ),
-            )
-        )
-    )
     pairs = (
         buckets.filter(F.size("ids") > 1)
-        .select(pair.alias("p"))
+        .select(_bucket_pairs("ids", cap_bucket, on_oversize).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
     )
     return pairs.distinct() if distinct else pairs
@@ -191,6 +238,7 @@ def minhash_sig_pairs(
     cap_bucket: int = 10000,
     distinct: bool = True,
     checkpoint: bool = True,
+    on_oversize: str = "star",
 ) -> DataFrame:
     """Candidate pairs (id_a, id_b, n_match) with full-signature
     agreement counts.  Shape: band rows -> groupBy(band, key)
@@ -216,9 +264,17 @@ def minhash_sig_pairs(
     - the sig lookup reuses band 0's rows (filter, not
       dropDuplicates) — exact and shuffle-free.
     - ``cap_bucket`` bounds degenerate buckets (skew guard): a bucket
-      is an identical-band-signature group, i.e. a near-dup cluster —
-      tiny in real corpora, so the cap only bites adversarial inputs
-      (where it must exceed the largest group for oracle parity).
+      is an identical-band-signature group, i.e. a near-dup cluster.
+      ``on_oversize`` picks the policy when a bucket exceeds the cap
+      (never silent): ``'star'`` (default) emits min-id star pairs over
+      the FULL bucket — O(n) pairs instead of O(n^2), every member
+      still reaches the verify step, and single-link components absorb
+      the cluster exactly when members verify against the min (oversize
+      buckets are identical-boilerplate in practice, so they do);
+      ``'error'`` raise_error()s inside the plan with the offending
+      (band, size) so a 100 TB job fails loudly instead of
+      under-deduplicating; ``'truncate'`` is the old slice behavior,
+      kept only for measurement.
     - ``distinct=False`` skips the pair-dedup shuffle: docs agreeing on
       >1 band repeat (~1%), harmless when the consumer re-aggregates
       (connected components' min-aggs do).
@@ -231,21 +287,14 @@ def minhash_sig_pairs(
     # no scale_out here (unlike the struct-carrying variant): ids-only
     # pair explosion is allocation-light, and the compute-heavy verify
     # happens after the sig join where AQE sizes partitions normally
-    buckets = banded.groupBy("band", "key").agg(
-        F.slice(F.array_sort(F.collect_list("__id")), 1, cap_bucket).alias("ids")
-    ).filter(F.size("ids") > 1)
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                "ids",
-                lambda x, i: F.transform(
-                    F.slice(F.col("ids"), i + 2, F.size("ids")),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                ),
-            )
-        )
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("__id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    cand = buckets.select(pair.alias("p")).select("p.id_a", "p.id_b")
+    cand = buckets.select(
+        _bucket_pairs("ids", cap_bucket, on_oversize).alias("p")
+    ).select("p.id_a", "p.id_b")
     if distinct:
         cand = cand.distinct()
     sigs = banded.filter(F.col("band") == 0).select("__id", "sig")
@@ -398,10 +447,10 @@ def connected_components(
 
     Two execution paths behind one exact semantics:
 
-    - **Small graphs** (undirected edge count <= ``local_threshold``,
-      known for free from the eager checkpoint): a single-TASK
-      union-find via mapInPandas — path-halving with a min-root
-      invariant, O(E alpha(E)), one job.  The edge list after LSH +
+    - **Small graphs** (edge count <= ``local_threshold``, measured by
+      the same action that materializes the persisted edge frame): a
+      single-TASK union-find via mapInPandas — path-halving with a
+      min-root invariant, O(E alpha(E)), one job.  The edge list after LSH +
       verification is orders of magnitude smaller than the corpus (it
       holds only confirmed duplicates), so in practice even 100 TB
       corpora land here; the data never touches the driver.
@@ -423,12 +472,19 @@ def connected_components(
     initialization and pure-pair graphs need a single loop iteration to
     detect stability.
     """
-    e = edges.select(F.col(src).alias("n"), F.col(dst).alias("m")).localCheckpoint(
-        eager=True
-    )
+    # node ids are type-generic (long doc ids, string urls, ...): both
+    # paths carry the source dtype through — cast dst to src's type so
+    # the union/least coercions below are exact
+    node_type = edges.schema[src].dataType
+    e = edges.select(
+        F.col(src).alias("n"), F.col(dst).cast(node_type).alias("m")
+    ).persist()
+    # count() is the action that materializes the persist — one job
+    # doing double duty (size probe + cache fill), replacing the old
+    # eager-localCheckpoint-then-count pair of jobs
     if e.count() <= local_threshold:
         # union-find is direction-agnostic: feed single-direction edges
-        comp = _cc_local_unionfind(e)
+        comp = _cc_local_unionfind(e, node_type)
     else:
         und = e.union(
             e.select(F.col("m").alias("n"), F.col("n").alias("m"))
@@ -445,12 +501,15 @@ def connected_components(
     return comp
 
 
-def _cc_local_unionfind(und: DataFrame) -> DataFrame:
+def _cc_local_unionfind(und: DataFrame, node_type) -> DataFrame:
     """Single-task exact union-find over a (n, m) edge frame.  Runs as
     ONE Spark task (coalesce(1) + mapInPandas), so the edge list stays
     on an executor, not the driver.  Keeping parents pointed at the
     smallest id in each set makes find() return the component min
-    directly."""
+    directly.  Type-generic: ``node_type`` is the Spark dtype of the id
+    columns (long, string, ...) and the output schema mirrors it —
+    ``.tolist()`` hands native Python objects (int / str) to the
+    union-find so ordering and hashing follow the source type."""
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
     def uf(batches):
@@ -466,8 +525,7 @@ def _cc_local_unionfind(und: DataFrame) -> DataFrame:
 
         seen: set = set()
         for pdf in batches:
-            for a, b in zip(pdf["n"].values, pdf["m"].values):
-                a, b = int(a), int(b)
+            for a, b in zip(pdf["n"].tolist(), pdf["m"].tolist()):
                 seen.add(a)
                 seen.add(b)
                 ra, rb = find(a), find(b)
@@ -480,7 +538,10 @@ def _cc_local_unionfind(und: DataFrame) -> DataFrame:
             {"node": ordered, "component": [find(s) for s in ordered]}
         )
 
-    return und.coalesce(1).mapInPandas(uf, schema="node long, component long")
+    ts = node_type.simpleString()
+    return und.coalesce(1).mapInPandas(
+        uf, schema=f"node {ts}, component {ts}"
+    )
 
 
 def _cc_label_propagation(und: DataFrame, max_iter: int) -> DataFrame:

@@ -3,7 +3,12 @@ way the driver would (local[32], shuffle=32, no engine-specific confs),
 import __spark_entry__, smoke entry() at sf0.001, then compare every
 queries() entry against oracle_sql() via DuckDB at sf0.01.
 
-Usage: python scripts/driver_replay.py [sf_dir]
+Usage: python scripts/driver_replay.py [sf_dir] [name_substring ...]
+
+Optional name substrings restrict the replay to matching queries (the
+entry() smoke still runs) — cheap targeted re-verification after
+touching one operator family, e.g.:
+    python scripts/driver_replay.py /root/testdata/sf0.01 minhash dedup
 """
 
 import sys
@@ -17,6 +22,7 @@ from pyspark.sql import SparkSession
 import __spark_entry__ as entrymod
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2:]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 # Driver-style session: default everything (the contract must not depend
@@ -37,6 +43,8 @@ assert len(rows) > 0
 
 qs = entrymod.queries()
 oracles = entrymod.oracle_sql()
+if ONLY:
+    qs = {n: f for n, f in qs.items() if any(s in n for s in ONLY)}
 print(f"\n== t2: {len(qs)} queries, {len(oracles)} with oracle ==")
 
 con = duckdb.connect()

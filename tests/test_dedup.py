@@ -1,0 +1,153 @@
+"""Dedup operator unit tests: connected-components path parity
+(union-find vs distributed label propagation), type-generic node ids,
+and the explicit cap_bucket oversize policies (round-4 ADVICE — no
+silent bucket truncation)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dask_cudf_spark.operators.dedup import (
+    connected_components,
+    minhash_sig_pairs,
+    near_dedup_minhash_sig,
+)
+
+
+def _comp_map(df):
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+# ------------------------------------------------- connected components
+
+
+def test_cc_chain_label_propagation_matches_unionfind(spark):
+    """Round-3 VERDICT item 4: force the distributed label-propagation
+    path (local_threshold=0) on a CHAIN graph — the worst case for
+    O(diameter) convergence (a 60-node path needs the most min-label
+    hops per merge round) — and assert exact parity with the
+    union-find fast path on the same edges."""
+    n = 60
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    via_lp = _comp_map(
+        connected_components(edges, local_threshold=0, max_iter=100)
+    )
+    via_uf = _comp_map(connected_components(edges))  # fast path
+    expect = {i: 0 for i in range(n)}
+    assert via_uf == expect
+    assert via_lp == expect
+
+
+def test_cc_label_propagation_multi_component_parity(spark):
+    """Both paths agree on a mixed graph: two chains + a star + an
+    isolated pair, with edges listed in arbitrary direction."""
+    raw = (
+        [(i + 1, i) for i in range(0, 9)]  # chain 0..9, reversed edges
+        + [(i, i + 1) for i in range(20, 29)]  # chain 20..29
+        + [(40, j) for j in range(41, 46)]  # star at 40
+        + [(100, 99)]
+    )
+    edges = spark.createDataFrame(raw, "id_a long, id_b long")
+    via_lp = _comp_map(
+        connected_components(edges, local_threshold=0, max_iter=100)
+    )
+    via_uf = _comp_map(connected_components(edges))
+    assert via_lp == via_uf
+    assert via_lp[9] == 0 and via_lp[29] == 20
+    assert via_lp[45] == 40 and via_lp[100] == 99
+
+
+def test_cc_string_node_ids_both_paths(spark):
+    """Round-4 ADVICE: the union-find fast path used to coerce ids with
+    int() and hardcode a long output schema, crashing on string ids.
+    Both paths must carry the source dtype through."""
+    edges = spark.createDataFrame(
+        [("url/b", "url/a"), ("url/b", "url/c"), ("url/x", "url/y")],
+        "id_a string, id_b string",
+    )
+    expect = {
+        "url/a": "url/a",
+        "url/b": "url/a",
+        "url/c": "url/a",
+        "url/x": "url/x",
+        "url/y": "url/x",
+    }
+    uf = connected_components(edges)
+    assert dict(uf.dtypes) == {"node": "string", "component": "string"}
+    assert _comp_map(uf) == expect
+    lp = connected_components(edges, local_threshold=0, max_iter=10)
+    assert _comp_map(lp) == expect
+
+
+def test_cc_isolated_nodes_param(spark):
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    got = _comp_map(connected_components(edges, nodes=nodes))
+    assert got == {0: 0, 1: 1, 2: 1, 3: 3, 4: 4}
+
+
+# ------------------------------------------------- cap_bucket policies
+
+
+def _boilerplate_df(spark, n=12, text="the same boilerplate text repeated"):
+    return spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id long, text string"
+    )
+
+
+def test_oversize_bucket_star_policy_full_coverage(spark):
+    """12 identical docs with cap_bucket=4: the old slice() silently
+    dropped ids 5..12 (under-dedup).  The star policy must still emit a
+    pair reaching EVERY doc, and the full pipeline must keep exactly
+    one survivor."""
+    df = _boilerplate_df(spark, n=12)
+    pairs = minhash_sig_pairs(df, cap_bucket=4, on_oversize="star")
+    touched = set()
+    n_pairs = 0
+    for r in pairs.collect():
+        touched.update((r["id_a"], r["id_b"]))
+        n_pairs += 1
+        assert r["n_match"] == 16  # identical docs -> full agreement
+    assert touched == set(range(12))
+    # star emits O(n) pairs per oversized bucket, not O(n^2)
+    assert n_pairs <= 4 * 11  # <= bands * (n - 1)
+
+    kept = near_dedup_minhash_sig(df, threshold=0.8)
+    assert [r["doc_id"] for r in kept.collect()] == [0]
+
+
+def test_oversize_bucket_error_policy_raises(spark):
+    df = _boilerplate_df(spark, n=12)
+    pairs = minhash_sig_pairs(df, cap_bucket=4, on_oversize="error")
+    with pytest.raises(Exception, match="cap_bucket"):
+        pairs.collect()
+
+
+def test_within_cap_policies_identical(spark):
+    """Below the cap all three policies are the same all-pairs plan."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "totally different content over here now"),
+        ],
+        "doc_id long, text string",
+    )
+    outs = [
+        sorted(
+            (r["id_a"], r["id_b"], r["n_match"])
+            for r in minhash_sig_pairs(
+                df, cap_bucket=100, on_oversize=p
+            ).collect()
+        )
+        for p in ("star", "error", "truncate")
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    assert outs[0] and all(a == 1 and b == 2 for a, b, _ in outs[0])
+
+
+def test_invalid_oversize_policy_rejected(spark):
+    with pytest.raises(ValueError, match="on_oversize"):
+        minhash_sig_pairs(_boilerplate_df(spark, 2), on_oversize="drop")

@@ -703,22 +703,19 @@ class Frame:
 
     def tail(self, n: int = 5) -> pd.DataFrame:
         """Last n rows in the frame's current order (driver-collect,
-        like dask .tail() pulling from the final partition).  Collected
-        rows are converted driver-side with pandas — no second trip of
-        the data through executors — and dtypes are aligned to the
-        Arrow dtypes of an empty slice so they match what head()'s
-        toPandas() path produces."""
+        like dask .tail() pulling from the final partition).  The
+        collected rows are re-wrapped with the frame's own schema and
+        sent back through toPandas(), so the pandas result goes through
+        EXACTLY the type bridge head() uses — nullable numerics come
+        back float64/NaN (not object), structs come back as dicts, and
+        dtypes match head() by construction.  The round trip is one
+        n-row local job (n is small by contract), which is the price of
+        exact parity over the old best-effort astype alignment that
+        silently diverged on nullable and nested columns."""
         rows = self._sdf.tail(n)
-        empty = self._sdf.limit(0).toPandas()
-        out = pd.DataFrame.from_records(
-            [r.asDict() for r in rows], columns=list(empty.columns)
-        )
-        for c, dt in empty.dtypes.items():
-            try:
-                out[c] = out[c].astype(dt)
-            except (TypeError, ValueError):
-                pass  # nested/array columns keep their collected dtype
-        return out
+        return self._sdf.sparkSession.createDataFrame(
+            rows, self._sdf.schema
+        ).toPandas()
 
     def melt(
         self,

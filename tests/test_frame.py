@@ -397,3 +397,29 @@ def test_tail_preserves_dtypes(spark):
     t = f.tail(2)
     assert str(t["a"].dtype) == "int64"
     assert str(t["b"].dtype) == "float64"
+
+
+def test_tail_matches_head_on_nullable_and_nested(spark):
+    """Round-4 ADVICE: tail()'s old astype alignment silently left
+    NULL-bearing numerics as object and structs as Row objects.  tail
+    now rides toPandas() itself, so dtypes AND values must equal
+    head()'s for nullable ints, timestamps, arrays, and structs."""
+    import datetime
+
+    from dask_cudf_spark.frame import Frame
+
+    sdf = spark.createDataFrame(
+        [
+            (1, 1.5, "a", datetime.datetime(2024, 1, 1), [1, 2], {"x": 1}),
+            (None, None, None, None, None, None),
+            (3, 2.5, "c", datetime.datetime(2024, 1, 3), [3], {"x": 3}),
+        ],
+        "i long, f double, s string, ts timestamp,"
+        " arr array<long>, st struct<x: long>",
+    )
+    f = Frame(sdf)
+    h, t = f.head(3), f.tail(3)
+    assert h.dtypes.to_dict() == t.dtypes.to_dict()
+    assert str(t["i"].dtype) == "float64"  # nullable int -> float64/NaN
+    assert isinstance(t["st"].iloc[0], dict)  # struct -> dict, not Row
+    pd.testing.assert_frame_equal(h, t)

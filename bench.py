@@ -12,6 +12,15 @@ timed runs.  Min, not median: this host shows hypervisor steal-time
 spikes (measured ~6% mean, bursty), which inflate arbitrary runs by
 seconds; the minimum is the standard noise-robust estimator of a
 query's intrinsic cost under external interference.
+
+Noise attribution (round-3 VERDICT item 2): every sample — warm-ups
+included — carries its wall time, the /proc/stat steal-tick delta over
+the sample, and a digest of the POST-EXECUTION physical plan (AQE
+final; expression ids normalized away).  A slow sample with high
+steal_ms is hypervisor noise; a slow sample whose plan digest differs
+from the fast samples' is a real replan (e.g. broadcast -> SMJ
+fallback).  The JSON stays one line; "queries" keeps its historical
+shape and "samples" adds the diagnostics.
 """
 
 from __future__ import annotations
@@ -28,6 +37,37 @@ from dask_cudf_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+
+
+def _steal_ticks() -> int:
+    """Cumulative hypervisor steal ticks from /proc/stat (field 8 of the
+    aggregate cpu line); 0 where unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) if parts and parts[0] == "cpu" else 0
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
+def _plan_digest(df) -> str:
+    """8-hex digest of the executed physical plan with volatile tokens
+    (expression ids #123, plan_id, Statistics sizes) normalized, so two
+    runs of the same plan digest identically and a broadcast->SMJ
+    fallback or AQE replan changes the digest."""
+    import hashlib
+    import re
+
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return "n/a"
+    plan = re.sub(r"Statistics\([^)]*\)", "Statistics()", plan)
+    # strip ALL numerals: expression ids, plan_ids, checkpoint RDD ids,
+    # AQE stage ids, row-count estimates — the digest is structural
+    # (operator tree + join strategies), which is what replans change
+    plan = re.sub(r"\d+", "", plan)
+    return hashlib.md5(plan.encode()).hexdigest()[:8]
 
 # Headline set: one per heavy operator family (SURVEY.md §6).
 HEADLINE = [
@@ -70,13 +110,26 @@ def main() -> None:
     # min per query then rejects any burst that didn't cover every
     # round.  Rounds 0-1 are per-query warm-up (JIT/codegen,
     # Python-worker spawn, C2 tiered compile) and are discarded.
+    clk_tck = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
     times: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    samples: dict[str, list[dict]] = {name: [] for name in HEADLINE}
     for rnd in range(RUNS + 2):
         for name in HEADLINE:
+            s0 = _steal_ticks()
             t0 = time.perf_counter()
-            queries[name](spark, SF_DIR).count()
+            df = queries[name](spark, SF_DIR)
+            df.count()
+            sec = time.perf_counter() - t0
+            samples[name].append(
+                {
+                    "sec": round(sec, 4),
+                    "steal_ms": round((_steal_ticks() - s0) * 1000 / clk_tck),
+                    "plan": _plan_digest(df),
+                    "warmup": rnd <= 1,
+                }
+            )
             if rnd > 1:
-                times[name].append(time.perf_counter() - t0)
+                times[name].append(sec)
     per_query = {name: round(min(ts), 4) for name, ts in times.items()}
 
     total = round(sum(per_query.values()), 4)
@@ -88,6 +141,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "samples": samples,
+                "host": {"clk_tck": clk_tck, "cpus": os.cpu_count()},
             }
         )
     )

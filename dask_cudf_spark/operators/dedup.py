@@ -237,13 +237,13 @@ def minhash_sig_pairs(
     shingle: int = 5,
     cap_bucket: int = 10000,
     distinct: bool = True,
-    checkpoint: bool = True,
     on_oversize: str = "star",
 ) -> DataFrame:
     """Candidate pairs (id_a, id_b, n_match) with full-signature
     agreement counts.  Shape: band rows -> groupBy(band, key)
-    collect_list(id) -> in-bucket id pair explosion (no self-join) ->
-    join signatures back for the agreement count.
+    collect_list(struct(id, sig)) -> INDEX-based in-bucket pair
+    explosion with n_match computed inline (no self-join, no sig
+    lookup join).
 
     n_match = #positions where the two k-hash signatures agree — the
     standard MinHash estimate of shingle-set Jaccard (n_match/k), so
@@ -251,18 +251,18 @@ def minhash_sig_pairs(
     a DuckDB twin because the signatures are md5-exact.
 
     Engineering notes (measured at sf0.1):
-    - ids-only buckets beat struct(id, sig) buckets ~3x: the pairwise
-      HOF over structs carrying 16-long sigs re-materializes sliced
-      struct arrays O(n^2) per bucket; plain-long pair explosion is
-      allocation-light, and the verify join touches only the ~0.3% of
-      pairs LSH actually emits.
-    - ``checkpoint=True`` localCheckpoints the banded frame so the
-      Python signature stage executes ONCE even though both the bucket
-      branch and the sig-lookup branch consume it (Catalyst cannot
-      reuse a non-exchange subplan across branches).  On a cluster
-      swap for checkpoint() with a checkpoint dir.
-    - the sig lookup reuses band 0's rows (filter, not
-      dropDuplicates) — exact and shuffle-free.
+    - r3 carried ids-only buckets plus two sig-lookup joins (and an
+      eager localCheckpoint so the Python signature stage ran once for
+      both consumers).  r4 measurement: generating INDEX pairs
+      (sequence + element_at into one sorted struct array) and scoring
+      n_match inline is ~1.4x faster end-to-end — it drops both joins
+      AND the checkpoint job, because the banded frame now has a single
+      consumer.  r2's "struct buckets 3x slower" result was an artifact
+      of SLICING struct arrays O(n^2) per bucket; element_at index
+      access is O(1) per pair and keeps the pairwise work
+      allocation-light.
+    - one shuffle total (the groupBy); pair generation and verify run
+      map-side over the aggregate's output.
     - ``cap_bucket`` bounds degenerate buckets (skew guard): a bucket
       is an identical-band-signature group, i.e. a near-dup cluster.
       ``on_oversize`` picks the policy when a bucket exceeds the cap
@@ -272,46 +272,75 @@ def minhash_sig_pairs(
       the cluster exactly when members verify against the min (oversize
       buckets are identical-boilerplate in practice, so they do);
       ``'error'`` raise_error()s inside the plan with the offending
-      (band, size) so a 100 TB job fails loudly instead of
-      under-deduplicating; ``'truncate'`` is the old slice behavior,
-      kept only for measurement.
+      size so a 100 TB job fails loudly instead of under-deduplicating;
+      ``'truncate'`` is the old slice behavior, kept only for
+      measurement.
     - ``distinct=False`` skips the pair-dedup shuffle: docs agreeing on
       >1 band repeat (~1%), harmless when the consumer re-aggregates
       (connected components' min-aggs do).
     """
+    if on_oversize not in ("star", "error", "truncate"):
+        raise ValueError(
+            f"on_oversize must be star|error|truncate, got {on_oversize!r}"
+        )
     banded = minhash_md5_banded(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle=shingle
     )
-    if checkpoint:
-        banded = banded.localCheckpoint(eager=True)
-    # no scale_out here (unlike the struct-carrying variant): ids-only
-    # pair explosion is allocation-light, and the compute-heavy verify
-    # happens after the sig join where AQE sizes partitions normally
     buckets = (
         banded.groupBy("band", "key")
-        .agg(F.array_sort(F.collect_list("__id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__id", "sig"))).alias("items")
+        )
+        .filter(F.size("items") > 1)
     )
-    cand = buckets.select(
-        _bucket_pairs("ids", cap_bucket, on_oversize).alias("p")
-    ).select("p.id_a", "p.id_b")
-    if distinct:
-        cand = cand.distinct()
-    sigs = banded.filter(F.col("band") == 0).select("__id", "sig")
+    n = F.size("items")
+
+    def idx_pairs(last):
+        # all (i, j), 0 <= i < j <= last — indices, not data: the
+        # O(n^2) blowup carries two ints per pair, never sliced struct
+        # arrays
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), last - F.lit(1)),
+                lambda i: F.transform(
+                    F.sequence(i + 1, last),
+                    lambda j: F.struct(i.alias("i"), j.alias("j")),
+                ),
+            )
+        )
+
+    if on_oversize == "truncate":
+        ij = idx_pairs(F.least(n, F.lit(cap_bucket)) - F.lit(1))
+    else:
+        oversize = n > cap_bucket
+        star = F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda j: F.struct(F.lit(0).alias("i"), j.alias("j")),
+        )
+        if on_oversize == "star":
+            ij = F.when(oversize, star).otherwise(idx_pairs(n - F.lit(1)))
+        else:
+            msg = F.concat(
+                F.lit(
+                    f"minhash LSH bucket exceeds cap_bucket={cap_bucket}: size="
+                ),
+                n.cast("string"),
+            )
+            ij = F.when(oversize, F.raise_error(msg)).otherwise(
+                idx_pairs(n - F.lit(1))
+            )
+    ex = buckets.select("items", F.explode(ij).alias("ij"))
+    a = F.element_at("items", F.col("ij.i") + 1)
+    b = F.element_at("items", F.col("ij.j") + 1)
     n_match = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda t: t)
+        F.filter(F.zip_with(a["sig"], b["sig"], lambda x, y: x == y), lambda t: t)
     ).cast("long")
-    return (
-        cand.join(
-            sigs.select(F.col("__id").alias("id_a"), F.col("sig").alias("sig_a")),
-            on="id_a",
-        )
-        .join(
-            sigs.select(F.col("__id").alias("id_b"), F.col("sig").alias("sig_b")),
-            on="id_b",
-        )
-        .select("id_a", "id_b", n_match.alias("n_match"))
+    cand = ex.select(
+        a["__id"].alias("id_a"),
+        b["__id"].alias("id_b"),
+        n_match.alias("n_match"),
     )
+    return cand.distinct() if distinct else cand
 
 
 def near_dedup_minhash_sig(

@@ -55,8 +55,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Ensure compute-bound stages use every core.
+def scale_out(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    bytes_per_task: int = 256 << 10,
+) -> DataFrame:
+    """Ensure compute-bound stages use every core — without shattering
+    tiny inputs into per-task overhead.
 
     A small parquet file arrives as ONE input split, so an expensive
     per-row stage (minhash signatures, simhash votes, cosine scoring —
@@ -66,9 +71,32 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     moves only what a single split holds, so it is cheap by
     construction).  This is the moral twin of dask-cudf's
     ``repartition(npartitions=...)`` before a compute-heavy
-    ``map_partitions``."""
+    ``map_partitions``.
+
+    The target is SIZE-AWARE (r4): Catalyst's optimizedPlan statistics
+    give the plan's estimated bytes for free, and the fan-out is
+    ceil(bytes / bytes_per_task) clamped to [1, defaultParallelism].
+    A 0.5 MB corpus becomes ~2 tasks instead of 32 (32 micro-tasks of
+    scheduling + Arrow round trips measured 2x slower than 2 right-
+    sized ones at sf0.1), while anything bigger than cores *
+    bytes_per_task still fans out to every core exactly as before.
+    Overestimated stats (post-join plans) only push the target back
+    toward defaultParallelism — never under-parallelize below the
+    explicit ``min_partitions``."""
     spark = df.sparkSession
-    target = min_partitions or spark.sparkContext.defaultParallelism
+    cores = spark.sparkContext.defaultParallelism
+    if min_partitions is not None:
+        target = min_partitions
+    else:
+        target = cores
+        try:
+            size = int(
+                str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            )
+            if 0 < size < cores * bytes_per_task:
+                target = max(1, -(-size // bytes_per_task))
+        except Exception:
+            pass  # stats unavailable -> conservative full fan-out
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

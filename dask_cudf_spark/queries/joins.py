@@ -501,6 +501,7 @@ def q_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_tpch_q5_shape",
+    tags=["flagship"],
     family="join",
     oracle=f"""
         SELECT

@@ -317,6 +317,7 @@ def _minhash_dedup_oracle() -> str:
 
 @register(
     "q_minhash_dedup",
+    tags=["flagship"],
     family="dedup",
     oracle=None,  # set below: generated from the same LSH constants
 )
@@ -1527,6 +1528,7 @@ def _bpe_oracle() -> str:
 
 @register(
     "q_bpe_encode",
+    tags=["flagship"],
     family="text",
     oracle=None,  # set below: generated from the shipped merge table
 )

@@ -64,13 +64,21 @@ def ordered_specs() -> list[QuerySpec]:
     whole families (windows, sorts, text, ...) without a correctness
     row, and burned scored slots on rows-only queries.  With 17
     families, positions 1-50 now hold ~3 oracle-backed queries of every
-    family."""
+    family.
+
+    Within a family, queries tagged ``'flagship'`` sort ahead of their
+    siblings (round-3 VERDICT item 7): the repo's hardest
+    differentiators — full-cluster minhash dedup, trained-vocab BPE,
+    the six-way TPC-H Q5 join — must sit INSIDE the driver's scored
+    window, not be displaced by simpler same-family queries that
+    happened to register earlier."""
     _ensure_loaded()
     by_family: dict[str, list[QuerySpec]] = {}
     for spec in REGISTRY.values():
         by_family.setdefault(spec.family, []).append(spec)
     for specs in by_family.values():
-        specs.sort(key=lambda s: s.oracle is None)  # stable: oracle-backed first
+        # stable: oracle-backed before rows-only, flagships first
+        specs.sort(key=lambda s: (s.oracle is None, "flagship" not in s.tags))
     interleaved: list[QuerySpec] = []
     queues = list(by_family.values())
     while queues:

@@ -57,25 +57,31 @@ def test_driver_scoring_window_covers_every_family():
     assert all(s.oracle is not None for s in window)
 
 
-# The exact scoring window that went green in CORRECTNESS_r02 (50/50
-# rows+schema+hash).  Registrations, family renames, or ordering tweaks
-# must not silently displace a proven-green row; update this list ONLY
-# deliberately, together with a local driver_replay of the new window.
+# The exact scoring window the driver sees (50/50 green in
+# CORRECTNESS_r02/r03; deliberately ROTATED in r4 per round-3 VERDICT
+# item 7 to pull the flagship differentiators — q_tpch_q5_shape,
+# q_minhash_dedup, q_bpe_encode — inside the scored window, displacing
+# q_join_left / q_exact_dedup_rows / q_token_count, which all remain
+# oracle-backed in the full registry).  Registrations, family renames,
+# or ordering tweaks must not silently displace a proven-green row;
+# update this list ONLY deliberately, together with a local
+# driver_replay of the new window.
 _PINNED_WINDOW = [
-    "q_groupby_sum", "q_udaf_grouped", "q_skew_salted_sum", "q_join_inner",
-    "q_multimodal_meta", "q_scan_parquet", "q_project_arith", "q_filter_pred",
-    "q_scalar_pack_str", "q_json_extract", "q_union_all", "q_cosine_sim",
-    "q_neardup_embedding", "q_sort_global", "q_stream_tumbling",
-    "q_text_stats", "q_tpch_q1", "q_window_rolling", "q_groupby_mean",
-    "q_cogroup_udf", "q_skew_salted_collect", "q_join_broadcast",
-    "q_multimodal_frames", "q_scan_pushdown_ts", "q_when_clip", "q_sql_query",
-    "q_scalar_pack_date", "q_explode", "q_union_missing_cols", "q_centroids",
-    "q_hash_exact_dedup", "q_topk", "q_stream_sliding", "q_token_count",
-    "q_tpch_q6", "q_window_time_range", "q_groupby_std", "q_explode_udtf",
-    "q_skew_salted_nunique", "q_join_left", "q_multimodal_features",
-    "q_combine_first", "q_dropna_fillna", "q_scalar_pack_math",
-    "q_array_pack", "q_intersect", "q_ann_lsh", "q_exact_dedup_rows",
-    "q_head_sorted", "q_stream_session",
+    "q_groupby_sum", "q_udaf_grouped", "q_skew_salted_sum",
+    "q_tpch_q5_shape", "q_multimodal_meta", "q_scan_parquet",
+    "q_project_arith", "q_filter_pred", "q_scalar_pack_str",
+    "q_json_extract", "q_union_all", "q_cosine_sim", "q_minhash_dedup",
+    "q_sort_global", "q_stream_tumbling", "q_bpe_encode", "q_tpch_q1",
+    "q_window_rolling", "q_groupby_mean", "q_cogroup_udf",
+    "q_skew_salted_collect", "q_join_inner", "q_multimodal_frames",
+    "q_scan_pushdown_ts", "q_when_clip", "q_sql_query",
+    "q_scalar_pack_date", "q_explode", "q_union_missing_cols",
+    "q_centroids", "q_neardup_embedding", "q_topk", "q_stream_sliding",
+    "q_text_stats", "q_tpch_q6", "q_window_time_range", "q_groupby_std",
+    "q_explode_udtf", "q_skew_salted_nunique", "q_join_broadcast",
+    "q_multimodal_features", "q_combine_first", "q_dropna_fillna",
+    "q_scalar_pack_math", "q_array_pack", "q_intersect", "q_ann_lsh",
+    "q_hash_exact_dedup", "q_head_sorted", "q_stream_session",
 ]
 
 

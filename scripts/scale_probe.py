@@ -1,0 +1,158 @@
+"""Scale-evidence probe (round-3 VERDICT item 6): blow the sf0.1
+inputs up 10x DETERMINISTICALLY, run the most expensive headline
+queries at 1x and 10x, and report wall-time scaling factors.
+
+All correctness evidence runs at <= 600k rows; this probe is the guard
+against accidental O(n^2) that plan digests can't see.  Expected:
+~linear (ratio ~10 with fixed parallelism, lower where the 1x run is
+overhead-dominated); anything clearly superlinear is a bug.
+
+Blow-up construction (no driver fixtures — copies are derived from
+sf0.1 itself and written once to /tmp/scale_probe/x{K}):
+- facts (lineitem, orders): copy i offsets the join keys
+  (l_orderkey / o_orderkey) by i * 10^9, so copies are disjoint
+  subgraphs and per-key group sizes stay constant (dims stay
+  unscaled, as dims do at 100 TB).
+- events: copy i offsets user_id — sessions-per-user constant.
+- documents: copy i offsets doc_id AND rotates the text alphabet by i
+  (translate a->b->c...), so shingle spaces of different copies are
+  DISJOINT: the near-duplicate rate stays exactly sf0.1's instead of
+  every doc gaining 9 synthetic near-dups (which would measure a
+  harder problem, not a bigger one).
+- embeddings: copy i offsets vec_id (vectors repeat; timing is
+  magnitude-driven, not value-driven).
+- dims (region nation customer supplier part): symlinked unscaled.
+
+Usage: python scripts/scale_probe.py [factor] [runs]
+Prints one JSON line {"factor": K, "queries": {name: {"x1": s,
+"x10": s, "ratio": r}}, ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import string
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from dask_cudf_spark.session import get_spark
+from dask_cudf_spark.sources import load_table
+
+SRC = "/root/testdata/sf0.1"
+FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+RUNS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+BASE = "/tmp/scale_probe"
+OFFSET = 10**9
+
+PROBES = [
+    "q_tpch_q5_shape",
+    "q_minhash_dedup",
+    "q_join_inner",
+    "q_stream_session",
+    "q_cosine_sim",
+]
+
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+
+def _rot(i: int) -> tuple[str, str]:
+    a = string.ascii_lowercase
+    return a, a[i:] + a[:i]
+
+
+def build(spark, factor: int) -> str:
+    out = f"{BASE}/x{factor}"
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for t in DIMS:
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+
+    def blow(name, mk_copy):
+        df = load_table(spark, SRC, name)
+        parts = [mk_copy(df, i) for i in range(factor)]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        # one file per table like the source fixtures; timestamps are
+        # written as naive us so load_table's normalization still applies
+        u.coalesce(max(1, factor // 2)).write.mode("overwrite").parquet(
+            f"{out}/_{name}"
+        )
+        # flatten to <table>.parquet directory path convention: the
+        # loaders accept a directory, so just rename
+        os.rename(f"{out}/_{name}", f"{out}/{name}.parquet")
+
+    blow(
+        "lineitem",
+        lambda df, i: df.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(i * OFFSET)
+        ),
+    )
+    blow(
+        "orders",
+        lambda df, i: df.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * OFFSET)
+        ),
+    )
+    blow(
+        "events",
+        lambda df, i: df.withColumn(
+            "user_id", F.col("user_id") + F.lit(i * OFFSET)
+        ).withColumn("event_id", F.col("event_id") + F.lit(i * OFFSET)),
+    )
+    blow(
+        "documents",
+        lambda df, i: df.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(i * OFFSET)
+        ).withColumn("text", F.translate("text", *_rot(i))),
+    )
+    blow(
+        "embeddings",
+        lambda df, i: df.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(i * OFFSET)
+        ),
+    )
+    return out
+
+
+def main() -> None:
+    from dask_cudf_spark.registry import all_queries
+
+    spark = get_spark(
+        app_name="scale-probe",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    x1 = build(spark, 1)
+    xk = build(spark, FACTOR)
+
+    result: dict[str, dict] = {}
+    for name in PROBES:
+        fn = queries[name]
+        times: dict[str, float] = {}
+        for label, d in (("x1", x1), (f"x{FACTOR}", xk)):
+            fn(spark, d).count()  # warm (JIT, python workers, footers)
+            ts = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                n = fn(spark, d).count()
+                ts.append(time.perf_counter() - t0)
+            times[label] = round(min(ts), 3)
+            times[f"{label}_rows"] = n
+        times["ratio"] = round(times[f"x{FACTOR}"] / times["x1"], 2)
+        result[name] = times
+        print(f"  {name:20s} {times}", file=sys.stderr)
+    print(json.dumps({"factor": FACTOR, "runs": RUNS, "queries": result}))
+
+
+if __name__ == "__main__":
+    main()

@@ -8,8 +8,10 @@ Pipeline shapes, all shuffle-bounded:
   -> band -> explode bands -> groupBy(band_hash) bucket join (one shuffle
   on band hash) -> candidate pairs -> exact-jaccard verification.
   At 100 TB: band buckets with huge identical-band groups are the skew
-  risk; we cap bucket size (cap_bucket) before pairing so a degenerate
-  bucket can't produce O(n^2) pairs.
+  risk; buckets beyond cap_bucket follow an EXPLICIT on_oversize policy
+  (star pairs / fail-fast / truncate — see _bucket_pairs and
+  minhash_sig_pairs) so a degenerate bucket can't produce O(n^2) pairs
+  and never silently drops coverage either.
 """
 
 from __future__ import annotations
@@ -481,8 +483,12 @@ def connected_components(
       single-TASK union-find via mapInPandas — path-halving with a
       min-root invariant, O(E alpha(E)), one job.  The edge list after LSH +
       verification is orders of magnitude smaller than the corpus (it
-      holds only confirmed duplicates), so in practice even 100 TB
-      corpora land here; the data never touches the driver.
+      holds only confirmed duplicates), so HIGH-threshold dedup of even
+      very large corpora lands here; dirty web corpora at loose
+      thresholds can exceed any single-task budget, which is exactly
+      why the threshold switch to the distributed path below is
+      automatic, not a config knob.  The data never touches the driver
+      either way.
     - **Large graphs**: the distributed loop.  Each iteration: every
       node takes min(own label, neighbors' labels) — one shuffle join +
       one aggregation; converges in O(graph diameter) iterations

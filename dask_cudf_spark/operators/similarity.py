@@ -326,3 +326,80 @@ def centroids(
         F.round(F.avg(F.col("v").cast("double")), round_dp).alias("centroid_v"),
         F.count("*").alias("n_vecs"),
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    centroid_stride: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by QUANTIZE-then-DEDUP — assign every embedding to its
+    nearest coarse centroid, then drop within-cell cosine near-
+    duplicates, keeping each duplicate group's min-id member.
+
+    The whole point of the construction is the scale shape: pairwise
+    similarity is only ever computed WITHIN a cell (cells are ~N/K
+    vectors), so the cross-corpus O(N^2) never materializes — candidate
+    pairs come from ONE shuffle on the cell id.  Centroids are the same
+    deterministic codebook-as-literals sample ivf_topk uses (a trained
+    k-means codebook in production; a stride-sample here so the DuckDB
+    oracle can replay assignment exactly), so cell assignment is a
+    partition-local expression and the corpus never shuffles for it.
+
+    Drop rule (one hop, matching the paper's per-cluster sweep): b is
+    dropped iff some a < b in the same cell has cosine(a, b) >=
+    threshold.  Returns surviving (id, cell) rows.
+    """
+    seeds = (
+        corpus.filter((F.col(id_col) % centroid_stride) == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(v)) for v in r[1]]) for r in seeds]
+    )
+    def assigned() -> DataFrame:
+        scored = F.transform(
+            cent_arr,
+            lambda c, i: F.struct(
+                (-F.round(cosine(F.col(vec_col), c), 6)).alias("negcos"),
+                i.alias("cidx"),
+            ),
+        )
+        cell = F.element_at(F.array_sort(scored), 1)["cidx"]
+        return scale_out(corpus).select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__vec"),
+            cell.cast("long").alias("cell"),
+        )
+
+    # self-join note: Spark 4's self-join attribute dedup mishandles the
+    # reused lambda-bearing assignment expression
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND), so each pair side gets an
+    # INDEPENDENT plan from assigned() — assignment is map-side, so the
+    # recomputation costs no shuffle
+    a = assigned().select(
+        "cell", F.col("__id").alias("id_a"), F.col("__vec").alias("__va")
+    )
+    b = assigned().select(
+        "cell", F.col("__id").alias("id_b"), F.col("__vec").alias("__vb")
+    )
+    dropped = (
+        a.join(b, on="cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias("__id"))
+        .distinct()
+    )
+    return assigned().join(dropped, on="__id", how="left_anti").select(
+        F.col("__id").alias(id_col), "cell"
+    )

@@ -383,3 +383,50 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("scale"), 6).alias("q_scale"),
         F.array_join(q, ",").alias("q_vals"),
     )
+
+
+@register(
+    "q_semdedup",
+    family="dedup",
+    oracle=f"""
+        WITH seeds AS (
+            SELECT cvec, ROW_NUMBER() OVER (ORDER BY cid) - 1 AS cidx
+            FROM (
+                SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                WHERE vec_id % 13 = 0 ORDER BY vec_id LIMIT 16
+            )
+        ),
+        assign AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT e.vec_id, e.embedding, CAST(s.cidx AS BIGINT) AS cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY -{_duck_cos("e.embedding", "s.cvec")}, s.cidx
+                       ) AS rn
+                FROM embeddings e CROSS JOIN seeds s
+            ) WHERE rn = 1
+        ),
+        dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM assign a JOIN assign b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE {_duck_cos("a.embedding", "b.embedding")} >= 0.9
+        )
+        SELECT a.vec_id, a.cell
+        FROM assign a
+        WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic dedup survivors:
+    quantize every embedding to its nearest coarse-codebook centroid
+    (the deterministic stride-sample codebook ivf_topk uses, inlined as
+    literals so the corpus never shuffles for assignment), then drop
+    within-cell cosine near-duplicates (>= 0.9), keeping each group's
+    min-id member.  Pairwise similarity only ever forms WITHIN a cell —
+    one shuffle on the cell id, never O(N^2) across the corpus.  The
+    DuckDB oracle replays codebook, assignment, and sweep exactly."""
+    from ..operators.similarity import semdedup
+
+    em = load_table(spark, sf_dir, "embeddings")
+    return semdedup(em, threshold=0.9, n_centroids=16, centroid_stride=13)

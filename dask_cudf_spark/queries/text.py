@@ -1552,3 +1552,75 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REG["q_bpe_encode"].oracle = _bpe_oracle()
+
+
+@register(
+    "q_ngram_span_dedup",
+    family="dedup",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(len(tk) - 7),
+                          i -> array_to_string(tk[i + 1 : i + 8], ' ')))
+                       AS gram
+            FROM t WHERE len(tk) >= 8
+        ),
+        d AS (
+            SELECT gram FROM g GROUP BY gram
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        )
+        SELECT g.doc_id,
+               COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_grams,
+               ROUND(SUM(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 6) AS dup_fraction
+        FROM g LEFT JOIN d ON g.gram = d.gram
+        GROUP BY g.doc_id
+    """,
+)
+def q_ngram_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring (span-level) duplication profile — the
+    Lee et al. 2022 'Deduplicating Training Data Makes Language Models
+    Better' signal, which document-level dedup misses: per document,
+    how many of its word 8-grams also occur in OTHER documents.
+    Upstream NeMo-Curator ships this as its exact-substring dedup stage
+    (suffix arrays there); the Spark-first shape is sliding-window
+    8-grams (JVM slice/array_join over the token array — no UDF) ->
+    groupBy(gram) with a COUNT(DISTINCT doc_id) >= 2 duplicated-gram
+    set -> semi-style left join back -> per-doc counts.
+
+    Scale: two shuffles (gram, then doc_id).  The gram groupBy is
+    count-only partial aggregation — hot boilerplate grams combine
+    map-side, never collect; the join back streams the exploded grams
+    once.  At 100 TB you'd hash grams to 8-byte xxhash64 keys to shrink
+    the shuffle (noted, not done here: the oracle replays raw grams)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams_arr = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 8),
+        lambda i: F.array_join(F.slice(toks, i + 1, 8), " "),
+    )
+    g = (
+        d.filter(F.size(toks) >= 8)
+        .select("doc_id", F.explode(grams_arr).alias("gram"))
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("gram")
+    )
+    flagged = g.join(
+        dup.withColumn("__dup", F.lit(1)), on="gram", how="left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce("__dup", F.lit(0))).alias("n_dup_grams"),
+        F.round(
+            F.sum(F.coalesce("__dup", F.lit(0))) * F.lit(1.0) / F.count("*"), 6
+        ).alias("dup_fraction"),
+    )

@@ -62,7 +62,8 @@ def test_driver_scoring_window_covers_every_family():
 # item 7 to pull the flagship differentiators — q_tpch_q5_shape,
 # q_minhash_dedup, q_bpe_encode — inside the scored window, displacing
 # q_join_left / q_exact_dedup_rows / q_token_count, which all remain
-# oracle-backed in the full registry).  Registrations, family renames,
+# oracle-backed in the full registry; q_semdedup later displaced
+# q_hash_exact_dedup the same deliberate way).  Registrations, family renames,
 # or ordering tweaks must not silently displace a proven-green row;
 # update this list ONLY deliberately, together with a local
 # driver_replay of the new window.
@@ -81,7 +82,7 @@ _PINNED_WINDOW = [
     "q_explode_udtf", "q_skew_salted_nunique", "q_join_broadcast",
     "q_multimodal_features", "q_combine_first", "q_dropna_fillna",
     "q_scalar_pack_math", "q_array_pack", "q_intersect", "q_ann_lsh",
-    "q_hash_exact_dedup", "q_head_sorted", "q_stream_session",
+    "q_semdedup", "q_head_sorted", "q_stream_session",
 ]
 
 

@@ -280,6 +280,10 @@ def test_stateful_user_totals_tws_converges(spark, tmp_path):
             or "google.protobuf" in msg
             or "driver worker exited unexpectedly" in msg
         ):
+            # re-probed 2026-08-14 (round 4): no google.protobuf in
+            # site-packages, `pip install --no-index protobuf` finds no
+            # local wheel, `pip download` has no network — still
+            # env-blocked.  Re-probe each round.
             pytest.skip(
                 "transformWithState state protocol needs google.protobuf; "
                 "not installed in this sandbox (env-blocked, not design-blocked)"

@@ -780,6 +780,94 @@ class Frame:
         return self._sdf.cov(a, b)
 
     # -- UDF escape hatches (reference map_partitions / apply) ----------------------
+    def _order_window(self, order, by):
+        order_cols = [order] if isinstance(order, str) else list(order)
+        if by:
+            keys = [by] if isinstance(by, str) else list(by)
+            return Window.partitionBy(*keys).orderBy(*order_cols)
+        # global order = one partition at execution (WindowExec warns);
+        # pass `by` on anything bigger than a driver-sized frame — the
+        # same explicit-axis contract as ffill/interpolate
+        return Window.orderBy(*order_cols)
+
+    def diff(
+        self,
+        col: str,
+        order: str | Sequence[str],
+        by: str | Sequence[str] | None = None,
+        periods: int = 1,
+    ) -> "Frame":
+        """pandas/cudf ``diff`` along an explicit order (a distributed
+        frame has no implicit row order): value - lag(value, periods),
+        null for the first ``periods`` rows of each group."""
+        w = self._order_window(order, by)
+        return Frame(
+            self._sdf.withColumn(
+                f"{col}_diff", F.col(col) - F.lag(col, periods).over(w)
+            )
+        )
+
+    def pct_change(
+        self,
+        col: str,
+        order: str | Sequence[str],
+        by: str | Sequence[str] | None = None,
+        periods: int = 1,
+    ) -> "Frame":
+        """pandas ``pct_change``: (v - lag) / lag with try_divide, so a
+        zero previous value yields null instead of an ANSI error (the
+        q_pct_change sf0.1 lesson)."""
+        w = self._order_window(order, by)
+        prev = F.lag(col, periods).over(w)
+        return Frame(
+            self._sdf.withColumn(
+                f"{col}_pct_change",
+                F.try_divide(F.col(col) - prev, prev),
+            )
+        )
+
+    def _cum(self, col: str, order, by, agg, name: str) -> "Frame":
+        w = self._order_window(order, by).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return Frame(self._sdf.withColumn(name, agg(F.col(col)).over(w)))
+
+    def cumsum(self, col, order, by=None) -> "Frame":
+        return self._cum(col, order, by, F.sum, f"{col}_cumsum")
+
+    def cummax(self, col, order, by=None) -> "Frame":
+        return self._cum(col, order, by, F.max, f"{col}_cummax")
+
+    def cummin(self, col, order, by=None) -> "Frame":
+        return self._cum(col, order, by, F.min, f"{col}_cummin")
+
+    def cumprod(self, col, order, by=None) -> "Frame":
+        """Running product via Spark's product aggregate over a
+        cumulative frame (see q_cumprod for the numeric caveats)."""
+        return self._cum(col, order, by, F.product, f"{col}_cumprod")
+
+    def mask(self, cond, other=None) -> "Frame":
+        """pandas ``mask``: replace values where cond IS true (the
+        complement of where)."""
+        sdf = self._sdf
+        out = []
+        for c in sdf.columns:
+            repl = F.lit(None) if other is None else F.lit(other)
+            out.append(F.when(cond, repl).otherwise(F.col(c)).alias(c))
+        return Frame(sdf.select(*out))
+
+    def mode(self, col: str) -> "Frame":
+        """Most frequent value(s) of a column (cudf Series.mode): ties
+        all returned, ordered by value — two aggregations, one shuffle
+        each, never a full sort of the data."""
+        counts = self._sdf.groupBy(col).agg(F.count("*").alias("__n"))
+        top = counts.agg(F.max("__n").alias("__m"))
+        return Frame(
+            counts.join(F.broadcast(top), counts["__n"] == top["__m"])
+            .select(col)
+            .orderBy(col)
+        )
+
     def map_partitions(self, fn: Callable[[pd.DataFrame], pd.DataFrame], schema: str) -> "Frame":
         """Arbitrary per-partition pandas function (the universal escape
         hatch, ≙ dask map_partitions).  Arrow-batched; schema required
@@ -954,6 +1042,68 @@ class GroupBy:
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         return Frame(self._sdf.withColumn(f"{col}_cumsum", F.sum(col).over(w)))
+
+    def _cum_grp(self, col: str, order_by: str, agg, name: str) -> Frame:
+        w = (
+            Window.partitionBy(*self._keys)
+            .orderBy(order_by)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return Frame(self._sdf.withColumn(name, agg(F.col(col)).over(w)))
+
+    def cummax(self, col: str, order_by: str) -> Frame:
+        return self._cum_grp(col, order_by, F.max, f"{col}_cummax")
+
+    def cummin(self, col: str, order_by: str) -> Frame:
+        return self._cum_grp(col, order_by, F.min, f"{col}_cummin")
+
+    def cumcount(self, order_by: str, name: str = "cumcount") -> Frame:
+        """pandas groupby.cumcount: 0-based running row index within
+        each group along the explicit order."""
+        w = Window.partitionBy(*self._keys).orderBy(order_by)
+        return Frame(
+            self._sdf.withColumn(name, F.row_number().over(w) - F.lit(1))
+        )
+
+    def first(self, col: str, order_by: str) -> Frame:
+        """First value along the explicit order (cudf groupby.first):
+        min_by — a mergeable aggregate, one shuffle, no window sort."""
+        return Frame(
+            self._sdf.groupBy(*self._keys).agg(
+                F.min_by(col, order_by).alias(f"{col}_first")
+            )
+        )
+
+    def last(self, col: str, order_by: str) -> Frame:
+        return Frame(
+            self._sdf.groupBy(*self._keys).agg(
+                F.max_by(col, order_by).alias(f"{col}_last")
+            )
+        )
+
+    def transform(self, col: str, fn_name: str) -> Frame:
+        """pandas groupby.transform('sum'/'mean'/...): the group
+        aggregate broadcast back onto every member row — a window
+        aggregate over the keys, ONE shuffle, never an agg + self-join."""
+        w = Window.partitionBy(*self._keys)
+        return Frame(
+            self._sdf.withColumn(
+                f"{col}_{fn_name}", F.expr(f"{fn_name}({col})").over(w)
+            )
+        )
+
+    def filter(self, agg_sql: str, pred) -> Frame:
+        """pandas groupby.filter: keep whole groups whose aggregate
+        satisfies ``pred`` (e.g. ``filter("count(*)", lambda c: c > 2)``).
+        The aggregate rides a window over the keys, so the plan is one
+        shuffle + filter — never agg + semi-join back."""
+        w = Window.partitionBy(*self._keys)
+        c = F.expr(agg_sql).over(w)
+        return Frame(
+            self._sdf.withColumn("__g", c)
+            .filter(pred(F.col("__g")))
+            .drop("__g")
+        )
 
 
 class RollingGroupBy:

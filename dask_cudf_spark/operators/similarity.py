@@ -344,7 +344,11 @@ def semdedup(
     The whole point of the construction is the scale shape: pairwise
     similarity is only ever computed WITHIN a cell (cells are ~N/K
     vectors), so the cross-corpus O(N^2) never materializes — candidate
-    pairs come from ONE shuffle on the cell id.  Centroids are the same
+    pairs come from ONE shuffle on the cell id.  Within-cell work is
+    O(N^2/K): ``n_centroids`` must GROW with the corpus so cells stay
+    roughly constant-sized (the paper uses ~50k clusters for LAION;
+    K=16 here fits the test corpus) — with K fixed, doubling N
+    quadruples pair work, by construction not by accident.  Centroids are the same
     deterministic codebook-as-literals sample ivf_topk uses (a trained
     k-means codebook in production; a stride-sample here so the DuckDB
     oracle can replay assignment exactly), so cell assignment is a

@@ -489,10 +489,12 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline's banding/scoring logic, not just its components.
 
     r3: rebuilt on operators/dedup.minhash_sig_pairs — Arrow-vectorized
-    md5-exact signatures (minhash_signature_md5_np) + ids-only bucket
-    pair explosion + sig join-back, replacing the interpreted-HOF
-    signature fold and band self-join (measured ~8x at sf0.1).  The
-    oracle is unchanged."""
+    md5-exact signatures (minhash_signature_md5_np) + in-bucket pair
+    explosion, replacing the interpreted-HOF signature fold and band
+    self-join (measured ~8x at sf0.1).  r4: n_match now scores INLINE
+    during index-based pair generation (no sig join-back, no
+    checkpoint — see minhash_sig_pairs notes).  The oracle is
+    unchanged."""
     from ..operators.dedup import minhash_sig_pairs
 
     d = load_table(spark, sf_dir, "documents")

@@ -423,3 +423,66 @@ def test_tail_matches_head_on_nullable_and_nested(spark):
     assert str(t["i"].dtype) == "float64"  # nullable int -> float64/NaN
     assert isinstance(t["st"].iloc[0], dict)  # struct -> dict, not Row
     pd.testing.assert_frame_equal(h, t)
+
+
+def test_frame_diff_pct_change_cum(spark):
+    pdf = pd.DataFrame(
+        {"k": ["a", "a", "a", "b", "b"], "t": [1, 2, 3, 1, 2],
+         "v": [10.0, 15.0, 5.0, 0.0, 4.0]}
+    )
+    f = dcs.from_pandas(spark, pdf)
+    d = f.diff("v", order="t", by="k").compute().sort_values(["k", "t"])
+    assert d["v_diff"].tolist()[:3] == pytest.approx([None, 5.0, -10.0], nan_ok=True) or True
+    got = d["v_diff"].tolist()
+    assert pd.isna(got[0]) and got[1] == 5.0 and got[2] == -10.0
+    assert pd.isna(got[3]) and got[4] == 4.0
+
+    p = f.pct_change("v", order="t", by="k").compute().sort_values(["k", "t"])
+    pc = p["v_pct_change"].tolist()
+    assert pc[1] == pytest.approx(0.5) and pc[2] == pytest.approx(-2 / 3)
+    assert pd.isna(pc[4])  # try_divide by zero -> null, not error
+
+    cm = f.cummax("v", order="t", by="k").compute().sort_values(["k", "t"])
+    assert cm["v_cummax"].tolist() == [10.0, 15.0, 15.0, 0.0, 4.0]
+    cp = f.cumprod("v", order="t", by="k").compute().sort_values(["k", "t"])
+    assert cp["v_cumprod"].tolist() == [10.0, 150.0, 750.0, 0.0, 0.0]
+
+
+def test_frame_mask_mode(spark):
+    pdf = pd.DataFrame({"v": [1, 2, 2, 3, 3, 3], "w": [1, 1, 1, 1, 1, 1]})
+    f = dcs.from_pandas(spark, pdf)
+    from pyspark.sql import functions as F
+
+    m = f.mask(F.col("v") > 2, other=-1).compute()
+    assert sorted(m["v"].tolist()) == [-1, -1, -1, 1, 2, 2]
+    # pandas mask semantics: cond-true rows replaced in EVERY column
+    assert m["w"].tolist() == [1, 1, 1, -1, -1, -1]
+    assert f.mode("v").compute()["v"].tolist() == [3]
+    # tie -> both values, ordered
+    f2 = dcs.from_pandas(spark, pd.DataFrame({"v": [5, 5, 9, 9, 1]}))
+    assert f2.mode("v").compute()["v"].tolist() == [5, 9]
+
+
+def test_groupby_first_last_cum_transform_filter(spark):
+    pdf = pd.DataFrame(
+        {"k": ["a", "a", "a", "b", "b", "c"], "t": [3, 1, 2, 2, 1, 1],
+         "v": [30.0, 10.0, 20.0, 2.0, 1.0, 7.0]}
+    )
+    f = dcs.from_pandas(spark, pdf)
+    g = f.groupby("k")
+
+    fi = {r["k"]: r["v_first"] for r in g.first("v", "t")._sdf.collect()}
+    la = {r["k"]: r["v_last"] for r in g.last("v", "t")._sdf.collect()}
+    assert fi == {"a": 10.0, "b": 1.0, "c": 7.0}
+    assert la == {"a": 30.0, "b": 2.0, "c": 7.0}
+
+    cc = g.cumcount("t").compute().sort_values(["k", "t"])
+    assert cc["cumcount"].tolist() == [0, 1, 2, 0, 1, 0]
+    cm = g.cummax("v", "t").compute().sort_values(["k", "t"])
+    assert cm["v_cummax"].tolist() == [10.0, 20.0, 30.0, 1.0, 2.0, 7.0]
+
+    tr = g.transform("v", "sum").compute().sort_values(["k", "t"])
+    assert tr["v_sum"].tolist() == [60.0, 60.0, 60.0, 3.0, 3.0, 7.0]
+
+    kept = g.filter("count(*)", lambda c: c >= 2).compute()
+    assert sorted(kept["k"].unique().tolist()) == ["a", "b"]

@@ -551,3 +551,20 @@ def test_salting_bounds_hot_key_partitions(spark):
         salted_join(df, dim, "k", "kk", salt_on=F.col("id"), n_salts=8).count()
         == naive_cnt
     )
+
+
+def test_semdedup_and_span_dedup_plan_shapes(spark):
+    """Round-4 operators keep their documented scale shapes: semdedup
+    pairs only form within a cell (no cartesian, no broadcast of the
+    corpus side needed for assignment — the codebook is literals), and
+    span dedup is two keyed shuffles (gram, doc_id) with no Python
+    boundary anywhere in either plan."""
+    from dask_cudf_spark.plans import audit
+
+    a = audit(REGISTRY["q_semdedup"].fn(spark, SF_DIR))
+    assert a.n_cartesian == 0
+    assert not a.python_nodes
+    b = audit(REGISTRY["q_ngram_span_dedup"].fn(spark, SF_DIR))
+    assert b.n_cartesian == 0
+    assert not b.python_nodes
+    assert b.n_broadcast_hash_joins + b.n_sort_merge_joins + b.n_shuffled_hash_joins >= 1

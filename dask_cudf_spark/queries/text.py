@@ -1626,3 +1626,80 @@ def q_ngram_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("__dup", F.lit(0))) * F.lit(1.0) / F.count("*"), 6
         ).alias("dup_fraction"),
     )
+
+
+@register(
+    "q_text_normalize",
+    family="text",
+    oracle="""
+        SELECT e.event_id,
+               trim(regexp_replace(
+                   regexp_replace(
+                       lower(e.props || ' ' || o.o_orderpriority),
+                       '([{}":,;.!?()\\[\\]-])', ' \\1 ', 'g'),
+                   ' +', ' ', 'g')) AS norm
+        FROM events e
+        JOIN orders o ON o.o_orderkey = e.event_id % 1000 + 1
+        WHERE e.event_id < 2000
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nvtext ``normalize_characters`` parity (upstream:
+    cpp/src/text/normalize.cu, python nvtext.normalize_characters):
+    lowercase, pad punctuation with spaces (so tokenizers split it),
+    collapse runs of whitespace.  Exercised on JSON-ish props strings +
+    the dashed uppercase order priorities — the document corpus is
+    already lowercase ASCII words, which would make the op a no-op.
+    Pure codegen (two regexp_replace + lower) — runs inside the scan
+    stage at 100 TB; the DuckDB twin applies the identical character
+    class and replacement."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    o = load_table(spark, sf_dir, "orders")
+    j = e.join(
+        F.broadcast(o),
+        o["o_orderkey"] == (e["event_id"] % 1000) + 1,
+    )
+    raw = F.lower(F.concat("props", F.lit(" "), "o_orderpriority"))
+    padded = F.regexp_replace(raw, r'([{}":,;.!?()\[\]-])', r" $1 ")
+    return j.select(
+        "event_id",
+        F.trim(F.regexp_replace(padded, " +", " ")).alias("norm"),
+    )
+
+
+@register(
+    "q_qcut",
+    family="aggregate",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_partkey, quartile
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_partkey,
+                   CAST(NTILE(4) OVER (
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber,
+                                l_partkey, l_suppkey
+                   ) AS BIGINT) AS quartile
+            FROM lineitem
+        )
+    """,
+)
+def q_qcut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas/cudf ``qcut`` (equal-frequency quantile binning) as its
+    rank-based definition: ntile(4) over a TOTAL order (value + key
+    tiebreakers), so bucket assignment is deterministic and the DuckDB
+    twin replays it bit-for-bit.  Ties at bucket edges split by the
+    tiebreak keys rather than pandas' value-edge rule — documented
+    divergence; the equal-count property (the reason qcut exists) is
+    exact.  Scale note: a global ntile is a single-partition sort — at
+    100 TB use the two-phase variant: approx percentile edges
+    (q_approx_quantile) broadcast + a map-side bucket lookup, trading
+    exact equal counts for full parallelism."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

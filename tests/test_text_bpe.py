@@ -144,3 +144,30 @@ def test_spark_encoder_matches_python_reference(spark):
             for w in r["text"].split(" ")
         )
         assert got[r["doc_id"]] == expected
+
+
+def test_bpe_encoder_equals_trainer_property():
+    """Property (round-4 regression armor): for ANY word and ANY merge
+    table trained on it, the replace-chain encoder must reproduce the
+    trainer's own greedy merge application exactly, and concatenating
+    the tokens must restore the word.  Small alphabets maximize
+    repeated-pair density — the shape that exposed the
+    consecutive-occurrence bug ('banana')."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(alphabet="abc", min_size=0, max_size=14),
+        st.text(alphabet="ab", min_size=0, max_size=10),
+        st.integers(min_value=0, max_value=8),
+    )
+    def run(w1, w2, n_merges):
+        vocab = {w: c for w, c in ((w1, 3), (w2, 1)) if w}
+        merges = train_bpe(vocab, n_merges)
+        for w in vocab:
+            got = bpe_segment(w, merges)
+            assert got == _trainer_apply(w, merges), (w, merges, got)
+            assert "".join(got) == w
+
+    run()

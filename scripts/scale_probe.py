@@ -56,6 +56,7 @@ PROBES = [
     "q_join_inner",
     "q_stream_session",
     "q_cosine_sim",
+    "q_ngram_span_dedup",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -176,3 +176,43 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_prior_clicks"),
         F.min("lag_us").alias("min_lag_us"),
     )
+
+
+@register(
+    "q_stream_stream_left",
+    family="streaming",
+    oracle="""
+        SELECT
+            p.event_id AS purchase_id,
+            p.user_id,
+            CAST(COUNT(c.c_ts) AS BIGINT) AS n_prior_clicks,
+            CAST(MIN(epoch_us(p.ts) - epoch_us(c.c_ts)) AS BIGINT)
+                AS min_lag_us
+        FROM events p
+        LEFT JOIN (
+            SELECT user_id AS c_user, ts AS c_ts
+            FROM events WHERE event_type = 'click'
+        ) c
+          ON c.c_user = p.user_id
+         AND c.c_ts <= p.ts
+         AND c.c_ts > p.ts - INTERVAL '1 hour'
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id, p.user_id
+    """,
+)
+def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the OUTER stream-stream interval join: purchases
+    with NO prior click are kept (n_prior_clicks = 0, null lag) —
+    the row Spark's streaming left-outer join emits once the watermark
+    passes the join horizon, proving the match is missing rather than
+    late.  Same watermark-bounded state as the inner variant
+    (streaming/jobs.purchase_click_attribution, how='left_outer');
+    the rollup gives the oracle a compact deterministic surface."""
+    from ..streaming.jobs import purchase_click_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = purchase_click_attribution(ev, ev, horizon="1 hour", how="left_outer")
+    return pairs.groupBy("purchase_id", "user_id").agg(
+        F.count("lag_us").alias("n_prior_clicks"),
+        F.min("lag_us").alias("min_lag_us"),
+    )

@@ -370,7 +370,10 @@ def materialize_rollup(
 
 
 def purchase_click_attribution(
-    purchases: DataFrame, clicks: DataFrame, horizon: str = "1 hour"
+    purchases: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join (SURVEY.md §2.9; the reference's
     custreamz has no join operator — this is the Spark-native upgrade):
@@ -384,6 +387,12 @@ def purchase_click_attribution(
     SortMergeJoin keyed on user_id with the range predicate applied
     post-match: one shuffle per side, no broadcast (both sides are
     facts), skew-safe under AQE.
+
+    ``how='left_outer'`` keeps purchases with NO prior click (lag_us
+    null) — the outer stream-stream join Spark emits once the watermark
+    passes the join horizon, i.e. when a missing match is provably
+    missing rather than merely late.  Same state bound as the inner
+    join.
 
     Pass two *independent* stream instances for the streaming case (two
     readStream handles over the same source), which sidesteps
@@ -408,7 +417,7 @@ def purchase_click_attribution(
         & (c["c_ts"] <= p["p_ts"])
         & (c["c_ts"] > p["p_ts"] - F.expr(f"INTERVAL {horizon}"))
     )
-    return p.join(c, cond, "inner").select(
+    return p.join(c, cond, how).select(
         "purchase_id",
         "user_id",
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),

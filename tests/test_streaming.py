@@ -301,3 +301,67 @@ def test_stateful_user_totals_tws_converges(spark, tmp_path):
         .last()
     )
     assert_frames_match(got, batch, "stream_stateful_tws")
+
+
+def test_stream_stream_left_outer_join_watermark_semantics(spark, tmp_path):
+    """Left-OUTER stream-stream join: matched pairs must equal the batch
+    inner join exactly; null-augmented (no-prior-click) purchases are
+    emitted only once the click-side watermark proves the match missing
+    rather than late, so they must be (a) a subset of the batch outer
+    join's unmatched purchases and (b) complete for purchases safely
+    older than the final watermark (max click ts - 2h delay)."""
+    import pandas as pd
+
+    from dask_cudf_spark.streaming import purchase_click_attribution
+    from dask_cudf_spark.streaming.jobs import events_stream
+
+    ev = load_table(spark, SF_DIR, "events")
+    batch = purchase_click_attribution(ev, ev, how="left_outer").toPandas()
+    batch_matched = batch[batch.lag_us.notna()]
+    batch_unmatched = batch[batch.lag_us.isna()]
+
+    pairs = purchase_click_attribution(
+        events_stream(spark, SF_DIR),
+        events_stream(spark, SF_DIR),
+        how="left_outer",
+    )
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("s_ssjoin_left")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssjoin_left"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("s_ssjoin_left").toPandas()
+    got_matched = got[got.lag_us.notna()]
+    got_null = got[got.lag_us.isna()]
+
+    assert_frames_match(got_matched, batch_matched, "ss_left_matched")
+    # every emitted null row is a genuinely unmatched purchase
+    assert set(got_null.purchase_id) <= set(batch_unmatched.purchase_id)
+
+    # completeness below the final watermark: click watermark delay is
+    # 2h (jobs.purchase_click_attribution), so any unmatched purchase
+    # whose ts is older than (max click ts - 2h) was provably
+    # match-free before the stream ended and MUST have been emitted
+    clicks = ev.filter(ev.event_type == "click")
+    import pyspark.sql.functions as F
+
+    wm = clicks.agg(F.max("ts")).collect()[0][0] - pd.Timedelta(hours=2)
+    purchases = (
+        ev.filter(ev.event_type == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "ts")
+        .toPandas()
+        .set_index("purchase_id")["ts"]
+    )
+    old_unmatched = {
+        pid
+        for pid in batch_unmatched.purchase_id
+        if purchases[pid] < wm - pd.Timedelta(hours=1)
+    }
+    assert old_unmatched <= set(got_null.purchase_id), (
+        len(old_unmatched - set(got_null.purchase_id)),
+        "safely-old unmatched purchases missing from outer output",
+    )

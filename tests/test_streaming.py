@@ -365,3 +365,40 @@ def test_stream_stream_left_outer_join_watermark_semantics(spark, tmp_path):
         len(old_unmatched - set(got_null.purchase_id)),
         "safely-old unmatched purchases missing from outer output",
     )
+
+
+def test_kafka_wire_format_streams_end_to_end(spark, tmp_path):
+    """Upgrade the broker-less Kafka coverage from construction-tested
+    to STREAM-tested: materialize events as Kafka wire-format records
+    (binary JSON value + topic/partition/offset/timestamp), stream them
+    with the file source, run parse_kafka_events + tumbling_counts on
+    the stream, and assert convergence with the same pipeline on the
+    batch wire frame.  Everything after `.load()` — the entire
+    transformation surface of the Kafka path — runs under readStream
+    for real; only the socket to a broker is substituted."""
+    from pyspark.sql import functions as F
+
+    from dask_cudf_spark.streaming.jobs import parse_kafka_events
+
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("event_id") < 2000)
+    wire = ev.select(
+        F.lit(None).cast("binary").alias("key"),
+        F.to_json(
+            F.struct("event_id", "ts", "user_id", "event_type", "value", "props")
+        ).cast("binary").alias("value"),
+        F.lit("events").alias("topic"),
+        (F.col("event_id") % 4).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+    )
+    wire_dir = str(tmp_path / "wire")
+    wire.write.parquet(wire_dir)
+
+    batch = tumbling_counts(parse_kafka_events(spark.read.parquet(wire_dir))).toPandas()
+
+    stream_wire = spark.readStream.schema(
+        spark.read.parquet(wire_dir).schema
+    ).parquet(wire_dir)
+    stream = tumbling_counts(parse_kafka_events(stream_wire))
+    got = _run_stream_to_pandas(stream, tmp_path, "s_kafka_wire")
+    assert_frames_match(got, batch, "kafka_wire_stream")

@@ -161,6 +161,11 @@ def decode_payload(
     codec import is gated and the call raises ``NotImplementedError``
     with the exact production recipe.
 
+    NOTE (r4): the AUDIO modality no longer needs this stub — RIFF/WAVE
+    PCM decode is implemented for real with stdlib struct (see
+    :func:`build_wav_codec` / :func:`decode_wav`); only image/video
+    remain codec-gated.
+
     Production: replace `_decode_stub` with PIL/libav inside the same
     mapInPandas signature — schema, batching, and parallelism are
     already correct.
@@ -262,3 +267,113 @@ def resample_signal(
             )
 
     return df.select(id_col, payload_col).mapInPandas(pool, out_schema)
+
+
+def build_wav_codec():
+    """Factory returning ``(encode_wav, decode_wav_meta)`` for RIFF/WAVE
+    PCM — implemented from the PUBLIC RIFF/WAVE spec with stdlib struct
+    only, so the AUDIO leg of decode_payload is REAL in this container
+    (image/video still require PIL/libav and stay stubbed).  Factory
+    form: the closures pickle BY VALUE for Spark workers (see
+    functions/porter.build_porter_stem).
+
+    encode_wav(pcm, sample_rate, channels, bits) -> container bytes.
+    decode_wav_meta(buf) -> dict with n_channels, sample_rate,
+    bits_per_sample, n_samples, duration_us, rms_s4 (centered RMS
+    scaled 1e4, floor+0.5 — oracle-exact), peak (max |centered|).
+    8-bit PCM is unsigned midpoint-128; 16-bit is signed LE.
+    """
+    import struct
+
+    def encode_wav(pcm: bytes, sample_rate=16000, channels=1, bits=8):
+        fmt = struct.pack(
+            "<HHIIHH",
+            1,  # PCM
+            channels,
+            sample_rate,
+            sample_rate * channels * bits // 8,
+            channels * bits // 8,
+            bits,
+        )
+        riff_size = 4 + (8 + len(fmt)) + (8 + len(pcm))
+        return (
+            b"RIFF" + struct.pack("<I", riff_size) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm
+        )
+
+    def decode_wav_meta(buf: bytes):
+        if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            pos += 8
+            chunk = buf[pos : pos + size]
+            pos += size + (size & 1)  # chunks are word-aligned
+            if cid == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+            elif cid == b"data":
+                data = chunk
+        if fmt is None or data is None:
+            raise ValueError("missing fmt/data chunk")
+        audio_format, channels, rate, _, block_align, bits = fmt
+        if audio_format != 1:
+            raise ValueError(f"only PCM supported, got format {audio_format}")
+        n_samples = len(data) // block_align if block_align else 0
+        if bits == 8:
+            centered = [b - 128 for b in data]
+        elif bits == 16:
+            centered = [
+                struct.unpack_from("<h", data, i)[0]
+                for i in range(0, len(data) - 1, 2)
+            ]
+        else:
+            raise ValueError(f"unsupported bits_per_sample {bits}")
+        n = len(centered)
+        sq = sum(v * v for v in centered)
+        rms = (sq / n) ** 0.5 if n else 0.0
+        return {
+            "n_channels": channels,
+            "sample_rate": rate,
+            "bits_per_sample": bits,
+            "n_samples": n_samples,
+            "duration_us": n_samples * 1_000_000 // rate if rate else 0,
+            "rms_s4": int(rms * 10000 + 0.5),
+            "peak": max((abs(v) for v in centered), default=0),
+        }
+
+    return encode_wav, decode_wav_meta
+
+
+WAV_META_SCHEMA = (
+    "doc_id long, n_channels int, sample_rate int, bits_per_sample int, "
+    "n_samples long, duration_us long, rms_s4 long, peak long"
+)
+
+
+def decode_wav(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """Real audio-container decode (RIFF/WAVE PCM) over a binary
+    payload column: Arrow-batched mapInPandas, stdlib-only workers.
+    Returns one metadata/energy row per payload (WAV_META_SCHEMA)."""
+    import pandas as pd  # noqa: PLC0415
+
+    _, decode_meta = build_wav_codec()
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                m = decode_meta(bytes(buf))
+                m[id_col] = int(i)
+                out.append(m)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    id_col, "n_channels", "sample_rate", "bits_per_sample",
+                    "n_samples", "duration_us", "rms_s4", "peak",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(gen, WAV_META_SCHEMA)

@@ -160,3 +160,72 @@ def q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     )
     return resample_signal(docs, factor=8, head=4)
+
+
+@register(
+    "q_multimodal_wav",
+    family="multimodal",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n,
+                   list_transform(
+                       range(octet_length(encode(text))),
+                       i -> ascii(substr(text, i + 1, 1)) - 128
+                   ) AS centered
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT doc_id,
+               1 AS n_channels,
+               16000 AS sample_rate,
+               8 AS bits_per_sample,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(FLOOR(n * 1000000.0 / 16000) AS BIGINT) AS duration_us,
+               CAST(FLOOR(sqrt(list_sum(list_transform(centered, v -> v * v))
+                               * 1.0 / n) * 10000 + 0.5) AS BIGINT) AS rms_s4,
+               CAST(list_max(list_transform(centered, v -> abs(v)))
+                    AS BIGINT) AS peak
+        FROM b
+    """,
+)
+def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-container decode (round 4): text bytes become 8-bit
+    PCM wrapped in a spec-written RIFF/WAVE container, and the decoder
+    parses the container back (fmt/data chunks, alignment, bit depth)
+    and computes signal stats — a genuine codec round trip with stdlib
+    struct only, closing the 'decode is stubbed' gap for the audio
+    modality (image/video still need PIL/libav and stay gated).  One
+    Arrow-batched mapInPandas stage; the DuckDB oracle recomputes every
+    stat from the same bytes (ASCII corpus: byte i = ascii(char i))."""
+    from ..operators.multimodal import build_wav_codec
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    encode_wav, decode_meta = build_wav_codec()
+
+    def gen(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                wav = encode_wav(t.encode("utf-8"), 16000, 1, 8)
+                m = decode_meta(wav)
+                m["doc_id"] = int(i)
+                out.append(m)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_channels", "sample_rate", "bits_per_sample",
+                    "n_samples", "duration_us", "rms_s4", "peak",
+                ],
+            )
+
+    return d.mapInPandas(
+        gen,
+        "doc_id long, n_channels int, sample_rate int, bits_per_sample int, "
+        "n_samples long, duration_us long, rms_s4 long, peak long",
+    )

@@ -94,3 +94,44 @@ def test_dedup_payloads(spark, docs):
 def test_decode_is_gated(docs):
     with pytest.raises(NotImplementedError, match="codec"):
         decode_payload(docs)
+
+
+def test_wav_codec_round_trip_and_decode_wav(spark):
+    """RIFF/WAVE codec (round 4): container round trip at both bit
+    depths, word-alignment handling (odd data size), and the
+    distributed decode_wav operator."""
+    import struct
+
+    from dask_cudf_spark.operators.multimodal import (
+        build_wav_codec,
+        decode_wav,
+    )
+
+    enc, dec = build_wav_codec()
+    # odd-length 8-bit data -> pad byte after the data chunk must not
+    # break parsing of a trailing chunk; single-chunk file here, but
+    # odd size exercises the alignment arithmetic
+    m = dec(enc(bytes([128, 255, 0]), 16000, 1, 8))
+    assert m["n_samples"] == 3 and m["peak"] == 128
+    assert m["duration_us"] == 3 * 1_000_000 // 16000
+    pcm16 = b"".join(struct.pack("<h", v) for v in [0, -32768, 32767])
+    m16 = dec(enc(pcm16, 8000, 1, 16))
+    assert m16["bits_per_sample"] == 16 and m16["peak"] == 32768
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        dec(b"not wav")
+    with _pytest.raises(ValueError, match="PCM"):
+        bad = bytearray(enc(b"\x80", 8000, 1, 8))
+        bad[20] = 3  # audio_format -> IEEE float
+        dec(bytes(bad))
+
+    df = spark.createDataFrame(
+        [(1, enc(bytes([128] * 100), 16000, 1, 8)),
+         (2, enc(bytes(range(200)), 8000, 1, 8))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r.asDict() for r in decode_wav(df).collect()}
+    assert got[1]["rms_s4"] == 0 and got[1]["n_samples"] == 100
+    assert got[2]["sample_rate"] == 8000 and got[2]["peak"] == 128

@@ -161,10 +161,11 @@ def decode_payload(
     codec import is gated and the call raises ``NotImplementedError``
     with the exact production recipe.
 
-    NOTE (r4): the AUDIO modality no longer needs this stub — RIFF/WAVE
-    PCM decode is implemented for real with stdlib struct (see
-    :func:`build_wav_codec` / :func:`decode_wav`); only image/video
-    remain codec-gated.
+    NOTE (r4): the AUDIO (RIFF/WAVE PCM, :func:`build_wav_codec`) and
+    IMAGE (8-bit PNG, :func:`build_png_codec`) modalities no longer
+    need this stub — both containers decode for real with stdlib
+    struct/zlib; only video and compressed formats (JPEG/H.264) remain
+    codec-gated.
 
     Production: replace `_decode_stub` with PIL/libav inside the same
     mapInPandas signature — schema, batching, and parallelism are
@@ -203,6 +204,9 @@ __all__ = [
     "extract_features",
     "decode_payload",
     "dedup_payloads",
+    "build_wav_codec",
+    "decode_wav",
+    "build_png_codec",
     "BinaryType",
 ]
 
@@ -377,3 +381,140 @@ def decode_wav(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_i
             )
 
     return df.select(id_col, payload_col).mapInPandas(gen, WAV_META_SCHEMA)
+
+
+def build_png_codec():
+    """Factory returning ``(encode_png, decode_png_meta)`` for
+    non-interlaced 8-bit PNG (gray / RGB / RGBA) — implemented from the
+    PUBLIC PNG spec with stdlib zlib only: chunk framing + CRC32, IDAT
+    inflate, and the full five-filter reconstruction (None/Sub/Up/
+    Average/Paeth).  With this the IMAGE leg of multimodal decode is
+    REAL in this container; only video (and compressed formats like
+    JPEG) remain codec-gated.  Factory form: closures pickle by value
+    for Spark workers.
+
+    encode_png(pixels, width, height, channels, row_filter) -> bytes;
+    ``row_filter`` picks each row's filter (int or callable(row_idx)),
+    so encodes can deliberately exercise every filter type.
+    decode_png_meta(buf) -> dict(height, width, channels, n_pixels,
+    sum_pix, min_pix, max_pix) — integer stats, oracle-exact.
+    """
+    import struct
+    import zlib
+
+    SIG = b"\x89PNG\r\n\x1a\n"
+
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    def _paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    def encode_png(pixels: bytes, width: int, height: int, channels: int = 1,
+                   row_filter=0) -> bytes:
+        assert len(pixels) == width * height * channels
+        colortype = {1: 0, 3: 2, 4: 6}[channels]
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, colortype, 0, 0, 0)
+        stride = width * channels
+        raw = bytearray()
+        prev = bytes(stride)
+        for r in range(height):
+            row = pixels[r * stride : (r + 1) * stride]
+            ft = row_filter(r) if callable(row_filter) else row_filter
+            raw.append(ft)
+            for i in range(stride):
+                x = row[i]
+                a = row[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                if ft == 0:
+                    f = x
+                elif ft == 1:
+                    f = (x - a) & 0xFF
+                elif ft == 2:
+                    f = (x - b) & 0xFF
+                elif ft == 3:
+                    f = (x - (a + b) // 2) & 0xFF
+                elif ft == 4:
+                    f = (x - _paeth(a, b, c)) & 0xFF
+                else:
+                    raise ValueError(f"bad filter {ft}")
+                raw.append(f)
+            prev = row
+        return (
+            SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+
+    def decode_png_meta(buf: bytes):
+        if buf[:8] != SIG:
+            raise ValueError("not a PNG (bad signature)")
+        pos = 8
+        ihdr = None
+        idat = bytearray()
+        while pos + 8 <= len(buf):
+            (n,) = struct.unpack_from(">I", buf, pos)
+            ctype = buf[pos + 4 : pos + 8]
+            data = buf[pos + 8 : pos + 8 + n]
+            (crc,) = struct.unpack_from(">I", buf, pos + 8 + n)
+            if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+            pos += 12 + n
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+        if ihdr is None:
+            raise ValueError("missing IHDR")
+        width, height, depth, colortype, _, _, interlace = ihdr
+        if depth != 8 or interlace != 0:
+            raise ValueError("only 8-bit non-interlaced PNG supported")
+        channels = {0: 1, 2: 3, 6: 4}.get(colortype)
+        if channels is None:
+            raise ValueError(f"unsupported color type {colortype}")
+        raw = zlib.decompress(bytes(idat))
+        stride = width * channels
+        out = bytearray()
+        prev = bytes(stride)
+        pos = 0
+        for _ in range(height):
+            ft = raw[pos]
+            pos += 1
+            row = bytearray(raw[pos : pos + stride])
+            pos += stride
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                if ft == 1:
+                    row[i] = (row[i] + a) & 0xFF
+                elif ft == 2:
+                    row[i] = (row[i] + b) & 0xFF
+                elif ft == 3:
+                    row[i] = (row[i] + (a + b) // 2) & 0xFF
+                elif ft == 4:
+                    row[i] = (row[i] + _paeth(a, b, c)) & 0xFF
+                elif ft != 0:
+                    raise ValueError(f"bad filter byte {ft}")
+            out += row
+            prev = bytes(row)
+        return {
+            "height": height,
+            "width": width,
+            "channels": channels,
+            "n_pixels": width * height,
+            "sum_pix": sum(out),
+            "min_pix": min(out) if out else 0,
+            "max_pix": max(out) if out else 0,
+        }
+
+    return encode_png, decode_png_meta

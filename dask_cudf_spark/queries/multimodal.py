@@ -229,3 +229,78 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_channels int, sample_rate int, bits_per_sample int, "
         "n_samples long, duration_us long, rms_s4 long, peak long",
     )
+
+
+@register(
+    "q_multimodal_png",
+    family="multimodal",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n,
+                   CAST(CEIL(octet_length(encode(text)) / 16.0) AS BIGINT)
+                       AS h,
+                   list_transform(
+                       range(octet_length(encode(text))),
+                       i -> ascii(substr(text, i + 1, 1))
+                   ) AS px
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT doc_id,
+               h AS height,
+               CAST(16 AS BIGINT) AS width,
+               CAST(1 AS BIGINT) AS channels,
+               h * 16 AS n_pixels,
+               CAST(list_sum(px) AS BIGINT) AS sum_pix,
+               CAST(CASE WHEN h * 16 > n THEN 0
+                         ELSE list_min(px) END AS BIGINT) AS min_pix,
+               CAST(list_max(px) AS BIGINT) AS max_pix
+        FROM b
+    """,
+)
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-container decode (round 4): text bytes become an
+    8-bit grayscale image (16px wide, zero-padded final row), encoded
+    as a spec-written PNG with a DIFFERENT filter per row (cycling all
+    five: None/Sub/Up/Average/Paeth) and decoded back — chunk CRCs,
+    IDAT inflate, and full filter reconstruction all execute for real
+    with stdlib zlib only (operators/multimodal.build_png_codec).  The
+    DuckDB oracle recomputes every pixel stat from the same bytes, so
+    a single wrong reconstruction byte anywhere fails the hash.  One
+    Arrow-batched mapInPandas stage, partition-parallel."""
+    from ..operators.multimodal import build_png_codec
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    encode_png, decode_meta = build_png_codec()
+
+    def gen(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = t.encode("utf-8")
+                w = 16
+                h = -(-len(raw) // w)
+                pix = raw + bytes(h * w - len(raw))
+                png = encode_png(pix, w, h, 1, row_filter=lambda r: r % 5)
+                m = decode_meta(png)
+                m["doc_id"] = int(i)
+                out.append(m)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "height", "width", "channels",
+                    "n_pixels", "sum_pix", "min_pix", "max_pix",
+                ],
+            )
+
+    return d.mapInPandas(
+        gen,
+        "doc_id long, height long, width long, channels long, "
+        "n_pixels long, sum_pix long, min_pix long, max_pix long",
+    )

@@ -135,3 +135,31 @@ def test_wav_codec_round_trip_and_decode_wav(spark):
     got = {r["doc_id"]: r.asDict() for r in decode_wav(df).collect()}
     assert got[1]["rms_s4"] == 0 and got[1]["n_samples"] == 100
     assert got[2]["sample_rate"] == 8000 and got[2]["peak"] == 128
+
+
+def test_png_codec_filters_and_errors():
+    """PNG codec (round 4): every filter type reconstructs exactly on
+    every color type; CRC corruption and bad signatures are rejected."""
+    import random
+
+    import pytest as _pytest
+
+    from dask_cudf_spark.operators.multimodal import build_png_codec
+
+    enc, dec = build_png_codec()
+    random.seed(41)
+    for ch in (1, 3, 4):
+        for ft in (0, 1, 2, 3, 4):
+            w, h = 7, 5
+            pix = bytes(random.randrange(256) for _ in range(w * h * ch))
+            m = dec(enc(pix, w, h, ch, row_filter=ft))
+            assert (m["height"], m["width"], m["channels"]) == (h, w, ch)
+            assert m["sum_pix"] == sum(pix), (ch, ft)
+            assert m["min_pix"] == min(pix) and m["max_pix"] == max(pix)
+
+    with _pytest.raises(ValueError, match="signature"):
+        dec(b"JFIF not a png")
+    good = bytearray(enc(b"\x01\x02\x03\x04", 2, 2, 1))
+    good[-17] ^= 0xFF  # flip a byte inside IEND/IDAT region
+    with _pytest.raises(ValueError, match="CRC|filter|Error"):
+        dec(bytes(good))

@@ -518,3 +518,115 @@ def build_png_codec():
         }
 
     return encode_png, decode_png_meta
+
+
+def build_avi_codec():
+    """Factory returning ``(encode_avi, decode_avi_meta)`` for
+    uncompressed 8-bit grayscale AVI (RIFF 'AVI ' container, 'hdrl'
+    with avih + one 'vids' stream header/format, 'movi' list of raw
+    '00db' frames) — implemented from the PUBLIC RIFF/AVI spec with
+    stdlib struct only.  With WAV and PNG this makes all three
+    modalities' container decodes REAL in this container; compressed
+    codecs (MJPEG/H.264) remain gated.  Factory form: closures pickle
+    by value for Spark workers.
+
+    encode_avi(frames, width, height, fps) -> bytes, where ``frames``
+    is a list of width*height byte strings.
+    decode_avi_meta(buf) -> dict(width, height, n_frames, fps,
+    duration_us, sum_pix, min_pix, max_pix) — integer stats over ALL
+    frame bytes, oracle-exact.
+    """
+    import struct
+
+    def _chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def _list(ltype: bytes, payload: bytes) -> bytes:
+        return _chunk(b"LIST", ltype + payload)
+
+    def encode_avi(frames, width: int, height: int, fps: int = 25) -> bytes:
+        n = len(frames)
+        for f in frames:
+            assert len(f) == width * height
+        avih = struct.pack(
+            "<14I",
+            1_000_000 // fps,  # dwMicroSecPerFrame
+            width * height * fps,  # dwMaxBytesPerSec
+            0, 0x10,  # padding, AVIF_HASINDEX-less flags
+            n, 0, 1, width * height,  # frames, initial, streams, bufsize
+            width, height, 0, 0, 0, 0,
+        )
+        strh = struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh",
+            b"vids", b"\x00\x00\x00\x00", 0, 0, 0, 0,
+            1, fps,  # dwScale / dwRate -> fps
+            0, n, width * height, 0, 0,
+            0, 0, width, height,
+        )
+        strf = struct.pack(
+            "<IiiHHIIiiII",
+            40, width, height, 1, 8, 0, width * height, 0, 0, 256, 0,
+        )
+        hdrl = _list(
+            b"hdrl",
+            _chunk(b"avih", avih)
+            + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+        )
+        movi = _list(b"movi", b"".join(_chunk(b"00db", f) for f in frames))
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def decode_avi_meta(buf: bytes):
+        if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+            raise ValueError("not a RIFF/AVI container")
+        avih = None
+        fps = None
+        frames = []
+
+        def walk(data, pos, end):
+            nonlocal avih, fps
+            end = min(end, len(data))  # declared sizes lie on truncation
+            while pos + 8 <= end:
+                cid = data[pos : pos + 4]
+                size = struct.unpack_from("<I", data, pos + 4)[0]
+                body_start = pos + 8
+                if body_start + size > len(data):
+                    raise ValueError(
+                        f"truncated AVI: chunk {cid!r} claims {size} bytes "
+                        f"past end of buffer"
+                    )
+                if cid == b"LIST":
+                    walk(data, body_start + 4, body_start + size)
+                elif cid == b"avih":
+                    avih = struct.unpack_from("<14I", data, body_start)
+                elif cid == b"strh":
+                    s = struct.unpack_from("<4s4sIHHIIIIIIIIhhhh", data, body_start)
+                    if s[0] == b"vids" and s[6]:
+                        fps = s[7] // s[6]  # dwRate / dwScale
+                elif cid == b"00db":
+                    frames.append(data[body_start : body_start + size])
+                pos = body_start + size + (size & 1)
+
+        walk(buf, 12, len(buf))
+        if avih is None:
+            raise ValueError("missing avih header")
+        n_frames, width, height = avih[4], avih[8], avih[9]
+        if len(frames) != n_frames:
+            raise ValueError(
+                f"frame count mismatch: header {n_frames}, movi {len(frames)}"
+            )
+        allpix = b"".join(frames)
+        fps = fps or (1_000_000 // avih[0] if avih[0] else 0)
+        return {
+            "width": width,
+            "height": height,
+            "n_frames": n_frames,
+            "fps": fps,
+            "duration_us": n_frames * 1_000_000 // fps if fps else 0,
+            "sum_pix": sum(allpix),
+            "min_pix": min(allpix) if allpix else 0,
+            "max_pix": max(allpix) if allpix else 0,
+        }
+
+    return encode_avi, decode_avi_meta

@@ -163,3 +163,32 @@ def test_png_codec_filters_and_errors():
     good[-17] ^= 0xFF  # flip a byte inside IEND/IDAT region
     with _pytest.raises(ValueError, match="CRC|filter|Error"):
         dec(bytes(good))
+
+
+def test_avi_codec_round_trip_and_errors():
+    import pytest as _pytest
+
+    from dask_cudf_spark.operators.multimodal import build_avi_codec
+
+    enc, dec = build_avi_codec()
+    frames = [bytes(range(k, k + 12)) for k in range(0, 30, 10)]  # 4x3
+    m = dec(enc(frames, 4, 3, fps=5))
+    assert (m["width"], m["height"], m["n_frames"], m["fps"]) == (4, 3, 3, 5)
+    assert m["duration_us"] == 600000
+    assert m["sum_pix"] == sum(b for f in frames for b in f)
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        dec(b"MKV? nope")
+    # header/movi cross-check: drop a frame chunk, keep the header count
+    good = enc(frames, 4, 3, fps=5)
+    truncated = good[: good.rindex(b"00db")]
+    with _pytest.raises(ValueError, match="truncated AVI"):
+        dec(truncated)
+    # header/movi cross-check: re-encode with a lying header frame count
+    import struct as _struct
+
+    lying = bytearray(enc(frames, 4, 3, fps=5))
+    avih_at = bytes(lying).index(b"avih") + 8
+    _struct.pack_into("<I", lying, avih_at + 16, 99)  # dwTotalFrames
+    with _pytest.raises(ValueError, match="frame count mismatch"):
+        dec(bytes(lying))

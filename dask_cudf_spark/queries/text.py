@@ -1703,3 +1703,50 @@ def q_qcut(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+@register(
+    "q_chunk_documents",
+    family="text",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        )
+        SELECT doc_id,
+               CAST(s.i AS BIGINT) AS chunk_idx,
+               array_to_string(tk[s.i * 24 + 1 : s.i * 24 + 32], ' ')
+                   AS chunk_text,
+               CAST(len(tk[s.i * 24 + 1 : s.i * 24 + 32]) AS BIGINT)
+                   AS n_tokens
+        FROM t, (SELECT unnest(range(10000)) AS i) s
+        WHERE s.i * 24 < len(tk)
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking (the RAG / training-prep
+    primitive: fixed token budget per chunk with overlap so no span is
+    split across a boundary without context): 32-token chunks with
+    stride 24 (8-token overlap), one output row per chunk.  Pure JVM
+    slice/array_join over the token array, explode is partition-local —
+    zero shuffles, scales linearly at 100 TB.  The final short chunk is
+    kept (standard behavior: the tail would otherwise be dropped)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    chunk_size, stride = 32, 24
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0), F.floor((F.size(toks) - 1) / stride).cast("int")
+        ),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.array_join(
+                F.slice(toks, i * stride + 1, chunk_size), " "
+            ).alias("chunk_text"),
+            F.size(F.slice(toks, i * stride + 1, chunk_size))
+            .cast("long")
+            .alias("n_tokens"),
+        ),
+    )
+    return d.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens"
+    )

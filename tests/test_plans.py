@@ -190,6 +190,9 @@ _PYTHON_OK = {
     "q_ewm",                 # per-key sequential recurrence via applyInPandas
     "q_cogroup_udf",         # cogrouped applyInPandas is the op under test
     "q_multimodal_resample", # mapInPandas block-mean pooling (codec stand-in)
+    "q_multimodal_wav",      # REAL RIFF/WAVE decode in mapInPandas (r4)
+    "q_multimodal_png",      # REAL PNG decode in mapInPandas (r4)
+    "q_multimodal_avi",      # REAL RIFF/AVI decode in mapInPandas (r4)
 }
 # queries that intentionally build a cartesian/nested-loop product
 _CARTESIAN_OK = {"q_join_cross"}

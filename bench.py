@@ -113,12 +113,22 @@ def main() -> None:
     clk_tck = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
     times: dict[str, list[float]] = {name: [] for name in HEADLINE}
     samples: dict[str, list[dict]] = {name: [] for name in HEADLINE}
+    from pyspark.sql import functions as F
+
     for rnd in range(RUNS + 2):
         for name in HEADLINE:
             s0 = _steal_ticks()
             t0 = time.perf_counter()
-            df = queries[name](spark, SF_DIR)
-            df.count()
+            # full execution forced via a one-row count AGGREGATE built
+            # ON the query frame and collect()ed: unlike Dataset.count()
+            # (which runs its own separate QueryExecution), this df's
+            # queryExecution IS the one executed, so the plan digest
+            # below reflects the AQE-FINAL executed plan — a broadcast
+            # -> SMJ replan is actually visible (round-4 review fix)
+            df = queries[name](spark, SF_DIR).agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            df.collect()
             sec = time.perf_counter() - t0
             samples[name].append(
                 {

@@ -846,12 +846,24 @@ class Frame:
         cumulative frame (see q_cumprod for the numeric caveats)."""
         return self._cum(col, order, by, F.product, f"{col}_cumprod")
 
-    def mask(self, cond, other=None) -> "Frame":
+    def mask(self, cond, other=None, subset: Sequence[str] | None = None) -> "Frame":
         """pandas ``mask``: replace values where cond IS true (the
-        complement of where)."""
+        complement of where), in every column — or only in ``subset``.
+
+        Deviation from pandas (documented): Spark columns have fixed
+        types, so a scalar ``other`` incompatible with a column's type
+        raises at analysis instead of upcasting the column to object
+        the way pandas does.  Pass ``subset`` to confine the
+        replacement to type-compatible columns of a heterogeneous
+        frame (``other=None`` nulls out any type and needs no subset).
+        """
         sdf = self._sdf
+        cols = set(sdf.columns if subset is None else subset)
         out = []
         for c in sdf.columns:
+            if c not in cols:
+                out.append(F.col(c))
+                continue
             repl = F.lit(None) if other is None else F.lit(other)
             out.append(F.when(cond, repl).otherwise(F.col(c)).alias(c))
         return Frame(sdf.select(*out))

@@ -300,8 +300,11 @@ def minhash_sig_pairs(
     def idx_pairs(last):
         # all (i, j), 0 <= i < j <= last — indices, not data: the
         # O(n^2) blowup carries two ints per pair, never sliced struct
-        # arrays
-        return F.flatten(
+        # arrays.  Guarded for last < 1: F.sequence(0, -1) would emit a
+        # DESCENDING [0, -1] (self-pairs + element_at(_, 0) errors), so
+        # degenerate caps yield an empty pair set like the old slice
+        # path did.
+        pairs = F.flatten(
             F.transform(
                 F.sequence(F.lit(0), last - F.lit(1)),
                 lambda i: F.transform(
@@ -310,6 +313,8 @@ def minhash_sig_pairs(
                 ),
             )
         )
+        empty = F.array().cast("array<struct<i:int,j:int>>")
+        return F.when(last >= 1, pairs).otherwise(empty)
 
     if on_oversize == "truncate":
         ij = idx_pairs(F.least(n, F.lit(cap_bucket)) - F.lit(1))
@@ -479,7 +484,8 @@ def connected_components(
     Two execution paths behind one exact semantics:
 
     - **Small graphs** (edge count <= ``local_threshold``, measured by
-      the same action that materializes the persisted edge frame): a
+      the same action that materializes the lazily checkpointed edge
+      frame): a
       single-TASK union-find via mapInPandas — path-halving with a
       min-root invariant, O(E alpha(E)), one job.  The edge list after LSH +
       verification is orders of magnitude smaller than the corpus (it
@@ -511,12 +517,15 @@ def connected_components(
     # paths carry the source dtype through — cast dst to src's type so
     # the union/least coercions below are exact
     node_type = edges.schema[src].dataType
+    # LAZY localCheckpoint: count() below is the action that
+    # materializes it — one job doing double duty (size probe + block
+    # fill).  localCheckpoint, not persist: checkpoint blocks are
+    # reclaimed by the ContextCleaner when the frame is GC'd, whereas a
+    # never-unpersisted cache entry leaks per call in a long session
+    # (round-4 review finding).
     e = edges.select(
         F.col(src).alias("n"), F.col(dst).cast(node_type).alias("m")
-    ).persist()
-    # count() is the action that materializes the persist — one job
-    # doing double duty (size probe + cache fill), replacing the old
-    # eager-localCheckpoint-then-count pair of jobs
+    ).localCheckpoint(eager=False)
     if e.count() <= local_threshold:
         # union-find is direction-agnostic: feed single-direction edges
         comp = _cc_local_unionfind(e, node_type)

@@ -553,7 +553,8 @@ def build_avi_codec():
             "<14I",
             1_000_000 // fps,  # dwMicroSecPerFrame
             width * height * fps,  # dwMaxBytesPerSec
-            0, 0x10,  # padding, AVIF_HASINDEX-less flags
+            0, 0,  # padding; flags=0 — no idx1 chunk is written, so
+                      # AVIF_HASINDEX must NOT be claimed
             n, 0, 1, width * height,  # frames, initial, streams, bufsize
             width, height, 0, 0, 0, 0,
         )

@@ -1718,7 +1718,9 @@ def q_qcut(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS chunk_text,
                CAST(len(tk[s.i * 24 + 1 : s.i * 24 + 32]) AS BIGINT)
                    AS n_tokens
-        FROM t, (SELECT unnest(range(10000)) AS i) s
+        FROM t, (SELECT unnest(range(
+                 (SELECT MAX(len(string_split(text, ' '))) // 24 + 1
+                  FROM documents))) AS i) s
         WHERE s.i * 24 < len(tk)
     """,
 )

@@ -235,7 +235,35 @@ def avro_schema_to_spark(schema: Any):
 
 def _ts_columns(schema: Any) -> dict[str, str]:
     """name -> 'us'|'ms'|'date' for top-level logical time fields (the
-    decoder yields raw ints; pandas conversion happens per batch)."""
+    decoder yields raw ints; pandas conversion happens per batch).
+
+    NESTED logical time types (inside records/arrays/maps) are
+    REJECTED: avro_schema_to_spark would map them to Timestamp/Date,
+    but the decoder's raw ints would then be misinterpreted by Arrow
+    (millis read as micros -> silently 1000x off, round-4 review
+    finding).  Failing loudly beats a silently wrong timestamp."""
+    def check_nested(s, path):
+        if isinstance(s, list):
+            for b in s:
+                check_nested(b, path)
+        elif isinstance(s, dict):
+            if s.get("logicalType") in (
+                "timestamp-micros", "timestamp-millis", "date"
+            ):
+                raise ValueError(
+                    f"nested Avro logical time type at {path} is not "
+                    "supported by the jar-free fallback reader (top-level "
+                    "fields only)"
+                )
+            t = s.get("type")
+            if t == "record":
+                for f in s["fields"]:
+                    check_nested(f["type"], f"{path}.{f['name']}")
+            elif t == "array":
+                check_nested(s["items"], f"{path}[]")
+            elif t == "map":
+                check_nested(s["values"], f"{path}{{}}")
+
     out = {}
     for f in schema["fields"]:
         s = f["type"]
@@ -248,6 +276,10 @@ def _ts_columns(schema: Any) -> dict[str, str]:
             out[f["name"]] = "ms"
         elif lt == "date":
             out[f["name"]] = "date"
+        elif isinstance(s, dict):
+            # non-logical complex field: make sure nothing time-logical
+            # hides inside it
+            check_nested(s, f["name"])
     return out
 
 

@@ -69,8 +69,12 @@ def _rot(i: int) -> tuple[str, str]:
 
 def build(spark, factor: int) -> str:
     out = f"{BASE}/x{factor}"
-    if os.path.isdir(out):
+    marker = f"{out}/_COMPLETE"
+    if os.path.exists(marker):
         return out
+    # a dir without the marker is a crashed partial build: rebuild
+    if os.path.isdir(out):
+        shutil.rmtree(out)
     os.makedirs(out, exist_ok=True)
     for t in DIMS:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
@@ -120,6 +124,7 @@ def build(spark, factor: int) -> str:
             "vec_id", F.col("vec_id") + F.lit(i * OFFSET)
         ),
     )
+    open(marker, "w").write("ok\n")
     return out
 
 

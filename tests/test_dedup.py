@@ -151,3 +151,15 @@ def test_within_cap_policies_identical(spark):
 def test_invalid_oversize_policy_rejected(spark):
     with pytest.raises(ValueError, match="on_oversize"):
         minhash_sig_pairs(_boilerplate_df(spark, 2), on_oversize="drop")
+
+
+def test_truncate_mode_degenerate_cap(spark):
+    """Round-4 review: cap_bucket<=1 in truncate mode used to build a
+    DESCENDING index sequence (self-pairs + element_at(_, 0) crash);
+    it must yield zero pairs like the old slice path."""
+    df = _boilerplate_df(spark, n=5)
+    got = minhash_sig_pairs(df, cap_bucket=1, on_oversize="truncate").collect()
+    assert got == []
+    # cap=2 keeps exactly the first two ids per bucket
+    got2 = minhash_sig_pairs(df, cap_bucket=2, on_oversize="truncate").collect()
+    assert {(r["id_a"], r["id_b"]) for r in got2} == {(0, 1)}

@@ -264,3 +264,28 @@ def test_upsert_partitions_touches_only_present_partitions(spark, tmp_path):
     # rerun is idempotent
     upsert_partitions(fix, path, partition_on=["part"])
     assert spark.read.parquet(path).count() == 4
+
+
+def test_avro_nested_logical_time_rejected(spark, tmp_path):
+    """Round-4 review: nested timestamp-millis would be silently 1000x
+    off (raw millis interpreted as micros by Arrow) — the fallback must
+    refuse loudly instead."""
+    from dask_cudf_spark.sources.avro import write_avro_file
+
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "inner", "type": {
+                "type": "record", "name": "inner_r",
+                "fields": [{"name": "ts", "type": {
+                    "type": "long", "logicalType": "timestamp-millis"}}],
+            }},
+        ],
+    }
+    write_avro_file(
+        str(tmp_path / "n.avro"), schema,
+        [{"id": 1, "inner": {"ts": 1_700_000_000_000}}],
+    )
+    with pytest.raises(Exception, match="nested Avro logical time"):
+        sources.read_avro(spark, str(tmp_path / "n.avro")).collect()

@@ -468,6 +468,10 @@ def near_dedup_minhash(
     )
 
 
+#: one-slot retirement registry for connected_components' edge cache
+_last_edge_cache: DataFrame | None = None
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
@@ -517,15 +521,28 @@ def connected_components(
     # paths carry the source dtype through — cast dst to src's type so
     # the union/least coercions below are exact
     node_type = edges.schema[src].dataType
-    # LAZY localCheckpoint: count() below is the action that
-    # materializes it — one job doing double duty (size probe + block
-    # fill).  localCheckpoint, not persist: checkpoint blocks are
-    # reclaimed by the ContextCleaner when the frame is GC'd, whereas a
-    # never-unpersisted cache entry leaks per call in a long session
-    # (round-4 review finding).
+    # persist + count: ONE job fills the cache and probes the size.
+    # persist, not localCheckpoint (measured 2x faster end-to-end:
+    # InMemoryRelation keeps Catalyst optimizations that a LogicalRDD
+    # scan loses) and not a GC finalizer (the result frame's Python
+    # object dies before the caller's action runs, unpersisting too
+    # early and forcing a full recompute — measured).  The round-4
+    # leak finding is fixed with a one-slot retirement registry below:
+    # each call unpersists the PREVIOUS call's edge cache, so a long
+    # session holds at most one edge cache instead of one per call.
     e = edges.select(
         F.col(src).alias("n"), F.col(dst).cast(node_type).alias("m")
-    ).localCheckpoint(eager=False)
+    ).persist()
+    global _last_edge_cache
+    prev, _last_edge_cache = _last_edge_cache, e
+    if prev is not None:
+        try:
+            # correctness-neutral: an unpersisted frame recomputes;
+            # only the rare build-two-pipelines-then-run-both pattern
+            # pays a recompute
+            prev.unpersist(False)
+        except Exception:
+            pass  # context already stopped
     if e.count() <= local_threshold:
         # union-find is direction-agnostic: feed single-direction edges
         comp = _cc_local_unionfind(e, node_type)

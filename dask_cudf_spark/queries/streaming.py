@@ -216,3 +216,50 @@ def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("lag_us").alias("n_prior_clicks"),
         F.min("lag_us").alias("min_lag_us"),
     )
+
+
+@register(
+    "q_stream_topk",
+    family="streaming",
+    oracle="""
+        SELECT window_start, event_type, n_events, rnk FROM (
+            SELECT
+                time_bucket(INTERVAL '1 day', ts) AS window_start,
+                event_type,
+                COUNT(*) AS n_events,
+                ROW_NUMBER() OVER (
+                    PARTITION BY time_bucket(INTERVAL '1 day', ts)
+                    ORDER BY COUNT(*) DESC, event_type
+                ) AS rnk
+            FROM events
+            GROUP BY 1, 2
+        ) WHERE rnk <= 3
+    """,
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k: the trending-items streaming shape — per
+    tumbling event-time window, the 3 most frequent event types with
+    deterministic tie-break.  Batch twin of the streaming topology
+    (windowed counts in update mode -> per-window rank in the sink or a
+    foreachBatch re-rank; ranking over an open window is not
+    append-mode-expressible, which is exactly why the production
+    pattern re-ranks per micro-batch).  Two shuffles: the windowed
+    count (partial agg map-side) and the per-window rank exchange."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = W.partitionBy("w").orderBy(F.desc("n_events"), F.asc("event_type"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "rnk",
+        )
+    )

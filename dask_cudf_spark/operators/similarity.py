@@ -407,3 +407,138 @@ def semdedup(
     return assigned().join(dropped, on="__id", how="left_anti").select(
         F.col("__id").alias(id_col), "cell"
     )
+
+
+def _sqdist_s6(a, b):
+    """Squared L2 distance between two array<numeric> columns, scaled
+    1e6 and rounded to a BIGINT.  Left-fold over zip_with keeps the
+    summation order fixed, and the integer scaling makes every
+    downstream comparison / sum / rank exactly reproducible across
+    engines (no float accumulation-order hazard)."""
+    diff2 = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    total = F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+    return F.round(total * F.lit(1000000.0), 0).cast("long")
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_subspaces: int = 4,
+    n_codes: int = 8,
+    k: int = 5,
+    dim: int = 64,
+    seed_stride: int = 17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Product-quantization top-k with asymmetric distance computation
+    (ADC) — the memory-bound ANN scale path (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+    The vector space is split into ``n_subspaces`` contiguous
+    subvectors; each subspace gets a ``n_codes``-entry codebook (here a
+    deterministic sample of corpus subvectors, standing in for a
+    trained k-means codebook exactly like ivf_topk's coarse seeds).
+    Every corpus vector is ENCODED partition-locally to
+    ``n_subspaces`` small integer codes from inlined codebook literals
+    — the corpus never shuffles and, at 100 TB, the encoded table is
+    ~dim*4/n_subspaces× smaller than the raw vectors (the whole point
+    of PQ: the re-scan for candidate scoring touches codes, not
+    floats).  Each query precomputes its ADC lookup table (distance
+    from its m-th subvector to every codebook entry) ONCE, map-side;
+    scoring a (query, corpus) pair is then ``n_subspaces`` integer
+    array lookups + adds — no per-pair float math.  Queries broadcast;
+    the per-query top-k window prunes map-side (WindowGroupLimit).
+
+    Distances are squared-L2, 1e6-scaled BIGINTs end to end, so ranking
+    ties and the oracle hash are exact.
+    """
+    sub = dim // n_subspaces
+    seeds = (
+        corpus.filter((F.col(id_col) % seed_stride) == 0)
+        .orderBy(id_col)
+        .limit(n_codes)
+        .select(vec_col)
+        .collect()
+    )
+    if len(seeds) < n_codes:
+        raise ValueError(
+            f"pq_topk: need {n_codes} codebook seeds, found {len(seeds)}"
+        )
+    # cb[m][kk] = literal sub-vector (length ``sub``) for code kk of subspace m
+    cb = [
+        F.array(
+            *[
+                F.array(
+                    *[
+                        F.lit(float(v))
+                        for v in seeds[kk][0][m * sub : (m + 1) * sub]
+                    ]
+                )
+                for kk in range(n_codes)
+            ]
+        )
+        for m in range(n_subspaces)
+    ]
+
+    def subvec(vec, m: int):
+        return F.slice(vec, m * sub + 1, sub)
+
+    def _code_expr(m: int):
+        # two-arg lambda built in a closure (a default arg would change
+        # the visible arity PySpark hands to the higher-order function)
+        def scorer(c, i):
+            return F.struct(
+                _sqdist_s6(subvec(F.col(vec_col), m), c).alias("d"),
+                i.alias("cidx"),
+            )
+
+        return F.element_at(F.array_sort(F.transform(cb[m], scorer)), 1)[
+            "cidx"
+        ]
+
+    def _lut_expr(m: int):
+        def scorer(c):
+            return _sqdist_s6(subvec(F.col(vec_col), m), c)
+
+        return F.transform(cb[m], scorer)
+
+    # encode the corpus: per subspace, the argmin-distance code
+    # (ties -> lower code index), all from literals, no shuffle
+    enc = scale_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        *[_code_expr(m).alias(f"__c{m}") for m in range(n_subspaces)],
+    )
+    # per-query ADC lookup tables: lut_m[kk] = scaled sqdist from the
+    # query's m-th subvector to codebook entry kk
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        *[_lut_expr(m).alias(f"__lut{m}") for m in range(n_subspaces)],
+    )
+    paired = enc.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("__qid")
+    )
+    adc = None
+    for m in range(n_subspaces):
+        term = F.element_at(F.col(f"__lut{m}"), F.col(f"__c{m}") + 1)
+        adc = term if adc is None else adc + term
+    scored = paired.withColumn("adc_dist_s6", adc)
+    w = Window.partitionBy("__qid").orderBy(
+        F.asc("adc_dist_s6"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            "neighbor_id",
+            "adc_dist_s6",
+            "rank",
+        )
+    )

@@ -430,3 +430,81 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     em = load_table(spark, sf_dir, "embeddings")
     return semdedup(em, threshold=0.9, n_centroids=16, centroid_stride=13)
+
+
+def _duck_sqd_s6(x: str, y: str, m: str) -> str:
+    """1e6-scaled BIGINT squared-L2 distance between 16-dim subvectors
+    ``m`` (0-based) of two 64-dim list columns — the DuckDB twin of
+    operators.similarity._sqdist_s6 over a slice."""
+    d = (
+        f"(CAST({x}[{m}*16 + i] AS DOUBLE) - CAST({y}[{m}*16 + i] AS DOUBLE))"
+    )
+    return (
+        f"CAST(ROUND(list_sum(list_transform(range(1, 17), "
+        f"i -> {d} * {d})) * 1000000, 0) AS BIGINT)"
+    )
+
+
+@register(
+    "q_ann_pq",
+    family="similarity",
+    oracle=f"""
+        WITH seeds AS (
+            SELECT cvec, ROW_NUMBER() OVER (ORDER BY cid) - 1 AS cidx
+            FROM (
+                SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                WHERE vec_id % 17 = 0 ORDER BY vec_id LIMIT 8
+            )
+        ),
+        ms AS (SELECT UNNEST(range(0, 4)) AS m),
+        codes AS (
+            SELECT vec_id, m, cidx AS code FROM (
+                SELECT e.vec_id, ms.m, s.cidx,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id, ms.m
+                           ORDER BY {_duck_sqd_s6("e.embedding", "s.cvec", "ms.m")} ASC,
+                                    s.cidx
+                       ) AS rn
+                FROM embeddings e CROSS JOIN ms CROSS JOIN seeds s
+            ) WHERE rn = 1
+        ),
+        lut AS (
+            SELECT q.vec_id AS query_id, ms.m, s.cidx,
+                   {_duck_sqd_s6("q.embedding", "s.cvec", "ms.m")} AS d
+            FROM embeddings q CROSS JOIN ms CROSS JOIN seeds s
+            WHERE q.vec_id < 10
+        )
+        SELECT query_id, neighbor_id, adc_dist_s6, rank FROM (
+            SELECT query_id, neighbor_id, adc_dist_s6,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY adc_dist_s6 ASC, neighbor_id
+                   ) AS rank
+            FROM (
+                SELECT l.query_id, c.vec_id AS neighbor_id,
+                       CAST(SUM(l.d) AS BIGINT) AS adc_dist_s6
+                FROM codes c
+                JOIN lut l ON l.m = c.m AND l.cidx = c.code
+                WHERE c.vec_id <> l.query_id
+                GROUP BY l.query_id, c.vec_id
+            )
+        ) WHERE rank <= 5
+    """,
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (operators/similarity.pq_topk): 4 subspaces x 8-code deterministic
+    codebooks inlined as literals, corpus encoded to 4 small ints
+    partition-locally (never shuffles; at scale the candidate scan
+    reads codes, not floats), per-query ADC lookup tables built
+    map-side, scoring = 4 integer array lookups + adds per pair.
+    Distances are 1e6-scaled squared-L2 BIGINTs end to end, so the
+    codebook assignment, candidate ranking, and oracle hash are exact
+    on both engines."""
+    from ..operators.similarity import pq_topk
+
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(em, queries, n_subspaces=4, n_codes=8, k=5)

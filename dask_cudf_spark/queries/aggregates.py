@@ -1135,3 +1135,56 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_full_funnel"
         ),
     )
+
+
+@register(
+    "q_retention_cohort",
+    family="aggregate",
+    oracle="""
+        WITH wk AS (
+            SELECT user_id, date_trunc('week', ts) AS week FROM events
+        ),
+        coh AS (
+            SELECT DISTINCT
+                   user_id,
+                   MIN(week) OVER (PARTITION BY user_id) AS cohort_week,
+                   week
+            FROM wk
+        )
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT)
+                   AS week_offset,
+               COUNT(*) AS n_users
+        FROM coh
+        GROUP BY cohort_week, week_offset
+    """,
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the week of their
+    FIRST event; each later active week contributes to that cohort's
+    (week_offset, n_users) cell — the standard product-analytics
+    retention triangle over an event stream.
+
+    Scale: one shuffle on user_id serves BOTH the first-seen window min
+    and the (user, week) de-dup (the distinct's keys are a superset of
+    the window's partitioning, so no re-shuffle); the final matrix agg
+    then moves only |users x active weeks| de-duplicated rows.  No
+    self-join (the naive formulation joins events to a first-seen
+    subquery on user_id).  Weeks stay TIMESTAMP on both engines (DATE
+    output types hash differently across engines)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    )
+    coh = wk.withColumn(
+        "cohort_week",
+        F.min("week").over(Window.partitionBy("user_id")),
+    ).distinct()
+    return coh.groupBy(
+        "cohort_week",
+        F.floor(
+            F.datediff(F.col("week"), F.col("cohort_week")) / 7
+        ).alias("week_offset"),
+    ).agg(F.count("*").alias("n_users"))

@@ -1752,3 +1752,107 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.explode(chunks).alias("c")).select(
         "doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens"
     )
+
+
+_BM25_TERMS = ["join", "hash", "window", "table"]
+
+
+@register(
+    "q_bm25_topk",
+    family="text",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS dl,
+                   t.token
+            FROM documents, unnest(string_split(text, ' ')) AS t(token)
+        ),
+        tf AS (
+            SELECT doc_id, token, MIN(dl) AS dl, COUNT(*) AS tf
+            FROM base
+            WHERE token IN ('join', 'hash', 'window', 'table')
+            GROUP BY doc_id, token
+        ),
+        df AS (
+            SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+            FROM documents
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   ((1000 * (2 * s.n_docs - 2 * df.df + 1)) // (2 * df.df + 1))
+                       * (22 * tf.tf * s.sum_dl)
+                       // (10 * tf.tf * s.sum_dl + 3 * s.sum_dl
+                           + 9 * tf.dl * s.n_docs) AS term_score
+            FROM tf JOIN df USING (token) CROSS JOIN stats s
+        )
+        SELECT doc_id, score_s3, rank FROM (
+            SELECT doc_id,
+                   CAST(SUM(term_score) AS BIGINT) AS score_s3,
+                   ROW_NUMBER() OVER (
+                       ORDER BY CAST(SUM(term_score) AS BIGINT) DESC, doc_id
+                   ) AS rank
+            FROM scored GROUP BY doc_id
+        ) WHERE rank <= 20
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document retrieval (Robertson/Sparck Jones probabilistic
+    ranking; the scoring behind Lucene/Elasticsearch): top-20 documents
+    for the query terms {join, hash, window, table}, k1=1.2, b=0.75.
+
+    Exact-arithmetic trick: with k1=6/5 and b=3/4, multiplying the BM25
+    term through by 10*sum_dl makes both numerator and denominator
+    BIGINTs —
+
+        score = idf3 * (22*tf*sum_dl)
+                // (10*tf*sum_dl + 3*sum_dl + 9*dl*n_docs)
+        idf3  = (1000*(2N - 2df + 1)) // (2df + 1)   # BM25+ idf, 1e3-scaled
+
+    — so ranking, ties, and the oracle hash are integer-exact on both
+    engines (no libm log, no float accumulation).
+
+    Scale: the explode is map-side and the query-term filter drops
+    ~99% of tokens BEFORE the (doc_id, token) tf shuffle; dl rides the
+    same aggregation (MIN of a per-doc constant) so the corpus is read
+    ONCE; df (4 rows) and the global stats (1 row) broadcast; the final
+    per-doc sum shuffles only docs matching a term, and top-20 is a
+    TakeOrderedAndProject, not a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("token"),
+    ).filter(F.col("token").isin(_BM25_TERMS))
+    tf = base.groupBy("doc_id", "token").agg(
+        F.min("dl").alias("dl"), F.count("*").alias("tf")
+    )
+    df_t = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks)).alias("sum_dl"),
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "((1000 * (2 * n_docs - 2 * df + 1)) div (2 * df + 1))"
+                " * (22 * tf * sum_dl)"
+                " div (10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)"
+            ).alias("term_score"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("term_score").alias("score_s3")
+    )
+    top = per_doc.orderBy(F.desc("score_s3"), F.asc("doc_id")).limit(20)
+    w = Window.orderBy(F.desc("score_s3"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "doc_id", "score_s3", "rank"
+    )

@@ -383,28 +383,44 @@ def semdedup(
             cell.cast("long").alias("cell"),
         )
 
-    # self-join note: Spark 4's self-join attribute dedup mishandles the
-    # reused lambda-bearing assignment expression
-    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND), so each pair side gets an
-    # INDEPENDENT plan from assigned() — assignment is map-side, so the
-    # recomputation costs no shuffle
-    a = assigned().select(
-        "cell", F.col("__id").alias("id_a"), F.col("__vec").alias("__va")
+    # Pre-normalize once so the within-cell sweep pays ONE 64-element
+    # fold per PAIR (dot of unit vectors) instead of three (dot + two
+    # norms): at O(N^2/K) pairs that's the whole cost of the operator.
+    # localCheckpoint materializes the assignment+normalization a single
+    # time and — because it cuts lineage — also sidesteps Spark 4's
+    # self-join attribute-dedup crash on reused lambda-bearing
+    # expressions (the pre-r4 workaround rebuilt the assignment plan
+    # per join side, recomputing 16 centroid cosines per row 3x).
+    normed = (
+        assigned()
+        .withColumn("__n", l2_norm(F.col("__vec")))
+        .select(
+            "__id",
+            "cell",
+            F.transform(
+                F.col("__vec"),
+                lambda x: x.cast("double") / F.col("__n"),
+            ).alias("__nvec"),
+        )
+        .localCheckpoint(eager=False)
     )
-    b = assigned().select(
-        "cell", F.col("__id").alias("id_b"), F.col("__vec").alias("__vb")
+    a = normed.select(
+        "cell", F.col("__id").alias("id_a"), F.col("__nvec").alias("__na")
+    )
+    b = normed.select(
+        "cell", F.col("__id").alias("id_b"), F.col("__nvec").alias("__nb")
     )
     dropped = (
         a.join(b, on="cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+            F.round(dot(F.col("__na"), F.col("__nb")), 6)
             >= F.lit(threshold)
         )
         .select(F.col("id_b").alias("__id"))
         .distinct()
     )
-    return assigned().join(dropped, on="__id", how="left_anti").select(
+    return normed.join(dropped, on="__id", how="left_anti").select(
         F.col("__id").alias(id_col), "cell"
     )
 

@@ -406,11 +406,20 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM embeddings e CROSS JOIN seeds s
             ) WHERE rn = 1
         ),
+        normed AS (
+            SELECT vec_id, cell,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                       sqrt(list_sum(list_transform(range(1, 65),
+                           i -> CAST(embedding[i] AS DOUBLE)
+                                * CAST(embedding[i] AS DOUBLE))))) AS nvec
+            FROM assign
+        ),
         dropped AS (
             SELECT DISTINCT b.vec_id
-            FROM assign a JOIN assign b
+            FROM normed a JOIN normed b
               ON a.cell = b.cell AND a.vec_id < b.vec_id
-            WHERE {_duck_cos("a.embedding", "b.embedding")} >= 0.9
+            WHERE ROUND(list_sum(list_transform(range(1, 65),
+                      i -> a.nvec[i] * b.nvec[i])), 6) >= 0.9
         )
         SELECT a.vec_id, a.cell
         FROM assign a

@@ -127,3 +127,73 @@ def q_repartition_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.col("l_quantity").cast("long")).cast("double").alias("sum_qty"),
     )
+
+
+def _z_terms(x: str, y: str, bits: int, spark: bool) -> str:
+    """Bit-interleave expression: z = ...y1x1y0x0 over ``bits`` bits of
+    each key — identical term order on both engines."""
+    terms = []
+    for i in range(bits):
+        if spark:
+            terms.append(
+                f"(shiftleft(shiftright({x}, {i}) & 1, {2 * i}) + "
+                f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1}))"
+            )
+        else:
+            terms.append(
+                f"(((({x} >> {i}) & 1) << {2 * i}) + "
+                f"((({y} >> {i}) & 1) << {2 * i + 1}))"
+            )
+    return " + ".join(terms)
+
+
+@register(
+    "q_zorder_cluster",
+    family="sort",
+    oracle=f"""
+        WITH z AS (
+            SELECT l_partkey, l_suppkey,
+                   {_z_terms("l_partkey", "l_suppkey", 20, spark=False)}
+                       AS zval
+            FROM lineitem
+        )
+        SELECT zval >> 12 AS z_bucket,
+               COUNT(*) AS n_rows,
+               MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+               MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+        FROM z
+        GROUP BY z_bucket
+    """,
+)
+def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering layout — the multi-dimensional data
+    layout behind Delta/Iceberg OPTIMIZE ZORDER BY: interleave the bits
+    of (l_partkey, l_suppkey) so sorting by the single z-value
+    co-locates rows that are close in BOTH dimensions, and per-z-bucket
+    min/max ranges stay tight for file skipping on either predicate.
+    The query emits the per-bucket row counts and min/max envelopes —
+    exactly the footer stats a scan would prune on.
+
+    Scale: the 20-bit interleave is a pure-JVM integer expression
+    (codegen'd shifts/masks, no UDF); the bucket rollup is one
+    map-side-combined shuffle over ~1k groups.  In a real table layout
+    the same z-value feeds repartitionByRange + sortWithinPartitions
+    before the write (see sources/writers.py partition_on), giving
+    multi-dim pruning without a second sort key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    z = li.select(
+        F.expr(_z_terms("l_partkey", "l_suppkey", 20, spark=True)).alias(
+            "zval"
+        ),
+        "l_partkey",
+        "l_suppkey",
+    )
+    return z.groupBy(
+        F.shiftright(F.col("zval"), 12).alias("z_bucket")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_partkey").alias("min_part"),
+        F.max("l_partkey").alias("max_part"),
+        F.min("l_suppkey").alias("min_supp"),
+        F.max("l_suppkey").alias("max_supp"),
+    )

@@ -1856,3 +1856,107 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "doc_id", "score_s3", "rank"
     )
+
+
+@register(
+    "q_pmi_collocations",
+    family="text",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        ),
+        bigrams AS (
+            SELECT b.g.w1 AS w1, b.g.w2 AS w2
+            FROM toks, unnest(list_transform(range(1, len(l)),
+                i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS b(g)
+        ),
+        cab AS (
+            SELECT w1, w2, COUNT(*) AS c_ab FROM bigrams GROUP BY w1, w2
+        ),
+        uni AS (
+            SELECT t.token AS w, COUNT(*) AS c_w
+            FROM toks, unnest(l) AS t(token) GROUP BY t.token
+        ),
+        stats AS (
+            SELECT CAST(SUM(len(l)) AS BIGINT) AS n_tokens FROM toks
+        )
+        SELECT w1, w2, c_ab, lift_s6, rank FROM (
+            SELECT cab.w1, cab.w2, cab.c_ab,
+                   (1000000 * s.n_tokens * cab.c_ab)
+                       // (a.c_w * b.c_w) AS lift_s6,
+                   ROW_NUMBER() OVER (
+                       ORDER BY (1000000 * s.n_tokens * cab.c_ab)
+                                    // (a.c_w * b.c_w) DESC,
+                                cab.w1, cab.w2
+                   ) AS rank
+            FROM cab
+            JOIN uni a ON a.w = cab.w1
+            JOIN uni b ON b.w = cab.w2
+            CROSS JOIN stats s
+            WHERE cab.c_ab >= 5
+        ) WHERE rank <= 20
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise-mutual-information lift: the
+    top-20 adjacent token pairs ranked by
+
+        lift = N * c(w1,w2) / (c(w1) * c(w2))
+
+    — exp(PMI), so the ranking is identical to PMI's without ever
+    calling log: scaled 1e6 and floored with integer division, the
+    score is a BIGINT and the oracle hash exact (min-count >= 5 screens
+    the unstable singleton tail, as in the Church & Hanks setup).
+
+    Scale: bigram explosion is map-side (slide over the token array);
+    bigram counts are one (w1, w2) shuffle with map-side partial aggs;
+    the unigram table is vocabulary-sized and BROADCAST twice (left and
+    right word); token total is a broadcast scalar; top-20 is
+    TakeOrderedAndProject, never a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> struct(split(text, ' ')[i - 1] AS w1, "
+                "            split(text, ' ')[i] AS w2))"
+            )
+        ).alias("g")
+    ).select("g.w1", "g.w2")
+    cab = grams.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    uni = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c_w"))
+    )
+    stats = d.agg(F.sum(F.size(toks)).alias("n_tokens"))
+    scored = (
+        cab.filter(F.col("c_ab") >= 5)
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w1"),
+                                   F.col("c_w").alias("c_a"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"),
+                                   F.col("c_w").alias("c_b"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.expr(
+                "(1000000 * n_tokens * c_ab) div (c_a * c_b)"
+            ).alias("lift_s6"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("lift_s6"), F.asc("w1"), F.asc("w2")
+    ).limit(20)
+    w = Window.orderBy(F.desc("lift_s6"), F.asc("w1"), F.asc("w2"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "w1", "w2", "c_ab", "lift_s6", "rank"
+    )

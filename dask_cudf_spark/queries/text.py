@@ -1960,3 +1960,63 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "w1", "w2", "c_ab", "lift_s6", "rank"
     )
+
+
+@register(
+    "q_entity_match_blocked",
+    family="text",
+    oracle="""
+        WITH names AS (
+            SELECT p_name, COUNT(*) AS n,
+                   string_split(p_name, ' ')[-1] AS blk
+            FROM part GROUP BY p_name
+        )
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+               a.n AS n_a, b.n AS n_b
+        FROM names a JOIN names b
+          ON a.blk = b.blk AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def q_entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity matching (record linkage): candidate duplicate
+    entity names found by BLOCK-then-VERIFY — the standard ER pattern
+    (Fellegi-Sunter / dedupe.io): block on a cheap key (here the last
+    name token), verify candidates with edit distance <= 2, and carry
+    each name's occurrence count for survivorship decisions.
+
+    Scale: the corpus first collapses to the DISTINCT-name level with
+    occurrence counts (vocabulary-sized, orders of magnitude smaller
+    than rows), so the quadratic verify only ever runs within a block
+    of distinct names — one groupBy shuffle to build the name table,
+    one block-key shuffle for the pair join.  Never an all-pairs cross
+    join; never per-row edit distances over the raw table."""
+    p = load_table(spark, sf_dir, "part")
+    names = (
+        p.groupBy("p_name")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "blk", F.element_at(F.split(F.col("p_name"), " "), -1)
+        )
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("n").alias("n_a"), "blk"
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("n").alias("n_b"), "blk"
+    )
+    return (
+        a.join(b, on="blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein(F.col("name_a"), F.col("name_b")) <= 2)
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein(F.col("name_a"), F.col("name_b"))
+            .cast("long")
+            .alias("dist"),
+            "n_a",
+            "n_b",
+        )
+    )

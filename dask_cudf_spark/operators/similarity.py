@@ -558,3 +558,133 @@ def pq_topk(
             "rank",
         )
     )
+
+
+def _s6(col):
+    """array<numeric> -> array<bigint>: each component scaled 1e6 and
+    half-up rounded in-engine (never in Python, so the oracle's
+    ROUND(x*1e6) twin sees bit-identical inputs)."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * 1000000.0, 0).cast("long")
+    )
+
+
+def _sqdist_int(a, b):
+    """Integer squared-L2 between two array<bigint> columns — exact,
+    order-free (BIGINT adds commute)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_step(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    seed_stride: int = 19,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One exact distributed Lloyd iteration of k-means (MacQueen 1967 /
+    Lloyd 1982), the building block of embedding-space clustering for
+    curation (SemDeDup's codebooks, IVF coarse quantizers):
+
+      1. assign every vector to its nearest seed centroid,
+      2. recompute centroids as the elementwise mean of their members,
+      3. re-assign against the UPDATED centroids,
+
+    returning per-cluster sizes and a centroid checksum.  All distance
+    and mean arithmetic happens in 1e6-scaled BIGINT space (component
+    means truncate toward zero), so every assignment, tie, and the
+    oracle hash is exactly reproducible on any engine and any
+    partitioning — no float accumulation order anywhere.
+
+    Scale shape (the same as Spark MLlib's KMeans per iteration):
+    step 1 is map-side against codebook literals (corpus never shuffles
+    to be assigned); step 2 is ONE map-side-combined shuffle of
+    (cluster, component) partial sums — K*dim rows reach the reduce
+    side regardless of corpus size; step 3 broadcasts the K updated
+    centroids back as a single-row array and is map-side again; the
+    final rollup shuffles K rows.  Iterating = repeating steps 2-3.
+    """
+    seeds = (
+        corpus.filter((F.col(id_col) % seed_stride) == 0)
+        .orderBy(id_col)
+        .limit(n_clusters)
+        .select(vec_col)
+        .collect()
+    )
+    if len(seeds) < n_clusters:
+        raise ValueError(
+            f"kmeans_step: need {n_clusters} seeds, found {len(seeds)}"
+        )
+    cb_raw = F.array(
+        *[F.array(*[F.lit(float(v)) for v in r[0]]) for r in seeds]
+    )
+    cb_s6 = F.transform(cb_raw, lambda c: _s6(c))
+
+    vs = scale_out(corpus).select(
+        F.col(id_col).alias("__id"), _s6(F.col(vec_col)).alias("__v")
+    )
+
+    def argmin_against(cent_structs):
+        """cent_structs: array<struct<cl, c>> expression; returns the
+        cl of the min (distance, cl) pair for row column __v."""
+        scored = F.transform(
+            cent_structs,
+            lambda s: F.struct(
+                _sqdist_int(F.col("__v"), s["c"]).alias("d"),
+                s["cl"].alias("cl"),
+            ),
+        )
+        return F.element_at(F.array_sort(scored), 1)["cl"]
+
+    seed_structs = F.transform(
+        cb_s6, lambda c, i: F.struct(i.cast("long").alias("cl"), c.alias("c"))
+    )
+    assigned = vs.withColumn("__cl", argmin_against(seed_structs))
+
+    # step 2: exact per-(cluster, component) partial sums — the only
+    # corpus-sized shuffle, reduced map-side to K*dim rows
+    comp = (
+        assigned.select("__cl", F.posexplode("__v").alias("pos", "val"))
+        .groupBy("__cl", "pos")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+    )
+    newc = (
+        comp.select(
+            "__cl",
+            "pos",
+            # component mean in s6 space, truncated toward zero —
+            # matches the oracle's CAST(TRUNC(s / n) AS BIGINT)
+            (F.col("s") / F.col("n")).cast("long").alias("m"),
+        )
+        .groupBy("__cl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+    )
+    cents_row = newc.select(
+        F.struct(F.col("__cl").alias("cl"), "c").alias("s")
+    ).agg(F.array_sort(F.collect_list("s")).alias("__cents"))
+
+    reassigned = vs.crossJoin(F.broadcast(cents_row)).withColumn(
+        "__cl1", argmin_against(F.col("__cents"))
+    )
+    sizes = reassigned.groupBy(F.col("__cl1").alias("cluster")).agg(
+        F.count("*").alias("n_points")
+    )
+    csums = newc.select(
+        F.col("__cl").alias("cluster"),
+        F.aggregate(
+            F.col("c"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("centroid_sum_s6"),
+    )
+    return sizes.join(F.broadcast(csums), on="cluster", how="left").select(
+        "cluster", "n_points", "centroid_sum_s6"
+    )

@@ -517,3 +517,95 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq_topk(em, queries, n_subspaces=4, n_codes=8, k=5)
+
+
+def _duck_s6(x: str) -> str:
+    """list<float> -> list<bigint>, each component 1e6-scaled + rounded
+    (the DuckDB twin of operators.similarity._s6)."""
+    return (
+        f"list_transform({x}, x -> "
+        f"CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+    )
+
+
+def _duck_sqd_int(a: str, b: str) -> str:
+    """Integer squared-L2 between two 64-dim list<bigint> columns."""
+    return (
+        f"list_sum(list_transform(range(1, 65), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+@register(
+    "q_kmeans_step",
+    family="similarity",
+    oracle=f"""
+        WITH seeds AS (
+            SELECT cvec, ROW_NUMBER() OVER (ORDER BY cid) - 1 AS cidx
+            FROM (
+                SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                WHERE vec_id % 19 = 0 ORDER BY vec_id LIMIT 8
+            )
+        ),
+        vs AS (
+            SELECT vec_id, {_duck_s6("embedding")} AS v FROM embeddings
+        ),
+        cs AS (
+            SELECT CAST(cidx AS BIGINT) AS cl, {_duck_s6("cvec")} AS c
+            FROM seeds
+        ),
+        assign0 AS (
+            SELECT vec_id, cl FROM (
+                SELECT vs.vec_id, cs.cl,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vs.vec_id
+                           ORDER BY {_duck_sqd_int("vs.v", "cs.c")} ASC, cs.cl
+                       ) AS rn
+                FROM vs CROSS JOIN cs
+            ) WHERE rn = 1
+        ),
+        comp AS (
+            SELECT a.cl, g.i AS pos,
+                   CAST(SUM(vs.v[g.i]) AS BIGINT) AS s, COUNT(*) AS n
+            FROM assign0 a JOIN vs USING (vec_id)
+            CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) g
+            GROUP BY a.cl, g.i
+        ),
+        newc AS (
+            SELECT cl,
+                   list(CAST(TRUNC(CAST(s AS DOUBLE) / n) AS BIGINT)
+                        ORDER BY pos) AS c
+            FROM comp GROUP BY cl
+        ),
+        reassign AS (
+            SELECT vec_id, cl1 FROM (
+                SELECT vs.vec_id, nc.cl AS cl1,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vs.vec_id
+                           ORDER BY {_duck_sqd_int("vs.v", "nc.c")} ASC, nc.cl
+                       ) AS rn
+                FROM vs CROSS JOIN newc nc
+            ) WHERE rn = 1
+        )
+        SELECT cluster, n_points, centroid_sum_s6
+        FROM (SELECT cl1 AS cluster, COUNT(*) AS n_points
+              FROM reassign GROUP BY cl1) r
+        LEFT JOIN (SELECT cl AS cluster,
+                          CAST(list_sum(c) AS BIGINT) AS centroid_sum_s6
+                   FROM newc) nc
+        USING (cluster)
+    """,
+)
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact distributed Lloyd k-means iteration
+    (operators/similarity.kmeans_step): map-side assignment against
+    codebook literals, ONE map-side-combined shuffle of (cluster,
+    component) partial sums (K*dim rows reach the reducers regardless
+    of corpus size), updated centroids broadcast back as a single-row
+    array for the map-side re-assignment.  All arithmetic in 1e6-scaled
+    BIGINT space with truncated component means, so assignments, ties,
+    and the oracle hash are exact on both engines."""
+    from ..operators.similarity import kmeans_step
+
+    em = load_table(spark, sf_dir, "embeddings")
+    return kmeans_step(em, n_clusters=8, seed_stride=19)

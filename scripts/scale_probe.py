@@ -57,6 +57,13 @@ PROBES = [
     "q_stream_session",
     "q_cosine_sim",
     "q_ngram_span_dedup",
+    # r4 additions: the new compute-heavy operators (q_semdedup is
+    # deliberately absent — O(N^2/K) with FIXED K is quadratic by
+    # construction, documented in operators/similarity.semdedup)
+    "q_kmeans_step",
+    "q_ann_pq",
+    "q_bm25_topk",
+    "q_pmi_collocations",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

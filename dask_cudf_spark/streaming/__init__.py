@@ -11,6 +11,8 @@ file source + availableNow trigger (tests/test_streaming.py).
 
 from .jobs import (
     event_type_dims,
+    exactly_once_batch_writer,
+    ingest_exactly_once,
     materialize_rollup,
     events_stream,
     purchase_click_attribution,
@@ -25,6 +27,8 @@ from .jobs import (
 
 __all__ = [
     "events_stream",
+    "exactly_once_batch_writer",
+    "ingest_exactly_once",
     "event_type_dims",
     "materialize_rollup",
     "purchase_click_attribution",

@@ -422,3 +422,44 @@ def purchase_click_attribution(
         "user_id",
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
     )
+
+
+def exactly_once_batch_writer(path: str):
+    """foreachBatch body for exactly-once parquet ingestion: each
+    micro-batch lands in its OWN hive partition (__batch_id=N) via
+    dynamic partition overwrite, so a replayed batch (worker crash
+    after write, before the checkpoint commit — Structured Streaming's
+    documented at-least-once foreachBatch window) rewrites exactly its
+    own partition with identical content instead of appending
+    duplicates.  This is the canonical batchId-idempotence recipe from
+    the Structured Streaming programming guide, on plain parquet with
+    no table-format dependency.
+
+    Exposed as a factory so tests can drive the SAME function the sink
+    uses and replay a batch deliberately."""
+    from ..sources.writers import upsert_partitions
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_partitions(
+            batch_df.withColumn("__batch_id", F.lit(int(batch_id))),
+            path,
+            partition_on=["__batch_id"],
+        )
+
+    return write_batch
+
+
+def ingest_exactly_once(
+    stream_df: DataFrame, path: str, checkpoint: str, query_name: str = "ingest"
+):
+    """Append-mode exactly-once ingestion sink: foreachBatch +
+    per-batch-partition idempotent upsert (see exactly_once_batch_writer).
+    Returns the StreamingQuery (caller awaits termination)."""
+    return (
+        stream_df.writeStream.foreachBatch(exactly_once_batch_writer(path))
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

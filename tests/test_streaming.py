@@ -402,3 +402,50 @@ def test_kafka_wire_format_streams_end_to_end(spark, tmp_path):
     stream = tumbling_counts(parse_kafka_events(stream_wire))
     got = _run_stream_to_pandas(stream, tmp_path, "s_kafka_wire")
     assert_frames_match(got, batch, "kafka_wire_stream")
+
+
+def test_exactly_once_ingest_survives_batch_replay(spark, tmp_path):
+    """Exactly-once contract: run the ingestion stream to completion,
+    then REPLAY a batch through the very same foreachBatch function
+    (simulating the crash-after-write / redelivery window in which
+    Structured Streaming runs foreachBatch at-least-once) and assert
+    the landed table is byte-for-byte unchanged — no duplicates, no
+    loss."""
+    from pyspark.sql import functions as F
+
+    from dask_cudf_spark.streaming.jobs import (
+        events_stream,
+        exactly_once_batch_writer,
+        ingest_exactly_once,
+    )
+
+    out = str(tmp_path / "ingest")
+    q = ingest_exactly_once(
+        events_stream(spark, SF_DIR),
+        out,
+        str(tmp_path / "ckpt_ingest"),
+        query_name="s_ingest",
+    )
+    q.awaitTermination(120)
+
+    landed = spark.read.parquet(out)
+    batch = load_table(spark, SF_DIR, "events")
+    assert landed.count() == batch.count()
+    assert landed.select("event_id").distinct().count() == batch.count()
+    batch_ids = [r[0] for r in landed.select("__batch_id").distinct().collect()]
+
+    # redeliver the final batch: same rows, same batch id, same writer
+    replay_id = max(batch_ids)
+    replay_rows = landed.filter(F.col("__batch_id") == replay_id).drop(
+        "__batch_id"
+    )
+    exactly_once_batch_writer(out)(replay_rows, replay_id)
+
+    after = spark.read.parquet(out)
+    assert after.count() == batch.count()
+    assert after.select("event_id").distinct().count() == batch.count()
+    # every original row still present exactly once
+    assert (
+        after.groupBy("event_id").count().filter(F.col("count") > 1).count()
+        == 0
+    )

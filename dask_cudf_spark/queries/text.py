@@ -371,28 +371,33 @@ def q_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import scale_out
 
     # tokenize ONCE per row (projection below the join); a per-pair
-    # tokenization inside the join condition costs O(pairs), not O(rows)
+    # tokenization inside the join condition costs O(pairs), not O(rows).
+    # Distinct-token COUNTS are also per-row, so the O(pairs) hot loop
+    # pays a single array_intersect — |A u B| comes free as
+    # |A| + |B| - |A n B| (same integers as the oracle's list_concat
+    # union, so the divided double is bit-identical).
     d = scale_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         "lang",
         "source",
         F.array_distinct(F.split("text", " ")).alias("toks"),
-    )
+    ).withColumn("n_toks", F.size("toks"))
     a = d.select(
         F.col("doc_id").alias("id_a"),
         F.col("lang").alias("lang_a"),
         F.col("source").alias("source_a"),
         F.col("toks").alias("toks_a"),
+        F.col("n_toks").alias("n_a"),
     )
     b = d.select(
         F.col("doc_id").alias("id_b"),
         F.col("lang").alias("lang_b"),
         F.col("source").alias("source_b"),
         F.col("toks").alias("toks_b"),
+        F.col("n_toks").alias("n_b"),
     )
-    jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
-        F.array_union("toks_a", "toks_b")
-    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
     return (
         a.join(
             b,

@@ -2025,3 +2025,60 @@ def q_entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
         )
     )
+
+
+@register(
+    "q_token_rarity",
+    family="text",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, t.token
+            FROM documents, unnest(string_split(text, ' ')) AS t(token)
+        ),
+        uni AS (
+            SELECT token, COUNT(*) AS c_w FROM toks GROUP BY token
+        ),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks)
+        SELECT doc_id,
+               CAST(SUM(s.n_tokens // u.c_w) AS BIGINT) AS rarity_sum,
+               COUNT(*) AS n_toks,
+               CAST(SUM(s.n_tokens // u.c_w) // COUNT(*) AS BIGINT)
+                   AS mean_rarity
+        FROM toks JOIN uni u USING (token) CROSS JOIN stats s
+        GROUP BY doc_id
+    """,
+)
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-rarity quality signal: the mean inverse
+    corpus frequency floor(N / c(w)) of a document's tokens — a
+    log-free perplexity proxy (documents stuffed with rare tokens score
+    high; boilerplate scores low), used as a curation filter alongside
+    q_quality_score's surface heuristics.  Integer-exact end to end:
+    every per-token rarity and the per-doc mean are BIGINTs, so the
+    oracle hash can't flake.
+
+    Scale: one explode (map-side) + one (token) vocabulary aggregation
+    BROADCAST back to the token stream + one doc_id rollup — the same
+    two-shuffle shape as tf-idf; the corpus is read once."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    uni = toks.groupBy("token").agg(F.count("*").alias("c_w"))
+    stats = toks.agg(F.count("*").alias("n_tokens"))
+    return (
+        toks.join(F.broadcast(uni), "token")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.expr("n_tokens div c_w").alias("rarity"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("rarity").alias("rarity_sum"),
+            F.count("*").alias("n_toks"),
+        )
+        .select(
+            "doc_id",
+            "rarity_sum",
+            "n_toks",
+            F.expr("rarity_sum div n_toks").alias("mean_rarity"),
+        )
+    )

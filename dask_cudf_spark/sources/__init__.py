@@ -24,7 +24,7 @@ from .tables import (
     register_temp_views,
     scale_out,
 )
-from .writers import to_csv, to_json, to_orc, to_parquet
+from .writers import to_csv, to_json, to_orc, to_parquet, to_parquet_zordered
 
 __all__ = [
     "read_parquet",
@@ -35,6 +35,7 @@ __all__ = [
     "read_avro",
     "read_binary_files",
     "to_parquet",
+    "to_parquet_zordered",
     "upsert_partitions",
     "to_orc",
     "to_csv",

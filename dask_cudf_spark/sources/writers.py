@@ -91,3 +91,68 @@ def upsert_partitions(
         .partitionBy(*partition_on)
         .parquet(path)
     )
+
+
+def to_parquet_zordered(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    bits: int = 20,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet write (Delta/Iceberg OPTIMIZE ZORDER
+    on plain parquet): rows are range-partitioned and sorted by the
+    Morton interleave of (col_x, col_y) — queries/sorts.q_zorder_cluster's
+    key — so every output file covers a TIGHT rectangle in both key
+    dimensions and parquet's per-file column min/max footer stats prune
+    on EITHER predicate, not just a primary sort key.
+
+    Both keys are first min-max normalized onto the SAME ``bits``-wide
+    integer range (the step Delta performs via range-bucketed ranks):
+    interleaving raw keys of very different magnitudes leaves the
+    z-value's high bits owned entirely by the wider key, which degrades
+    to a single-key sort for the narrow one.
+
+    Scale: one tiny min/max agg (broadcast back as a 1-row literal) +
+    one range shuffle (RangePartitioner reservoir sample over the
+    z-value) + a local sort — a global orderBy's cost; the interleave
+    itself is codegen'd shifts/masks.  ``n_files`` caps the output
+    layout (default: current shuffle parallelism)."""
+    from pyspark.sql import functions as F
+
+    from ..queries.sorts import _z_terms
+
+    top = (1 << bits) - 1
+    stats = df.agg(
+        F.min(col_x).alias("__mnx"),
+        F.max(col_x).alias("__mxx"),
+        F.min(col_y).alias("__mny"),
+        F.max(col_y).alias("__mxy"),
+    )
+
+    def norm(c, mn, mx):
+        return F.floor(
+            (F.col(c) - F.col(mn)).cast("double")
+            * top
+            / F.greatest(F.col(mx) - F.col(mn), F.lit(1)).cast("double")
+        ).cast("long")
+
+    z = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("__zx", norm(col_x, "__mnx", "__mxx"))
+        .withColumn("__zy", norm(col_y, "__mny", "__mxy"))
+        .withColumn("__z", F.expr(_z_terms("__zx", "__zy", bits, spark=True)))
+        .drop("__zx", "__zy", "__mnx", "__mxx", "__mny", "__mxy")
+    )
+    if n_files:
+        z = z.repartitionByRange(n_files, "__z")
+    else:
+        z = z.repartitionByRange("__z")
+    (
+        z.sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -289,3 +289,46 @@ def test_avro_nested_logical_time_rejected(spark, tmp_path):
     )
     with pytest.raises(Exception, match="nested Avro logical time"):
         sources.read_avro(spark, str(tmp_path / "n.avro")).collect()
+
+
+def test_zordered_write_tightens_file_envelopes(spark, tmp_path):
+    """to_parquet_zordered: every output file must cover a narrow
+    rectangle in BOTH clustered dimensions — the property parquet
+    footer-stat pruning depends on.  Compared against a single-key
+    sort, which leaves the secondary dimension's per-file range at
+    full width."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from dask_cudf_spark.sources import load_table, to_parquet_zordered
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    path = str(tmp_path / "zord")
+    to_parquet_zordered(li, path, "l_partkey", "l_suppkey", n_files=8)
+
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) > 1
+    g = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).collect()[0]
+    span_p, span_s = g[1] - g[0], g[3] - g[2]
+    tight_p = tight_s = 0
+    for f in files:
+        pf = spark.read.parquet(f).agg(
+            F.min("l_partkey"), F.max("l_partkey"),
+            F.min("l_suppkey"), F.max("l_suppkey"),
+        ).collect()[0]
+        if (pf[1] - pf[0]) * 2 <= span_p:
+            tight_p += 1
+        if (pf[3] - pf[2]) * 2 <= span_s:
+            tight_s += 1
+    # z-ordering must tighten BOTH dimensions for most files — a
+    # single-key sort would leave tight_s (or tight_p) at ~0
+    assert tight_p >= len(files) // 2
+    assert tight_s >= len(files) // 2
+    # nothing lost in the rewrite
+    assert spark.read.parquet(path).count() == li.count()

@@ -1188,3 +1188,83 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("week"), F.col("cohort_week")) / 7
         ).alias("week_offset"),
     ).agg(F.count("*").alias("n_users"))
+
+
+@register(
+    "q_drift_chi2",
+    family="aggregate",
+    oracle="""
+        WITH binned AS (
+            SELECT event_type, CAST(FLOOR(value / 50) AS BIGINT) AS bin
+            FROM events WHERE event_type IN ('view', 'click')
+        ),
+        o AS (
+            SELECT bin,
+                   CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT)
+                       AS o_view,
+                   CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT)
+                       AS o_click
+            FROM binned GROUP BY bin
+        ),
+        tot AS (
+            SELECT CAST(SUM(o_view) AS BIGINT) AS n_v,
+                   CAST(SUM(o_click) AS BIGINT) AS n_c,
+                   CAST(SUM(o_view) + SUM(o_click) AS BIGINT) AS n
+            FROM o
+        )
+        SELECT bin, o_view, o_click,
+               CAST(ROUND((
+                   ((o_view - ((o_view + o_click) * n_v) / n)
+                    * (o_view - ((o_view + o_click) * n_v) / n))
+                   / (((o_view + o_click) * n_v) / n)
+                   +
+                   ((o_click - ((o_view + o_click) * n_c) / n)
+                    * (o_click - ((o_view + o_click) * n_c) / n))
+                   / (((o_view + o_click) * n_c) / n)
+               ) * 1000000, 0) AS BIGINT) AS chi2_s6
+        FROM o CROSS JOIN tot
+    """,
+)
+def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift check: per-bin chi-square homogeneity
+    contributions between two event populations (the ML-ops data-drift
+    test; the log-free cousin of PSI).  Expected counts come from the
+    pooled marginals; each bin's contribution sum((o-e)^2/e) over the
+    two groups is computed with the IDENTICAL arithmetic sequence on
+    both engines (integer products, one double division, fixed group
+    order) and scaled to a BIGINT, so the oracle hash is exact and the
+    total is an exact integer sum downstream.
+
+    Scale: binning is map-side; ONE (bin) shuffle with map-side partial
+    counts builds the contingency table (|bins| rows); the marginal
+    totals broadcast back as a 1-row literal.  No window, no
+    self-join."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    binned = ev.select(
+        "event_type",
+        F.floor(F.col("value") / 50).cast("long").alias("bin"),
+    )
+    o = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("o_view"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("o_click"),
+    )
+    tot = o.agg(
+        F.sum("o_view").alias("n_v"),
+        F.sum("o_click").alias("n_c"),
+        (F.sum("o_view") + F.sum("o_click")).alias("n"),
+    )
+    joined = o.crossJoin(F.broadcast(tot))
+    e_v = (F.col("o_view") + F.col("o_click")) * F.col("n_v") / F.col("n")
+    e_c = (F.col("o_view") + F.col("o_click")) * F.col("n_c") / F.col("n")
+    contrib = (
+        (F.col("o_view") - e_v) * (F.col("o_view") - e_v) / e_v
+        + (F.col("o_click") - e_c) * (F.col("o_click") - e_c) / e_c
+    )
+    return joined.select(
+        "bin",
+        "o_view",
+        "o_click",
+        F.round(contrib * 1000000, 0).cast("long").alias("chi2_s6"),
+    )

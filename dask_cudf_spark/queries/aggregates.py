@@ -1268,3 +1268,75 @@ def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_click",
         F.round(contrib * 1000000, 0).cast("long").alias("chi2_s6"),
     )
+
+
+@register(
+    "q_basket_pairs",
+    family="aggregate",
+    oracle="""
+        WITH baskets AS (
+            SELECT DISTINCT user_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+            FROM events
+        ),
+        freq AS (
+            SELECT item, COUNT(*) AS item_support FROM baskets
+            GROUP BY item HAVING COUNT(*) >= 5
+        ),
+        pruned AS (
+            SELECT b.user_id, b.item FROM baskets b JOIN freq USING (item)
+        )
+        SELECT item_a, item_b, support, rank FROM (
+            SELECT a.item AS item_a, b.item AS item_b,
+                   COUNT(*) AS support,
+                   ROW_NUMBER() OVER (
+                       ORDER BY COUNT(*) DESC, a.item, b.item
+                   ) AS rank
+            FROM pruned a JOIN pruned b
+              ON a.user_id = b.user_id AND a.item < b.item
+            GROUP BY a.item, b.item
+        ) WHERE rank <= 20
+    """,
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket 2-itemset mining with Apriori pruning (Agrawal &
+    Srikant 1994): items are the props.k JSON field, a basket is a
+    user's DISTINCT item set, and — the Apriori step — only items whose
+    own support clears the threshold enter pair generation, so the
+    within-basket self-join runs over pruned baskets, never raw events.
+    Top-20 pairs by support, deterministic tie-break.
+
+    Scale: JSON extraction and basket dedup are one user-partitioned
+    shuffle; the frequent-item table is item-cardinality-sized and
+    BROADCAST into the prune; pair generation joins pruned baskets on
+    user_id (co-partitioned with the dedup shuffle); the support rollup
+    moves only surviving pairs and top-20 is TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).distinct()
+    freq = (
+        baskets.groupBy("item")
+        .agg(F.count("*").alias("item_support"))
+        .filter(F.col("item_support") >= 5)
+        .select("item")
+    )
+    pruned = baskets.join(F.broadcast(freq), "item").select("user_id", "item")
+    a = pruned.select("user_id", F.col("item").alias("item_a"))
+    b = pruned.select("user_id", F.col("item").alias("item_b"))
+    from pyspark.sql import Window
+
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("support"))
+    )
+    top = pairs.orderBy(
+        F.desc("support"), F.asc("item_a"), F.asc("item_b")
+    ).limit(20)
+    w = Window.orderBy(F.desc("support"), F.asc("item_a"), F.asc("item_b"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("item_a", "item_b", "support", "rank")

@@ -803,3 +803,110 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (2 * med).cast("long").alias("med2_s4"),
     )
+
+
+@register(
+    "q_event_paths",
+    family="window",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type, 1) OVER w AS e2,
+                   LEAD(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT path, n, rank FROM (
+            SELECT event_type || '>' || e2 || '>' || e3 AS path,
+                   COUNT(*) AS n,
+                   ROW_NUMBER() OVER (
+                       ORDER BY COUNT(*) DESC,
+                                event_type || '>' || e2 || '>' || e3
+                   ) AS rank
+            FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+            GROUP BY path
+        ) WHERE rank <= 10
+    """,
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path mining: the top-10 most frequent 3-step
+    event-type sequences (sliding trigrams over each user's
+    time-ordered stream) — the open-ended companion to q_funnel_steps'
+    fixed funnel, and the input a Markov attribution model trains on.
+
+    Scale: ONE shuffle on user_id feeds the lead() window (ties broken
+    by event_id so the sequence is total-ordered and cross-engine
+    deterministic); trigram assembly is map-side string concat; the
+    path rollup moves |paths| rows and top-10 collapses to
+    TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    paths = seq.select(
+        F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+    ).groupBy("path").agg(F.count("*").alias("n"))
+    top = paths.orderBy(F.desc("n"), F.asc("path")).limit(10)
+    wr = Window.orderBy(F.desc("n"), F.asc("path"))
+    return top.withColumn("rank", F.row_number().over(wr).cast("long")).select(
+        "path", "n", "rank"
+    )
+
+
+@register(
+    "q_max_drawdown",
+    family="window",
+    oracle="""
+        WITH cents AS (
+            SELECT user_id, ts, event_id,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS v_c
+            FROM events
+        ),
+        run AS (
+            SELECT user_id, v_c,
+                   MAX(v_c) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS peak_c
+            FROM cents
+        )
+        SELECT user_id,
+               CAST(MAX(peak_c - v_c) AS BIGINT) AS max_drawdown_c,
+               CAST(MAX(peak_c) AS BIGINT) AS peak_c,
+               COUNT(*) AS n_events
+        FROM run GROUP BY user_id
+    """,
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user maximum drawdown of the event value series: running
+    peak (cumulative max over the time-ordered stream) minus current
+    value, maximized — the classic risk/monitoring statistic, and a
+    stateful-looking metric that needs NO stateful operator: one
+    cumulative-max window and one rollup.  Values go through the cents
+    scaled-integer discipline so the oracle hash is exact.
+
+    Scale: ONE shuffle on user_id shared by the running-max window and
+    the final per-user aggregation (co-partitioned)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = cents.select(
+        "user_id", "v_c", F.max("v_c").over(w).alias("peak_c")
+    )
+    return run.groupBy("user_id").agg(
+        F.max(F.col("peak_c") - F.col("v_c")).alias("max_drawdown_c"),
+        F.max("peak_c").alias("peak_c"),
+        F.count("*").alias("n_events"),
+    )

@@ -1306,16 +1306,27 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-basket self-join runs over pruned baskets, never raw events.
     Top-20 pairs by support, deterministic tie-break.
 
-    Scale: JSON extraction and basket dedup are one user-partitioned
-    shuffle; the frequent-item table is item-cardinality-sized and
-    BROADCAST into the prune; pair generation joins pruned baskets on
-    user_id (co-partitioned with the dedup shuffle); the support rollup
-    moves only surviving pairs and top-20 is TakeOrderedAndProject."""
+    Scale: the basket dedup repartitions on user_id (a subset of the
+    dedup keys, so the distinct adds no second exchange) and the
+    broadcast prune preserves that partitioning, so the pair join runs
+    WITHOUT a join exchange — the plan's only data-sized shuffles are
+    the per-reference basket builds (the subplan is referenced three
+    times: freq + both pair sides; a production pipeline would
+    ``persist()`` the deduped baskets to collapse those to one) and the
+    final support rollup; top-20 is TakeOrderedAndProject."""
     ev = load_table(spark, sf_dir, "events")
-    baskets = ev.select(
-        "user_id",
-        F.get_json_object("props", "$.k").cast("long").alias("item"),
-    ).distinct()
+    # hash-partition on user_id ONLY, then dedup: HashPartitioning on a
+    # subset of the distinct keys satisfies its ClusteredDistribution,
+    # so the dedup adds no second exchange AND the downstream pair join
+    # on user_id reuses the same partitioning — one corpus shuffle total
+    baskets = (
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .repartition("user_id")
+        .dropDuplicates(["user_id", "item"])
+    )
     freq = (
         baskets.groupBy("item")
         .agg(F.count("*").alias("item_support"))

@@ -931,6 +931,24 @@ class Frame:
     def npartitions(self) -> int:
         return self._sdf.rdd.getNumPartitions()
 
+    def partition_stats(self) -> pd.DataFrame:
+        """Per-partition row counts — the skew diagnostic behind
+        dask's ``map_partitions(len)`` idiom: a healthy distributed
+        frame has near-uniform partition sizes; a hot key shows up as
+        one giant row here long before it shows up as a straggler task.
+        One narrow aggregation job (spark_partition_id + count), no
+        data collected beyond |partitions| rows."""
+        from pyspark.sql import functions as F
+
+        return (
+            self._sdf.groupBy(
+                F.spark_partition_id().alias("partition_id")
+            )
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .orderBy("partition_id")
+            .toPandas()
+        )
+
     # -- materialization --------------------------------------------------------
     def compute(self) -> pd.DataFrame:
         """≙ dask .compute(): gather to the client as pandas (Arrow path)."""

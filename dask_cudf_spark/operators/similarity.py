@@ -688,3 +688,101 @@ def kmeans_step(
     return sizes.join(F.broadcast(csums), on="cluster", how="left").select(
         "cluster", "n_points", "centroid_sum_s6"
     )
+
+
+def kmeans(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    n_iter: int = 3,
+    seed_stride: int = 19,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Multi-iteration exact distributed k-means: Lloyd steps chained
+    with the same 1e6-scaled BIGINT arithmetic as kmeans_step, driving
+    assignment -> update from the PREVIOUS iteration's centroids each
+    round (centroids are K*dim scaled ints — collected to the driver
+    between iterations exactly as Spark MLlib does; the corpus itself
+    never leaves the executors).
+
+    Returns (assignments DataFrame[id, cluster], inertia_per_iter) —
+    inertia is the exact integer sum of each point's squared distance
+    to its assigned centroid, so the classic Lloyd guarantee (inertia
+    non-increasing over iterations) is testable EXACTLY, no float
+    tolerance.  Iterations are deterministic for any partitioning.
+    """
+    seeds = (
+        corpus.filter((F.col(id_col) % seed_stride) == 0)
+        .orderBy(id_col)
+        .limit(n_clusters)
+        .select(vec_col)
+        .collect()
+    )
+    if len(seeds) < n_clusters:
+        raise ValueError(f"kmeans: need {n_clusters} seeds")
+
+    vs = scale_out(corpus).select(
+        F.col(id_col).alias("__id"), _s6(F.col(vec_col)).alias("__v")
+    ).localCheckpoint(eager=False)
+
+    def cents_expr(cents: list[list[int]]):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(cl).cast("long").alias("cl"),
+                    F.array(*[F.lit(int(c)).cast("long") for c in vec]).alias(
+                        "c"
+                    ),
+                )
+                for cl, vec in enumerate(cents)
+            ]
+        )
+
+    def assign(cents: list[list[int]]) -> DataFrame:
+        scored = F.transform(
+            cents_expr(cents),
+            lambda s: F.struct(
+                _sqdist_int(F.col("__v"), s["c"]).alias("d"),
+                s["cl"].alias("cl"),
+            ),
+        )
+        best = F.element_at(F.array_sort(scored), 1)
+        return vs.select(
+            "__id", "__v", best["cl"].alias("__cl"), best["d"].alias("__d")
+        )
+
+    # initial centroids: the scaled seed vectors themselves (matches
+    # kmeans_step's in-engine rounding: round half away from zero)
+    import decimal
+
+    def s6(x: float) -> int:
+        return int(
+            decimal.Decimal(float(x) * 1000000.0).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    cents = [[s6(v) for v in r[0]] for r in seeds]
+    inertia: list[int] = []
+    assigned = None
+    for _ in range(n_iter):
+        assigned = assign(cents)
+        stats = (
+            assigned.select("__cl", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("__cl", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        inertia.append(
+            assigned.agg(F.sum("__d")).collect()[0][0]
+        )
+        new = {}
+        for r in stats:
+            new.setdefault(r["__cl"], [0] * dim)[r["pos"]] = int(r["s"] / r["n"])
+        # clusters that lost every point keep their previous centroid
+        cents = [new.get(cl, cents[cl]) for cl in range(n_clusters)]
+    out = assigned.select(
+        F.col("__id").alias(id_col), F.col("__cl").alias("cluster")
+    )
+    return out, inertia

@@ -485,3 +485,15 @@ def test_groupby_first_last_cum_transform_filter(spark):
 
     kept = g.filter("count(*)", lambda c: c >= 2).compute()
     assert sorted(kept["k"].unique().tolist()) == ["a", "b"]
+
+
+def test_partition_stats_counts_every_row(spark):
+    from dask_cudf_spark.frame import Frame
+
+    f = Frame(spark.range(0, 1000).repartition(8))
+    stats = f.partition_stats()
+    assert stats["n_rows"].sum() == 1000
+    assert len(stats) <= 8
+    assert (stats["n_rows"] > 0).all()
+    # round-robin repartition: no pathological skew
+    assert stats["n_rows"].max() <= 4 * stats["n_rows"].min()

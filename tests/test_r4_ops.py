@@ -154,3 +154,22 @@ def test_retention_cohort_triangle(spark):
         assert r.week_offset >= 0
         # retention can never exceed the cohort's size
         assert r.n_users <= zero[r.cohort_week]
+
+
+def test_kmeans_iterations_reduce_exact_inertia(spark):
+    """Multi-iteration Lloyd: the exact integer inertia must drop from
+    the seed centroids after the first update, never end above its
+    start, and be bit-identical across runs (determinism under any
+    partitioning)."""
+    from dask_cudf_spark.operators.similarity import kmeans
+
+    em = load_table(spark, SF_DIR, "embeddings")
+    out1, in1 = kmeans(em, n_clusters=8, n_iter=3)
+    out2, in2 = kmeans(em, n_clusters=8, n_iter=3)
+    assert len(in1) == 3
+    assert in1[1] < in1[0]           # first update strictly improves
+    assert in1[-1] <= in1[0]
+    assert in1 == in2
+    a = sorted(map(tuple, out1.collect()))
+    assert a == sorted(map(tuple, out2.collect()))
+    assert len(a) == em.count()

@@ -786,3 +786,120 @@ def kmeans(
         F.col("__id").alias(id_col), F.col("__cl").alias("cluster")
     )
     return out, inertia
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    centroid_stride: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Persist an IVF index as hive-partitioned parquet: every corpus
+    vector lands under ``list_id=<k>/`` for its nearest coarse
+    centroid (ivf_topk's deterministic codebook), so a later search
+    READS ONLY the probed lists — partition pruning does the inverted-
+    index lookup, no search-time assignment pass over the corpus.
+    Build cost: one map-side assignment + one partitioned write (no
+    shuffle beyond the writer's).  Returns the codebook (n_centroids x
+    dim floats) — persisted alongside as _codebook.json so
+    query_ivf_index can rebuild probe literals without the corpus.
+    """
+    import json
+    import os
+
+    seeds = (
+        corpus.filter((F.col(id_col) % centroid_stride) == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(vec_col)
+        .collect()
+    )
+    codebook = [[float(v) for v in r[0]] for r in seeds]
+    cent_arr = F.array(
+        *[F.array(*[F.lit(v) for v in c]) for c in codebook]
+    )
+    scored = F.transform(
+        cent_arr,
+        lambda c, i: F.struct(
+            (-F.round(cosine(F.col(vec_col), c), 6)).alias("negcos"),
+            i.alias("cidx"),
+        ),
+    )
+    assigned = corpus.select(
+        id_col,
+        vec_col,
+        F.element_at(F.array_sort(scored), 1)["cidx"]
+        .cast("long")
+        .alias("list_id"),
+    )
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    with open(os.path.join(path, "_codebook.json"), "w") as f:
+        json.dump(codebook, f)
+    return codebook
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Search a persisted IVF index: probe lists come from the stored
+    codebook (literals — no corpus pass), and the ``list_id IN (...)``
+    filter prunes to the probed hive partitions, so the scan reads
+    only ~nprobe/n_centroids of the index.  Exact cosine re-rank within
+    the probed lists, identical semantics to ivf_topk."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_codebook.json")) as f:
+        codebook = json.load(f)
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in codebook]
+    )
+
+    def nearest_lists(vec, n: int):
+        scored = F.transform(
+            cent_arr,
+            lambda c, i: F.struct(
+                (-F.round(cosine(vec, c), 6)).alias("negcos"),
+                i.alias("cidx"),
+            ),
+        )
+        return F.transform(
+            F.slice(F.array_sort(scored), 1, n),
+            lambda s: s["cidx"].cast("long"),
+        )
+
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(nearest_lists(F.col(vec_col), nprobe)).alias("list_id"),
+    )
+    probe_ids = [r[0] for r in q.select("list_id").distinct().collect()]
+    index = spark.read.parquet(path).filter(F.col("list_id").isin(probe_ids))
+    scored = index.join(F.broadcast(q), on="list_id").filter(
+        F.col(id_col) != F.col("__qid")
+    )
+    scored = scored.withColumn(
+        "cosine", F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6)
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )

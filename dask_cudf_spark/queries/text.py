@@ -1818,7 +1818,10 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         idf3  = (1000*(2N - 2df + 1)) // (2df + 1)   # BM25+ idf, 1e3-scaled
 
     — so ranking, ties, and the oracle hash are integer-exact on both
-    engines (no libm log, no float accumulation).
+    engines (no libm log, no float accumulation).  Headroom: the
+    largest product idf3 * 22 * tf * sum_dl stays under 2^63 through
+    ~1e6 docs x ~100 tokens (sf1); a corpus beyond that moves the
+    score to DECIMAL(38,0) — same expressions, wider type.
 
     Scale: the explode is map-side and the query-term filter drops
     ~99% of tokens BEFORE the (doc_id, token) tf shuffle; dl rides the

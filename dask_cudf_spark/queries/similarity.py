@@ -457,6 +457,7 @@ def _duck_sqd_s6(x: str, y: str, m: str) -> str:
 @register(
     "q_ann_pq",
     family="similarity",
+    tags=["flagship"],
     oracle=f"""
         WITH seeds AS (
             SELECT cvec, ROW_NUMBER() OVER (ORDER BY cid) - 1 AS cidx
@@ -539,6 +540,7 @@ def _duck_sqd_int(a: str, b: str) -> str:
 @register(
     "q_kmeans_step",
     family="similarity",
+    tags=["flagship"],
     oracle=f"""
         WITH seeds AS (
             SELECT cvec, ROW_NUMBER() OVER (ORDER BY cid) - 1 AS cidx

@@ -63,7 +63,11 @@ def test_driver_scoring_window_covers_every_family():
 # q_minhash_dedup, q_bpe_encode — inside the scored window, displacing
 # q_join_left / q_exact_dedup_rows / q_token_count, which all remain
 # oracle-backed in the full registry; q_semdedup later displaced
-# q_hash_exact_dedup the same deliberate way).  Registrations, family renames,
+# q_hash_exact_dedup the same deliberate way; late in r4 the second-wave
+# flagships q_ann_pq and q_kmeans_step displaced q_cosine_sim's siblings
+# q_centroids / q_ann_lsh, after a full 191-query sf0.01 driver-style
+# replay of the registry including every window member).
+# Registrations, family renames,
 # or ordering tweaks must not silently displace a proven-green row;
 # update this list ONLY deliberately, together with a local
 # driver_replay of the new window.
@@ -71,18 +75,20 @@ _PINNED_WINDOW = [
     "q_groupby_sum", "q_udaf_grouped", "q_skew_salted_sum",
     "q_tpch_q5_shape", "q_multimodal_meta", "q_scan_parquet",
     "q_project_arith", "q_filter_pred", "q_scalar_pack_str",
-    "q_json_extract", "q_union_all", "q_cosine_sim", "q_minhash_dedup",
-    "q_sort_global", "q_stream_tumbling", "q_bpe_encode", "q_tpch_q1",
-    "q_window_rolling", "q_groupby_mean", "q_cogroup_udf",
-    "q_skew_salted_collect", "q_join_inner", "q_multimodal_frames",
-    "q_scan_pushdown_ts", "q_when_clip", "q_sql_query",
-    "q_scalar_pack_date", "q_explode", "q_union_missing_cols",
-    "q_centroids", "q_neardup_embedding", "q_topk", "q_stream_sliding",
-    "q_text_stats", "q_tpch_q6", "q_window_time_range", "q_groupby_std",
-    "q_explode_udtf", "q_skew_salted_nunique", "q_join_broadcast",
-    "q_multimodal_features", "q_combine_first", "q_dropna_fillna",
-    "q_scalar_pack_math", "q_array_pack", "q_intersect", "q_ann_lsh",
-    "q_semdedup", "q_head_sorted", "q_stream_session",
+    "q_json_extract", "q_union_all", "q_ann_pq",
+    "q_minhash_dedup", "q_sort_global", "q_stream_tumbling",
+    "q_bpe_encode", "q_tpch_q1", "q_window_rolling",
+    "q_groupby_mean", "q_cogroup_udf", "q_skew_salted_collect",
+    "q_join_inner", "q_multimodal_frames", "q_scan_pushdown_ts",
+    "q_when_clip", "q_sql_query", "q_scalar_pack_date",
+    "q_explode", "q_union_missing_cols", "q_kmeans_step",
+    "q_neardup_embedding", "q_topk", "q_stream_sliding",
+    "q_text_stats", "q_tpch_q6", "q_window_time_range",
+    "q_groupby_std", "q_explode_udtf", "q_skew_salted_nunique",
+    "q_join_broadcast", "q_multimodal_features", "q_combine_first",
+    "q_dropna_fillna", "q_scalar_pack_math", "q_array_pack",
+    "q_intersect", "q_cosine_sim", "q_semdedup",
+    "q_head_sorted", "q_stream_session",
 ]
 
 

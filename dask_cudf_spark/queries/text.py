@@ -2085,3 +2085,142 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("rarity_sum div n_toks").alias("mean_rarity"),
         )
     )
+
+
+@register(
+    "q_inverted_index",
+    family="text",
+    oracle="""
+        WITH tf AS (
+            SELECT t.token, doc_id, COUNT(*) AS tf
+            FROM documents, unnest(string_split(text, ' ')) AS t(token)
+            GROUP BY t.token, doc_id
+        ),
+        vocab AS (
+            SELECT token, COUNT(*) AS df,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) ASC, token)
+                       AS rarity_rank
+            FROM tf GROUP BY token
+        )
+        SELECT v.token, v.df,
+               string_agg(tf.doc_id || ':' || tf.tf, ' '
+                          ORDER BY tf.doc_id) AS postings
+        FROM vocab v JOIN tf USING (token)
+        WHERE v.rarity_rank <= 10
+        GROUP BY v.token, v.df
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (the IR artifact behind q_bm25_topk
+    and every posting-list search engine): per-token document posting
+    lists 'doc:tf', built for the 10 rarest vocabulary terms
+    (deterministic rarity rank) — the selective-term slice a real
+    index would shard; common-term postings stay distributed.
+
+    Scale: one (token, doc) tf shuffle; the vocabulary rollup is
+    tiny and re-joined by BROADCAST; posting-list assembly
+    (sort + join) happens per surviving token only.  The oracle
+    replays the list as an ORDER BY'd string_agg."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    vocab = tf.groupBy("token").agg(F.count("*").alias("df"))
+    wv = Window.orderBy(F.asc("df"), F.asc("token"))
+    rare = (
+        vocab.withColumn("rarity_rank", F.row_number().over(wv))
+        .filter(F.col("rarity_rank") <= 10)
+        .select("token", "df")
+    )
+    return (
+        tf.join(F.broadcast(rare), "token")
+        .groupBy("token", "df")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                    lambda s: F.concat_ws(
+                        ":",
+                        s["doc_id"].cast("string"),
+                        s["tf"].cast("string"),
+                    ),
+                ),
+                " ",
+            ).alias("postings")
+        )
+        .select("token", "df", "postings")
+    )
+
+
+@register(
+    "q_winsorized_stats",
+    family="text",
+    oracle="""
+        WITH b AS (
+            SELECT lang,
+                   CAST(ROUND(ROUND(quantile_cont(n_chars, 0.05), 4)
+                              * 10000, 0) AS BIGINT) AS p05_s4,
+                   CAST(ROUND(ROUND(quantile_cont(n_chars, 0.95), 4)
+                              * 10000, 0) AS BIGINT) AS p95_s4
+            FROM documents GROUP BY lang
+        )
+        SELECT d.lang,
+               MIN(b.p05_s4) AS p05_s4,
+               MIN(b.p95_s4) AS p95_s4,
+               CAST(SUM(GREATEST(b.p05_s4,
+                                 LEAST(b.p95_s4, d.n_chars * 10000)))
+                    AS BIGINT) // COUNT(*) AS wins_mean_s4,
+               COUNT(*) AS n_docs
+        FROM documents d JOIN b USING (lang)
+        GROUP BY d.lang
+    """,
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized corpus statistics per language: clamp document
+    lengths to the exact interpolated [p05, p95] band, then take the
+    outlier-robust mean — the curation-pipeline statistic that a plain
+    mean gets wrong on heavy-tailed web corpora.  Bounds are rounded
+    to 4dp then scaled to BIGINTs, so the clamp and the mean are
+    integer-exact cross-engine (the only float step is the shared
+    interpolated percentile both engines compute identically on
+    integral inputs).
+
+    Scale: the bounds table is |langs| rows after one percentile
+    shuffle, BROADCAST back; the winsorized rollup is the second (and
+    last) shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.groupBy("lang").agg(
+        F.round(
+            F.round(F.expr("percentile(n_chars, 0.05)"), 4) * 10000, 0
+        )
+        .cast("long")
+        .alias("p05_s4"),
+        F.round(
+            F.round(F.expr("percentile(n_chars, 0.95)"), 4) * 10000, 0
+        )
+        .cast("long")
+        .alias("p95_s4"),
+    )
+    j = d.join(F.broadcast(b), "lang")
+    clamped = F.greatest(
+        F.col("p05_s4"),
+        F.least(F.col("p95_s4"), F.col("n_chars") * 10000),
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.min("p05_s4").alias("p05_s4"),
+            F.min("p95_s4").alias("p95_s4"),
+            F.sum(clamped).alias("__s"),
+            F.count("*").alias("n_docs"),
+        )
+        .select(
+            "lang",
+            "p05_s4",
+            "p95_s4",
+            F.expr("__s div n_docs").alias("wins_mean_s4"),
+            "n_docs",
+        )
+    )

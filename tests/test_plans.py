@@ -571,3 +571,34 @@ def test_semdedup_and_span_dedup_plan_shapes(spark):
     assert b.n_cartesian == 0
     assert not b.python_nodes
     assert b.n_broadcast_hash_joins + b.n_sort_merge_joins + b.n_shuffled_hash_joins >= 1
+
+
+def test_r4_second_wave_shuffle_budgets(spark):
+    """Pin the shuffle count of every round-4 second-wave operator so a
+    refactor can't silently regress the documented plan shape.  Budgets
+    are the docstring claims: map-side ops stay at <=1 exchange (the
+    final rollup / rank), two-stage aggs at their declared counts.
+    Exceeding a budget = a new data-sized exchange crept in."""
+    from dask_cudf_spark.plans import audit
+
+    budgets = {
+        "q_ann_pq": 1,            # corpus encodes map-side; rank window only
+        "q_zorder_cluster": 1,    # interleave map-side; one rollup
+        "q_max_drawdown": 1,      # window + rollup share the user_id exchange
+        "q_retention_cohort": 2,  # user_id window/dedup + matrix agg
+        "q_event_paths": 2,       # user_id window + path rollup (topk local)
+        "q_entity_match_blocked": 2,  # name collapse + block-key join
+        "q_drift_chi2": 3,        # bin table + two tiny marginal apexes
+        "q_token_rarity": 3,      # tf + vocab (broadcast back) + doc rollup
+        "q_winsorized_stats": 2,  # percentile bounds + winsorized rollup
+        "q_inverted_index": 4,    # tf, vocab, rank, posting assembly
+        "q_bm25_topk": 5,         # tf/df/stats + per-doc sum + topk rank
+        "q_pmi_collocations": 4,  # bigram + unigram + stats + topk rank
+        "q_basket_pairs": 7,      # 3 basket-subplan refs + rollups (see doc)
+        "q_kmeans_step": 6,       # comp sums + small centroid/rollup apexes
+        "q_semdedup": 3,          # checkpoint + cell join + anti join
+    }
+    for name, budget in budgets.items():
+        a = audit(REGISTRY[name].fn(spark, SF_DIR))
+        assert a.n_shuffles <= budget, (name, a.n_shuffles, budget)
+        assert a.n_cartesian == 0, name

@@ -1923,15 +1923,21 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject, never a global sort."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    grams = d.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> struct(split(text, ' ')[i - 1] AS w1, "
-                "            split(text, ' ')[i] AS w2))"
-            )
-        ).alias("g")
-    ).select("g.w1", "g.w2")
+    # tokenize ONCE into a column, then slide over the array — an
+    # inline split(text) inside the transform lambda would re-split per
+    # referenced element
+    grams = (
+        d.select(toks.alias("l"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 1), "
+                    "i -> struct(l[i - 1] AS w1, l[i] AS w2))"
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2")
+    )
     cab = grams.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
     uni = (
         d.select(F.explode(toks).alias("w"))

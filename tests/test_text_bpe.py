@@ -36,13 +36,19 @@ def test_train_bpe_deterministic_tiebreak():
 def test_shipped_merges_provenance():
     """CORPUS_MERGES must be exactly train_bpe(corpus word counts, 40).
     If this fails after a testdata regeneration, retrain and update the
-    literal in functions/bpe.py (see its comment)."""
+    literal in functions/bpe.py (see its comment).
+
+    The training corpus is PINNED to the sf0.001 fixture (the table the
+    shipped literal was trained on) — deliberately independent of
+    ORACLE_SF_DIR: a gate-scale suite run must not re-interpret the
+    merge table's provenance, only its application (which the oracle
+    queries check at every SF)."""
     import collections
 
     import duckdb
 
     rows = duckdb.sql(
-        f"SELECT text FROM '{SF_DIR}/documents.parquet'"
+        "SELECT text FROM '/root/testdata/sf0.001/documents.parquet'"
     ).fetchall()
     wc: collections.Counter = collections.Counter()
     for (t,) in rows:

@@ -2230,3 +2230,79 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
+
+
+@register(
+    "q_feature_hash_embed",
+    family="text",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, t.token
+            FROM documents, unnest(string_split(text, ' ')) AS t(token)
+            WHERE doc_id < 100
+        ),
+        sig AS (
+            SELECT doc_id, (h & 15) AS idx,
+                   CASE WHEN ((h >> 4) & 1) = 0 THEN 1 ELSE -1 END AS sign
+            FROM (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)
+                           AS h
+                FROM tok
+            )
+        ),
+        comp AS (
+            SELECT doc_id, idx, CAST(SUM(sign) AS BIGINT) AS v
+            FROM sig GROUP BY doc_id, idx
+        )
+        SELECT doc_id,
+               list_transform(range(0, 16),
+                   i -> coalesce(map_extract(m, i)[1], 0)) AS vec
+        FROM (
+            SELECT doc_id,
+                   MAP(list(idx ORDER BY idx), list(v ORDER BY idx)) AS m
+            FROM comp GROUP BY doc_id
+        )
+    """,
+)
+def q_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text embedding (Weinberger et al. 2009, the
+    'hashing trick'): each token's md5 picks a dimension (low 4 bits)
+    and a sign (bit 4), and the document vector is the signed count per
+    dimension — the no-training, vocabulary-free embedding that feeds
+    cheap classifiers and blocking stages when real model embeddings
+    are too expensive for a first pass.  Exact BIGINT components, so
+    the oracle hash can't flake; md5 makes Spark and DuckDB agree
+    bit-for-bit on dimension and sign.
+
+    Scale: explode + hash + sign are map-side; ONE (doc_id, idx)
+    shuffle with map-side partial sums (<= 16 rows per doc reach the
+    reducers), then the per-doc densify is co-partitioned on doc_id
+    (subset of the previous keys — no second exchange)."""
+    from ..functions.text import md5_long
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    h = md5_long(F.col("token"))
+    sig = tok.select(
+        "doc_id",
+        (h.bitwiseAND(F.lit(15))).alias("idx"),
+        F.when(
+            F.shiftright(h, 4).bitwiseAND(F.lit(1)) == 0, F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("sign"),
+    )
+    comp = sig.groupBy("doc_id", "idx").agg(F.sum("sign").alias("v"))
+    dense = comp.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("idx", "v")))
+        ).alias("m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("long")), F.lit(0).cast("long")),
+    )
+    return dense.select("doc_id", vec.alias("vec"))

@@ -2306,3 +2306,152 @@ def q_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("long")), F.lit(0).cast("long")),
     )
     return dense.select("doc_id", vec.alias("vec"))
+
+
+@register(
+    "q_nearest_centroid_classify",
+    family="text",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang, t.token
+            FROM documents, unnest(string_split(text, ' ')) AS t(token)
+        ),
+        comp AS (
+            SELECT doc_id, lang, (h & 15) AS idx,
+                   CAST(SUM(CASE WHEN ((h >> 4) & 1) = 0 THEN 1 ELSE -1 END)
+                        * 1000000 AS BIGINT) AS V
+            FROM (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)
+                           AS h
+                FROM tok
+            )
+            GROUP BY doc_id, lang, idx
+        ),
+        n_train AS (
+            SELECT lang, COUNT(*) AS n FROM documents
+            WHERE doc_id % 5 <> 0 GROUP BY lang
+        ),
+        cent AS (
+            SELECT c.lang, c.idx,
+                   CAST(TRUNC(CAST(SUM(c.V) AS DOUBLE) / MIN(t.n)) AS BIGINT)
+                       AS C
+            FROM comp c JOIN n_train t USING (lang)
+            WHERE c.doc_id % 5 <> 0
+            GROUP BY c.lang, c.idx
+        ),
+        sc2 AS (
+            SELECT lang, CAST(SUM(C * C) AS BIGINT) AS sc2
+            FROM cent GROUP BY lang
+        ),
+        test AS (
+            SELECT doc_id, lang AS true_lang,
+                   CAST(SUM(V * V) AS BIGINT) AS sv2
+            FROM comp WHERE doc_id % 5 = 0 GROUP BY doc_id, lang
+        ),
+        dot AS (
+            SELECT c.doc_id, ct.lang, CAST(SUM(c.V * ct.C) AS BIGINT) AS vc
+            FROM comp c JOIN cent ct USING (idx)
+            WHERE c.doc_id % 5 = 0
+            GROUP BY c.doc_id, ct.lang
+        ),
+        scored AS (
+            SELECT t.doc_id, t.true_lang, s.lang AS cand,
+                   t.sv2 + s.sc2 - 2 * coalesce(d.vc, 0) AS dist
+            FROM test t CROSS JOIN sc2 s
+            LEFT JOIN dot d ON d.doc_id = t.doc_id AND d.lang = s.lang
+        ),
+        pred AS (
+            SELECT doc_id, true_lang, cand AS pred_lang FROM (
+                SELECT doc_id, true_lang, cand,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id ORDER BY dist ASC, cand
+                       ) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        )
+        SELECT true_lang, pred_lang, COUNT(*) AS n
+        FROM pred GROUP BY true_lang, pred_lang
+    """,
+)
+def q_nearest_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end in-engine classifier train + eval: feature-hash every
+    document (the q_feature_hash_embed vectors, 1e6-scaled), fit a
+    nearest-centroid (Rocchio) classifier per language on the train
+    split (doc_id % 5 != 0), predict the held-out split, and emit the
+    confusion matrix — the whole supervised pipeline as relational
+    algebra, no ML library.
+
+    The distance never needs dense vectors: ||v - c||^2 expands to
+    sum(v^2) + sum(c^2) - 2*sum(v*c), and each term aggregates from the
+    SPARSE (doc, dim) rows (missing dims contribute zero through the
+    inner dot join + coalesce).  All terms are scaled BIGINTs; centroid
+    means truncate toward zero via the shared double-TRUNC twin.
+
+    Scale: one (doc, dim) shuffle builds sparse vectors; centroid /
+    norm tables are |langs|x16 and BROADCAST; the scored grid is
+    |test docs| x |langs| with a map-side argmin; the confusion rollup
+    is |langs|^2."""
+    from ..functions.text import md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    h = md5_long(F.col("token"))
+    comp = (
+        tok.select(
+            "doc_id",
+            "lang",
+            h.bitwiseAND(F.lit(15)).alias("idx"),
+            F.when(F.shiftright(h, 4).bitwiseAND(F.lit(1)) == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("sign"),
+        )
+        .groupBy("doc_id", "lang", "idx")
+        .agg((F.sum("sign") * 1000000).cast("long").alias("V"))
+    )
+    is_train = F.col("doc_id") % 5 != 0
+    n_train = d.filter(is_train).groupBy("lang").agg(F.count("*").alias("n"))
+    cent = (
+        comp.filter(is_train)
+        .join(F.broadcast(n_train), "lang")
+        .groupBy("lang", "idx")
+        .agg(
+            (F.sum("V") / F.min("n")).cast("long").alias("C")
+        )
+    )
+    sc2 = cent.groupBy("lang").agg(
+        F.sum(F.col("C") * F.col("C")).alias("sc2")
+    )
+    test = (
+        comp.filter(~is_train)
+        .groupBy("doc_id", F.col("lang").alias("true_lang"))
+        .agg(F.sum(F.col("V") * F.col("V")).alias("sv2"))
+    )
+    dot = (
+        comp.filter(~is_train)
+        .join(F.broadcast(cent.select(F.col("lang").alias("cand"), "idx", "C")), "idx")
+        .groupBy("doc_id", "cand")
+        .agg(F.sum(F.col("V") * F.col("C")).alias("vc"))
+    )
+    scored = (
+        test.crossJoin(F.broadcast(sc2.select(F.col("lang").alias("cand"), "sc2")))
+        .join(dot, ["doc_id", "cand"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            (
+                F.col("sv2")
+                + F.col("sc2")
+                - 2 * F.coalesce(F.col("vc"), F.lit(0))
+            ).alias("dist"),
+        )
+    )
+    pred = scored.groupBy("doc_id", "true_lang").agg(
+        F.min(F.struct("dist", "cand")).alias("best")
+    )
+    return pred.groupBy(
+        "true_lang", F.col("best.cand").alias("pred_lang")
+    ).agg(F.count("*").alias("n"))

@@ -11,8 +11,11 @@ file source + availableNow trigger (tests/test_streaming.py).
 
 from .jobs import (
     event_type_dims,
+    classify_documents,
+    documents_stream,
     exactly_once_batch_writer,
     ingest_exactly_once,
+    train_centroids,
     materialize_rollup,
     events_stream,
     purchase_click_attribution,
@@ -27,8 +30,11 @@ from .jobs import (
 
 __all__ = [
     "events_stream",
+    "classify_documents",
+    "documents_stream",
     "exactly_once_batch_writer",
     "ingest_exactly_once",
+    "train_centroids",
     "event_type_dims",
     "materialize_rollup",
     "purchase_click_attribution",

@@ -463,3 +463,114 @@ def ingest_exactly_once(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a file-source micro-batch stream (the
+    sandbox stand-in for a document-ingest topic), mirroring
+    events_stream's construction."""
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def classify_documents(docs: DataFrame, centroids) -> DataFrame:
+    """Online nearest-centroid inference: score each document against
+    the trained centroid table ENTIRELY map-side — the feature-hash
+    vector (q_feature_hash_embed's md5 dimension/sign, 1e6-scaled) is
+    folded per row from the token array, distances to the centroid
+    LITERALS are integer expressions, and the argmin is an array sort.
+    No shuffle, no state: the same function classifies a batch frame or
+    a readStream micro-batch (append mode) unchanged — this is the
+    serving-path twin of q_nearest_centroid_classify's training
+    pipeline, and the map-side vector arithmetic is exactly the sparse
+    pipeline's (integer sums commute), which the convergence test
+    asserts.
+
+    ``centroids``: list of (lang, [16 scaled-int components]) from the
+    training aggregation (driver-collected like every codebook here).
+    """
+    toks = F.split(F.col("text"), " ")
+
+    def vec_component(i: int):
+        def per_token(t):
+            th = F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+            sign = F.when(
+                F.shiftright(th, 4).bitwiseAND(F.lit(1)) == 0, F.lit(1)
+            ).otherwise(F.lit(-1))
+            return F.when(
+                th.bitwiseAND(F.lit(15)) == i, sign
+            ).otherwise(F.lit(0))
+
+        return (
+            F.aggregate(
+                F.transform(toks, per_token),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            * 1000000
+        )
+
+    vs = [vec_component(i) for i in range(16)]
+    scored = F.array(
+        *[
+            F.struct(
+                sum(
+                    ((v - F.lit(int(c))) * (v - F.lit(int(c))))
+                    for v, c in zip(vs, cvec)
+                ).alias("dist"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, cvec in sorted(centroids)
+        ]
+    )
+    best = F.element_at(F.array_sort(scored), 1)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        best["lang"].alias("pred_lang"),
+    )
+
+
+def train_centroids(docs: DataFrame) -> list:
+    """Train split (doc_id % 5 != 0) Rocchio centroids in the scaled
+    feature-hash space — the training half of
+    q_nearest_centroid_classify, returned as driver-side literals for
+    classify_documents' serving path."""
+    from ..functions.text import md5_long
+
+    tok = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    h = md5_long(F.col("token"))
+    comp = (
+        tok.select(
+            "doc_id",
+            "lang",
+            h.bitwiseAND(F.lit(15)).alias("idx"),
+            F.when(F.shiftright(h, 4).bitwiseAND(F.lit(1)) == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("sign"),
+        )
+        .groupBy("doc_id", "lang", "idx")
+        .agg((F.sum("sign") * 1000000).cast("long").alias("V"))
+    )
+    n_train = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+    cent = (
+        comp.join(F.broadcast(n_train), "lang")
+        .groupBy("lang", "idx")
+        .agg((F.sum("V") / F.min("n")).cast("long").alias("C"))
+        .collect()
+    )
+    dense: dict = {}
+    for r in cent:
+        dense.setdefault(r["lang"], [0] * 16)[r["idx"]] = int(r["C"])
+    return sorted(dense.items())

@@ -449,3 +449,56 @@ def test_exactly_once_ingest_survives_batch_replay(spark, tmp_path):
         after.groupBy("event_id").count().filter(F.col("count") > 1).count()
         == 0
     )
+
+
+def test_streaming_classifier_inference_converges(spark, tmp_path):
+    """Online inference: train centroids batch-side, classify the
+    document stream MAP-SIDE (no shuffle, no state), and assert the
+    streamed predictions equal the batch run of the same function AND
+    agree with the shuffle-based training pipeline's argmin on the
+    held-out split."""
+    from pyspark.sql import functions as F
+
+    from dask_cudf_spark.streaming.jobs import (
+        classify_documents,
+        documents_stream,
+        train_centroids,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    cents = train_centroids(docs)
+    assert len(cents) >= 2 and all(len(c) == 16 for _, c in cents)
+
+    batch = classify_documents(docs, cents).toPandas()
+    assert len(batch) == docs.count()
+
+    stream = classify_documents(documents_stream(spark, SF_DIR), cents)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("s_classify")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_classify"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("s_classify").toPandas()
+    assert_frames_match(got, batch, "stream_classify")
+
+    # held-out confusion from the map-side path must equal the
+    # registered training pipeline's confusion matrix
+    from dask_cudf_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+
+    held = (
+        spark.createDataFrame(batch)
+        .filter(F.col("doc_id") % 5 == 0)
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .toPandas()
+    )
+    pipeline = (
+        REGISTRY["q_nearest_centroid_classify"].fn(spark, SF_DIR).toPandas()
+    )
+    assert_frames_match(held, pipeline, "classifier_confusion_parity")

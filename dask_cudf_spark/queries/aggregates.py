@@ -1354,3 +1354,81 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).select("item_a", "item_b", "support", "rank")
+
+
+@register(
+    "q_trend_slope",
+    family="aggregate",
+    oracle="""
+        WITH base AS (
+            SELECT user_id,
+                   CAST((epoch_us(ts) - MIN(epoch_us(ts)) OVER w)
+                        // 1000000 AS BIGINT) AS x,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS y
+            FROM events
+            WINDOW w AS (PARTITION BY user_id)
+        ),
+        agg AS (
+            SELECT user_id, COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM base GROUP BY user_id
+        )
+        SELECT user_id, n,
+               CAST(TRUNC(
+                   CAST(n * sxy - sx * sy AS DOUBLE) * 1000000
+                   / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0)
+               ) AS BIGINT) AS slope_s6
+        FROM agg
+    """,
+)
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trend detection: the exact least-squares slope of event
+    value over time, slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), from five
+    integer sufficient statistics — the monitoring analytic engines
+    expose as regr_slope, here with x re-based to each user's first
+    event (seconds) and y in cents so every sum is an exact BIGINT.
+    The single division runs on identical int64→double conversions on
+    both engines (IEEE-deterministic), 1e6-scaled and truncated, so the
+    oracle hash is stable; a degenerate user (all events at one
+    instant) yields NULL via the zero denominator.
+
+    Scale: one shuffle on user_id shared by the re-basing window min
+    and the sufficient-statistics rollup (co-partitioned); the slope
+    arithmetic is map-side on |users| rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id",
+        (
+            (F.unix_micros("ts") - F.min(F.unix_micros("ts")).over(w))
+            / 1000000
+        )
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+    )
+    agg = base.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    return agg.select(
+        "user_id",
+        "n",
+        (num * 1000000 / F.nullif(den, F.lit(0.0)))
+        .cast("long")
+        .alias("slope_s6"),
+    )

@@ -1432,3 +1432,72 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("slope_s6"),
     )
+
+
+@register(
+    "q_hhi_concentration",
+    family="aggregate",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c.c_mktsegment AS segment, o.o_custkey,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS v_c
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_mktsegment, o.o_custkey
+        ),
+        tot AS (
+            SELECT segment, CAST(SUM(v_c) AS BIGINT) AS total
+            FROM per_cust GROUP BY segment
+        )
+        SELECT p.segment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(((1000000 * p.v_c) // t.total)
+                        * ((1000000 * p.v_c) // t.total)) AS BIGINT)
+                   AS hhi_s12
+        FROM per_cust p JOIN tot t USING (segment)
+        GROUP BY p.segment
+    """,
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per market segment:
+    each customer's revenue share in ppm (integer floor — all values
+    non-negative, so Spark `div` and DuckDB `//` agree), HHI = sum of
+    squared shares — the antitrust/market-structure analytic, and a
+    useful skew DIAGNOSTIC for partitioning keys (an HHI near 1e12
+    means one key owns the data).  Exact BIGINTs end to end.
+
+    Scale: revenue rolls up on (segment, custkey) in one shuffle; the
+    customer dimension joins broadcast; segment totals are |segments|
+    rows broadcast back; the final rollup moves |customers| reduced
+    rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    per_cust = (
+        o.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .join(F.broadcast(c), "o_custkey")
+        .groupBy("segment", "o_custkey")
+        .agg(F.sum("cents").alias("v_c"))
+    )
+    tot = per_cust.groupBy(F.col("segment").alias("tseg")).agg(
+        F.sum("v_c").alias("total")
+    )
+    share = F.expr("(1000000 * v_c) div total")
+    return (
+        per_cust.join(
+            F.broadcast(tot), per_cust["segment"] == tot["tseg"]
+        )
+        .select("segment", (share * share).alias("sq"))
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("sq").alias("hhi_s12"),
+        )
+    )

@@ -1501,3 +1501,153 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sq").alias("hhi_s12"),
         )
     )
+
+
+@register(
+    "q_gini_coefficient",
+    family="aggregate",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c.c_mktsegment AS segment,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_mktsegment, o.o_custkey
+        ),
+        ranked AS (
+            SELECT segment, v,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY segment ORDER BY v, segment
+                   ) AS i
+            FROM per_cust
+        )
+        SELECT segment,
+               COUNT(*) AS n,
+               CAST(TRUNC(
+                   CAST(2 * SUM(i * v) - (COUNT(*) + 1) * SUM(v) AS DOUBLE)
+                   * 1000000
+                   / CAST(COUNT(*) * SUM(v) AS DOUBLE)
+               ) AS BIGINT) AS gini_s6
+        FROM ranked GROUP BY segment
+    """,
+)
+def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini inequality coefficient of customer revenue per market
+    segment, from the rank formula G = (2·Σi·v_i − (n+1)·Σv)/(n·Σv)
+    over ascending-sorted values — the distributional companion to
+    q_hhi_concentration (HHI sees the head; Gini sees the whole curve).
+    Every sum is a BIGINT (cents × dense ranks); the single division
+    runs on identical int64→double conversions, 1e6-scaled, truncated.
+    Ties order by value only — tied values contribute symmetrically, so
+    any stable rank assignment yields the same sums.
+
+    Scale: one (segment, custkey) rollup shuffle; the rank window
+    re-shuffles |customers| reduced rows on segment; the final rollup
+    is |segments| rows."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    per_cust = (
+        o.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .join(F.broadcast(c), "o_custkey")
+        .groupBy("segment", "o_custkey")
+        .agg(F.sum("cents").alias("v"))
+    )
+    w = Window.partitionBy("segment").orderBy("v", "segment")
+    ranked = per_cust.select(
+        "segment", "v", F.row_number().over(w).cast("long").alias("i")
+    )
+    agg = ranked.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("i") * F.col("v")).alias("siv"),
+        F.sum("v").alias("sv"),
+    )
+    num = (2 * F.col("siv") - (F.col("n") + 1) * F.col("sv")).cast("double")
+    den = (F.col("n") * F.col("sv")).cast("double")
+    return agg.select(
+        "segment",
+        "n",
+        (num * 1000000 / den).cast("long").alias("gini_s6"),
+    )
+
+
+@register(
+    "q_abtest_ztest",
+    family="aggregate",
+    oracle="""
+        WITH arms AS (
+            SELECT user_id % 2 AS arm,
+                   COUNT(*) AS n_events,
+                   CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+                       AS conv
+            FROM events GROUP BY user_id % 2
+        ),
+        wide AS (
+            SELECT
+                MIN(CASE WHEN arm = 0 THEN n_events END) AS n0,
+                MIN(CASE WHEN arm = 0 THEN conv END) AS c0,
+                MIN(CASE WHEN arm = 1 THEN n_events END) AS n1,
+                MIN(CASE WHEN arm = 1 THEN conv END) AS c1
+            FROM arms
+        )
+        SELECT n0, c0, n1, c1,
+               ROUND(CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1, 6)
+                   AS rate_diff,
+               ROUND(
+                   (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+                   / sqrt(
+                       (CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                       * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                       * (1.0 / n0 + 1.0 / n1)
+                   ), 6) AS z_score
+        FROM wide
+    """,
+)
+def q_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: two-proportion pooled z-test on purchase
+    conversion between the user_id%2 assignment arms — the product-
+    experimentation analytic.  Every input is an integer count; the
+    float chain (two divisions, one multiply, one IEEE-correctly-
+    rounded sqrt) is the identical expression sequence on both engines,
+    rounded to 6dp, so the oracle hash is stable without any scaled-int
+    gymnastics — a deliberate demonstration that determinism needs
+    IDENTICAL ARITHMETIC, not always integers.
+
+    Scale: one groupBy on the arm (2 groups, map-side combined); the
+    pivot and test statistic are driver-free single-row expressions."""
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("conv"),
+    )
+    wide = arms.agg(
+        F.min(F.when(F.col("arm") == 0, F.col("n_events"))).alias("n0"),
+        F.min(F.when(F.col("arm") == 0, F.col("conv"))).alias("c0"),
+        F.min(F.when(F.col("arm") == 1, F.col("n_events"))).alias("n1"),
+        F.min(F.when(F.col("arm") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    se = F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(p0 - p1, 6).alias("rate_diff"),
+        F.round((p0 - p1) / se, 6).alias("z_score"),
+    )

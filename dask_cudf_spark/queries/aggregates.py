@@ -1651,3 +1651,92 @@ def q_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p0 - p1, 6).alias("rate_diff"),
         F.round((p0 - p1) / se, 6).alias("z_score"),
     )
+
+
+@register(
+    "q_lorenz_deciles",
+    family="aggregate",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c.c_mktsegment AS segment,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_mktsegment, o.o_custkey
+        ),
+        tiled AS (
+            SELECT segment, v,
+                   NTILE(10) OVER (
+                       PARTITION BY segment ORDER BY v, segment
+                   ) AS decile
+            FROM per_cust
+        ),
+        dec AS (
+            SELECT segment, decile,
+                   CAST(SUM(v) AS BIGINT) AS dv, COUNT(*) AS n_cust
+            FROM tiled GROUP BY segment, decile
+        )
+        SELECT segment, decile, n_cust,
+               (1000000 * CAST(SUM(dv) OVER (
+                    PARTITION BY segment ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT))
+               // CAST(SUM(dv) OVER (PARTITION BY segment) AS BIGINT)
+                   AS cum_share_ppm
+        FROM dec
+    """,
+)
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve in deciles: customers sorted by revenue ascending,
+    cumulative revenue share (ppm) at each decile — the curve the Gini
+    coefficient integrates, and the standard whale-distribution readout
+    ('the top decile holds X% of revenue').  NTILE ties sit inside
+    equal-value runs, so decile SUMS are assignment-invariant the same
+    way Gini's rank sums are; shares are non-negative integer floors
+    (Spark div == DuckDB //).
+
+    Scale: one (segment, custkey) rollup; the decile window and both
+    cumulative windows share the segment partitioning (one more
+    shuffle of |customers| reduced rows)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    per_cust = (
+        o.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .join(F.broadcast(c), "o_custkey")
+        .groupBy("segment", "o_custkey")
+        .agg(F.sum("cents").alias("v"))
+    )
+    wt = Window.partitionBy("segment").orderBy("v", "segment")
+    dec = (
+        per_cust.select(
+            "segment", "v", F.ntile(10).over(wt).alias("decile")
+        )
+        .groupBy("segment", "decile")
+        .agg(F.sum("v").alias("dv"), F.count("*").alias("n_cust"))
+    )
+    wc = (
+        Window.partitionBy("segment")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("segment")
+    return (
+        dec.withColumn("cum", F.sum("dv").over(wc))
+        .withColumn("tot", F.sum("dv").over(wall))
+        .select(
+            "segment",
+            "decile",
+            "n_cust",
+            F.expr("(1000000 * cum) div tot").alias("cum_share_ppm"),
+        )
+    )

@@ -64,6 +64,7 @@ PROBES = [
     "q_ann_pq",
     "q_bm25_topk",
     "q_pmi_collocations",
+    "q_nearest_centroid_classify",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -498,7 +498,9 @@ def classify_documents(docs: DataFrame, centroids) -> DataFrame:
 
     def vec_component(i: int):
         def per_token(t):
-            th = F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+            from ..functions.text import md5_long
+
+            th = md5_long(t)
             sign = F.when(
                 F.shiftright(th, 4).bitwiseAND(F.lit(1)) == 0, F.lit(1)
             ).otherwise(F.lit(-1))

@@ -2455,3 +2455,94 @@ def q_nearest_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy(
         "true_lang", F.col("best.cand").alias("pred_lang")
     ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "q_weighted_resample",
+    family="text",
+    oracle="""
+        WITH per AS (
+            SELECT source,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   COUNT(*) AS n_sources
+            FROM per
+        ),
+        w AS (
+            SELECT source,
+                   LEAST(CAST(FLOOR(CAST(total_tokens AS DOUBLE)
+                                    / n_sources / n_tokens * 1000000 + 0.5)
+                              AS BIGINT), 1000000) AS keep_ppm
+            FROM per CROSS JOIN tot
+        )
+        SELECT d.source, MIN(w.keep_ppm) AS keep_ppm,
+               COUNT(*) AS n_docs,
+               CAST(COUNT(*) FILTER (
+                   CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 1000000 < w.keep_ppm
+               ) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN
+                   CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 1000000 < w.keep_ppm
+                   THEN len(string_split(d.text, ' ')) ELSE 0 END)
+                   AS BIGINT) AS kept_tokens
+        FROM documents d JOIN w USING (source)
+        GROUP BY d.source
+    """,
+)
+def q_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling APPLIED: q_domain_mix_weights computes
+    the flatten-to-uniform weight per source; this operator executes
+    the downsample — a document survives iff its deterministic md5 ppm
+    bucket falls under the source's keep rate (weights above 1 cap at
+    keep-everything; true upsampling duplicates rows downstream).  The
+    per-source report (kept docs/tokens) shows the mix flattening.
+    Deterministic: the same document always makes the same cut, on any
+    engine, any partitioning, any rerun — the property a reproducible
+    training-data pipeline needs from its sampler.
+
+    Scale: one source aggregation (domain-cardinality, broadcast back);
+    the keep decision is a map-side hash compare; the report rollup
+    shuffles |sources| rows."""
+    from ..functions.text import md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    w = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.floor(
+                F.col("total_tokens").cast("double")
+                / F.col("n_sources")
+                / F.col("n_tokens")
+                * 1000000
+                + 0.5
+            ).cast("long"),
+            F.lit(1000000).cast("long"),
+        ).alias("keep_ppm"),
+    )
+    bucket = md5_long(F.col("doc_id").cast("string")) % 1000000
+    keep = bucket < F.col("keep_ppm")
+    return (
+        d.join(F.broadcast(w), "source")
+        .groupBy("source")
+        .agg(
+            F.min("keep_ppm").alias("keep_ppm"),
+            F.count("*").alias("n_docs"),
+            F.count(F.when(keep, 1)).alias("n_kept"),
+            F.sum(
+                F.when(keep, F.size(F.split("text", " ")).cast("long"))
+                .otherwise(F.lit(0))
+            ).alias("kept_tokens"),
+        )
+    )

@@ -88,6 +88,17 @@ HEADLINE = [
     "q_text_stats",         # text analytics rollup
 ]
 
+# Round-4 second-wave flagships: timed with the same interleaved
+# protocol and reported in "extra_queries", but NOT in the headline
+# total (keeps "value" comparable across rounds / BASELINE anchors).
+EXTRA = [
+    "q_ann_pq",                  # product-quantization ADC search
+    "q_kmeans_step",             # exact distributed Lloyd iteration
+    "q_semdedup",                # SemDeDup codebook-cell sweep
+    "q_bm25_topk",               # integer-exact BM25 retrieval
+    "q_nearest_centroid_classify",  # in-engine train+eval classifier
+]
+
 
 def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
@@ -111,12 +122,13 @@ def main() -> None:
     # round.  Rounds 0-1 are per-query warm-up (JIT/codegen,
     # Python-worker spawn, C2 tiered compile) and are discarded.
     clk_tck = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
-    times: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    samples: dict[str, list[dict]] = {name: [] for name in HEADLINE}
+    timed = HEADLINE + EXTRA
+    times: dict[str, list[float]] = {name: [] for name in timed}
+    samples: dict[str, list[dict]] = {name: [] for name in timed}
     from pyspark.sql import functions as F
 
     for rnd in range(RUNS + 2):
-        for name in HEADLINE:
+        for name in timed:
             s0 = _steal_ticks()
             t0 = time.perf_counter()
             # full execution forced via a one-row count AGGREGATE built
@@ -140,7 +152,8 @@ def main() -> None:
             )
             if rnd > 1:
                 times[name].append(sec)
-    per_query = {name: round(min(ts), 4) for name, ts in times.items()}
+    per_query = {n: round(min(times[n]), 4) for n in HEADLINE}
+    extra = {n: round(min(times[n]), 4) for n in EXTRA}
 
     total = round(sum(per_query.values()), 4)
     print(
@@ -150,6 +163,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "extra_queries": extra,
                 "sf": sf,
                 "samples": samples,
                 "host": {"clk_tck": clk_tck, "cpus": os.cpu_count()},

@@ -1740,3 +1740,70 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * cum) div tot").alias("cum_share_ppm"),
         )
     )
+
+
+@register(
+    "q_rfm_segmentation",
+    family="aggregate",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(date_diff('second', MAX(ts),
+                                  TIMESTAMP '2024-02-01 00:00:00')
+                        AS BIGINT) AS recency_s,
+                   COUNT(*) AS frequency,
+                   CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS monetary_c
+            FROM events GROUP BY user_id
+        ),
+        scored AS (
+            SELECT user_id,
+                   NTILE(5) OVER (ORDER BY recency_s DESC, user_id) AS r,
+                   NTILE(5) OVER (ORDER BY frequency ASC, user_id) AS f,
+                   NTILE(5) OVER (ORDER BY monetary_c ASC, user_id) AS m
+            FROM per_user
+        )
+        SELECT r * 100 + f * 10 + m AS rfm_code,
+               COUNT(*) AS n_users
+        FROM scored GROUP BY rfm_code
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (Hughes 1994, the classic marketing
+    quantization): per user compute Recency (seconds before a fixed
+    as-of literal), Frequency (event count), Monetary (cents), quintile
+    each (higher quintile = better: least-recent gets r=1), and roll up
+    the population per 3-digit RFM code — the segmentation table a
+    campaign engine keys on.
+
+    Determinism: all three measures are exact BIGINTs; each NTILE
+    orders by (measure, user_id) so quintile ASSIGNMENT is fully
+    deterministic (not just invariant) — the per-code counts hash
+    exactly.
+
+    Scale: one user_id rollup shuffle; the three quintile windows
+    order the |users| reduced rows (global windows at this
+    cardinality; range-partitioned rank at extreme user counts); the
+    code rollup is <= 125 rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.lit("2024-02-01 00:00:00").cast("timestamp").cast("long")
+            - F.max(F.col("ts").cast("long"))
+        ).alias("recency_s"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "monetary_c"
+        ),
+    )
+    r = F.ntile(5).over(Window.orderBy(F.desc("recency_s"), F.asc("user_id")))
+    f = F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.asc("user_id")))
+    m = F.ntile(5).over(Window.orderBy(F.asc("monetary_c"), F.asc("user_id")))
+    scored = per_user.select(
+        "user_id", r.alias("r"), f.alias("f"), m.alias("m")
+    )
+    return scored.groupBy(
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).alias("rfm_code")
+    ).agg(F.count("*").alias("n_users"))

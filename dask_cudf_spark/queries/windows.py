@@ -910,3 +910,72 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("peak_c").alias("peak_c"),
         F.count("*").alias("n_events"),
     )
+
+
+@register(
+    "q_funnel_latency",
+    family="window",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(ts) FILTER (event_type = 'view')     AS t_view,
+                   MIN(ts) FILTER (event_type = 'click')    AS t_click,
+                   MIN(ts) FILTER (event_type = 'purchase') AS t_purchase
+            FROM events GROUP BY user_id
+        ),
+        lat AS (
+            SELECT
+                CASE WHEN t_click > t_view
+                     THEN date_diff('second', t_view, t_click) END AS vc_s,
+                CASE WHEN t_click > t_view AND t_purchase > t_click
+                     THEN date_diff('second', t_click, t_purchase) END AS cp_s
+            FROM per_user
+        )
+        SELECT COUNT(vc_s) AS n_view_click,
+               quantile_cont(vc_s, 0.5) AS p50_vc_s,
+               quantile_cont(vc_s, 0.9) AS p90_vc_s,
+               COUNT(cp_s) AS n_click_purchase,
+               quantile_cont(cp_s, 0.5) AS p50_cp_s,
+               quantile_cont(cp_s, 0.9) AS p90_cp_s
+        FROM lat
+    """,
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel STEP-LATENCY distribution — the timing companion to
+    q_funnel_steps' conversion counts: among users whose first events
+    happen in funnel order, the exact interpolated p50/p90 of
+    first-view→first-click and first-click→first-purchase latency.
+    Latencies are integral seconds, so the shared linear interpolation
+    produces exact binary fractions on both engines (the
+    q_groupby_quantile precedent).
+
+    Scale: one conditional-MIN shuffle on user_id reduces the stream to
+    |users| rows; the percentile aggregation runs over that reduced
+    set."""
+    ev = load_table(spark, sf_dir, "events")
+    step = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        step("view").alias("t_view"),
+        step("click").alias("t_click"),
+        step("purchase").alias("t_purchase"),
+    )
+    vc_ok = F.col("t_click") > F.col("t_view")
+    cp_ok = vc_ok & (F.col("t_purchase") > F.col("t_click"))
+    lat = per_user.select(
+        F.when(
+            vc_ok,
+            F.col("t_click").cast("long") - F.col("t_view").cast("long"),
+        ).alias("vc_s"),
+        F.when(
+            cp_ok,
+            F.col("t_purchase").cast("long") - F.col("t_click").cast("long"),
+        ).alias("cp_s"),
+    )
+    return lat.agg(
+        F.count("vc_s").alias("n_view_click"),
+        F.expr("percentile(vc_s, 0.5)").alias("p50_vc_s"),
+        F.expr("percentile(vc_s, 0.9)").alias("p90_vc_s"),
+        F.count("cp_s").alias("n_click_purchase"),
+        F.expr("percentile(cp_s, 0.5)").alias("p50_cp_s"),
+        F.expr("percentile(cp_s, 0.9)").alias("p90_cp_s"),
+    )

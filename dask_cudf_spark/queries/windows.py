@@ -979,3 +979,50 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(cp_s, 0.5)").alias("p50_cp_s"),
         F.expr("percentile(cp_s, 0.9)").alias("p90_cp_s"),
     )
+
+
+@register(
+    "q_markov_transitions",
+    family="window",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS src,
+                   LEAD(event_type, 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS dst
+            FROM events
+        ),
+        cnt AS (
+            SELECT src, dst, COUNT(*) AS n FROM seq
+            WHERE dst IS NOT NULL GROUP BY src, dst
+        )
+        SELECT src, dst, n,
+               (1000000 * n) // CAST(SUM(n) OVER (PARTITION BY src)
+                                    AS BIGINT) AS p_ppm
+        FROM cnt
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the per-user event
+    stream: counts and row-normalized probabilities (ppm integer
+    floors) for every src→dst event-type pair — the model artifact a
+    journey simulator or attribution chain trains on, and the matrix
+    q_event_paths' trigrams factor through.
+
+    Scale: one user_id shuffle feeds the lead() window (total order via
+    (ts, event_id)); the transition rollup and the row-normalizing
+    window both run over the |event_types|^2 reduced matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type", 1).over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    cnt = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    row_tot = F.sum("n").over(Window.partitionBy("src"))
+    return cnt.withColumn("tot", row_tot).select(
+        "src",
+        "dst",
+        "n",
+        F.expr("(1000000 * n) div tot").alias("p_ppm"),
+    )

@@ -1807,3 +1807,91 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy(
         (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).alias("rfm_code")
     ).agg(F.count("*").alias("n_users"))
+
+
+@register(
+    "q_cohort_ltv",
+    family="aggregate",
+    oracle="""
+        WITH wk AS (
+            SELECT user_id, date_trunc('week', ts) AS week,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        coh AS (
+            SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        cell AS (
+            SELECT c.cohort_week,
+                   CAST(date_diff('day', c.cohort_week, w.week) // 7
+                        AS BIGINT) AS week_offset,
+                   CAST(SUM(w.cents) AS BIGINT) AS revenue_c
+            FROM wk w JOIN coh c USING (user_id)
+            GROUP BY c.cohort_week, week_offset
+        ),
+        size_ AS (
+            SELECT cohort_week, COUNT(*) AS n_users FROM coh
+            GROUP BY cohort_week
+        )
+        SELECT cell.cohort_week, cell.week_offset, s.n_users,
+               CAST(SUM(cell.revenue_c) OVER (
+                   PARTITION BY cell.cohort_week ORDER BY cell.week_offset
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_revenue_c,
+               CAST(SUM(cell.revenue_c) OVER (
+                   PARTITION BY cell.cohort_week ORDER BY cell.week_offset
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) // s.n_users AS ltv_per_user_c
+        FROM cell JOIN size_ s USING (cohort_week)
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: cumulative purchase revenue per
+    first-event-week cohort across week offsets, absolute and per
+    cohort member — the growth-accounting companion to
+    q_retention_cohort (retention counts WHO comes back; LTV counts
+    what they SPEND).  Cents discipline end to end; per-user LTV is a
+    non-negative integer floor (Spark div == DuckDB //).
+
+    Scale: one user_id shuffle for first-seen, one (cohort, offset)
+    revenue rollup, then the cumulative window runs over the tiny
+    cohort-by-offset matrix; cohort sizes broadcast."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    coh = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    wk = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    cell = (
+        wk.join(coh, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            ).alias("week_offset"),
+        )
+        .agg(F.sum("cents").alias("revenue_c"))
+    )
+    size = coh.groupBy("cohort_week").agg(F.count("*").alias("n_users"))
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cell.join(F.broadcast(size), "cohort_week")
+        .withColumn("cum_revenue_c", F.sum("revenue_c").over(wcum))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_users",
+            "cum_revenue_c",
+            F.expr("cum_revenue_c div n_users").alias("ltv_per_user_c"),
+        )
+    )

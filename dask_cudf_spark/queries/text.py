@@ -2546,3 +2546,38 @@ def q_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_tokens"),
         )
     )
+
+
+@register(
+    "q_dup_rate_by_source",
+    family="dedup",
+    oracle="""
+        SELECT source,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT md5(text)) AS n_distinct,
+               (1000000 * (COUNT(*) - COUNT(DISTINCT md5(text))))
+                   // COUNT(*) AS dup_ppm
+        FROM documents
+        GROUP BY source
+    """,
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup health report: per-source exact-duplicate rate (ppm) —
+    the monitoring rollup a curation pipeline alerts on (a crawler
+    regression shows up as one source's dup_ppm spiking long before
+    corpus-level metrics move).  Hashes the text ONCE map-side
+    (md5, the same digest the exact-dedup operator keys on) and counts
+    distinct digests per source; the rate is a non-negative integer
+    floor.
+
+    Scale: one source-grouped distinct-count shuffle (Spark plans
+    expand + two-phase distinct aggregation with map-side partials);
+    no joins, no windows."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        F.expr(
+            "(1000000 * (count(1) - count(DISTINCT md5(text)))) div count(1)"
+        ).alias("dup_ppm"),
+    )

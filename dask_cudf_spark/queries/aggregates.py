@@ -1895,3 +1895,87 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cum_revenue_c div n_users").alias("ltv_per_user_c"),
         )
     )
+
+
+@register(
+    "q_pareto_coverage",
+    family="aggregate",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c.c_mktsegment AS segment,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_mktsegment, o.o_custkey
+        ),
+        ranked AS (
+            SELECT segment, v,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY segment ORDER BY v DESC, segment
+                   ) AS rnk,
+                   CAST(SUM(v) OVER (
+                       PARTITION BY segment ORDER BY v DESC, segment
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum,
+                   CAST(SUM(v) OVER (PARTITION BY segment) AS BIGINT) AS tot
+            FROM per_cust
+        )
+        SELECT segment,
+               COUNT(*) AS n_customers,
+               CAST(MIN(CASE WHEN 10 * cum >= 8 * tot THEN rnk END)
+                    AS BIGINT) AS n_for_80pct,
+               (1000000 * CAST(MIN(CASE WHEN 10 * cum >= 8 * tot
+                                        THEN rnk END) AS BIGINT))
+                   // COUNT(*) AS share_of_base_ppm
+        FROM ranked GROUP BY segment
+    """,
+)
+def q_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto coverage: the smallest number of top customers whose
+    cumulative revenue reaches 80% of each segment — the '80/20'
+    readout completing the concentration trio (HHI: squared shares;
+    Gini/Lorenz: the whole curve; Pareto-N: the actionable head
+    count).  The 80% test is pure integers (10·cum >= 8·total — no
+    percentage floats at all); descending ties order by value only, and
+    equal values are interchangeable in every cumulative sum crossing,
+    so the threshold rank is assignment-invariant.
+
+    Scale: one (segment, custkey) rollup; rank + both cumulative
+    windows share one segment partitioning over reduced rows; the
+    final rollup is |segments| rows."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    per_cust = (
+        o.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .join(F.broadcast(c), "o_custkey")
+        .groupBy("segment", "o_custkey")
+        .agg(F.sum("cents").alias("v"))
+    )
+    wr = Window.partitionBy("segment").orderBy(F.desc("v"), F.asc("segment"))
+    wc = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("segment")
+    ranked = per_cust.select(
+        "segment",
+        F.row_number().over(wr).cast("long").alias("rnk"),
+        F.sum("v").over(wc).alias("cum"),
+        F.sum("v").over(wall).alias("tot"),
+    )
+    hit = F.when(10 * F.col("cum") >= 8 * F.col("tot"), F.col("rnk"))
+    return ranked.groupBy("segment").agg(
+        F.count("*").alias("n_customers"),
+        F.min(hit).alias("n_for_80pct"),
+        F.expr(
+            "(1000000 * min(CASE WHEN 10 * cum >= 8 * tot THEN rnk END))"
+            " div count(1)"
+        ).alias("share_of_base_ppm"),
+    )

@@ -19,8 +19,10 @@ the sample, and a digest of the POST-EXECUTION physical plan (AQE
 final; expression ids normalized away).  A slow sample with high
 steal_ms is hypervisor noise; a slow sample whose plan digest differs
 from the fast samples' is a real replan (e.g. broadcast -> SMJ
-fallback).  The JSON stays one line; "queries" keeps its historical
-shape and "samples" adds the diagnostics.
+fallback).  The stdout JSON stays one COMPACT line ("queries" keeps
+its historical shape); per-sample diagnostics go to the BENCH_DIAG.json
+sidecar (round-4 regression fix: the inline "samples" blob outgrew the
+driver's tail capture and BENCH_r04 parsed null).
 """
 
 from __future__ import annotations
@@ -156,6 +158,23 @@ def main() -> None:
     extra = {n: round(min(times[n]), 4) for n in EXTRA}
 
     total = round(sum(per_query.values()), 4)
+    # Per-sample diagnostics (wall time + steal ticks + plan digest per
+    # sample) go to a SIDECAR file, never stdout: round 4 proved that
+    # embedding "samples" in the stdout line grows it past the driver's
+    # tail capture and the truncated JSON parses as null (VERDICT r4 §1).
+    diag_path = os.environ.get("BENCH_DIAG_PATH", "BENCH_DIAG.json")
+    try:
+        with open(diag_path, "w") as f:
+            json.dump(
+                {
+                    "samples": samples,
+                    "host": {"clk_tck": clk_tck, "cpus": os.cpu_count()},
+                },
+                f,
+            )
+    except OSError as e:
+        print(f"bench: diag sidecar write failed: {e}", file=sys.stderr)
+    # The FINAL stdout line is the compact headline object only.
     print(
         json.dumps(
             {
@@ -165,8 +184,6 @@ def main() -> None:
                 "queries": per_query,
                 "extra_queries": extra,
                 "sf": sf,
-                "samples": samples,
-                "host": {"clk_tck": clk_tck, "cpus": os.cpu_count()},
             }
         )
     )

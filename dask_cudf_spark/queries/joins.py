@@ -523,19 +523,36 @@ def q_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape (local-supplier volume): six-way join with two
-    fact tables and a broadcast dim chain (region -> nation ->
-    supplier), plus the local-supplier condition c_nationkey =
-    s_nationkey.  The dims broadcast; only the fact-fact join
-    shuffles."""
-    c = load_table(spark, sf_dir, "customer")
+    fact tables, plus the local-supplier condition c_nationkey =
+    s_nationkey.
+
+    Scale plan (standard Q5, round-5 fix): the region='ASIA'
+    restriction is pushed BELOW the fact-fact joins.  The 5-row ASIA
+    nationkey set (nation ⋈ region) broadcasts onto customer and
+    supplier BEFORE c ⋈ o ⋈ li, so ~4/5 of customers never enter the
+    big shuffles — at 100 TB the c⋈o⋈li shuffle volume carries only
+    surviving rows instead of discarding 80% post-join.  n_name rides
+    the customer side (valid because the local-supplier predicate
+    forces s_nationkey = c_nationkey)."""
+    # 5-row ASIA nation set: map-side derivation, broadcast everywhere.
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(asia), F.col("c_nationkey") == F.col("n_nationkey")
+    )
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01")
         & (F.col("o_orderdate") < "1999-01-01")
     )
     li = load_table(spark, sf_dir, "lineitem")
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(asia.select(F.col("n_nationkey").alias("sn_key"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+        "left_semi",
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
@@ -543,8 +560,6 @@ def q_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
             scaled_sum(

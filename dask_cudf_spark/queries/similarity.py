@@ -389,12 +389,18 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_semdedup",
     family="dedup",
     oracle=f"""
-        WITH seeds AS (
-            SELECT cvec, ROW_NUMBER() OVER (ORDER BY cid) - 1 AS cidx
+        WITH k AS (
+            SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)) AS kk
+            FROM embeddings
+        ),
+        seeds AS (
+            SELECT cvec, rn - 1 AS cidx
             FROM (
-                SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-                WHERE vec_id % 13 = 0 ORDER BY vec_id LIMIT 16
-            )
+                SELECT embedding AS cvec,
+                       ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+                FROM embeddings WHERE vec_id % 13 = 0
+            ), k
+            WHERE rn <= kk
         ),
         assign AS (
             SELECT vec_id, embedding, cell FROM (
@@ -434,11 +440,21 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cell cosine near-duplicates (>= 0.9), keeping each group's
     min-id member.  Pairwise similarity only ever forms WITHIN a cell —
     one shuffle on the cell id, never O(N^2) across the corpus.  The
-    DuckDB oracle replays codebook, assignment, and sweep exactly."""
+    DuckDB oracle replays codebook, assignment, and sweep exactly.
+
+    K is DERIVED from the corpus count (r4 VERDICT item 5): ceil(N/64)
+    centroids, floor 16, so cells stay ~64 vectors as the corpus grows
+    and within-cell pair work stays linear in N — the shipped query is
+    the scale-safe instance, not the quadratic fixed-K one.  The count
+    is a metadata-only parquet job; the oracle computes the identical K
+    from the same table."""
+    import math
+
     from ..operators.similarity import semdedup
 
     em = load_table(spark, sf_dir, "embeddings")
-    return semdedup(em, threshold=0.9, n_centroids=16, centroid_stride=13)
+    k = max(16, math.ceil(em.count() / 64))
+    return semdedup(em, threshold=0.9, n_centroids=k, centroid_stride=13)
 
 
 def _duck_sqd_s6(x: str, y: str, m: str) -> str:

@@ -344,6 +344,56 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REG["q_minhash_dedup"].oracle = _minhash_dedup_oracle()
 
 
+def _neardup_blocked_candidates(d: DataFrame) -> DataFrame:
+    """Banded candidate pairs for the >= 0.5 distinct-token Jaccard
+    sweep.  ``d`` must carry doc_id / lang / source / toks / n_toks.
+
+    Round-5 scale fix (r4 VERDICT item 7): the block key is
+    (lang, source, floor(log2(n_toks))) instead of the unbounded
+    (lang, source), and the left side emits its band +-1 so the join
+    stays an equi-join.  LOSSLESS by arithmetic, not by luck: J(A,B)
+    >= 0.5 forces |A n B| >= (|A|+|B|)/3 <= min, hence max <= 2*min —
+    a <= 2x size ratio, hence band distance <= 1 — so every qualifying
+    pair survives banding and the quadratic blow-up is bounded to
+    same-length-band docs (O(N^2/blocks) with length-aware blocks)
+    instead of whole (lang, source) groups.  The same 2x ratio rides
+    the join condition as a per-candidate precheck, so oversized
+    uniform-length bands still prune before the array intersect.  Each
+    pair matches exactly ONE emitted band (b's own band), so no
+    distinct pass is needed."""
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("source_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n_toks").alias("n_a"),
+        F.explode(
+            F.array(
+                F.floor(F.log2("n_toks")) - 1,
+                F.floor(F.log2("n_toks")),
+                F.floor(F.log2("n_toks")) + 1,
+            )
+        ).alias("emit_band"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n_toks").alias("n_b"),
+        F.floor(F.log2("n_toks")).alias("band_b"),
+    )
+    return a.join(
+        b,
+        (F.col("lang_a") == F.col("lang_b"))
+        & (F.col("source_a") == F.col("source_b"))
+        & (F.col("emit_band") == F.col("band_b"))
+        & (F.col("id_b") > F.col("id_a"))
+        & (F.col("n_b") <= 2 * F.col("n_a"))
+        & (F.col("n_a") <= 2 * F.col("n_b")),
+    )
+
+
 @register(
     "q_neardup_blocked",
     family="dedup",
@@ -365,9 +415,12 @@ _REG["q_minhash_dedup"].oracle = _minhash_dedup_oracle()
     """,
 )
 def q_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked exact near-dup pairs: block on (lang, source) — the
-    deterministic ground-truth companion to LSH (verifies the verify
-    step end-to-end against the oracle)."""
+    """Blocked exact near-dup pairs — the deterministic ground-truth
+    companion to LSH (verifies the verify step end-to-end against the
+    oracle).  Blocking is (lang, source, length-band): see
+    _neardup_blocked_candidates for the losslessness argument; the
+    oracle keeps the plain quadratic (lang, source) join because the
+    banded candidates provably contain every >= 0.5 pair."""
     from ..sources import scale_out
 
     # tokenize ONCE per row (projection below the join); a per-pair
@@ -382,29 +435,10 @@ def q_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.array_distinct(F.split("text", " ")).alias("toks"),
     ).withColumn("n_toks", F.size("toks"))
-    a = d.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("source").alias("source_a"),
-        F.col("toks").alias("toks_a"),
-        F.col("n_toks").alias("n_a"),
-    )
-    b = d.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("source").alias("source_b"),
-        F.col("toks").alias("toks_b"),
-        F.col("n_toks").alias("n_b"),
-    )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
     return (
-        a.join(
-            b,
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("source_a") == F.col("source_b"))
-            & (F.col("id_b") > F.col("id_a")),
-        )
+        _neardup_blocked_candidates(d)
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", "jaccard")
@@ -2166,10 +2200,10 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH b AS (
             SELECT lang,
-                   CAST(ROUND(ROUND(quantile_cont(n_chars, 0.05), 4)
-                              * 10000, 0) AS BIGINT) AS p05_s4,
-                   CAST(ROUND(ROUND(quantile_cont(n_chars, 0.95), 4)
-                              * 10000, 0) AS BIGINT) AS p95_s4
+                   CAST(TRUNC(quantile_cont(n_chars, 0.05) * 10000)
+                        AS BIGINT) AS p05_s4,
+                   CAST(TRUNC(quantile_cont(n_chars, 0.95) * 10000)
+                        AS BIGINT) AS p95_s4
             FROM documents GROUP BY lang
         )
         SELECT d.lang,
@@ -2187,25 +2221,23 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized corpus statistics per language: clamp document
     lengths to the exact interpolated [p05, p95] band, then take the
     outlier-robust mean — the curation-pipeline statistic that a plain
-    mean gets wrong on heavy-tailed web corpora.  Bounds are rounded
-    to 4dp then scaled to BIGINTs, so the clamp and the mean are
-    integer-exact cross-engine (the only float step is the shared
-    interpolated percentile both engines compute identically on
-    integral inputs).
+    mean gets wrong on heavy-tailed web corpora.  Bounds are TRUNCATED
+    scaled BIGINTs (r4 ADVICE fix: round-to-4dp relied on Spark and
+    DuckDB ROUND agreeing at representation boundaries; trunc on the
+    same double is the same function in both engines), so the clamp
+    and the mean are integer-exact cross-engine (the only float step
+    is the shared interpolated percentile both engines compute
+    identically on integral inputs).
 
     Scale: the bounds table is |langs| rows after one percentile
     shuffle, BROADCAST back; the winsorized rollup is the second (and
     last) shuffle."""
     d = load_table(spark, sf_dir, "documents")
     b = d.groupBy("lang").agg(
-        F.round(
-            F.round(F.expr("percentile(n_chars, 0.05)"), 4) * 10000, 0
-        )
+        (F.expr("percentile(n_chars, 0.05)") * 10000)
         .cast("long")
         .alias("p05_s4"),
-        F.round(
-            F.round(F.expr("percentile(n_chars, 0.95)"), 4) * 10000, 0
-        )
+        (F.expr("percentile(n_chars, 0.95)") * 10000)
         .cast("long")
         .alias("p95_s4"),
     )
@@ -2410,6 +2442,11 @@ def q_nearest_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "lang", "idx")
         .agg((F.sum("sign") * 1000000).cast("long").alias("V"))
+        # comp feeds THREE consumers (cent, test, dot); without a
+        # materialization barrier the explode+hash+agg subtree runs
+        # three times (r4 VERDICT item 6 — sh=14 digest).  A lazy
+        # localCheckpoint computes it once and reuses the partitions.
+        .localCheckpoint(eager=False)
     )
     is_train = F.col("doc_id") % 5 != 0
     n_train = d.filter(is_train).groupBy("lang").agg(F.count("*").alias("n"))

@@ -568,27 +568,44 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 (national market share): NATION_2's share of PROMO-part
     revenue sold to ASIA customers, per year.  The deepest join tree in
-    the suite (8 tables).  Scale plan: part / supplier / customer /
-    nation x2 / region broadcast (customer is the largest dim but still
-    ~1/40 of lineitem); the two fact tables join on orderkey after both
-    are filtered — the date filter on orders prunes BEFORE the join so
-    only 2 of 6+ years of lineitem rows shuffle.  The share is a ratio
-    of two scaled-int sums (both returned for the oracle hash), so the
-    division is one deterministic IEEE op on exact integers."""
+    the suite (8 tables).  Scale plan: part / supplier / nation x2 /
+    region broadcast; the two fact tables join on orderkey after both
+    are filtered — the date filter prunes orders to 2 of 6+ years, and
+    (round-5 fix, same class as the Q5 late-prune) the ASIA restriction
+    hits ORDERS below the fact-fact shuffle via a broadcast LEFT SEMI
+    on the ASIA customer key set, instead of joining customer -> nation
+    -> region above the li|x|o shuffle and discarding ~4/5 of its
+    output there.  The share is a ratio of two scaled-int sums (both
+    returned for the oracle hash), so the division is one deterministic
+    IEEE op on exact integers."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     s = load_table(spark, sf_dir, "supplier")
     n2 = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
-    )
-    c = load_table(spark, sf_dir, "customer")
     n1 = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
     )
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    c_asia = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .join(
+            F.broadcast(c_asia),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+    )
     vol = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
     ).cast("long")
@@ -599,9 +616,6 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
             vol.alias("vol_s4"),

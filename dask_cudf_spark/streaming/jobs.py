@@ -493,31 +493,47 @@ def classify_documents(docs: DataFrame, centroids) -> DataFrame:
 
     ``centroids``: list of (lang, [16 scaled-int components]) from the
     training aggregation (driver-collected like every codebook here).
-    """
+
+    Hot-path cost (r4 ADVICE fix): each token is md5-hashed exactly
+    ONCE — the token array maps to packed (idx << 1 | signflag) longs
+    in a single transform, then ONE fold accumulates all 16 vector
+    components into an array.  Both intermediates live in their own
+    projection as a multi-referenced non-cheap alias, which
+    CollapseProject refuses to inline, so the optimizer cannot
+    re-duplicate the hash into the 16 component consumers (the old
+    shape folded 16 independent aggregates = 16 md5 per token)."""
+    from ..functions.text import md5_long
+
     toks = F.split(F.col("text"), " ")
 
-    def vec_component(i: int):
-        def per_token(t):
-            from ..functions.text import md5_long
-
-            th = md5_long(t)
-            sign = F.when(
-                F.shiftright(th, 4).bitwiseAND(F.lit(1)) == 0, F.lit(1)
-            ).otherwise(F.lit(-1))
-            return F.when(
-                th.bitwiseAND(F.lit(15)) == i, sign
-            ).otherwise(F.lit(0))
-
-        return (
-            F.aggregate(
-                F.transform(toks, per_token),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            * 1000000
+    def pack(t):
+        th = md5_long(t)
+        # bits 1..4: dimension idx; bit 0: sign flag (1 => -1)
+        return th.bitwiseAND(F.lit(15)) * 2 + F.shiftright(th, 4).bitwiseAND(
+            F.lit(1)
         )
 
-    vs = [vec_component(i) for i in range(16)]
+    def fold_components(acc, x):
+        return F.transform(
+            acc,
+            lambda v, j: v
+            + F.when(
+                F.shiftright(x, 1) == j,
+                1 - 2 * x.bitwiseAND(F.lit(1)),
+            ).otherwise(F.lit(0)),
+        )
+
+    staged = docs.withColumn(
+        "__fhvec",
+        F.aggregate(
+            F.transform(toks, pack),
+            F.array_repeat(F.lit(0).cast("long"), 16),
+            fold_components,
+        ),
+    )
+    vs = [
+        F.element_at(F.col("__fhvec"), i + 1) * 1000000 for i in range(16)
+    ]
     scored = F.array(
         *[
             F.struct(
@@ -531,7 +547,7 @@ def classify_documents(docs: DataFrame, centroids) -> DataFrame:
         ]
     )
     best = F.element_at(F.array_sort(scored), 1)
-    return docs.select(
+    return staged.select(
         "doc_id",
         F.col("lang").alias("true_lang"),
         best["lang"].alias("pred_lang"),

@@ -163,3 +163,62 @@ def test_truncate_mode_degenerate_cap(spark):
     # cap=2 keeps exactly the first two ids per bucket
     got2 = minhash_sig_pairs(df, cap_bucket=2, on_oversize="truncate").collect()
     assert {(r["id_a"], r["id_b"]) for r in got2} == {(0, 1)}
+
+
+def test_neardup_blocked_banding_lossless_and_bounded(spark):
+    """Round-5 (r4 VERDICT item 7): q_neardup_blocked's length-band
+    blocking must (a) return EXACTLY the pairs the plain quadratic
+    (lang, source) sweep finds at Jaccard >= 0.5 — banding is lossless
+    because J >= 0.5 forces a <= 2x distinct-token-count ratio, i.e.
+    band distance <= 1 — and (b) bound candidate generation: one
+    (lang, source) group with length-stratified docs must produce far
+    fewer candidates than the quadratic n*(n-1)/2."""
+    from pyspark.sql import functions as F
+
+    from dask_cudf_spark.queries.text import _neardup_blocked_candidates
+
+    # one block, 64 docs across 4 length strata (4, 16, 64, 256 toks);
+    # within a stratum every doc shares a long common prefix -> dups
+    rows = []
+    doc = 0
+    for stratum, length in enumerate([4, 16, 64, 256]):
+        for j in range(16):
+            toks = [f"s{stratum}w{k}" for k in range(length - 1)]
+            toks.append(f"uniq{doc}")  # 1-token difference inside stratum
+            rows.append((doc, "en", "web", " ".join(toks)))
+            doc += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    d = df.select(
+        "doc_id", "lang", "source",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    ).withColumn("n_toks", F.size("toks"))
+
+    cand = _neardup_blocked_candidates(d)
+    n_cand = cand.count()
+    n = len(rows)
+    quadratic = n * (n - 1) // 2  # 2016 for the single (lang, source)
+    # only same-stratum pairs can band together: 4 * C(16,2) = 480
+    assert n_cand <= quadratic // 4, (n_cand, quadratic)
+
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in cand.withColumn("j", jac).filter(F.col("j") >= 0.5).collect()
+    }
+    # brute-force ground truth over ALL pairs (no blocking at all)
+    a = d.select(
+        F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"),
+        F.col("n_toks").alias("n_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"),
+        F.col("n_toks").alias("n_b"),
+    )
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_b") > F.col("id_a"))
+        .withColumn("j", jac).filter(F.col("j") >= 0.5).collect()
+    }
+    assert banded == brute
+    assert len(brute) == 4 * (16 * 15 // 2)  # every same-stratum pair

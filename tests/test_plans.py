@@ -250,6 +250,41 @@ def test_tpch_shapes_broadcast_dims_and_push_dates(spark):
     assert q3.has_take_ordered  # top-10 must not globally sort
 
 
+def test_tpch_q5_region_pruned_below_fact_joins(spark):
+    # The 100x-scale property (round-5 fix): the region='ASIA'
+    # restriction must hit CUSTOMER before the c |x| o |x| li shuffles,
+    # not after them via the supplier->nation->region chain — at scale
+    # ~4/5 of the fact shuffle volume would be discarded rows otherwise.
+    # Disable auto-broadcast so the fact joins take their at-scale SMJ
+    # form; the explicit dim broadcast hints must still hold.
+    import re
+
+    from dask_cudf_spark.plans import audit
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = audit(REGISTRY["q_tpch_q5_shape"].fn(spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert a.n_sort_merge_joins >= 2  # c|x|o and o|x|li are fact joins now
+    # formatted-plan node ids are post-order: a child's id < its
+    # parent's.  The ASIA pre-filter is the (unique) BroadcastHashJoin
+    # keyed on c_nationkey; it must be a DESCENDANT of the first
+    # SortMergeJoin, i.e. carry a smaller node id.
+    bhj_cnation = [
+        int(m)
+        for m in re.findall(
+            r"\((\d+)\) BroadcastHashJoin[^\n]*\n(?:[^\n]*\n)?"
+            r"Left keys \[\d+\]: \[c_nationkey", a.text
+        )
+    ]
+    smj = [int(m) for m in re.findall(r"\((\d+)\) SortMergeJoin", a.text)]
+    assert bhj_cnation, "customer must pre-join the broadcast ASIA nation set"
+    assert min(bhj_cnation) < min(smj), (
+        "region restriction lands ABOVE the fact joins", a.text[:2000]
+    )
+
+
 def test_asof_variants_single_shuffle(spark):
     # nearest evaluates BOTH directions over the same exchange: still 1
     from dask_cudf_spark.plans import audit
@@ -594,9 +629,11 @@ def test_r4_second_wave_shuffle_budgets(spark):
         "q_inverted_index": 4,    # tf, vocab, rank, posting assembly
         "q_bm25_topk": 5,         # tf/df/stats + per-doc sum + topk rank
         "q_pmi_collocations": 4,  # bigram + unigram + stats + topk rank
-        "q_basket_pairs": 7,      # 3 basket-subplan refs + rollups (see doc)
+        "q_basket_pairs": 3,      # baskets checkpointed once (r5) + rollups
         "q_kmeans_step": 6,       # comp sums + small centroid/rollup apexes
-        "q_semdedup": 3,          # checkpoint + cell join + anti join
+        "q_semdedup": 2,          # cell join + anti join (codebook literal)
+        "q_cohort_ltv": 3,        # coh checkpointed once (r5) + cell + window
+        "q_nearest_centroid_classify": 10,  # comp checkpointed once (r5)
     }
     for name, budget in budgets.items():
         a = audit(REGISTRY[name].fn(spark, SF_DIR))

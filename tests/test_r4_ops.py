@@ -205,3 +205,60 @@ def test_persisted_ivf_index_matches_inline_ivf(spark, tmp_path):
     # carry the list_id IN (...) predicate
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "list_id" in plan
+
+
+def test_semdedup_derived_k_bounds_cell_size(spark):
+    """q_semdedup derives its centroid count from the corpus size
+    (K = max(16, ceil(N/64)), r4 VERDICT item 5), so a 10x corpus
+    blow-up grows K instead of quadrupling within-cell pair work.
+    Check both halves: the K formula scales, and at a blown-up corpus
+    the realized MEAN cell population stays within a constant factor of
+    the 64-vector target (cells are stride-sampled, not k-means-fitted,
+    so individual cells vary; the mean is the O(N^2/K) driver)."""
+    import math
+
+    from dask_cudf_spark.operators.similarity import semdedup
+
+    em = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    n = em.count()
+    # 10x blow-up via vec_id-shifted copies: same vectors, distinct ids
+    # (explode, not a 10-way union — unioned lineages trip a Spark
+    # localCheckpoint attribute-rewrite bug inside the operator)
+    big = em.select(
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("i"),
+        "vec_id",
+        "embedding",
+    ).select(
+        (F.col("vec_id") + F.col("i") * 1_000_000).alias("vec_id"),
+        "embedding",
+    )
+    n_big = 10 * n
+    k_small = max(16, math.ceil(n / 64))
+    k_big = max(16, math.ceil(n_big / 64))
+    assert n_big / k_big <= 64  # derived K keeps the target cell size
+    assert k_big > k_small  # K actually grew with the corpus
+
+    out = semdedup(big, threshold=0.9, n_centroids=k_big, centroid_stride=13)
+    cells = out.groupBy("cell").count().collect()
+    # survivors-per-cell underestimates assignment size only by dropped
+    # dups; mean must stay O(target), far below the fixed-K-16 regime
+    # (which would average n_big/16 = 312+ per cell at sf0.001)
+    mean_pop = sum(r["count"] for r in cells) / max(1, len(cells))
+    assert mean_pop <= 2 * 64, mean_pop
+
+
+def test_cosine_topk_rejects_oversized_query_side(spark, monkeypatch):
+    """r4 VERDICT item 7 (nit): the queries side is driver-collected,
+    so misuse (swapped corpus/queries) must raise, not OOM."""
+    import pytest
+
+    from dask_cudf_spark.operators.similarity import cosine_topk
+
+    em = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    monkeypatch.setenv("SPARK_GRAFT_COSINE_MAX_QUERIES", "10")
+    big_queries = em.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="must be small"):
+        cosine_topk(em, big_queries, k=3)
+    # within the cap it still works
+    small = big_queries.filter(F.col("query_id") < 3)
+    assert cosine_topk(em, small, k=3).count() == 9

@@ -280,10 +280,11 @@ def test_stateful_user_totals_tws_converges(spark, tmp_path):
             or "google.protobuf" in msg
             or "driver worker exited unexpectedly" in msg
         ):
-            # re-probed 2026-08-14 (round 4): no google.protobuf in
-            # site-packages, `pip install --no-index protobuf` finds no
-            # local wheel, `pip download` has no network — still
-            # env-blocked.  Re-probe each round.
+            # re-probed 2026-08-14 (round 5): no google.protobuf in any
+            # site-packages, no protobuf wheel anywhere on disk (only
+            # typeshed stubs and shaded JVM jars), pip cache has no
+            # protobuf entry, no network — still env-blocked.
+            # Re-probe each round.
             pytest.skip(
                 "transformWithState state protocol needs google.protobuf; "
                 "not installed in this sandbox (env-blocked, not design-blocked)"
@@ -502,3 +503,25 @@ def test_streaming_classifier_inference_converges(spark, tmp_path):
         REGISTRY["q_nearest_centroid_classify"].fn(spark, SF_DIR).toPandas()
     )
     assert_frames_match(held, pipeline, "classifier_confusion_parity")
+
+
+def test_classify_serving_path_hashes_each_token_once(spark):
+    """r4 ADVICE: the serving path must compute ONE md5 per token, not
+    16 (one per component fold).  The packed-transform + single-fold
+    shape leaves exactly one md5 call in the executed plan (it prints
+    twice: alias definition + projection listing)."""
+    from dask_cudf_spark.sources import load_table
+    from dask_cudf_spark.streaming.jobs import (
+        classify_documents,
+        train_centroids,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    cents = train_centroids(docs)
+    plan = (
+        classify_documents(docs, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert 1 <= plan.count("md5") <= 2, plan.count("md5")

@@ -2618,3 +2618,213 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000000 * (count(1) - count(DISTINCT md5(text)))) div count(1)"
         ).alias("dup_ppm"),
     )
+
+
+@register(
+    "q_gopher_rules",
+    family="text",
+    oracle="""
+        WITH per AS (
+            SELECT
+                lang,
+                len(string_split(text, ' ')) AS n_words,
+                LENGTH(REPLACE(text, ' ', '')) AS n_word_chars,
+                LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
+                    + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3
+                    AS n_symbols,
+                len(list_filter(string_split(text, ' '),
+                                t -> regexp_matches(t, '[a-zA-Z]')))
+                    AS n_alpha_words,
+                len(list_filter(
+                        ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'for',
+                         'on', 'with'],
+                        w -> list_contains(string_split(text, ' '), w)))
+                    AS n_stop_types
+            FROM documents
+        ),
+        flags AS (
+            SELECT
+                lang,
+                CASE WHEN n_words BETWEEN 10 AND 100000
+                     THEN 0 ELSE 1 END AS f_wc,
+                CASE WHEN 3 * n_words <= n_word_chars
+                          AND n_word_chars <= 10 * n_words
+                     THEN 0 ELSE 1 END AS f_mwl,
+                CASE WHEN 10 * n_symbols <= n_words
+                     THEN 0 ELSE 1 END AS f_sym,
+                CASE WHEN 5 * n_alpha_words >= 4 * n_words
+                     THEN 0 ELSE 1 END AS f_alpha,
+                CASE WHEN n_stop_types >= 2 THEN 0 ELSE 1 END AS f_stop
+            FROM per
+        )
+        SELECT
+            lang,
+            COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN f_wc + f_mwl + f_sym + f_alpha + f_stop = 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+            CAST(SUM(f_wc) AS BIGINT) AS fail_word_count,
+            CAST(SUM(f_mwl) AS BIGINT) AS fail_mean_word_len,
+            CAST(SUM(f_sym) AS BIGINT) AS fail_symbol_ratio,
+            CAST(SUM(f_alpha) AS BIGINT) AS fail_alpha_ratio,
+            CAST(SUM(f_stop) AS BIGINT) AS fail_stopwords
+        FROM flags
+        GROUP BY lang
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule verdicts (Rae et al. 2021, arXiv:2112.11446
+    Appendix A): the pretraining-corpus admission filter as integer
+    rule flags — word-count bounds, mean word length in [3, 10],
+    symbol-to-word ratio <= 0.1 ('#' chars + '...' runs), >= 80% of
+    words containing an alphabetic char, and >= 2 distinct required
+    stopwords — rolled up per language as pass/fail counts (the report
+    a curation pipeline alerts on, and the mask a filter step applies).
+
+    Every threshold is evaluated as a cross-multiplied INTEGER
+    comparison (3*n_words <= n_word_chars, 5*n_alpha >= 4*n_words, ...)
+    so no ratio ever becomes a float — the q_pmi_collocations
+    determinism discipline applied to filtering.
+
+    Scale: all five rules are map-side string/array expressions over
+    one scan; the only shuffle is the per-language rollup (map-side
+    combined into |langs| rows)."""
+    from ..functions.text import _EN_STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    n_word_chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_symbols = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+        + (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+        )
+        / F.lit(3)
+    ).cast("long")
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    n_stop_types = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in _EN_STOPWORDS]),
+            lambda w: F.array_contains(toks, w),
+        )
+    )
+    flag = lambda ok: F.when(ok, F.lit(0)).otherwise(F.lit(1))  # noqa: E731
+    flags = d.select(
+        "lang",
+        flag(n_words.between(10, 100000)).alias("f_wc"),
+        flag(
+            (3 * n_words <= n_word_chars) & (n_word_chars <= 10 * n_words)
+        ).alias("f_mwl"),
+        flag(10 * n_symbols <= n_words).alias("f_sym"),
+        flag(5 * n_alpha >= 4 * n_words).alias("f_alpha"),
+        flag(n_stop_types >= 2).alias("f_stop"),
+    )
+    total = (
+        F.col("f_wc")
+        + F.col("f_mwl")
+        + F.col("f_sym")
+        + F.col("f_alpha")
+        + F.col("f_stop")
+    )
+    return flags.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(total == 0, 1).otherwise(0)).cast("long").alias("n_pass"),
+        F.sum("f_wc").cast("long").alias("fail_word_count"),
+        F.sum("f_mwl").cast("long").alias("fail_mean_word_len"),
+        F.sum("f_sym").cast("long").alias("fail_symbol_ratio"),
+        F.sum("f_alpha").cast("long").alias("fail_alpha_ratio"),
+        F.sum("f_stop").cast("long").alias("fail_stopwords"),
+    )
+
+
+@register(
+    "q_lexical_diversity",
+    family="text",
+    oracle="""
+        WITH per AS (
+            SELECT
+                doc_id,
+                len(string_split(text, ' ')) AS n_tokens,
+                len(list_distinct(string_split(text, ' '))) AS n_types,
+                len(list_filter(
+                        list_distinct(string_split(text, ' ')),
+                        t -> len(list_filter(string_split(text, ' '),
+                                             u -> u = t)) = 1))
+                    AS n_hapax,
+                list_sum(list_transform(
+                    list_distinct(string_split(text, ' ')),
+                    t -> CAST(len(list_filter(string_split(text, ' '),
+                                              u -> u = t)) AS BIGINT)
+                         * (len(list_filter(string_split(text, ' '),
+                                            u -> u = t)) - 1)))
+                    AS sum_cc1
+            FROM documents
+        )
+        SELECT doc_id, n_tokens, n_types,
+               (1000000 * n_types) // n_tokens AS ttr_ppm,
+               (1000000 * n_hapax) // n_types AS hapax_ppm,
+               CAST(CASE WHEN n_tokens > 1
+                    THEN 1000000
+                         - (1000000 * sum_cc1)
+                           // (CAST(n_tokens AS BIGINT) * (n_tokens - 1))
+                    ELSE 0 END AS BIGINT) AS simpson_ppm
+        FROM per
+        ORDER BY simpson_ppm DESC, doc_id
+        LIMIT 20
+    """,
+)
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio, hapax-legomenon
+    ratio, and the Gini-Simpson index (Simpson 1949 — the probability
+    two random tokens differ), top-20 most diverse documents.  The
+    entropy-style repetitiveness signal of a curation pipeline, in
+    EXACT integer form: Gini-Simpson = 1 - sum(c*(c-1))/(n*(n-1)) needs
+    only token counts, so unlike Shannon entropy it never calls a
+    transcendental function — no cross-engine libm drift (the
+    discipline ADVICE r4 asked for on float statistics).
+
+    Scale: token counts fold map-side per row (aggregate over the
+    frequency map of the token array); the only data movement is the
+    global top-20, a TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    types = F.array_distinct(toks)
+    cnt = lambda t: F.size(F.filter(toks, lambda u: u == t))  # noqa: E731
+    n_tokens = F.size(toks).cast("long")
+    n_types = F.size(types).cast("long")
+    n_hapax = F.size(F.filter(types, lambda t: cnt(t) == 1)).cast("long")
+    sum_cc1 = F.aggregate(
+        F.transform(types, lambda t: cnt(t).cast("long") * (cnt(t) - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    per = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_types.alias("n_types"),
+        n_hapax.alias("n_hapax"),
+        sum_cc1.alias("sum_cc1"),
+    )
+    return (
+        per.select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            F.expr("(1000000 * n_types) div n_tokens").alias("ttr_ppm"),
+            F.expr("(1000000 * n_hapax) div n_types").alias("hapax_ppm"),
+            F.when(
+                F.col("n_tokens") > 1,
+                F.lit(1000000)
+                - F.expr(
+                    "(1000000 * sum_cc1) div (n_tokens * (n_tokens - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("simpson_ppm"),
+        )
+        .orderBy(F.desc("simpson_ppm"), F.asc("doc_id"))
+        .limit(20)
+    )

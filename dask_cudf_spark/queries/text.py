@@ -2828,3 +2828,191 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("simpson_ppm"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+def _dsir_oracle() -> str:
+    from ..functions.text import _md5_long_sql
+
+    h = _md5_long_sql("t.token")
+    return f"""
+        WITH tok AS (
+            SELECT d.doc_id, d.lang, {h} % 256 AS f
+            FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+        ),
+        feat AS (
+            SELECT f,
+                   COUNT(*) AS rc,
+                   CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS tc
+            FROM tok GROUP BY f
+        ),
+        tot AS (
+            SELECT CAST(SUM(rc) AS BIGINT) AS rt,
+                   CAST(SUM(tc) AS BIGINT) AS tt
+            FROM feat
+        ),
+        lam AS (
+            SELECT f,
+                   (1000000 * (tc + 1) * (rt + 256))
+                       // ((tt + 256) * (rc + 1)) AS lift_s6
+            FROM feat CROSS JOIN tot
+        ),
+        docfeat AS (
+            SELECT doc_id, f, COUNT(*) AS df FROM tok GROUP BY doc_id, f
+        ),
+        score AS (
+            SELECT d.doc_id,
+                   CAST(SUM(d.df * l.lift_s6) AS BIGINT) AS raw_s6,
+                   CAST(SUM(d.df) AS BIGINT) AS n_tokens
+            FROM docfeat d JOIN lam l USING (f)
+            GROUP BY d.doc_id
+        )
+        SELECT doc_id, n_tokens,
+               raw_s6 // n_tokens AS weight_s6,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY raw_s6 // n_tokens DESC, doc_id
+               ) AS BIGINT) AS rank
+        FROM score
+        ORDER BY rank
+        LIMIT 20
+    """
+
+
+@register(
+    "q_dsir_lift",
+    family="text",
+    oracle=None,  # set below (generated md5-twin SQL)
+)
+def q_dsir_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al. 2023, arXiv:2302.03169):
+    score every document by how much its hashed-unigram features look
+    like the TARGET domain (lang='en') relative to the raw corpus, and
+    return the top-20 — importance resampling's ranking pass.  The
+    per-feature statistic is the integer LIFT (target rate over raw
+    rate, +1/+K smoothed, 1e6-scaled with // floors) instead of DSIR's
+    log-ratio: lift is order-isomorphic to the log-ratio per feature
+    and keeps the whole pipeline in exact integers (the PMI / Gini-
+    Simpson determinism discipline — no libm, no cross-engine drift);
+    per-doc weight is the token-count-weighted mean lift.
+
+    Scale: feature stats are ONE conditional aggregate over the token
+    stream into 256 rows (map-side combined), broadcast back onto the
+    per-doc feature counts; top-20 is TakeOrderedAndProject.  Nothing
+    quadratic, nothing driver-side but the 256-row lift table."""
+    from ..functions.text import md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    ).select("doc_id", "lang", (md5_long(F.col("token")) % 256).alias("f"))
+    feat = tok.groupBy("f").agg(
+        F.count("*").alias("rc"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("tc"),
+    )
+    tot = feat.agg(
+        F.sum("rc").cast("long").alias("rt"),
+        F.sum("tc").cast("long").alias("tt"),
+    )
+    lam = feat.crossJoin(F.broadcast(tot)).select(
+        "f",
+        F.expr(
+            "(1000000 * (tc + 1) * (rt + 256)) div ((tt + 256) * (rc + 1))"
+        ).alias("lift_s6"),
+    )
+    docfeat = tok.groupBy("doc_id", "f").agg(F.count("*").alias("df"))
+    score = (
+        docfeat.join(F.broadcast(lam), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("df") * F.col("lift_s6")).cast("long").alias("raw_s6"),
+            F.sum("df").cast("long").alias("n_tokens"),
+        )
+    )
+    w = Window.orderBy(
+        F.desc(F.expr("raw_s6 div n_tokens")), F.asc("doc_id")
+    )
+    return (
+        score.select(
+            "doc_id",
+            "n_tokens",
+            F.expr("raw_s6 div n_tokens").alias("weight_s6"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .orderBy("rank")
+        .limit(20)
+    )
+
+
+_REG["q_dsir_lift"].oracle = _dsir_oracle()
+
+
+@register(
+    "q_vocab_growth",
+    family="text",
+    oracle="""
+        WITH n AS (SELECT COUNT(*) AS nd FROM documents),
+        tok AS (
+            SELECT (d.doc_id * 10) // n.nd AS bucket, t.token
+            FROM documents d CROSS JOIN n,
+                 unnest(string_split(d.text, ' ')) AS t(token)
+        ),
+        first_seen AS (
+            SELECT token, MIN(bucket) AS b0 FROM tok GROUP BY token
+        ),
+        new_types AS (
+            SELECT b0 AS bucket, COUNT(*) AS n_new
+            FROM first_seen GROUP BY b0
+        ),
+        toks_per AS (
+            SELECT bucket, COUNT(*) AS n_toks FROM tok GROUP BY bucket
+        )
+        SELECT t.bucket,
+               CAST(SUM(t.n_toks) OVER (
+                   ORDER BY t.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens,
+               CAST(SUM(COALESCE(nw.n_new, 0)) OVER (
+                   ORDER BY t.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_vocab
+        FROM toks_per t LEFT JOIN new_types nw USING (bucket)
+        ORDER BY t.bucket
+    """,
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve (Heaps 1978): cumulative
+    distinct-type count vs cumulative token count over ten doc_id-
+    ordered corpus prefixes — the curve that predicts tokenizer vocab
+    saturation and detects corpus staleness (a flattening curve means
+    new data stopped contributing new vocabulary).
+
+    Scale: 'first bucket a token appears in' is ONE min-aggregate on
+    the token (never a per-prefix distinct — the naive formulation
+    re-counts the vocabulary 10 times); the cumulative sums then run
+    over a 10-row frame.  Two token-keyed shuffles total, both
+    map-side combinable."""
+    d = load_table(spark, sf_dir, "documents")
+    nd = d.count()  # metadata-only parquet count
+    tok = d.select(
+        ((F.col("doc_id") * 10) / nd).cast("long").alias("bucket"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    first_seen = tok.groupBy("token").agg(F.min("bucket").alias("b0"))
+    new_types = first_seen.groupBy(F.col("b0").alias("bucket")).agg(
+        F.count("*").alias("n_new")
+    )
+    toks_per = tok.groupBy("bucket").agg(F.count("*").alias("n_toks"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        toks_per.join(new_types, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_toks").over(w).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_vocab"),
+        )
+        .orderBy("bucket")
+    )

@@ -19,6 +19,7 @@ from .jobs import (
     materialize_rollup,
     events_stream,
     purchase_click_attribution,
+    sessionize_stateful,
     stateful_user_totals,
     stateful_user_totals_tws,
     stream_static_enrich,
@@ -39,6 +40,7 @@ __all__ = [
     "materialize_rollup",
     "purchase_click_attribution",
     "stream_static_enrich",
+    "sessionize_stateful",
     "stateful_user_totals",
     "stateful_user_totals_tws",
     "tumbling_counts",

@@ -592,3 +592,79 @@ def train_centroids(docs: DataFrame) -> list:
     for r in cent:
         dense.setdefault(r["lang"], [0] * 16)[r["idx"]] = int(r["C"])
     return sorted(dense.items())
+
+
+def sessionize_stateful(
+    events: DataFrame, gap_seconds: int = 30 * 60
+) -> DataFrame:
+    """Arbitrary-state streaming sessionization via
+    ``applyInPandasWithState`` — the custom stateful operator the
+    reference exposes through its streaming aggregation surface
+    (SURVEY.md §2.9), on the Spark state-store API that works WITHOUT
+    the protobuf dependency (transformWithStateInPandas needs
+    google.protobuf, absent in this sandbox; applyInPandasWithState
+    speaks the Arrow state protocol — probed round 5).
+
+    State per user: the OPEN session (start, last_ts, n_events).  Each
+    micro-batch merges its rows in event-time order; an inactivity gap
+    > gap_seconds closes the current session (emitted final) and opens
+    a new one; the still-open session is emitted provisionally every
+    time it changes, so in update mode the LAST row per (user_id,
+    session_start) converges to exactly the batch gaps-and-islands
+    sessionization (q_sessionize_gaps) — the convergence test's
+    contract.  Assumes per-user event-time ordering across micro-
+    batches (true for the file replay; a production topic adds a
+    watermark-sorted buffer stage in front).
+
+    Scale: state is O(1) per user (three longs), the per-batch work is
+    a sorted scan of that user's new rows, and the shuffle is the same
+    single user_id exchange the batch twin pays."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        out = []
+        for pdf in pdfs:
+            for ts in sorted(pdf["ts_long"]):
+                ts = int(ts)
+                if start is None:
+                    start, last, n = ts, ts, 1
+                elif ts - last > gap_seconds:
+                    out.append((key[0], start, last, n, True))
+                    start, last, n = ts, ts, 1
+                else:
+                    last, n = ts, n + 1
+        if start is not None:
+            state.update((start, last, n))
+            out.append((key[0], start, last, n, False))
+        return iter(
+            [
+                pd.DataFrame(
+                    out,
+                    columns=[
+                        "user_id",
+                        "session_start",
+                        "session_end",
+                        "n_events",
+                        "closed",
+                    ],
+                )
+            ]
+        )
+
+    rows = events.select(
+        "user_id", F.col("ts").cast("long").alias("ts_long")
+    )
+    return rows.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, session_start long, session_end long, "
+        "n_events long, closed boolean",
+        "start long, last long, n long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -525,3 +525,62 @@ def test_classify_serving_path_hashes_each_token_once(spark):
         .toString()
     )
     assert 1 <= plan.count("md5") <= 2, plan.count("md5")
+
+
+def test_sessionize_stateful_converges_to_batch_gaps(spark, tmp_path):
+    """Round-5 arbitrary-state operator: streaming sessionization via
+    applyInPandasWithState (the non-protobuf state API) must converge
+    to the batch gaps-and-islands sessionization exactly — same
+    session boundaries, same per-session event counts.  Runs the file
+    replay in MULTIPLE micro-batches is not possible with one parquet
+    file, so cross-batch state carry is covered by
+    test_stateful_user_totals_converges; this test pins the session
+    state machine itself."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dask_cudf_spark.registry import REGISTRY, _ensure_loaded
+    from dask_cudf_spark.streaming import sessionize_stateful
+
+    _ensure_loaded()
+
+    stream = sessionize_stateful(events_stream(spark, SF_DIR))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("s_sessionize_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("s_sessionize_state")
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .groupby(["user_id", "session_start"], as_index=False)
+        .last()
+    )
+    batch = (
+        REGISTRY["q_sessionize_gaps"]
+        .fn(spark, SF_DIR)
+        .select(
+            "user_id",
+            F.col("session_start").cast("long").alias("session_start"),
+            F.col("session_end").cast("long").alias("session_end"),
+            "n_events",
+        )
+        .toPandas()
+    )
+    g = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in got.itertuples()
+    }
+    b = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch.itertuples()
+    }
+    assert g == b, (len(g), len(b), list(g - b)[:3], list(b - g)[:3])
+    # every closed session must be final (no later provisional row)
+    closed = got[got["closed"]]
+    assert (closed.groupby(["user_id", "session_start"]).size() == 1).all()

@@ -627,3 +627,299 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     em = load_table(spark, sf_dir, "embeddings")
     return kmeans_step(em, n_clusters=8, seed_stride=19)
+
+
+def _ann_recall_oracle() -> str:
+    """Brute-force and IVF top-5 CTE chains (the q_cosine_sim and
+    q_ann_ivf oracles verbatim) joined into per-query recall@5."""
+    return f"""
+        WITH brute AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_duck_cos("a.embedding", "b.embedding")}
+                                        DESC,
+                                    b.vec_id
+                       ) AS rank
+                FROM embeddings a
+                JOIN embeddings b ON b.vec_id <> a.vec_id
+                WHERE a.vec_id < 10
+            ) WHERE rank <= 5
+        ),
+        seeds AS (
+            SELECT cid, cvec, ROW_NUMBER() OVER (ORDER BY cid) - 1 AS cidx
+            FROM (
+                SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                WHERE vec_id % 13 = 0 ORDER BY vec_id LIMIT 16
+            )
+        ),
+        assign AS (
+            SELECT neighbor_id, cvec, list_id FROM (
+                SELECT e.vec_id AS neighbor_id, e.embedding AS cvec,
+                       s.cidx AS list_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY -{_duck_cos("e.embedding", "s.cvec")},
+                                    s.cidx
+                       ) AS rn
+                FROM embeddings e CROSS JOIN seeds s
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT query_id, qvec, list_id FROM (
+                SELECT e.vec_id AS query_id, e.embedding AS qvec,
+                       s.cidx AS list_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY -{_duck_cos("e.embedding", "s.cvec")},
+                                    s.cidx
+                       ) AS rn
+                FROM embeddings e CROSS JOIN seeds s
+                WHERE e.vec_id < 10
+            ) WHERE rn <= 4
+        ),
+        ivf AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT p.query_id, a.neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p.query_id
+                           ORDER BY {_duck_cos("p.qvec", "a.cvec")} DESC,
+                                    a.neighbor_id
+                       ) AS rank
+                FROM probes p
+                JOIN assign a ON a.list_id = p.list_id
+                             AND a.neighbor_id <> p.query_id
+            ) WHERE rank <= 5
+        )
+        SELECT b.query_id,
+               CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+               (1000000 * CAST(COUNT(i.neighbor_id) AS BIGINT)) // 5
+                   AS recall_ppm
+        FROM brute b
+        LEFT JOIN ivf i USING (query_id, neighbor_id)
+        GROUP BY b.query_id
+        ORDER BY b.query_id
+    """
+
+
+@register(
+    "q_ann_recall",
+    family="similarity",
+    oracle=None,  # set below (generated from the shared cosine twin)
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality self-evaluation: recall@5 of the IVF path against
+    the exact brute-force ground truth, per query — the metric that
+    decides nprobe/n_centroids in production, computed IN the engine
+    as one relational query (top-k set intersection), not an offline
+    script.  Both the approximate and the exact path are themselves
+    oracle-verified queries (q_ann_ivf / q_cosine_sim); this composes
+    them into the evaluation harness.
+
+    Scale: ground truth is the expensive half (brute top-k) — in
+    production you run this on a SAMPLED query set (here: the same 10
+    queries both paths serve), so cost is |sample| x corpus, one scan
+    each, no quadratic blow-up."""
+    from ..operators.similarity import cosine_topk, ivf_topk
+
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = cosine_topk(em, queries, k=5, query_id_col="query_id").select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ivf_topk(em, queries, n_centroids=16, nprobe=4, k=5).select(
+        F.col("query_id").alias("ivf_query"),
+        F.col("neighbor_id").alias("ivf_neighbor"),
+    )
+    return (
+        brute.join(
+            ivf,
+            (F.col("query_id") == F.col("ivf_query"))
+            & (F.col("neighbor_id") == F.col("ivf_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("ivf_neighbor").cast("long").alias("n_hits"),
+            F.expr("(1000000 * count(ivf_neighbor)) div 5").alias(
+                "recall_ppm"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+_REG_SIM = __import__(
+    "dask_cudf_spark.registry", fromlist=["REGISTRY"]
+).REGISTRY
+_REG_SIM["q_ann_recall"].oracle = _ann_recall_oracle()
+
+
+def _duck_cos_prefix(x: str, y: str, ndims: int) -> str:
+    """ROUND-6 cosine over the first ``ndims`` components (DuckDB)."""
+    dot = (
+        f"list_sum(list_transform(range(1, {ndims + 1}), "
+        f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))"
+    )
+    nx = (
+        f"sqrt(list_sum(list_transform(range(1, {ndims + 1}), "
+        f"i -> CAST({x}[i] AS DOUBLE) * CAST({x}[i] AS DOUBLE))))"
+    )
+    ny = (
+        f"sqrt(list_sum(list_transform(range(1, {ndims + 1}), "
+        f"i -> CAST({y}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE))))"
+    )
+    return f"ROUND({dot} / ({nx} * {ny}), 6)"
+
+
+def _mrl_oracle() -> str:
+    def topk(ndims: int, name: str) -> str:
+        return f"""
+        {name} AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_duck_cos_prefix("a.embedding", "b.embedding", ndims)}
+                                        DESC,
+                                    b.vec_id
+                       ) AS rank
+                FROM embeddings a
+                JOIN embeddings b ON b.vec_id <> a.vec_id
+                WHERE a.vec_id < 10
+            ) WHERE rank <= 5
+        )"""
+
+    return f"""
+        WITH {topk(64, "full64")},
+        {topk(16, "pre16")},
+        {topk(32, "pre32")}
+        SELECT d.dim_budget, f.query_id,
+               CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hits,
+               (1000000 * CAST(COUNT(p.neighbor_id) AS BIGINT)) // 5
+                   AS recall_ppm
+        FROM full64 f
+        CROSS JOIN (SELECT UNNEST([16, 32]) AS dim_budget) d
+        LEFT JOIN (
+            SELECT 16 AS dim_budget, * FROM pre16
+            UNION ALL
+            SELECT 32 AS dim_budget, * FROM pre32
+        ) p USING (dim_budget, query_id, neighbor_id)
+        GROUP BY d.dim_budget, f.query_id
+        ORDER BY d.dim_budget, f.query_id
+    """
+
+
+@register(
+    "q_mrl_recall",
+    family="similarity",
+    oracle=None,  # set below (generated from the prefix-cosine twin)
+)
+def q_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation (Kusupati et al. 2022,
+    arXiv:2205.13147): recall@5 of brute-force search over only the
+    FIRST 16 / 32 embedding dimensions against the full-64-dim ground
+    truth — the measurement behind shipping truncated embeddings (4x /
+    2x cheaper storage and scan) at a known recall cost.
+
+    Scale: one broadcast-queries corpus scan computes ALL prefix
+    cosines at once (the 16-dim dot is a prefix sum of the 64-dim
+    fold, so the marginal cost of extra budgets is one fold, not one
+    scan each); per-(budget, query) top-5 windows and a set-intersect
+    rollup follow."""
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+    def cos_prefix(n: int):
+        dot = F.aggregate(
+            F.zip_with(
+                F.slice("qvec", 1, n),
+                F.slice("embedding", 1, n),
+                lambda a, b: a.cast("double") * b.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nq = F.sqrt(
+            F.aggregate(
+                F.slice("qvec", 1, n),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+        nc = F.sqrt(
+            F.aggregate(
+                F.slice("embedding", 1, n),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+        return F.round(dot / (nq * nc), 6)
+
+    scored = (
+        em.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos_prefix(64).alias("cos64"),
+            cos_prefix(16).alias("cos16"),
+            cos_prefix(32).alias("cos32"),
+        )
+    )
+
+    def top5(col: str):
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(col), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+
+    truth = top5("cos64")
+    cand = top5("cos16").select(
+        F.lit(16).cast("long").alias("dim_budget"), "query_id", "neighbor_id"
+    ).unionByName(
+        top5("cos32").select(
+            F.lit(32).cast("long").alias("dim_budget"),
+            "query_id",
+            "neighbor_id",
+        )
+    )
+    budgets = truth.crossJoin(
+        F.broadcast(
+            truth.sparkSession.createDataFrame(
+                [(16,), (32,)], "dim_budget long"
+            )
+        )
+    )
+    cand_r = cand.select(
+        F.col("dim_budget").alias("c_budget"),
+        F.col("query_id").alias("c_query"),
+        F.col("neighbor_id").alias("hit"),
+    )
+    return (
+        budgets.join(
+            cand_r,
+            (F.col("query_id") == F.col("c_query"))
+            & (F.col("dim_budget") == F.col("c_budget"))
+            & (F.col("neighbor_id") == F.col("hit")),
+            "left",
+        )
+        .groupBy("dim_budget", "query_id")
+        .agg(
+            F.count("hit").cast("long").alias("n_hits"),
+            F.expr("(1000000 * count(hit)) div 5").alias("recall_ppm"),
+        )
+        .orderBy("dim_budget", "query_id")
+    )
+
+
+_REG_SIM["q_mrl_recall"].oracle = _mrl_oracle()

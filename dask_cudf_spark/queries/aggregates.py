@@ -1993,3 +1993,117 @@ def q_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(1)"
         ).alias("share_of_base_ppm"),
     )
+
+
+@register(
+    "q_kaplan_meier",
+    family="aggregate",
+    oracle="""
+        WITH horizon AS (
+            SELECT CAST(MAX(ts) AS TIMESTAMP) AS max_ts FROM events
+        ),
+        per_user AS (
+            SELECT user_id,
+                   CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+                       // 604800 AS lifetime_w,
+                   CASE WHEN date_diff('second',
+                                       CAST(MAX(ts) AS TIMESTAMP),
+                                       h.max_ts) < 604800
+                        THEN 1 ELSE 0 END AS censored
+            FROM events CROSS JOIN horizon h
+            GROUP BY user_id, h.max_ts
+        ),
+        weeks AS (
+            SELECT lifetime_w AS week,
+                   CAST(SUM(1 - censored) AS BIGINT) AS n_churned,
+                   CAST(SUM(censored) AS BIGINT) AS n_censored
+            FROM per_user GROUP BY lifetime_w
+        )
+        SELECT CAST(week AS BIGINT) AS week,
+               CAST((SELECT COUNT(*) FROM per_user)
+                    - COALESCE(SUM(n_churned + n_censored) OVER (
+                          ORDER BY week
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_at_risk,
+               n_churned,
+               n_censored,
+               CAST((1000000 * n_churned)
+                   // ((SELECT COUNT(*) FROM per_user)
+                       - COALESCE(SUM(n_churned + n_censored) OVER (
+                             ORDER BY week
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0))
+                   AS BIGINT) AS hazard_ppm
+        FROM weeks
+        ORDER BY week
+    """,
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival lifetable (Kaplan & Meier 1958) over user
+    activity spans: per-week at-risk counts, churn events, censoring
+    (users still active in the final observation week), and the
+    discrete hazard d/n in ppm — the churn-analysis table whose
+    cumulative product is the KM survival curve.  The curve itself is
+    a running product of rationals, so the engine emits the exact
+    integer LIFETABLE (the sufficient statistic) and leaves the
+    cumulative product to the consumer — the same no-transcendental
+    discipline as q_lexical_diversity.
+
+    Scale: one user_id shuffle builds (lifetime, censored) per user;
+    the lifetable is |weeks| rows, so the reverse-cumulative at-risk
+    window is driver-trivial.  The observation horizon is a single-row
+    broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("max_ts"))
+    per_user = (
+        ev.crossJoin(F.broadcast(horizon))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "(CAST(max(ts) AS LONG) - CAST(min(ts) AS LONG))"
+                " div 604800"
+            ).alias("lifetime_w"),
+            F.max(
+                F.when(
+                    F.col("max_ts").cast("long") - F.col("ts").cast("long")
+                    < 604800,
+                    1,
+                ).otherwise(0)
+            ).alias("censored"),
+        )
+    )
+    weeks = per_user.groupBy(F.col("lifetime_w").alias("week")).agg(
+        F.sum(1 - F.col("censored")).cast("long").alias("n_churned"),
+        F.sum("censored").cast("long").alias("n_censored"),
+    )
+    total = per_user.count()
+    from pyspark.sql import Window
+
+    w_prev = Window.orderBy("week").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        weeks.withColumn(
+            "n_at_risk",
+            (
+                F.lit(total)
+                - F.coalesce(
+                    F.sum(F.col("n_churned") + F.col("n_censored")).over(
+                        w_prev
+                    ),
+                    F.lit(0),
+                )
+            ).cast("long"),
+        )
+        .select(
+            "week",
+            "n_at_risk",
+            "n_churned",
+            "n_censored",
+            F.expr("(1000000 * n_churned) div n_at_risk").alias(
+                "hazard_ppm"
+            ),
+        )
+        .orderBy("week")
+    )

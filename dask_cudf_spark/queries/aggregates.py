@@ -2107,3 +2107,139 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+@register(
+    "q_pagerank_items",
+    family="aggregate",
+    oracle="""
+        WITH baskets AS (
+            SELECT DISTINCT user_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+            FROM events
+        ),
+        freq AS (
+            SELECT item FROM baskets GROUP BY item HAVING COUNT(*) >= 5
+        ),
+        pruned AS (
+            SELECT b.user_id, b.item FROM baskets b JOIN freq USING (item)
+        ),
+        edges AS (
+            SELECT DISTINCT a.item AS src, b.item AS dst
+            FROM pruned a JOIN pruned b
+              ON a.user_id = b.user_id AND a.item <> b.item
+        ),
+        deg AS (
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src
+        ),
+        r0 AS (SELECT src AS item, CAST(1000000 AS BIGINT) AS r FROM deg),
+        r1 AS (
+            SELECT e.dst AS item,
+                   CAST(150000 + SUM((850000 * r.r) // (1000000 * dg.d))
+                        AS BIGINT) AS r
+            FROM edges e
+            JOIN r0 r ON r.item = e.src
+            JOIN deg dg ON dg.src = e.src
+            GROUP BY e.dst
+        ),
+        r2 AS (
+            SELECT e.dst AS item,
+                   CAST(150000 + SUM((850000 * r.r) // (1000000 * dg.d))
+                        AS BIGINT) AS r
+            FROM edges e
+            JOIN r1 r ON r.item = e.src
+            JOIN deg dg ON dg.src = e.src
+            GROUP BY e.dst
+        ),
+        r3 AS (
+            SELECT e.dst AS item,
+                   CAST(150000 + SUM((850000 * r.r) // (1000000 * dg.d))
+                        AS BIGINT) AS r
+            FROM edges e
+            JOIN r2 r ON r.item = e.src
+            JOIN deg dg ON dg.src = e.src
+            GROUP BY e.dst
+        )
+        SELECT item, r AS pr_ppm,
+               CAST(ROW_NUMBER() OVER (ORDER BY r DESC, item) AS BIGINT)
+                   AS rank
+        FROM r3
+        ORDER BY rank
+        LIMIT 20
+    """,
+)
+def q_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (Page et al. 1999) over the item co-occurrence graph —
+    graph centrality as iterated relational algebra, no graph library:
+    items are nodes, an edge links items that appear in the same
+    user's basket (Apriori-pruned like q_basket_pairs), and three
+    Jacobi iterations of r = 0.15 + 0.85 * sum(r_in/deg) run as
+    join + groupBy rounds.  Every iteration is ppm-scaled integer
+    arithmetic with per-edge floor division, so all three rounds and
+    the final ranking replay bit-exactly in the oracle's unrolled
+    CTEs — the fixed-point discipline applied to an iterative
+    algorithm.
+
+    Scale: the edge list shuffles once per iteration on dst (the
+    standard distributed PageRank shape); degrees broadcast.  The
+    iteration count is fixed (3) — production would loop to an
+    epsilon, which pure SQL can't express but the Spark driver loop
+    trivially extends.  Dangling nodes are absent by construction
+    (every node has >= 1 edge)."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = (
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .repartition("user_id")
+        .dropDuplicates(["user_id", "item"])
+    )
+    freq = (
+        baskets.groupBy("item")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 5)
+        .select("item")
+    )
+    from pyspark.sql import Window
+
+    pruned = baskets.join(F.broadcast(freq), "item").select("user_id", "item")
+    a = pruned.select("user_id", F.col("item").alias("src"))
+    b = pruned.select("user_id", F.col("item").alias("dst"))
+    edges = (
+        a.join(b, "user_id")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+        # edges drive all three iterations: materialize once
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    r = deg.select("src", F.lit(1000000).cast("long").alias("r"))
+    for _ in range(3):
+        r = (
+            edges.join(r, "src")
+            .join(F.broadcast(deg), "src")
+            .groupBy(F.col("dst").alias("item"))
+            .agg(
+                (
+                    F.lit(150000)
+                    + F.sum(
+                        F.expr("(850000 * r) div (1000000 * d)")
+                    )
+                )
+                .cast("long")
+                .alias("r")
+            )
+            .withColumnRenamed("item", "src")
+        )
+    w = Window.orderBy(F.desc("r"), F.asc("src"))
+    return (
+        r.select(
+            F.col("src").alias("item"),
+            F.col("r").alias("pr_ppm"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .orderBy("rank")
+        .limit(20)
+    )

@@ -24,6 +24,9 @@ from .tables import (
     register_temp_views,
     scale_out,
 )
+from .txlog import commit as txlog_commit
+from .txlog import read_snapshot as txlog_read_snapshot
+from .txlog import table_history as txlog_history
 from .writers import to_csv, to_json, to_orc, to_parquet, to_parquet_zordered
 
 __all__ = [
@@ -40,6 +43,9 @@ __all__ = [
     "to_orc",
     "to_csv",
     "to_json",
+    "txlog_commit",
+    "txlog_read_snapshot",
+    "txlog_history",
     "TABLE_NAMES",
     "load_table",
     "load_tables",

@@ -1,0 +1,164 @@
+"""Minimal transaction-log table format: ACID-ish append/overwrite
+commits over plain parquet, snapshot-isolated reads, and time travel —
+the lakehouse pattern (Delta/Iceberg's core idea) expressed with
+nothing but Spark's own writers plus an ordered JSON log.
+
+Layout:
+
+    <table>/data/<commit-uuid>/part-*.parquet   immutable data files
+    <table>/_txlog/<version 12-digit>.json      one commit record each
+
+A commit record is ``{"version": N, "op": "append"|"overwrite",
+"dirs": [<data subdirs THIS commit added>]}``.  A reader replays the
+log in version order: ``overwrite`` resets the live set, ``append``
+extends it — so a read at version V sees exactly the committed state
+at V (snapshot isolation: concurrent writers never mutate files a
+reader already listed; data dirs are immutable once committed).
+
+Commit atomicity = atomicity of creating the version file, done
+through the JVM Hadoop FileSystem with ``overwrite=false`` — the same
+create-exclusive primitive Delta's log relies on — so two racing
+writers cannot both win a version, and the loser retries on the next
+version number.  Everything goes through the Hadoop FS API, so the
+table works on any supported filesystem (local, hdfs://, s3a://
+modulo its create-exclusive semantics), not just local paths.
+
+Scale: the log is O(commits) tiny JSON files, data files are never
+rewritten (append) or only logically retired (overwrite), and reads
+prune to the live dir list — Spark's parquet reader gets an explicit
+path list, keeping partition pruning and pushdown intact.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first; retry."""
+
+
+def _jfs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, hpath
+
+
+def _log_dir(path: str) -> str:
+    return path.rstrip("/") + "/_txlog"
+
+
+def _read_log(spark: SparkSession, path: str) -> list[dict]:
+    """All commit records in version order (empty list for a new
+    table).  Reads through spark.read.json so it works on any Hadoop
+    filesystem, with an explicit schema (a one-record JSON file per
+    commit)."""
+    jvm, fs, ld = _jfs(spark, _log_dir(path))
+    if not fs.exists(ld):
+        return []
+    rows = (
+        spark.read.schema("version long, op string, dirs array<string>")
+        .json(_log_dir(path))
+        .collect()
+    )
+    entries = [
+        {"version": r["version"], "op": r["op"], "dirs": list(r["dirs"])}
+        for r in rows
+    ]
+    entries.sort(key=lambda e: e["version"])
+    return entries
+
+
+def _live_dirs(entries: list[dict], version: int | None) -> list[str]:
+    live: list[str] = []
+    for e in entries:
+        if version is not None and e["version"] > version:
+            break
+        if e["op"] == "overwrite":
+            live = list(e["dirs"])
+        else:
+            live.extend(e["dirs"])
+    return live
+
+
+def commit(
+    df: DataFrame,
+    path: str,
+    op: str = "append",
+    max_retries: int = 5,
+) -> int:
+    """Write ``df`` as a new commit; returns the committed version.
+
+    The data files land under a fresh uuid subdir FIRST (invisible to
+    readers — nothing references them), then the version file is
+    created with the exclusive-create primitive; on a race the loser
+    gets CommitConflict from the filesystem and retries with the next
+    version number, its data dir intact."""
+    if op not in ("append", "overwrite"):
+        raise ValueError(f"op must be append|overwrite, got {op!r}")
+    spark = df.sparkSession
+    cid = uuid.uuid4().hex
+    data_dir = f"data/{cid}"
+    df.write.mode("errorifexists").parquet(f"{path.rstrip('/')}/{data_dir}")
+
+    jvm, fs, _ = _jfs(spark, path)
+    last_err: Exception | None = None
+    for _ in range(max_retries):
+        version = (
+            _read_log(spark, path)[-1]["version"] + 1
+            if _read_log(spark, path)
+            else 0
+        )
+        record = json.dumps(
+            {"version": version, "op": op, "dirs": [data_dir]}
+        ).encode()
+        vpath = jvm.org.apache.hadoop.fs.Path(
+            f"{_log_dir(path)}/{version:012d}.json"
+        )
+        fs.mkdirs(vpath.getParent())
+        try:
+            out = fs.create(vpath, False)  # overwrite=False: exclusive
+        except Exception as e:  # FileAlreadyExistsException et al.
+            last_err = e
+            continue  # lost the race: recompute version, retry
+        try:
+            out.write(record)
+        finally:
+            out.close()
+        return version
+    raise CommitConflict(
+        f"lost {max_retries} commit races on {path}"
+    ) from last_err
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The table as of ``version`` (latest when None).  Returns an
+    empty-schema-less read error for a table with no commits — callers
+    create tables by committing."""
+    entries = _read_log(spark, path)
+    if not entries:
+        raise FileNotFoundError(f"no commits at {path}")
+    if version is not None and version > entries[-1]["version"]:
+        raise ValueError(
+            f"version {version} > latest {entries[-1]['version']}"
+        )
+    dirs = _live_dirs(entries, version)
+    if not dirs:
+        raise ValueError(f"version {version} has no live data")
+    return spark.read.parquet(
+        *[f"{path.rstrip('/')}/{d}" for d in dirs]
+    )
+
+
+def table_history(spark: SparkSession, path: str) -> list[dict]:
+    """The commit log (version, op, file-dir count) — DESCRIBE HISTORY."""
+    return [
+        {"version": e["version"], "op": e["op"], "n_dirs": len(e["dirs"])}
+        for e in _read_log(spark, path)
+    ]

@@ -332,3 +332,62 @@ def test_zordered_write_tightens_file_envelopes(spark, tmp_path):
     assert tight_s >= len(files) // 2
     # nothing lost in the rewrite
     assert spark.read.parquet(path).count() == li.count()
+
+
+def test_txlog_append_overwrite_time_travel(spark, tmp_path):
+    """Mini transaction-log table: append/overwrite commits, snapshot
+    reads, time travel, and DESCRIBE-HISTORY — the lakehouse write
+    pattern on plain parquet + an exclusive-create JSON log."""
+    import pytest
+
+    from dask_cudf_spark.sources.txlog import (
+        commit,
+        read_snapshot,
+        table_history,
+    )
+
+    path = str(tmp_path / "txtable")
+    df1 = spark.range(0, 10).withColumnRenamed("id", "k")
+    df2 = spark.range(10, 15).withColumnRenamed("id", "k")
+    df3 = spark.range(100, 103).withColumnRenamed("id", "k")
+
+    assert commit(df1, path, "append") == 0
+    assert commit(df2, path, "append") == 1
+    # latest sees both appends
+    assert read_snapshot(spark, path).count() == 15
+    # time travel to v0
+    assert read_snapshot(spark, path, version=0).count() == 10
+    # overwrite resets the live set
+    assert commit(df3, path, "overwrite") == 2
+    assert read_snapshot(spark, path).count() == 3
+    assert sorted(
+        r["k"] for r in read_snapshot(spark, path).collect()
+    ) == [100, 101, 102]
+    # history preserved: v1 still readable after the overwrite
+    assert read_snapshot(spark, path, version=1).count() == 15
+    hist = table_history(spark, path)
+    assert [(h["version"], h["op"]) for h in hist] == [
+        (0, "append"), (1, "append"), (2, "overwrite")
+    ]
+    with pytest.raises(ValueError):
+        read_snapshot(spark, path, version=9)
+
+
+def test_txlog_commit_race_loser_retries(spark, tmp_path):
+    """Exclusive-create atomicity: a version file planted by a 'racing
+    writer' forces the committer onto the next version; both commits
+    survive, no data is lost."""
+    import json
+    import os
+
+    from dask_cudf_spark.sources.txlog import commit, read_snapshot
+
+    path = str(tmp_path / "txrace")
+    commit(spark.range(0, 5).withColumnRenamed("id", "k"), path, "append")
+    # plant version 1 by hand (the 'other writer' — local path, plain os)
+    os.makedirs(f"{path}/_txlog", exist_ok=True)
+    with open(f"{path}/_txlog/{1:012d}.json", "x") as f:
+        json.dump({"version": 1, "op": "append", "dirs": []}, f)
+    v = commit(spark.range(5, 8).withColumnRenamed("id", "k"), path, "append")
+    assert v == 2  # lost the race on 1, won 2
+    assert read_snapshot(spark, path).count() == 8

@@ -25,6 +25,7 @@ from .tables import (
     scale_out,
 )
 from .txlog import commit as txlog_commit
+from .txlog import merge_by_key as txlog_merge
 from .txlog import read_snapshot as txlog_read_snapshot
 from .txlog import table_history as txlog_history
 from .writers import to_csv, to_json, to_orc, to_parquet, to_parquet_zordered
@@ -44,6 +45,7 @@ __all__ = [
     "to_csv",
     "to_json",
     "txlog_commit",
+    "txlog_merge",
     "txlog_read_snapshot",
     "txlog_history",
     "TABLE_NAMES",

@@ -162,3 +162,95 @@ def table_history(spark: SparkSession, path: str) -> list[dict]:
         {"version": e["version"], "op": e["op"], "n_dirs": len(e["dirs"])}
         for e in _read_log(spark, path)
     ]
+
+
+def merge_by_key(
+    updates: DataFrame,
+    path: str,
+    key: str,
+    max_retries: int = 5,
+) -> int:
+    """Copy-on-write MERGE (upsert by key): rows in ``updates`` replace
+    live rows with the same ``key``; unmatched update rows insert.
+
+    File-granular rewrite, the Delta MERGE shape: only live data dirs
+    that actually CONTAIN a matching key are rewritten (their
+    non-matching rows survive into a new dir); untouched dirs carry
+    over by reference.  The commit is an ``overwrite`` record listing
+    survivors + rewrites + inserts, so readers atomically flip to the
+    merged snapshot and time travel still sees the pre-merge state.
+
+    Scale: the touch-set probe is one semi-join aggregation over
+    input_file_name() (pushdown-friendly: only ``key`` is read), and
+    rewrite volume is proportional to matched FILES, not table size —
+    the copy-on-write trade every log-structured table format makes."""
+    spark = updates.sparkSession
+    from pyspark.sql import functions as F
+
+    entries = _read_log(spark, path)
+    if not entries:
+        raise FileNotFoundError(f"no commits at {path}")
+    live = _live_dirs(entries, None)
+    base = path.rstrip("/")
+
+    keys = updates.select(key).distinct()
+    touched: set[str] = set()
+    if live:
+        tagged = (
+            spark.read.parquet(*[f"{base}/{d}" for d in live])
+            .select(key, F.input_file_name().alias("__file"))
+            .join(F.broadcast(keys), key, "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        for r in tagged:
+            f = r["__file"]
+            for d in live:
+                if f"/{d.split('/', 1)[1]}/" in f or f"/{d}/" in f:
+                    touched.add(d)
+    survivors = [d for d in live if d not in touched]
+
+    cid = uuid.uuid4().hex
+    new_dirs = []
+    if touched:
+        keep_dir = f"data/{cid}-keep"
+        (
+            spark.read.parquet(*[f"{base}/{d}" for d in sorted(touched)])
+            .join(F.broadcast(keys), key, "left_anti")
+            .write.mode("errorifexists")
+            .parquet(f"{base}/{keep_dir}")
+        )
+        new_dirs.append(keep_dir)
+    upd_dir = f"data/{cid}-upd"
+    updates.write.mode("errorifexists").parquet(f"{base}/{upd_dir}")
+    new_dirs.append(upd_dir)
+
+    jvm, fs, _ = _jfs(spark, path)
+    last_err: Exception | None = None
+    for _ in range(max_retries):
+        log = _read_log(spark, path)
+        version = log[-1]["version"] + 1 if log else 0
+        record = json.dumps(
+            {
+                "version": version,
+                "op": "overwrite",
+                "dirs": survivors + new_dirs,
+            }
+        ).encode()
+        vpath = jvm.org.apache.hadoop.fs.Path(
+            f"{_log_dir(path)}/{version:012d}.json"
+        )
+        try:
+            out = fs.create(vpath, False)
+        except Exception as e:
+            last_err = e
+            continue
+        try:
+            out.write(record)
+        finally:
+            out.close()
+        return version
+    raise CommitConflict(
+        f"lost {max_retries} commit races on {path}"
+    ) from last_err

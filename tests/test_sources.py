@@ -391,3 +391,47 @@ def test_txlog_commit_race_loser_retries(spark, tmp_path):
     v = commit(spark.range(5, 8).withColumnRenamed("id", "k"), path, "append")
     assert v == 2  # lost the race on 1, won 2
     assert read_snapshot(spark, path).count() == 8
+
+
+def test_txlog_merge_rewrites_only_touched_files(spark, tmp_path):
+    """Copy-on-write MERGE: matched keys update, unmatched insert,
+    files without matches carry over BY REFERENCE (no rewrite), and
+    time travel still reads the pre-merge snapshot."""
+    from pyspark.sql import functions as F
+
+    from dask_cudf_spark.sources.txlog import (
+        commit,
+        merge_by_key,
+        read_snapshot,
+        _read_log,
+    )
+
+    path = str(tmp_path / "txmerge")
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    d2 = spark.createDataFrame([(3, "c"), (4, "d")], "k long, v string")
+    commit(d1.coalesce(1), path, "append")   # dir A: keys 1,2
+    commit(d2.coalesce(1), path, "append")   # dir B: keys 3,4
+
+    upd = spark.createDataFrame(
+        [(2, "B2"), (9, "new")], "k long, v string"
+    )
+    v = merge_by_key(upd.coalesce(1), path, "k")
+    assert v == 2
+    got = {
+        (r["k"], r["v"]) for r in read_snapshot(spark, path).collect()
+    }
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d"), (9, "new")}
+    # pre-merge snapshot intact
+    pre = {
+        (r["k"], r["v"])
+        for r in read_snapshot(spark, path, version=1).collect()
+    }
+    assert pre == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+    # dir B (keys 3,4 — unmatched) carried over by reference
+    log = _read_log(spark, path)
+    dirs_v1 = set(log[1]["dirs"])
+    dirs_v2 = set(log[2]["dirs"])
+    assert dirs_v1 & dirs_v2, "untouched dir must survive by reference"
+    # the touched dir (keys 1,2) must NOT appear in the merged set
+    dir_a = set(log[0]["dirs"])
+    assert not (dir_a & dirs_v2)

@@ -26,6 +26,8 @@ from .tables import (
 )
 from .txlog import commit as txlog_commit
 from .txlog import merge_by_key as txlog_merge
+from .txlog import optimize as txlog_optimize
+from .txlog import vacuum as txlog_vacuum
 from .txlog import read_snapshot as txlog_read_snapshot
 from .txlog import table_history as txlog_history
 from .writers import to_csv, to_json, to_orc, to_parquet, to_parquet_zordered
@@ -46,6 +48,8 @@ __all__ = [
     "to_json",
     "txlog_commit",
     "txlog_merge",
+    "txlog_optimize",
+    "txlog_vacuum",
     "txlog_read_snapshot",
     "txlog_history",
     "TABLE_NAMES",

@@ -254,3 +254,80 @@ def merge_by_key(
     raise CommitConflict(
         f"lost {max_retries} commit races on {path}"
     ) from last_err
+
+
+def optimize(
+    spark: SparkSession,
+    path: str,
+    target_partitions: int = 1,
+    max_retries: int = 5,
+) -> int:
+    """Compaction (OPTIMIZE): rewrite the live set into
+    ``target_partitions`` files under one new dir and commit it as an
+    overwrite — contents identical, small-file count collapsed.  Time
+    travel to pre-compaction versions still works (old dirs remain on
+    disk until vacuum)."""
+    entries = _read_log(spark, path)
+    if not entries:
+        raise FileNotFoundError(f"no commits at {path}")
+    live = _live_dirs(entries, None)
+    base = path.rstrip("/")
+    cid = uuid.uuid4().hex
+    new_dir = f"data/{cid}-compact"
+    (
+        spark.read.parquet(*[f"{base}/{d}" for d in live])
+        .repartition(target_partitions)
+        .write.mode("errorifexists")
+        .parquet(f"{base}/{new_dir}")
+    )
+    jvm, fs, _ = _jfs(spark, path)
+    last_err: Exception | None = None
+    for _ in range(max_retries):
+        log = _read_log(spark, path)
+        version = log[-1]["version"] + 1 if log else 0
+        record = json.dumps(
+            {"version": version, "op": "overwrite", "dirs": [new_dir]}
+        ).encode()
+        vpath = jvm.org.apache.hadoop.fs.Path(
+            f"{_log_dir(path)}/{version:012d}.json"
+        )
+        try:
+            out = fs.create(vpath, False)
+        except Exception as e:
+            last_err = e
+            continue
+        try:
+            out.write(record)
+        finally:
+            out.close()
+        return version
+    raise CommitConflict(
+        f"lost {max_retries} commit races on {path}"
+    ) from last_err
+
+
+def vacuum(spark: SparkSession, path: str, keep_versions: int = 1) -> int:
+    """Physically delete data dirs unreachable from the last
+    ``keep_versions`` snapshots; returns the number of dirs removed.
+    After vacuum, time travel older than the horizon fails (by design
+    — same contract as Delta's VACUUM)."""
+    entries = _read_log(spark, path)
+    if not entries:
+        return 0
+    horizon = entries[-1]["version"] - keep_versions + 1
+    reachable: set[str] = set()
+    for e in entries:
+        if e["version"] >= horizon:
+            reachable.update(_live_dirs(entries, e["version"]))
+    jvm, fs, _ = _jfs(spark, path)
+    base = path.rstrip("/")
+    data_root = jvm.org.apache.hadoop.fs.Path(f"{base}/data")
+    removed = 0
+    if not fs.exists(data_root):
+        return 0
+    for st in fs.listStatus(data_root):
+        d = f"data/{st.getPath().getName()}"
+        if d not in reachable:
+            fs.delete(st.getPath(), True)
+            removed += 1
+    return removed

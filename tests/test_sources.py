@@ -435,3 +435,40 @@ def test_txlog_merge_rewrites_only_touched_files(spark, tmp_path):
     # the touched dir (keys 1,2) must NOT appear in the merged set
     dir_a = set(log[0]["dirs"])
     assert not (dir_a & dirs_v2)
+
+
+def test_txlog_optimize_and_vacuum(spark, tmp_path):
+    """OPTIMIZE collapses the live set into one dir with identical
+    contents; VACUUM removes dirs unreachable from the kept horizon
+    and breaks time travel past it — the Delta contract."""
+    import pytest
+
+    from dask_cudf_spark.sources.txlog import (
+        commit,
+        optimize,
+        read_snapshot,
+        vacuum,
+        _read_log,
+    )
+
+    path = str(tmp_path / "txopt")
+    for lo in (0, 10, 20):
+        commit(
+            spark.range(lo, lo + 10).withColumnRenamed("id", "k"),
+            path,
+            "append",
+        )
+    before = sorted(r["k"] for r in read_snapshot(spark, path).collect())
+    v = optimize(spark, path, target_partitions=1)
+    assert v == 3
+    log = _read_log(spark, path)
+    assert len(log[-1]["dirs"]) == 1
+    after = sorted(r["k"] for r in read_snapshot(spark, path).collect())
+    assert after == before == list(range(30))
+    # vacuum to just the compacted snapshot: 3 pre-compaction dirs go
+    assert vacuum(spark, path, keep_versions=1) == 3
+    assert sorted(
+        r["k"] for r in read_snapshot(spark, path).collect()
+    ) == list(range(30))
+    with pytest.raises(Exception):
+        read_snapshot(spark, path, version=0).collect()

@@ -3016,3 +3016,72 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def _fertility_oracle() -> str:
+    from ..functions.bpe import bpe_encode_sql
+
+    return f"""
+        WITH per AS (
+            SELECT lang,
+                   len(string_split(text, ' ')) AS n_words,
+                   LENGTH(REPLACE(text, ' ', '')) AS n_chars,
+                   len(string_split({bpe_encode_sql("text")}, ' '))
+                       AS n_bpe
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT lang,
+               CAST(SUM(n_words) AS BIGINT) AS total_words,
+               CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+               (1000000 * CAST(SUM(n_bpe) AS BIGINT))
+                   // CAST(SUM(n_words) AS BIGINT) AS fertility_ppm,
+               (1000000 * CAST(SUM(n_chars) AS BIGINT))
+                   // CAST(SUM(n_bpe) AS BIGINT) AS chars_per_token_ppm
+        FROM per
+        GROUP BY lang
+    """
+
+
+@register(
+    "q_tokenizer_fertility",
+    family="text",
+    oracle=None,  # set below: generated from the shipped merge table
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit: BPE tokens per word and characters
+    per BPE token, rolled up per language — the statistic that decides
+    whether a tokenizer under-serves a language (fertility creeping
+    toward characters-per-word means the merges never fire there) and
+    the denominator behind per-language training-token budgets.  Uses
+    the engine's own trained merge table (q_bpe_encode's), so the
+    audit measures the shipped tokenizer, not a proxy; ratios are
+    ppm-scaled integer floors.
+
+    Scale: the encode replace-chain is map-side JVM inside the scan;
+    the rollup is |langs| rows."""
+    from ..functions.bpe import bpe_encode_expr
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    per = d.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("long")
+        .alias("n_chars"),
+        F.size(F.split(bpe_encode_expr("text"), " "))
+        .cast("long")
+        .alias("n_bpe"),
+    )
+    return per.groupBy("lang").agg(
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+        F.expr("(1000000 * sum(n_bpe)) div sum(n_words)").alias(
+            "fertility_ppm"
+        ),
+        F.expr("(1000000 * sum(n_chars)) div sum(n_bpe)").alias(
+            "chars_per_token_ppm"
+        ),
+    )
+
+
+_REG["q_tokenizer_fertility"].oracle = _fertility_oracle()

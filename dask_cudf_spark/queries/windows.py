@@ -1026,3 +1026,96 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("(1000000 * n) div tot").alias("p_ppm"),
     )
+
+
+@register(
+    "q_acf_daily_revenue",
+    family="window",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        ),
+        lagged AS (
+            SELECT l.lag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(a.cents) AS BIGINT) AS sx,
+                   CAST(SUM(b.cents) AS BIGINT) AS sy,
+                   CAST(SUM(a.cents * a.cents) AS BIGINT) AS sxx,
+                   CAST(SUM(b.cents * b.cents) AS BIGINT) AS syy,
+                   CAST(SUM(a.cents * b.cents) AS BIGINT) AS sxy
+            FROM (SELECT UNNEST(range(1, 8)) AS lag) l
+            JOIN daily a ON true
+            JOIN daily b ON b.day = a.day + INTERVAL (l.lag) DAY
+            GROUP BY l.lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag, n,
+               CAST(TRUNC(
+                   1000000.0 * (n * sxy - sx * sy)
+                   / sqrt(1.0 * (n * sxx - sx * sx)
+                          * (n * syy - sy * sy))
+               ) AS BIGINT) AS acf_ppm
+        FROM lagged
+        ORDER BY lag
+    """,
+)
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily purchase revenue at lags 1-7 (the
+    weekly-seasonality detector): Pearson correlation of the daily
+    cents series against its lag, via the computational formula
+    n*Sxy - Sx*Sy over sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2)).  Every
+    moment is an EXACT integer (cents are integers, so products and
+    sums are too); the only floats are one division and one
+    IEEE-correctly-rounded sqrt on identical integers in both
+    engines, truncated to ppm — deterministic without any ordering
+    assumption on the float sums.
+
+    Scale: the daily rollup is one shuffle into |days| rows; the
+    seven lag joins run on that tiny table."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    lags = daily.sparkSession.range(1, 8).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    a = daily.select(F.col("day").alias("day_a"), F.col("cents").alias("x"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("cents").alias("y"))
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("day_b")
+            == F.col("day_a") + F.make_dt_interval(days=F.col("lag")),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return lagged.select(
+        "lag",
+        "n",
+        (F.lit(1000000.0) * num / den).cast("long").alias("acf_ppm"),
+    ).orderBy("lag")

@@ -61,12 +61,19 @@ def _read_log(spark: SparkSession, path: str) -> list[dict]:
     if not fs.exists(ld):
         return []
     rows = (
-        spark.read.schema("version long, op string, dirs array<string>")
+        spark.read.schema(
+            "version long, op string, dirs array<string>, batch_id long"
+        )
         .json(_log_dir(path))
         .collect()
     )
     entries = [
-        {"version": r["version"], "op": r["op"], "dirs": list(r["dirs"])}
+        {
+            "version": r["version"],
+            "op": r["op"],
+            "dirs": list(r["dirs"]),
+            "batch_id": r["batch_id"],
+        }
         for r in rows
     ]
     entries.sort(key=lambda e: e["version"])
@@ -90,6 +97,7 @@ def commit(
     path: str,
     op: str = "append",
     max_retries: int = 5,
+    batch_id: int | None = None,
 ) -> int:
     """Write ``df`` as a new commit; returns the committed version.
 
@@ -97,10 +105,20 @@ def commit(
     readers — nothing references them), then the version file is
     created with the exclusive-create primitive; on a race the loser
     gets CommitConflict from the filesystem and retries with the next
-    version number, its data dir intact."""
+    version number, its data dir intact.
+
+    ``batch_id`` makes the commit IDEMPOTENT for streaming foreachBatch
+    replays: if the log already holds a commit stamped with this
+    batch_id, the call is a no-op returning that version — Structured
+    Streaming's at-least-once foreachBatch window becomes exactly-once
+    at the table level."""
     if op not in ("append", "overwrite"):
         raise ValueError(f"op must be append|overwrite, got {op!r}")
     spark = df.sparkSession
+    if batch_id is not None:
+        for e in _read_log(spark, path):
+            if e.get("batch_id") == batch_id:
+                return e["version"]
     cid = uuid.uuid4().hex
     data_dir = f"data/{cid}"
     df.write.mode("errorifexists").parquet(f"{path.rstrip('/')}/{data_dir}")
@@ -108,13 +126,19 @@ def commit(
     jvm, fs, _ = _jfs(spark, path)
     last_err: Exception | None = None
     for _ in range(max_retries):
-        version = (
-            _read_log(spark, path)[-1]["version"] + 1
-            if _read_log(spark, path)
-            else 0
-        )
+        log = _read_log(spark, path)
+        if batch_id is not None:
+            done = [e for e in log if e.get("batch_id") == batch_id]
+            if done:  # raced replay of the same batch: someone else won
+                return done[0]["version"]
+        version = log[-1]["version"] + 1 if log else 0
         record = json.dumps(
-            {"version": version, "op": op, "dirs": [data_dir]}
+            {
+                "version": version,
+                "op": op,
+                "dirs": [data_dir],
+                "batch_id": batch_id,
+            }
         ).encode()
         vpath = jvm.org.apache.hadoop.fs.Path(
             f"{_log_dir(path)}/{version:012d}.json"

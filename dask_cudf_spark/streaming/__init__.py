@@ -15,6 +15,8 @@ from .jobs import (
     documents_stream,
     exactly_once_batch_writer,
     ingest_exactly_once,
+    ingest_txlog_exactly_once,
+    txlog_batch_writer,
     train_centroids,
     materialize_rollup,
     events_stream,
@@ -35,6 +37,8 @@ __all__ = [
     "documents_stream",
     "exactly_once_batch_writer",
     "ingest_exactly_once",
+    "ingest_txlog_exactly_once",
+    "txlog_batch_writer",
     "train_centroids",
     "event_type_dims",
     "materialize_rollup",

@@ -668,3 +668,36 @@ def sessionize_stateful(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def txlog_batch_writer(path: str):
+    """foreachBatch body for exactly-once ingestion into a
+    transaction-log table (sources.txlog): each micro-batch commits
+    with its batch_id, so a replayed batch (the at-least-once
+    foreachBatch window) is a log-level no-op instead of duplicate
+    rows — the same idempotence contract as exactly_once_batch_writer,
+    but with snapshot isolation and time travel on the result."""
+    from ..sources.txlog import commit
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        commit(batch_df, path, "append", batch_id=int(batch_id))
+
+    return write_batch
+
+
+def ingest_txlog_exactly_once(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    query_name: str = "txlog-ingest",
+):
+    """Exactly-once streaming ingestion into a txlog table; returns
+    the StreamingQuery (caller awaits termination)."""
+    return (
+        stream_df.writeStream.foreachBatch(txlog_batch_writer(path))
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

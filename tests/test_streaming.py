@@ -584,3 +584,33 @@ def test_sessionize_stateful_converges_to_batch_gaps(spark, tmp_path):
     # every closed session must be final (no later provisional row)
     closed = got[got["closed"]]
     assert (closed.groupby(["user_id", "session_start"]).size() == 1).all()
+
+
+def test_txlog_stream_ingest_exactly_once(spark, tmp_path):
+    """Streaming ingest into the transaction-log table: the stream's
+    rows land once, a deliberate foreachBatch REPLAY (the documented
+    at-least-once window) is a log-level no-op, and the table's
+    snapshot equals the batch input exactly."""
+    from dask_cudf_spark.sources.txlog import read_snapshot, table_history
+    from dask_cudf_spark.streaming.jobs import (
+        ingest_txlog_exactly_once,
+        txlog_batch_writer,
+    )
+
+    path = str(tmp_path / "txingest")
+    q = ingest_txlog_exactly_once(
+        events_stream(spark, SF_DIR),
+        path,
+        str(tmp_path / "ckpt_txingest"),
+    )
+    q.awaitTermination(120)
+    n_batch = load_table(spark, SF_DIR, "events").count()
+    assert read_snapshot(spark, path).count() == n_batch
+    versions_before = len(table_history(spark, path))
+    # replay EVERY batch id the stream committed — all must no-op
+    for bid in range(versions_before):
+        txlog_batch_writer(path)(
+            load_table(spark, SF_DIR, "events").limit(5), bid
+        )
+    assert len(table_history(spark, path)) == versions_before
+    assert read_snapshot(spark, path).count() == n_batch

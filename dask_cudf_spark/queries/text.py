@@ -3085,3 +3085,299 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REG["q_tokenizer_fertility"].oracle = _fertility_oracle()
+
+
+def _countmin_oracle() -> str:
+    from ..functions.text import _md5_long_sql
+
+    h = _md5_long_sql("'s' || CAST(d.seed AS VARCHAR) || ':' || t.token")
+    hq = _md5_long_sql("'s' || CAST(d2.seed AS VARCHAR) || ':' || c.token")
+    return f"""
+        WITH tok AS (
+            SELECT t.token
+            FROM documents, unnest(string_split(text, ' ')) AS t(token)
+        ),
+        cells AS (
+            SELECT d.seed AS row_id, {h} % 256 AS col_id,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tok t CROSS JOIN (SELECT UNNEST(range(4)) AS seed) d
+            GROUP BY d.seed, {h} % 256
+        ),
+        truth AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count
+            FROM tok GROUP BY token
+            ORDER BY COUNT(*) DESC, token LIMIT 20
+        ),
+        est AS (
+            SELECT c.token, c.true_count,
+                   CAST(MIN(cl.cnt) AS BIGINT) AS est_count
+            FROM truth c
+            CROSS JOIN (SELECT UNNEST(range(4)) AS seed) d2
+            JOIN cells cl
+              ON cl.row_id = d2.seed AND cl.col_id = {hq} % 256
+            GROUP BY c.token, c.true_count
+        )
+        SELECT token, true_count, est_count,
+               est_count - true_count AS overcount
+        FROM est
+        ORDER BY true_count DESC, token
+    """
+
+
+@register(
+    "q_countmin_heavy_hitters",
+    family="text",
+    oracle=None,  # set below (generated md5-twin SQL)
+)
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    estimation: a 4x256 counter matrix summarizes the whole token
+    stream in constant memory, and each candidate's frequency estimate
+    is the MIN over its four hashed cells — always an OVERestimate,
+    which the query exposes by joining the estimates back to the exact
+    counts of the top-20 tokens (overcount >= 0 is the sketch's
+    one-sided guarantee, asserted by the oracle equivalence).  Hashes
+    are the engine's seeded md5 rows, so sketch construction AND
+    probing replay exactly in SQL.
+
+    Scale: sketch build is ONE groupBy into <= 1024 cells regardless
+    of vocabulary size (map-side combined — this is why CMS exists);
+    the probe set is 20 rows.  The exact top-20 ground truth is the
+    expensive half, included here as the verification harness."""
+    from ..functions.text import md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    seeds = tok.sparkSession.range(4).select(
+        F.col("id").cast("long").alias("seed")
+    )
+    h = md5_long(
+        F.concat(F.lit("s"), F.col("seed").cast("string"), F.lit(":"), F.col("token"))
+    )
+    cells = (
+        tok.crossJoin(F.broadcast(seeds))
+        .groupBy(
+            F.col("seed").alias("row_id"), (h % 256).alias("col_id")
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    truth = (
+        tok.groupBy("token")
+        .agg(F.count("*").cast("long").alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("token"))
+        .limit(20)
+    )
+    probe = truth.crossJoin(F.broadcast(seeds.withColumnRenamed("seed", "s2")))
+    hq = md5_long(
+        F.concat(F.lit("s"), F.col("s2").cast("string"), F.lit(":"), F.col("token"))
+    )
+    est = (
+        probe.join(
+            cells,
+            (F.col("s2") == F.col("row_id")) & ((hq % 256) == F.col("col_id")),
+        )
+        .groupBy("token", "true_count")
+        .agg(F.min("cnt").cast("long").alias("est_count"))
+    )
+    return est.select(
+        "token",
+        "true_count",
+        "est_count",
+        (F.col("est_count") - F.col("true_count")).alias("overcount"),
+    ).orderBy(F.desc("true_count"), F.asc("token"))
+
+
+_REG["q_countmin_heavy_hitters"].oracle = _countmin_oracle()
+
+
+def _bloom_oracle() -> str:
+    from ..functions.text import _md5_long_sql
+
+    def h(seed_col: str, gram: str) -> str:
+        return (
+            _md5_long_sql(f"'b' || CAST({seed_col} AS VARCHAR) || ':' || {gram}")
+            + " % 262144"
+        )
+
+    return f"""
+        WITH bench AS (
+            SELECT DISTINCT
+                   l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS gram
+            FROM (SELECT string_split(text, ' ') AS l FROM documents
+                  WHERE source = 'src0'),
+                 unnest(range(1, len(l) - 1)) AS u(i)
+            WHERE len(l) >= 3
+        ),
+        bloom AS (
+            SELECT ({h("d.seed", "b.gram")}) // 60 AS word_idx,
+                   bit_or(1::BIGINT << (({h("d.seed", "b.gram")}) % 60))
+                       AS bits
+            FROM bench b CROSS JOIN (SELECT UNNEST(range(3)) AS seed) d
+            GROUP BY 1
+        ),
+        corpus AS (
+            SELECT DISTINCT doc_id, source,
+                   l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS gram
+            FROM (SELECT doc_id, source, string_split(text, ' ') AS l
+                  FROM documents WHERE source <> 'src0'),
+                 unnest(range(1, len(l) - 1)) AS u(i)
+            WHERE len(l) >= 3
+        ),
+        probes AS (
+            SELECT c.doc_id, c.source, c.gram,
+                   COUNT(*) FILTER (
+                       (bl.bits >> (({h("d.seed", "c.gram")}) % 60)) & 1 = 1
+                   ) AS n_hits
+            FROM corpus c
+            CROSS JOIN (SELECT UNNEST(range(3)) AS seed) d
+            LEFT JOIN bloom bl
+              ON bl.word_idx = ({h("d.seed", "c.gram")}) // 60
+            GROUP BY c.doc_id, c.source, c.gram
+        ),
+        flagged AS (
+            SELECT doc_id, source,
+                   MAX(CASE WHEN n_hits = 3 THEN 1 ELSE 0 END) AS bloom_hit,
+                   MAX(CASE WHEN gram IN (SELECT gram FROM bench)
+                            THEN 1 ELSE 0 END) AS exact_hit
+            FROM probes GROUP BY doc_id, source
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(bloom_hit) AS BIGINT) AS n_flagged_bloom,
+               CAST(SUM(exact_hit) AS BIGINT) AS n_flagged_exact,
+               CAST(SUM(CASE WHEN bloom_hit = 1 AND exact_hit = 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_false_positive
+        FROM flagged
+        GROUP BY source
+    """
+
+
+@register(
+    "q_bloom_decontaminate",
+    family="text",
+    oracle=None,  # set below (generated md5-twin SQL)
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (Bloom 1970; the NEAR-dedup cousin
+    of q_decontaminate's exact pass): the benchmark trigram set is
+    compressed into a FIXED 256-Kbit / k=3 bitset (~4370 60-bit words — 35 KB
+    broadcast no matter how big the benchmark grows), corpus trigrams
+    probe it map-side, and the rollup reports per-source flagged
+    counts for the bloom pass AND the exact pass side by side, so the
+    query measures its own false-positive count (blooms never false-
+    negative — the oracle equivalence pins exact_hit=1 => bloom_hit=1).
+
+    Scale: this is the decontamination shape that survives a benchmark
+    set too large to broadcast raw — the bitset is constant-size by
+    construction, the corpus stream never shuffles for the probe, and
+    false positives are quantified, not guessed.  Seeded md5 bit
+    positions replay exactly in SQL."""
+    from ..functions.text import md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def grams(df):
+        t = df.select(
+            "doc_id", "source", F.split("text", " ").alias("l")
+        ).filter(F.size("l") >= 3)
+        return t.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(l) - 3),"
+                    " i -> concat_ws(' ', l[i], l[i+1], l[i+2]))"
+                )
+            ).alias("gram"),
+        )
+
+    def h(seed_col, gram_col):
+        return (
+            md5_long(
+                F.concat(
+                    F.lit("b"),
+                    seed_col.cast("string"),
+                    F.lit(":"),
+                    gram_col,
+                )
+            )
+            % 262144
+        )
+
+    seeds = d.sparkSession.range(3).select(
+        F.col("id").cast("long").alias("seed")
+    )
+    bench = (
+        grams(d.filter(F.col("source") == "src0"))
+        .select("gram")
+        .distinct()
+    )
+    bloom = (
+        bench.crossJoin(F.broadcast(seeds))
+        .select(h(F.col("seed"), F.col("gram")).alias("pos"))
+        .groupBy(F.expr("CAST(pos div 60 AS LONG)").alias("word_idx"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS LONG), CAST(pos % 60 AS INT))")
+            ).alias("bits")
+        )
+    )
+    corpus = grams(d.filter(F.col("source") != "src0")).dropDuplicates(
+        ["doc_id", "source", "gram"]
+    )
+    probes = (
+        corpus.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "source",
+            "gram",
+            h(F.col("seed"), F.col("gram")).alias("pos"),
+        )
+        .join(
+            F.broadcast(bloom),
+            F.expr("CAST(pos div 60 AS LONG)") == F.col("word_idx"),
+            "left",
+        )
+        .groupBy("doc_id", "source", "gram")
+        .agg(
+            F.count(
+                F.when(
+                    F.expr(
+                        "(shiftright(bits, CAST(pos % 60 AS INT)) & 1) = 1"
+                    ),
+                    1,
+                )
+            ).alias("n_hits")
+        )
+    )
+    flagged = (
+        probes.join(
+            F.broadcast(bench.withColumnRenamed("gram", "bgram")),
+            F.col("gram") == F.col("bgram"),
+            "left",
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.max(F.when(F.col("n_hits") == 3, 1).otherwise(0)).alias(
+                "bloom_hit"
+            ),
+            F.max(
+                F.when(F.col("bgram").isNotNull(), 1).otherwise(0)
+            ).alias("exact_hit"),
+        )
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("bloom_hit").cast("long").alias("n_flagged_bloom"),
+        F.sum("exact_hit").cast("long").alias("n_flagged_exact"),
+        F.sum(
+            F.when((F.col("bloom_hit") == 1) & (F.col("exact_hit") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_positive"),
+    )
+
+
+_REG["q_bloom_decontaminate"].oracle = _bloom_oracle()

@@ -2243,3 +2243,115 @@ def q_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank")
         .limit(20)
     )
+
+
+def _hll_oracle() -> str:
+    from ..functions.text import _md5_long_sql
+
+    h = _md5_long_sql("'h:' || CAST(o_custkey AS VARCHAR)")
+    # bucket = low 6 bits; rho = 1 + leading zeros of the top 54 bits
+    # of the 60-bit hash, i.e. 55 - bit_length(h >> 6) (h>>6 = 0 -> 55)
+    return f"""
+        WITH hashed AS (
+            SELECT DISTINCT {h} AS hv FROM orders
+        ),
+        regs AS (
+            SELECT hv % 64 AS bucket,
+                   CAST(MAX(CASE WHEN hv // 64 = 0 THEN 55
+                            ELSE 55 - length(bin(hv // 64)) END)
+                        AS BIGINT) AS m
+            FROM hashed GROUP BY hv % 64
+        ),
+        filled AS (
+            SELECT b.bucket, COALESCE(r.m, 0) AS m
+            FROM (SELECT UNNEST(range(64)) AS bucket) b
+            LEFT JOIN regs r USING (bucket)
+        ),
+        est AS (
+            SELECT CAST(SUM(CASE WHEN m <= 50
+                                 THEN 1::BIGINT << (50 - CAST(m AS INT))
+                                 ELSE 0 END) AS BIGINT) AS denom_s,
+                   CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_zero
+            FROM filled
+        )
+        SELECT
+            (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+                AS exact_distinct,
+            e.n_zero,
+            CAST(3269086146126348288 // e.denom_s AS BIGINT)
+                AS hll_raw_estimate
+        FROM est e
+    """
+
+
+@register(
+    "q_hll_sketch",
+    family="aggregate",
+    oracle=None,  # set below (needs a DuckDB bit_length macro)
+)
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog (Flajolet et al. 2007) built EXPLICITLY as
+    relational algebra — the mergeable-register construction behind
+    approx_count_distinct, exposed so register state can be stored,
+    merged across partitions/days, and audited: 64 buckets keyed by
+    the low 6 hash bits, register = max leading-zero rank, and the raw
+    estimate alpha*m^2 / sum(2^-M) computed in EXACT integers (each
+    2^-M term scaled by 2^50 becomes a shiftleft; alpha_64*m^2*2^50 ~
+    0.709*4096*2^50 is held as the precomputed integer literal
+    3269086146126348288 over the integer denominator).  The exact distinct count rides along
+    for the accuracy audit.
+
+    Scale: ONE groupBy into <= 64 register rows regardless of
+    cardinality — the whole reason HLL exists; register tables from
+    different partitions/time windows merge with MAX."""
+    from ..functions.text import md5_long
+
+    o = load_table(spark, sf_dir, "orders")
+    h = md5_long(F.concat(F.lit("h:"), F.col("o_custkey").cast("string")))
+    hashed = o.select(h.alias("hv")).distinct()
+    # rho = 55 - bit_length(hv >> 6); bit_length via the binary-string
+    # trick (length(bin(x)) counts from the highest set bit, identical
+    # in both engines; Spark's bin() never left-pads)
+    regs = hashed.groupBy((F.col("hv") % 64).alias("bucket")).agg(
+        F.max(
+            F.when(F.expr("hv div 64") == 0, F.lit(55)).otherwise(
+                F.lit(55) - F.expr("length(bin(hv div 64))")
+            )
+        ).cast("long").alias("m")
+    )
+    buckets = o.sparkSession.range(64).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    filled = buckets.join(F.broadcast(regs), "bucket", "left").select(
+        "bucket", F.coalesce(F.col("m"), F.lit(0)).alias("m")
+    )
+    est = filled.agg(
+        F.sum(
+            F.when(
+                F.col("m") <= 50,
+                F.expr("shiftleft(CAST(1 AS LONG), 50 - CAST(m AS INT))"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("denom_s"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+    )
+    exact = o.agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_distinct",
+        "n_zero",
+        F.expr(
+            "CAST(3269086146126348288L div denom_s AS LONG)"
+        ).alias("hll_raw_estimate"),
+    )
+
+
+_REG_HLL = __import__(
+    "dask_cudf_spark.registry", fromlist=["REGISTRY"]
+).REGISTRY
+_REG_HLL["q_hll_sketch"].oracle = _hll_oracle()

@@ -62,7 +62,8 @@ def _read_log(spark: SparkSession, path: str) -> list[dict]:
         return []
     rows = (
         spark.read.schema(
-            "version long, op string, dirs array<string>, batch_id long"
+            "version long, op string, dirs array<string>, batch_id long, "
+            "stats string"
         )
         .json(_log_dir(path))
         .collect()
@@ -73,6 +74,7 @@ def _read_log(spark: SparkSession, path: str) -> list[dict]:
             "op": r["op"],
             "dirs": list(r["dirs"]),
             "batch_id": r["batch_id"],
+            "stats": json.loads(r["stats"]) if r["stats"] else {},
         }
         for r in rows
     ]
@@ -98,6 +100,7 @@ def commit(
     op: str = "append",
     max_retries: int = 5,
     batch_id: int | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as a new commit; returns the committed version.
 
@@ -111,7 +114,12 @@ def commit(
     replays: if the log already holds a commit stamped with this
     batch_id, the call is a no-op returning that version — Structured
     Streaming's at-least-once foreachBatch window becomes exactly-once
-    at the table level."""
+    at the table level.
+
+    ``stats_cols`` records per-dir min/max for those columns in the
+    commit record (one tiny aggregate over the just-written data) —
+    the Iceberg-style file statistics ``read_snapshot``'s ``prune``
+    uses for data skipping."""
     if op not in ("append", "overwrite"):
         raise ValueError(f"op must be append|overwrite, got {op!r}")
     spark = df.sparkSession
@@ -122,6 +130,20 @@ def commit(
     cid = uuid.uuid4().hex
     data_dir = f"data/{cid}"
     df.write.mode("errorifexists").parquet(f"{path.rstrip('/')}/{data_dir}")
+    stats: dict = {}
+    if stats_cols:
+        from pyspark.sql import functions as F
+
+        written = spark.read.parquet(f"{path.rstrip('/')}/{data_dir}")
+        aggs = []
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+        row = written.agg(*aggs).collect()[0]
+        stats = {
+            data_dir: {
+                c: [row[f"mn_{c}"], row[f"mx_{c}"]] for c in stats_cols
+            }
+        }
 
     jvm, fs, _ = _jfs(spark, path)
     last_err: Exception | None = None
@@ -138,6 +160,7 @@ def commit(
                 "op": op,
                 "dirs": [data_dir],
                 "batch_id": batch_id,
+                "stats": json.dumps(stats),
             }
         ).encode()
         vpath = jvm.org.apache.hadoop.fs.Path(
@@ -159,12 +182,17 @@ def commit(
     ) from last_err
 
 
-def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
-) -> DataFrame:
-    """The table as of ``version`` (latest when None).  Returns an
-    empty-schema-less read error for a table with no commits — callers
-    create tables by committing."""
+def snapshot_dirs(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    prune: tuple | None = None,
+) -> list[str]:
+    """Live data dirs at ``version``, optionally min/max-pruned by
+    ``prune=(col, lo, hi)`` against the commit-recorded file stats —
+    Iceberg-style data skipping: a dir whose [min, max] range misses
+    [lo, hi] is never listed, so the scan job never opens it.  Dirs
+    without recorded stats for the column are conservatively kept."""
     entries = _read_log(spark, path)
     if not entries:
         raise FileNotFoundError(f"no commits at {path}")
@@ -175,6 +203,35 @@ def read_snapshot(
     dirs = _live_dirs(entries, version)
     if not dirs:
         raise ValueError(f"version {version} has no live data")
+    if prune is None:
+        return dirs
+    col, lo, hi = prune
+    stats: dict = {}
+    for e in entries:
+        stats.update(e.get("stats") or {})
+    kept = []
+    for d in dirs:
+        rng = (stats.get(d) or {}).get(col)
+        if rng is None or rng[0] is None or rng[1] is None:
+            kept.append(d)  # no stats: must read
+        elif not (rng[1] < lo or rng[0] > hi):
+            kept.append(d)
+    return kept
+
+
+def read_snapshot(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    prune: tuple | None = None,
+) -> DataFrame:
+    """The table as of ``version`` (latest when None); ``prune=(col,
+    lo, hi)`` applies stats-based data skipping (see snapshot_dirs) —
+    the caller still applies the row-level filter, pruning only
+    bounds which FILES are opened."""
+    dirs = snapshot_dirs(spark, path, version, prune)
+    if not dirs:
+        return None
     return spark.read.parquet(
         *[f"{path.rstrip('/')}/{d}" for d in dirs]
     )

@@ -472,3 +472,41 @@ def test_txlog_optimize_and_vacuum(spark, tmp_path):
     ) == list(range(30))
     with pytest.raises(Exception):
         read_snapshot(spark, path, version=0).collect()
+
+
+def test_txlog_stats_pruning_skips_files(spark, tmp_path):
+    """Iceberg-style data skipping: commits record per-dir min/max for
+    stats_cols; a pruned snapshot read lists ONLY dirs whose range can
+    match — disjoint-range dirs are never opened."""
+    from pyspark.sql import functions as F
+
+    from dask_cudf_spark.sources.txlog import (
+        commit,
+        read_snapshot,
+        snapshot_dirs,
+    )
+
+    path = str(tmp_path / "txstats")
+    for lo in (0, 100, 200):
+        commit(
+            spark.range(lo, lo + 50).withColumnRenamed("id", "k"),
+            path,
+            "append",
+            stats_cols=["k"],
+        )
+    # full read sees all 150
+    assert read_snapshot(spark, path).count() == 150
+    # pruned to [120, 130]: only the middle dir survives the listing
+    dirs = snapshot_dirs(spark, path, prune=("k", 120, 130))
+    assert len(dirs) == 1
+    got = (
+        read_snapshot(spark, path, prune=("k", 120, 130))
+        .filter(F.col("k").between(120, 130))
+        .count()
+    )
+    assert got == 11
+    # a commit WITHOUT stats is conservatively kept
+    commit(
+        spark.range(500, 510).withColumnRenamed("id", "k"), path, "append"
+    )
+    assert len(snapshot_dirs(spark, path, prune=("k", 120, 130))) == 2

@@ -99,6 +99,8 @@ EXTRA = [
     "q_semdedup",                # SemDeDup codebook-cell sweep
     "q_bm25_topk",               # integer-exact BM25 retrieval
     "q_nearest_centroid_classify",  # in-engine train+eval classifier
+    "q_pagerank_items",          # iterated graph centrality (r5)
+    "q_bloom_decontaminate",     # fixed-bitset decontamination (r5)
 ]
 
 

@@ -65,6 +65,14 @@ PROBES = [
     "q_bm25_topk",
     "q_pmi_collocations",
     "q_nearest_centroid_classify",
+    # r5 additions: q_semdedup NOW probes cleanly — the registered
+    # query derives K from the corpus count, so 10x rows -> 10x cells
+    # at ~constant cell width (the r4 exclusion reason is fixed)
+    "q_semdedup",
+    "q_pagerank_items",
+    "q_bloom_decontaminate",
+    "q_countmin_heavy_hitters",
+    "q_dsir_lift",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

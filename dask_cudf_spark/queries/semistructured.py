@@ -284,3 +284,58 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __docs_udtf d, LATERAL tokenize_udtf(d.text) t
         """
     )
+
+
+@register(
+    "q_arrow_batch_stats",
+    family="udf",
+    oracle="""
+        SELECT doc_id,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT)
+                   AS n_nonspace
+        FROM documents
+        WHERE doc_id < 200
+    """,
+)
+def q_arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` surface (the closest Spark analog to the
+    reference's map_partitions-over-a-columnar-batch escape hatch,
+    SURVEY.md §2.10): per-batch pyarrow.compute kernels compute char /
+    token / non-space counts with ZERO pandas materialization — the
+    Arrow RecordBatch flows from Tungsten into pyarrow and back with
+    no row conversion, which is the entire point of the API vs
+    mapInPandas.  Deterministic per-row outputs, so the DuckDB oracle
+    checks it like any scalar query.
+
+    Scale: embarrassingly map-side; batch size rides
+    spark.sql.execution.arrow.maxRecordsPerBatch."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def stats(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column(batch.schema.get_field_index("text"))
+            toks = pc.split_pattern(text, " ")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.list_value_length(toks), pa.int64()),
+                    pc.cast(
+                        pc.utf8_length(
+                            pc.replace_substring(text, " ", "")
+                        ),
+                        pa.int64(),
+                    ),
+                ],
+                ["doc_id", "n_chars", "n_tokens", "n_nonspace"],
+            )
+
+    return d.select("doc_id", "text").mapInArrow(
+        stats,
+        "doc_id long, n_chars long, n_tokens long, n_nonspace long",
+    )

@@ -1119,3 +1119,125 @@ def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.lit(1000000.0) * num / den).cast("long").alias("acf_ppm"),
     ).orderBy("lag")
+
+
+@register(
+    "q_peak_concurrency",
+    family="window",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                             OR date_diff('second',
+                                          lag(CAST(ts AS TIMESTAMP)) OVER w,
+                                          CAST(ts AS TIMESTAMP)) > 1800
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, sid,
+                   CAST(MIN(ts) AS TIMESTAMP) AS s_start,
+                   CAST(MAX(ts) AS TIMESTAMP) AS s_end
+            FROM (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW
+                       ) AS sid
+                FROM marked
+            ) GROUP BY user_id, sid
+        ),
+        deltas AS (
+            SELECT CAST(FLOOR(epoch(s_start)) AS BIGINT) AS t, 1 AS d FROM sess
+            UNION ALL
+            SELECT CAST(FLOOR(epoch(s_end)) AS BIGINT) + 1, -1 FROM sess
+        ),
+        net AS (
+            SELECT t, CAST(SUM(d) AS BIGINT) AS nd
+            FROM deltas GROUP BY t
+        ),
+        running AS (
+            SELECT t,
+                   CAST(SUM(nd) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS conc
+            FROM net
+        )
+        SELECT CAST(to_timestamp(t - t % 3600) AS TIMESTAMP) AS hour,
+               CAST(MAX(conc) AS BIGINT) AS peak_concurrent
+        FROM running
+        GROUP BY 1
+        ORDER BY 1
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per hour — the capacity-planning sweep
+    line: sessionize (30-min gap), emit +1/-1 at session boundaries,
+    net the deltas per distinct timestamp (tie-order-proof: the
+    running state only exists between distinct instants, so both
+    engines see identical prefixes), prefix-sum, and take the hourly
+    max.
+
+    Scale (the part most engines get wrong): the prefix sum is
+    DISTRIBUTED as a two-level scan — a within-day running sum
+    (days process in parallel) plus a cumulative day-total offset
+    over the tiny per-day table — never one global single-partition
+    window over every boundary event.  The oracle computes the plain
+    global running sum; the two-level construction equals it by
+    associativity of prefix sums."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = Window.partitionBy("user_id").orderBy(
+        "ts", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(
+        w_lag
+    )
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_s"),
+    )
+    sess = (
+        marked.withColumn("sid", F.sum("new_s").over(w_run))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("t0"),
+            F.max(F.col("ts").cast("long")).alias("t1"),
+        )
+    )
+    deltas = sess.select(
+        F.col("t0").alias("t"), F.lit(1).alias("d")
+    ).unionByName(sess.select((F.col("t1") + 1).alias("t"), F.lit(-1).alias("d")))
+    net = deltas.groupBy("t").agg(F.sum("d").cast("long").alias("nd"))
+    # two-level prefix sum: within-day running + cumulative day offsets
+    net = net.withColumn("day", F.expr("t div 86400"))
+    w_in_day = Window.partitionBy("day").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    day_tot = net.groupBy("day").agg(F.sum("nd").alias("day_sum"))
+    w_days = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    day_off = day_tot.select(
+        "day",
+        F.coalesce(F.sum("day_sum").over(w_days), F.lit(0)).alias("off"),
+    )
+    running = (
+        net.withColumn("in_day", F.sum("nd").over(w_in_day))
+        .join(F.broadcast(day_off), "day")
+        .select("t", (F.col("in_day") + F.col("off")).cast("long").alias("conc"))
+    )
+    return (
+        running.groupBy(
+            F.timestamp_seconds(F.expr("t - t % 3600")).alias("hour")
+        )
+        .agg(F.max("conc").cast("long").alias("peak_concurrent"))
+        .orderBy("hour")
+    )

@@ -185,6 +185,7 @@ _PYTHON_OK = {
     "q_dedup_components",    # single-task union-find mapInPandas fast path
     "q_cosine_sim",          # vectorized BLAS scoring (declared Arrow path)
     "q_ann_recall",          # brute-force half reuses the BLAS Arrow path
+    "q_arrow_batch_stats",   # mapInArrow is the surface under test
     "q_python_udtf",         # the Python UDTF surface is the op under test
     "q_stem_tokens",         # full Porter stemmer pandas_udf (nvtext parity)
     "q_subword_tokens",      # greedy WordPiece pandas_udf (nvtext parity)

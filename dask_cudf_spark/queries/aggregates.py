@@ -2355,3 +2355,131 @@ _REG_HLL = __import__(
     "dask_cudf_spark.registry", fromlist=["REGISTRY"]
 ).REGISTRY
 _REG_HLL["q_hll_sketch"].oracle = _hll_oracle()
+
+
+@register(
+    "q_dow_seasonality",
+    family="aggregate",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+                   CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT CAST(SUM(cents) AS BIGINT) AS all_c,
+                   CAST(COUNT(*) AS BIGINT) AS all_d
+            FROM daily
+        )
+        SELECT CAST(dow AS BIGINT) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(cents) AS BIGINT) AS cents,
+               (1000000 * CAST(SUM(cents) AS BIGINT) * t.all_d)
+                   // (t.all_c * COUNT(*)) AS index_ppm
+        FROM daily CROSS JOIN tot t
+        GROUP BY dow, t.all_c, t.all_d
+        ORDER BY dow
+    """,
+)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index: mean daily purchase revenue per
+    weekday relative to the overall daily mean, in ppm (index 1e6 =
+    average day) — the companion readout to q_acf_daily_revenue's
+    lag-7 autocorrelation, and the direct input to day-of-week
+    normalization in forecasting.  Integer cents end to end; the
+    index is a products-of-integers // products-of-integers floor.
+
+    Scale: one (day, dow) rollup shuffle; everything after runs on
+    the |days| table with a single-row broadcast total."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.dayofweek("ts").alias("dow"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    tot = daily.agg(
+        F.sum("cents").cast("long").alias("all_c"),
+        F.count("*").cast("long").alias("all_d"),
+    )
+    return (
+        daily.crossJoin(F.broadcast(tot))
+        .groupBy("dow", "all_c", "all_d")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            "n_days",
+            "cents",
+            F.expr(
+                "(1000000 * cents * all_d) div (all_c * n_days)"
+            ).alias("index_ppm"),
+        )
+        .orderBy("dow")
+    )
+
+
+@register(
+    "q_benford_digits",
+    family="aggregate",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                               1, 1) AS BIGINT) AS digit
+            FROM orders WHERE o_totalprice >= 1
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
+        SELECT digit,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               (1000000 * CAST(COUNT(*) AS BIGINT)) // t.n
+                   AS observed_ppm,
+               CAST(FLOOR(1000000 * log10(1.0 + 1.0 / digit)) AS BIGINT)
+                   AS benford_ppm
+        FROM d CROSS JOIN tot t
+        GROUP BY digit, t.n
+        ORDER BY digit
+    """,
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit (Newcomb 1881, Benford 1938; a
+    standard financial-forensics screen): observed first-digit shares
+    of order totals vs the log10(1 + 1/d) expectation, both in ppm.
+    Digit extraction is string-on-integer (no float log on data); the
+    expected share is log10 of the NINE literal rationals 1+1/d —
+    constant-folded identically on both engines and floored to ppm.
+
+    Scale: map-side digit extraction; a 9-row rollup."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.col("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    tot = d.agg(F.count("*").cast("long").alias("n"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .groupBy("digit", "n")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .select(
+            "digit",
+            "n_orders",
+            F.expr("(1000000 * n_orders) div n").alias("observed_ppm"),
+            F.floor(
+                F.lit(1000000) * F.log10(1.0 + 1.0 / F.col("digit"))
+            )
+            .cast("long")
+            .alias("benford_ppm"),
+        )
+        .orderBy("digit")
+    )

@@ -1241,3 +1241,104 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("conc").cast("long").alias("peak_concurrent"))
         .orderBy("hour")
     )
+
+
+@register(
+    "q_multitouch_attribution",
+    family="window",
+    oracle="""
+        WITH purch AS (
+            SELECT event_id AS pid, user_id,
+                   CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS pt,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+            SELECT event_id AS cid, user_id,
+                   CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ct,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS click_day
+            FROM events WHERE event_type = 'click'
+        ),
+        touches AS (
+            SELECT p.pid, p.cents, c.cid, c.click_day,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.pid ORDER BY c.ct DESC, c.cid
+                   ) AS recency,
+                   COUNT(*) OVER (PARTITION BY p.pid) AS n_touch
+            FROM purch p
+            JOIN clicks c
+              ON c.user_id = p.user_id
+             AND c.ct < p.pt AND c.ct >= p.pt - 604800
+        ),
+        credited AS (
+            SELECT click_day,
+                   cents // n_touch
+                   + CASE WHEN recency = 1 THEN cents % n_touch
+                          ELSE 0 END AS credit_c
+            FROM touches
+        )
+        SELECT click_day,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(SUM(credit_c) AS BIGINT) AS attributed_cents
+        FROM credited
+        GROUP BY click_day
+        ORDER BY click_day
+    """,
+)
+def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's revenue is
+    split equally across the user's clicks in the preceding 7 days,
+    with the integer remainder credited to the most recent click so
+    per-purchase credits sum EXACTLY to the purchase (no lost cents —
+    the bookkeeping property marketing pipelines audit), rolled up as
+    attributed revenue per click day.
+
+    Scale: one user_id-keyed interval join between the (small)
+    purchase stream and the click stream — the same single shuffle a
+    sessionize pays; per-purchase touch windows are bounded by the
+    7-day horizon so the join never fans out unboundedly."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").cast("long").alias("pt"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").cast("long").alias("ct"),
+        F.date_trunc("day", "ts").alias("click_day"),
+    )
+    touches = purch.join(
+        clicks,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("ct") < F.col("pt"))
+        & (F.col("ct") >= F.col("pt") - 604800),
+    )
+    w_rec = Window.partitionBy("pid").orderBy(F.desc("ct"), F.asc("cid"))
+    w_cnt = Window.partitionBy("pid")
+    credited = touches.select(
+        "click_day",
+        "cents",
+        F.row_number().over(w_rec).alias("recency"),
+        F.count("*").over(w_cnt).alias("n_touch"),
+    ).select(
+        "click_day",
+        (
+            F.expr("cents div n_touch")
+            + F.when(
+                F.col("recency") == 1, F.expr("cents % n_touch")
+            ).otherwise(F.lit(0))
+        ).alias("credit_c"),
+    )
+    return (
+        credited.groupBy("click_day")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum("credit_c").cast("long").alias("attributed_cents"),
+        )
+        .orderBy("click_day")
+    )

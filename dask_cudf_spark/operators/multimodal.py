@@ -175,10 +175,13 @@ def decode_payload(
         import PIL.Image  # noqa: F401
     except ImportError as err:
         raise NotImplementedError(
-            "payload decode requires an image/audio codec (PIL / libav) "
-            "not present in this environment; use extract_features() for "
-            "the codec-free feature path — the mapInPandas plumbing is "
-            "identical"
+            "generic payload decode requires an image/audio codec "
+            "library (PIL / libav) not present in this environment.  "
+            "Spec-implemented stdlib/numpy codecs ARE available for "
+            "WAV (decode_wav), PNG (build_png_codec), AVI "
+            "(build_avi_codec) and baseline JPEG (build_jpeg_codec — "
+            "round 5); only compressed VIDEO codecs (H.264 etc.) "
+            "remain gated here"
         ) from err
     raise NotImplementedError("real codec path not wired in this build")
 
@@ -631,3 +634,396 @@ def build_avi_codec():
         }
 
     return encode_avi, decode_avi_meta
+
+
+def build_jpeg_codec():
+    """Baseline JPEG (ITU-T T.81 / ISO 10918-1) encoder + decoder in
+    pure numpy + stdlib — closes the compressed-image boundary the
+    earlier rounds gated behind NotImplementedError.
+
+    Scope: baseline sequential DCT, 8-bit, grayscale (1 component) or
+    4:4:4 color (3 components, no chroma subsampling), one quant table
+    and the Annex K luminance Huffman tables for every component,
+    optional restart intervals on DECODE (RST0-7 resync), 0xFF00 byte
+    unstuffing.  NOT progressive, NOT arithmetic-coded, NOT subsampled
+    — each unimplemented mode raises with the marker that triggered it.
+
+    The encoder is spec-written (FDCT -> quant -> zigzag -> DC
+    difference + AC run-length -> Huffman -> stuffed entropy stream),
+    so tests exercise the REAL decode pipeline end to end: Huffman
+    tables parsed from DHT, coefficients entropy-decoded, dequantized,
+    inverse-DCT'd, level-shifted, clipped.  On block-constant tiles
+    with DC quant step 1 the codec is EXACTLY lossless (a flat block
+    is DC-only and 8*(c-128) is an integer), which is what lets a SQL
+    oracle verify the full machinery bit-for-bit; lossy behavior on
+    general images is covered by round-trip PSNR tests.
+
+    Returns ``(encode_jpeg, decode_jpeg)``:
+      encode_jpeg(pixels: np.uint8 [h,w] or [h,w,3], quant=None) -> bytes
+      decode_jpeg(data: bytes) -> np.uint8 array [h,w] or [h,w,3]
+    """
+    import numpy as np
+
+    # ---- 8-point orthonormal DCT (matches T.81 coefficient scaling) --
+    _x = np.arange(8)
+    _T = np.cos((2 * _x[None, :] + 1) * _x[:, None] * np.pi / 16) * 0.5
+    _T[0, :] = 1 / (2 * np.sqrt(2.0))
+
+    ZIGZAG = np.array([
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ])
+
+    # all-ones quant table: DC step 1 -> flat blocks round-trip exactly
+    FLAT_Q = np.ones(64, dtype=np.int64)
+
+    # Annex K Table K.3 (luminance DC): BITS, HUFFVAL
+    DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    DC_VALS = list(range(12))
+    # Annex K Table K.5 (luminance AC)
+    AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+    AC_VALS = [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+        0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+        0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+        0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+        0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+        0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+        0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+        0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+        0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+        0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ]
+
+    def _build_codes(bits, vals):
+        """(code, length) per symbol, canonical JPEG ordering."""
+        codes = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                codes[vals[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+        return codes
+
+    DC_ENC = _build_codes(DC_BITS, DC_VALS)
+    AC_ENC = _build_codes(AC_BITS, AC_VALS)
+
+    class _BitWriter:
+        def __init__(self):
+            self.out = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def put(self, code, length):
+            self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+            self.n += length
+            while self.n >= 8:
+                b = (self.acc >> (self.n - 8)) & 0xFF
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+        def flush(self):
+            if self.n:
+                self.put(0x7F, 8 - self.n)  # pad with 1s per spec
+
+    def _category(v):
+        return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+    def _mag_bits(v, size):
+        return v if v >= 0 else v + (1 << size) - 1  # one's complement
+
+    def _rgb_to_ycbcr(px):
+        r = px[..., 0].astype(np.float64)
+        g = px[..., 1].astype(np.float64)
+        b = px[..., 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        return [y, cb, cr]
+
+    def _ycbcr_to_rgb(y, cb, cr):
+        r = y + 1.402 * (cr - 128)
+        g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        b = y + 1.772 * (cb - 128)
+        return np.clip(
+            np.round(np.stack([r, g, b], axis=-1)), 0, 255
+        ).astype(np.uint8)
+
+    def encode_jpeg(pixels, quant=None):
+        px = np.asarray(pixels)
+        if px.dtype != np.uint8:
+            raise ValueError("pixels must be uint8")
+        color = px.ndim == 3
+        if color and px.shape[2] != 3:
+            raise ValueError("color images must be [h, w, 3]")
+        h, w = px.shape[:2]
+        q = FLAT_Q if quant is None else np.asarray(quant, dtype=np.int64)
+        planes = _rgb_to_ycbcr(px) if color else [px.astype(np.float64)]
+        ncomp = len(planes)
+
+        # pad to 8x8 multiples by edge replication
+        H, W = -(-h // 8) * 8, -(-w // 8) * 8
+        bw = _BitWriter()
+        pred = [0] * ncomp
+        for by in range(0, H, 8):
+            for bx in range(0, W, 8):
+                for ci, plane in enumerate(planes):
+                    yy = np.minimum(np.arange(by, by + 8), h - 1)
+                    xx = np.minimum(np.arange(bx, bx + 8), w - 1)
+                    blk = plane[np.ix_(yy, xx)] - 128.0
+                    F = _T @ blk @ _T.T
+                    zz = np.round(F.ravel()[ZIGZAG] / q).astype(np.int64)
+                    # DC
+                    diff = int(zz[0] - pred[ci])
+                    pred[ci] = int(zz[0])
+                    size = _category(diff) if diff else 0
+                    c, ln = DC_ENC[size]
+                    bw.put(c, ln)
+                    if size:
+                        bw.put(_mag_bits(diff, size), size)
+                    # AC
+                    run = 0
+                    last_nz = max(
+                        (i for i in range(1, 64) if zz[i]), default=0
+                    )
+                    for i in range(1, last_nz + 1):
+                        v = int(zz[i])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            c, ln = AC_ENC[0xF0]  # ZRL
+                            bw.put(c, ln)
+                            run -= 16
+                        size = _category(v)
+                        c, ln = AC_ENC[(run << 4) | size]
+                        bw.put(c, ln)
+                        bw.put(_mag_bits(v, size), size)
+                        run = 0
+                    if last_nz < 63:
+                        c, ln = AC_ENC[0x00]  # EOB
+                        bw.put(c, ln)
+        bw.flush()
+
+        def seg(marker, payload):
+            return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(
+                2, "big"
+            ) + payload
+
+        out = bytearray(b"\xff\xd8")  # SOI
+        out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))  # DQT
+        sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        sof += bytes([ncomp])
+        for ci in range(ncomp):
+            sof += bytes([ci + 1, 0x11, 0])  # id, 1x1 sampling, quant 0
+        out += seg(0xC0, sof)  # SOF0 baseline
+        out += seg(
+            0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+        )  # DHT DC class 0 id 0
+        out += seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            sos += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0
+        sos += bytes([0, 63, 0])  # spectral selection (baseline)
+        out += seg(0xDA, sos)
+        out += bw.out
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # ------------------------------ decoder --------------------------
+    class _BitReader:
+        def __init__(self, data, pos):
+            self.d = data
+            self.p = pos
+            self.acc = 0
+            self.n = 0
+
+        def bit(self):
+            if self.n == 0:
+                if self.p >= len(self.d):
+                    raise ValueError("entropy stream truncated")
+                b = self.d[self.p]
+                self.p += 1
+                if b == 0xFF:
+                    nxt = self.d[self.p]
+                    if nxt == 0x00:
+                        self.p += 1  # stuffed
+                    else:
+                        raise ValueError("marker inside entropy data")
+                self.acc = b
+                self.n = 8
+            self.n -= 1
+            return (self.acc >> self.n) & 1
+
+        def bits(self, k):
+            v = 0
+            for _ in range(k):
+                v = (v << 1) | self.bit()
+            return v
+
+        def align_to_marker(self):
+            self.n = 0
+
+    def _build_decode_tree(bits, vals):
+        """code-int keyed by (length, code) -> symbol."""
+        table = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                table[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        return table
+
+    def _read_symbol(br, table):
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    def _extend(v, size):
+        return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+    def decode_jpeg(data):
+        if data[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG (missing SOI)")
+        pos = 2
+        qtabs = {}
+        dc_tabs, ac_tabs = {}, {}
+        h = w = None
+        comps = []  # (id, hsamp, vsamp, qid)
+        restart = 0
+        while pos < len(data):
+            if data[pos] != 0xFF:
+                raise ValueError(f"expected marker at {pos}")
+            marker = data[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI
+                break
+            if marker in (0xC2, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                          0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise NotImplementedError(
+                    f"non-baseline SOF marker 0xFF{marker:02X} "
+                    "(progressive/arithmetic JPEG not implemented)"
+                )
+            ln = int.from_bytes(data[pos:pos + 2], "big")
+            body = data[pos + 2:pos + ln]
+            if marker == 0xDB:  # DQT (possibly several tables)
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 0xF
+                    if pq != 0:
+                        raise NotImplementedError("16-bit quant tables")
+                    qtabs[tq] = np.frombuffer(
+                        body[i + 1:i + 65], dtype=np.uint8
+                    ).astype(np.int64)
+                    i += 65
+            elif marker == 0xC0:  # SOF0
+                h = int.from_bytes(body[1:3], "big")
+                w = int.from_bytes(body[3:5], "big")
+                n = body[5]
+                comps = []
+                for ci in range(n):
+                    cid, samp, qid = body[6 + 3 * ci:9 + 3 * ci]
+                    if samp != 0x11:
+                        raise NotImplementedError(
+                            "chroma subsampling (only 4:4:4 supported)"
+                        )
+                    comps.append((cid, qid))
+            elif marker == 0xC4:  # DHT (possibly several)
+                i = 0
+                while i < len(body):
+                    tc, th = body[i] >> 4, body[i] & 0xF
+                    bits = list(body[i + 1:i + 17])
+                    nv = sum(bits)
+                    vals = list(body[i + 17:i + 17 + nv])
+                    tab = _build_decode_tree(bits, vals)
+                    (dc_tabs if tc == 0 else ac_tabs)[th] = tab
+                    i += 17 + nv
+            elif marker == 0xDD:  # DRI
+                restart = int.from_bytes(body[:2], "big")
+            elif marker == 0xDA:  # SOS -> entropy data follows
+                ns = body[0]
+                sel = {}
+                for ci in range(ns):
+                    cid, tt = body[1 + 2 * ci], body[2 + 2 * ci]
+                    sel[cid] = (tt >> 4, tt & 0xF)
+                br = _BitReader(data, pos + ln)
+                ncomp = len(comps)
+                H, W = -(-h // 8) * 8, -(-w // 8) * 8
+                planes = [
+                    np.zeros((H, W), dtype=np.float64) for _ in comps
+                ]
+                pred = [0] * ncomp
+                mcu = 0
+                for by in range(0, H, 8):
+                    for bx in range(0, W, 8):
+                        if restart and mcu and mcu % restart == 0:
+                            br.align_to_marker()
+                            m = data[br.p:br.p + 2]
+                            if not (m[0] == 0xFF and 0xD0 <= m[1] <= 0xD7):
+                                raise ValueError("expected RST marker")
+                            br.p += 2
+                            pred = [0] * ncomp
+                        for ci, (cid, qid) in enumerate(comps):
+                            dct, act = sel[cid]
+                            zz = np.zeros(64, dtype=np.int64)
+                            size = _read_symbol(br, dc_tabs[dct])
+                            diff = (
+                                _extend(br.bits(size), size) if size else 0
+                            )
+                            pred[ci] += diff
+                            zz[0] = pred[ci]
+                            i = 1
+                            while i < 64:
+                                sym = _read_symbol(br, ac_tabs[act])
+                                if sym == 0x00:  # EOB
+                                    break
+                                run, size = sym >> 4, sym & 0xF
+                                if size == 0:
+                                    if run != 15:
+                                        raise ValueError("bad AC symbol")
+                                    i += 16  # ZRL
+                                    continue
+                                i += run
+                                if i >= 64:
+                                    raise ValueError("AC overflow")
+                                zz[i] = _extend(br.bits(size), size)
+                                i += 1
+                            F = np.zeros(64, dtype=np.float64)
+                            F[ZIGZAG] = zz * qtabs[qid]
+                            blk = _T.T @ F.reshape(8, 8) @ _T + 128.0
+                            planes[ci][by:by + 8, bx:bx + 8] = blk
+                        mcu += 1
+                if ncomp == 1:
+                    return np.clip(
+                        np.round(planes[0][:h, :w]), 0, 255
+                    ).astype(np.uint8)
+                return _ycbcr_to_rgb(
+                    planes[0][:h, :w], planes[1][:h, :w], planes[2][:h, :w]
+                )
+            pos += ln
+        raise ValueError("no SOS segment found")
+
+    return encode_jpeg, decode_jpeg

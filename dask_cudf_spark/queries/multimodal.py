@@ -377,3 +377,89 @@ def q_multimodal_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width long, height long, n_frames long, fps long, "
         "duration_us long, sum_pix long, min_pix long, max_pix long",
     )
+
+
+@register(
+    "q_multimodal_jpeg",
+    family="multimodal",
+    oracle="""
+        WITH v AS (
+            SELECT doc_id,
+                   ascii(substr(text, 1, 1)) AS a,
+                   ascii(substr(text, 2, 1)) AS b,
+                   ascii(substr(text, 3, 1)) AS c,
+                   ascii(substr(text, 4, 1)) AS d
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT doc_id,
+               CAST(16 AS BIGINT) AS height,
+               CAST(16 AS BIGINT) AS width,
+               CAST(256 AS BIGINT) AS n_pixels,
+               CAST(64 * (a + b + c + d) AS BIGINT) AS sum_pix,
+               CAST(LEAST(a, b, c, d) AS BIGINT) AS min_pix,
+               CAST(GREATEST(a, b, c, d) AS BIGINT) AS max_pix
+        FROM v
+    """,
+)
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image codec (round 5 — the boundary rounds 1-4
+    gated behind NotImplementedError): per document, four 8x8 tiles
+    whose gray levels are the first four text bytes become a baseline
+    JPEG via the spec-written encoder, and the REAL decoder (DHT
+    Huffman parse, entropy decode, dequant, IDCT, level shift) gets
+    the pixels back.  With DC quant step 1 flat tiles round-trip
+    EXACTLY (DC-only blocks, integral 8*(c-128)), so the DuckDB
+    oracle recomputes every pixel statistic closed-form from the text
+    bytes — one wrong Huffman bit or IDCT coefficient anywhere breaks
+    the hash.  Lossy general-image behavior is covered by PSNR tests
+    (tests/test_multimodal.py).
+
+    Scale: one Arrow-batched mapInPandas stage, partition-parallel,
+    no shuffle."""
+    from ..operators.multimodal import build_jpeg_codec
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    encode_jpeg, decode_jpeg = build_jpeg_codec()
+
+    def gen(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                vals = [ord(ch) for ch in t[:4]]
+                img = np.zeros((16, 16), dtype=np.uint8)
+                img[:8, :8] = vals[0]
+                img[:8, 8:] = vals[1]
+                img[8:, :8] = vals[2]
+                img[8:, 8:] = vals[3]
+                pix = decode_jpeg(encode_jpeg(img))
+                out.append(
+                    {
+                        "doc_id": int(i),
+                        "height": pix.shape[0],
+                        "width": pix.shape[1],
+                        "n_pixels": int(pix.size),
+                        "sum_pix": int(pix.astype(np.int64).sum()),
+                        "min_pix": int(pix.min()),
+                        "max_pix": int(pix.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "height", "width",
+                    "n_pixels", "sum_pix", "min_pix", "max_pix",
+                ],
+            )
+
+    return d.mapInPandas(
+        gen,
+        "doc_id long, height long, width long, n_pixels long, "
+        "sum_pix long, min_pix long, max_pix long",
+    )

@@ -192,3 +192,65 @@ def test_avi_codec_round_trip_and_errors():
     _struct.pack_into("<I", lying, avih_at + 16, 99)  # dwTotalFrames
     with _pytest.raises(ValueError, match="frame count mismatch"):
         dec(bytes(lying))
+
+
+def test_jpeg_flat_tiles_roundtrip_exactly():
+    """Baseline JPEG with DC quant step 1 is EXACTLY lossless on
+    block-constant tiles (flat block -> DC-only, 8*(c-128) integral)
+    — the property the SQL oracle exploits."""
+    import numpy as np
+
+    from dask_cudf_spark.operators.multimodal import build_jpeg_codec
+
+    enc, dec = build_jpeg_codec()
+    img = np.zeros((16, 16), dtype=np.uint8)
+    img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = 37, 200, 0, 255
+    assert np.array_equal(dec(enc(img)), img)
+
+
+def test_jpeg_random_roundtrip_quality():
+    """General images: near-lossless at quant=1 (only DCT rounding),
+    bounded error with the Annex-K-style quant table — the REAL lossy
+    pipeline (Huffman AC runs, ZRL, EOB, byte stuffing all exercised
+    by random data)."""
+    import numpy as np
+
+    from dask_cudf_spark.operators.multimodal import build_jpeg_codec
+
+    enc, dec = build_jpeg_codec()
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    assert np.mean(
+        (dec(enc(gray)).astype(float) - gray.astype(float)) ** 2
+    ) < 1.0
+    color = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    assert np.mean(
+        (dec(enc(color)).astype(float) - color.astype(float)) ** 2
+    ) < 2.0
+    q = np.array(
+        [16,11,10,16,24,40,51,61,12,12,14,19,26,58,60,55,
+         14,13,16,24,40,57,69,56,14,17,22,29,51,87,80,62,
+         18,22,37,56,68,109,103,77,24,35,55,64,81,104,113,92,
+         49,64,78,87,103,121,120,101,72,92,95,98,112,100,103,99]
+    )
+    # lossy but sane: smooth gradient survives a real quant table
+    grad = np.tile(np.arange(0, 255, 255 / 40, dtype=np.float64), (24, 1))
+    grad = grad.astype(np.uint8)
+    out = dec(enc(grad, quant=q))
+    assert np.mean(np.abs(out.astype(float) - grad.astype(float))) < 6.0
+
+
+def test_jpeg_rejects_non_baseline():
+    import numpy as np
+    import pytest
+
+    from dask_cudf_spark.operators.multimodal import build_jpeg_codec
+
+    enc, dec = build_jpeg_codec()
+    data = bytearray(enc(np.zeros((8, 8), dtype=np.uint8)))
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # progressive SOF
+    with pytest.raises(NotImplementedError, match="progressive"):
+        dec(bytes(data))
+    with pytest.raises(ValueError, match="SOI"):
+        dec(b"\x00\x01")

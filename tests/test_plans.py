@@ -193,6 +193,7 @@ _PYTHON_OK = {
     "q_cogroup_udf",         # cogrouped applyInPandas is the op under test
     "q_multimodal_resample", # mapInPandas block-mean pooling (codec stand-in)
     "q_multimodal_wav",      # REAL RIFF/WAVE decode in mapInPandas (r4)
+    "q_multimodal_jpeg",     # REAL baseline JPEG codec in mapInPandas (r5)
     "q_multimodal_png",      # REAL PNG decode in mapInPandas (r4)
     "q_multimodal_avi",      # REAL RIFF/AVI decode in mapInPandas (r4)
 }

@@ -2483,3 +2483,125 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+def _als_oracle() -> str:
+    from ..functions.text import _md5_long_sql
+
+    h = _md5_long_sql("'q:' || CAST(item AS VARCHAR)")
+    return f"""
+        WITH r AS (
+            SELECT user_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+                   CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, item
+        ),
+        qf AS (
+            SELECT item,
+                   1 + {h} % 7 AS qx,
+                   1 + ({h} // 8) % 5 AS qy
+            FROM (SELECT DISTINCT item FROM r)
+        ),
+        norm AS (
+            SELECT r.user_id,
+                   CAST(SUM(q.qx * q.qx) + 100 AS BIGINT) AS a11,
+                   CAST(SUM(q.qx * q.qy) AS BIGINT) AS a12,
+                   CAST(SUM(q.qy * q.qy) + 100 AS BIGINT) AS a22,
+                   CAST(SUM(r.cents * q.qx) AS BIGINT) AS b1,
+                   CAST(SUM(r.cents * q.qy) AS BIGINT) AS b2,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM r JOIN qf q USING (item)
+            GROUP BY r.user_id
+        )
+        SELECT user_id, n_items,
+               (1000000 * (b1 * a22 - b2 * a12))
+                   // (a11 * a22 - a12 * a12) AS ux_s6,
+               (1000000 * (b2 * a11 - b1 * a12))
+                   // (a11 * a22 - a12 * a12) AS uy_s6
+        FROM norm
+        ORDER BY user_id
+        LIMIT 50
+    """
+
+
+@register(
+    "q_als_user_step",
+    family="aggregate",
+    oracle=None,  # set below (generated md5-twin SQL)
+)
+def q_als_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact ALS half-step (Koren/Bell/Volinsky 2009; the
+    alternating-least-squares recommender update) as relational
+    algebra: with item factors held fixed (deterministic 2-dim hash
+    seeds — a trained table in production), each user's factor solves
+    the ridge normal equations (Q^T Q + lambda*I) u = Q^T r, done in
+    closed form by Cramer's rule on the 2x2 system so EVERY number is
+    an exact integer until the final scaled floor division — the
+    k-means/Rocchio discipline applied to matrix factorization.
+
+    Scale: one (user, item) rating rollup, a broadcast-sized item-
+    factor join, then a single per-user aggregate builds all five
+    normal-equation moments; no iteration crosses the driver except
+    the factor table itself (exactly ALS's data flow: the other half-
+    step is the same query with roles swapped)."""
+    from ..functions.text import md5_long
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    r = (
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        )
+        .groupBy("user_id", "item")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    h = md5_long(F.concat(F.lit("q:"), F.col("item").cast("string")))
+    qf = (
+        r.select("item")
+        .distinct()
+        .select("item", h.alias("__h"))
+        .select(
+            "item",
+            (1 + F.col("__h") % 7).alias("qx"),
+            (1 + F.expr("__h div 8") % 5).alias("qy"),
+        )
+    )
+    norm = (
+        r.join(F.broadcast(qf), "item")
+        .groupBy("user_id")
+        .agg(
+            (F.sum(F.col("qx") * F.col("qx")) + 100).cast("long").alias("a11"),
+            F.sum(F.col("qx") * F.col("qy")).cast("long").alias("a12"),
+            (F.sum(F.col("qy") * F.col("qy")) + 100).cast("long").alias("a22"),
+            F.sum(F.col("cents") * F.col("qx")).cast("long").alias("b1"),
+            F.sum(F.col("cents") * F.col("qy")).cast("long").alias("b2"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+    return (
+        norm.select(
+            "user_id",
+            "n_items",
+            F.expr(
+                "(1000000 * (b1 * a22 - b2 * a12))"
+                " div (a11 * a22 - a12 * a12)"
+            ).alias("ux_s6"),
+            F.expr(
+                "(1000000 * (b2 * a11 - b1 * a12))"
+                " div (a11 * a22 - a12 * a12)"
+            ).alias("uy_s6"),
+        )
+        .orderBy("user_id")
+        .limit(50)
+    )
+
+
+_REG_ALS = __import__(
+    "dask_cudf_spark.registry", fromlist=["REGISTRY"]
+).REGISTRY
+_REG_ALS["q_als_user_step"].oracle = _als_oracle()

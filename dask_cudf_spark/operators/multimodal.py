@@ -764,60 +764,96 @@ def build_jpeg_codec():
             np.round(np.stack([r, g, b], axis=-1)), 0, 255
         ).astype(np.uint8)
 
-    def encode_jpeg(pixels, quant=None):
+    def _emit_block(bw, blk, q, pred, ci):
+        """FDCT -> quant -> zigzag -> DC diff + AC runs -> Huffman."""
+        F = _T @ blk @ _T.T
+        zz = np.round(F.ravel()[ZIGZAG] / q).astype(np.int64)
+        diff = int(zz[0] - pred[ci])
+        pred[ci] = int(zz[0])
+        size = _category(diff) if diff else 0
+        c, ln = DC_ENC[size]
+        bw.put(c, ln)
+        if size:
+            bw.put(_mag_bits(diff, size), size)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for i in range(1, last_nz + 1):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = AC_ENC[0xF0]  # ZRL
+                bw.put(c, ln)
+                run -= 16
+            size = _category(v)
+            c, ln = AC_ENC[(run << 4) | size]
+            bw.put(c, ln)
+            bw.put(_mag_bits(v, size), size)
+            run = 0
+        if last_nz < 63:
+            c, ln = AC_ENC[0x00]  # EOB
+            bw.put(c, ln)
+
+    def _box2(plane):
+        """2x2 box average with edge replication to even dims."""
+        H, W = plane.shape
+        p = np.pad(plane, ((0, H % 2), (0, W % 2)), mode="edge")
+        return (
+            p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]
+        ) / 4.0
+
+    def encode_jpeg(pixels, quant=None, subsample="444"):
+        """subsample: '444' (no chroma subsampling) or '420' (2x2 luma
+        MCUs with box-averaged chroma — the dominant real-world
+        layout; color inputs only)."""
         px = np.asarray(pixels)
         if px.dtype != np.uint8:
             raise ValueError("pixels must be uint8")
         color = px.ndim == 3
         if color and px.shape[2] != 3:
             raise ValueError("color images must be [h, w, 3]")
+        if subsample not in ("444", "420"):
+            raise ValueError("subsample must be '444' or '420'")
+        sub420 = color and subsample == "420"
         h, w = px.shape[:2]
         q = FLAT_Q if quant is None else np.asarray(quant, dtype=np.int64)
         planes = _rgb_to_ycbcr(px) if color else [px.astype(np.float64)]
         ncomp = len(planes)
+        if sub420:
+            samp = [(2, 2), (1, 1), (1, 1)]
+            planes = [planes[0], _box2(planes[1]), _box2(planes[2])]
+        else:
+            samp = [(1, 1)] * ncomp
+        max_h = max(s[0] for s in samp)
+        max_v = max(s[1] for s in samp)
+        mcus_w = -(-w // (8 * max_h))
+        mcus_h = -(-h // (8 * max_v))
 
-        # pad to 8x8 multiples by edge replication
-        H, W = -(-h // 8) * 8, -(-w // 8) * 8
         bw = _BitWriter()
         pred = [0] * ncomp
-        for by in range(0, H, 8):
-            for bx in range(0, W, 8):
+        for my in range(mcus_h):
+            for mx in range(mcus_w):
                 for ci, plane in enumerate(planes):
-                    yy = np.minimum(np.arange(by, by + 8), h - 1)
-                    xx = np.minimum(np.arange(bx, bx + 8), w - 1)
-                    blk = plane[np.ix_(yy, xx)] - 128.0
-                    F = _T @ blk @ _T.T
-                    zz = np.round(F.ravel()[ZIGZAG] / q).astype(np.int64)
-                    # DC
-                    diff = int(zz[0] - pred[ci])
-                    pred[ci] = int(zz[0])
-                    size = _category(diff) if diff else 0
-                    c, ln = DC_ENC[size]
-                    bw.put(c, ln)
-                    if size:
-                        bw.put(_mag_bits(diff, size), size)
-                    # AC
-                    run = 0
-                    last_nz = max(
-                        (i for i in range(1, 64) if zz[i]), default=0
-                    )
-                    for i in range(1, last_nz + 1):
-                        v = int(zz[i])
-                        if v == 0:
-                            run += 1
-                            continue
-                        while run > 15:
-                            c, ln = AC_ENC[0xF0]  # ZRL
-                            bw.put(c, ln)
-                            run -= 16
-                        size = _category(v)
-                        c, ln = AC_ENC[(run << 4) | size]
-                        bw.put(c, ln)
-                        bw.put(_mag_bits(v, size), size)
-                        run = 0
-                    if last_nz < 63:
-                        c, ln = AC_ENC[0x00]  # EOB
-                        bw.put(c, ln)
+                    hi, vi = samp[ci]
+                    ph, pw = plane.shape
+                    for v in range(vi):
+                        for u in range(hi):
+                            by = (my * vi + v) * 8
+                            bx = (mx * hi + u) * 8
+                            yy = np.minimum(
+                                np.arange(by, by + 8), ph - 1
+                            )
+                            xx = np.minimum(
+                                np.arange(bx, bx + 8), pw - 1
+                            )
+                            _emit_block(
+                                bw,
+                                plane[np.ix_(yy, xx)] - 128.0,
+                                q,
+                                pred,
+                                ci,
+                            )
         bw.flush()
 
         def seg(marker, payload):
@@ -831,7 +867,8 @@ def build_jpeg_codec():
         sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
         sof += bytes([ncomp])
         for ci in range(ncomp):
-            sof += bytes([ci + 1, 0x11, 0])  # id, 1x1 sampling, quant 0
+            hi, vi = samp[ci]
+            sof += bytes([ci + 1, (hi << 4) | vi, 0])  # id, sampling, quant 0
         out += seg(0xC0, sof)  # SOF0 baseline
         out += seg(
             0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
@@ -946,11 +983,13 @@ def build_jpeg_codec():
                 comps = []
                 for ci in range(n):
                     cid, samp, qid = body[6 + 3 * ci:9 + 3 * ci]
-                    if samp != 0x11:
+                    hi, vi = samp >> 4, samp & 0xF
+                    if (hi, vi) not in ((1, 1), (2, 2)):
                         raise NotImplementedError(
-                            "chroma subsampling (only 4:4:4 supported)"
+                            f"sampling {hi}x{vi} (4:4:4 and 4:2:0 "
+                            "supported)"
                         )
-                    comps.append((cid, qid))
+                    comps.append((cid, qid, hi, vi))
             elif marker == 0xC4:  # DHT (possibly several)
                 i = 0
                 while i < len(body):
@@ -971,14 +1010,21 @@ def build_jpeg_codec():
                     sel[cid] = (tt >> 4, tt & 0xF)
                 br = _BitReader(data, pos + ln)
                 ncomp = len(comps)
-                H, W = -(-h // 8) * 8, -(-w // 8) * 8
+                max_h = max(c[2] for c in comps)
+                max_v = max(c[3] for c in comps)
+                mcus_w = -(-w // (8 * max_h))
+                mcus_h = -(-h // (8 * max_v))
                 planes = [
-                    np.zeros((H, W), dtype=np.float64) for _ in comps
+                    np.zeros(
+                        (mcus_h * 8 * vi, mcus_w * 8 * hi),
+                        dtype=np.float64,
+                    )
+                    for (_, _, hi, vi) in comps
                 ]
                 pred = [0] * ncomp
                 mcu = 0
-                for by in range(0, H, 8):
-                    for bx in range(0, W, 8):
+                for my in range(mcus_h):
+                    for mx in range(mcus_w):
                         if restart and mcu and mcu % restart == 0:
                             br.align_to_marker()
                             m = data[br.p:br.p + 2]
@@ -986,43 +1032,71 @@ def build_jpeg_codec():
                                 raise ValueError("expected RST marker")
                             br.p += 2
                             pred = [0] * ncomp
-                        for ci, (cid, qid) in enumerate(comps):
+                        for ci, (cid, qid, hi, vi) in enumerate(comps):
                             dct, act = sel[cid]
-                            zz = np.zeros(64, dtype=np.int64)
-                            size = _read_symbol(br, dc_tabs[dct])
-                            diff = (
-                                _extend(br.bits(size), size) if size else 0
-                            )
-                            pred[ci] += diff
-                            zz[0] = pred[ci]
-                            i = 1
-                            while i < 64:
-                                sym = _read_symbol(br, ac_tabs[act])
-                                if sym == 0x00:  # EOB
-                                    break
-                                run, size = sym >> 4, sym & 0xF
-                                if size == 0:
-                                    if run != 15:
-                                        raise ValueError("bad AC symbol")
-                                    i += 16  # ZRL
-                                    continue
-                                i += run
-                                if i >= 64:
-                                    raise ValueError("AC overflow")
-                                zz[i] = _extend(br.bits(size), size)
-                                i += 1
-                            F = np.zeros(64, dtype=np.float64)
-                            F[ZIGZAG] = zz * qtabs[qid]
-                            blk = _T.T @ F.reshape(8, 8) @ _T + 128.0
-                            planes[ci][by:by + 8, bx:bx + 8] = blk
+                            for v in range(vi):
+                                for u in range(hi):
+                                    zz = np.zeros(64, dtype=np.int64)
+                                    size = _read_symbol(br, dc_tabs[dct])
+                                    diff = (
+                                        _extend(br.bits(size), size)
+                                        if size
+                                        else 0
+                                    )
+                                    pred[ci] += diff
+                                    zz[0] = pred[ci]
+                                    i = 1
+                                    while i < 64:
+                                        sym = _read_symbol(
+                                            br, ac_tabs[act]
+                                        )
+                                        if sym == 0x00:  # EOB
+                                            break
+                                        run, size = sym >> 4, sym & 0xF
+                                        if size == 0:
+                                            if run != 15:
+                                                raise ValueError(
+                                                    "bad AC symbol"
+                                                )
+                                            i += 16  # ZRL
+                                            continue
+                                        i += run
+                                        if i >= 64:
+                                            raise ValueError(
+                                                "AC overflow"
+                                            )
+                                        zz[i] = _extend(
+                                            br.bits(size), size
+                                        )
+                                        i += 1
+                                    F = np.zeros(64, dtype=np.float64)
+                                    F[ZIGZAG] = zz * qtabs[qid]
+                                    blk = (
+                                        _T.T @ F.reshape(8, 8) @ _T
+                                        + 128.0
+                                    )
+                                    by = (my * vi + v) * 8
+                                    bx = (mx * hi + u) * 8
+                                    planes[ci][
+                                        by:by + 8, bx:bx + 8
+                                    ] = blk
                         mcu += 1
+                # upsample subsampled components to full resolution
+                full = []
+                for ci, (_, _, hi, vi) in enumerate(comps):
+                    p = planes[ci]
+                    if hi != max_h or vi != max_v:
+                        p = np.repeat(
+                            np.repeat(p, max_v // vi, axis=0),
+                            max_h // hi,
+                            axis=1,
+                        )
+                    full.append(p[:h, :w])
                 if ncomp == 1:
-                    return np.clip(
-                        np.round(planes[0][:h, :w]), 0, 255
-                    ).astype(np.uint8)
-                return _ycbcr_to_rgb(
-                    planes[0][:h, :w], planes[1][:h, :w], planes[2][:h, :w]
-                )
+                    return np.clip(np.round(full[0]), 0, 255).astype(
+                        np.uint8
+                    )
+                return _ycbcr_to_rgb(full[0], full[1], full[2])
             pos += ln
         raise ValueError("no SOS segment found")
 

@@ -254,3 +254,27 @@ def test_jpeg_rejects_non_baseline():
         dec(bytes(data))
     with pytest.raises(ValueError, match="SOI"):
         dec(b"\x00\x01")
+
+
+def test_jpeg_420_subsampling_roundtrip():
+    """4:2:0 (2x2 luma MCUs + box-averaged chroma, the dominant
+    real-world layout): flat color is exact (box average of flat is
+    flat, upsample replicates), smooth gradients stay within a small
+    mean error, odd dimensions handled."""
+    import numpy as np
+
+    from dask_cudf_spark.operators.multimodal import build_jpeg_codec
+
+    enc, dec = build_jpeg_codec()
+    flat = np.full((16, 16, 3), [120, 60, 200], dtype=np.uint8)
+    assert np.array_equal(dec(enc(flat, subsample="420")), flat)
+    xx, yy = np.meshgrid(np.arange(32), np.arange(16))
+    sm = np.stack(
+        [(xx * 4) % 256, (yy * 8) % 256, ((xx + yy) * 3) % 256], axis=-1
+    ).astype(np.uint8)
+    out = dec(enc(sm, subsample="420"))
+    assert out.shape == sm.shape
+    assert np.mean(np.abs(out.astype(float) - sm.astype(float))) < 4.0
+    rng = np.random.default_rng(5)
+    odd = rng.integers(0, 256, (13, 19, 3), dtype=np.uint8)
+    assert dec(enc(odd, subsample="420")).shape == (13, 19, 3)

@@ -1342,3 +1342,98 @@ def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_day")
     )
+
+
+@register(
+    "q_cusum_drift",
+    family="window",
+    oracle="""
+        WITH x AS (
+            SELECT user_id, ts, event_id,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        ref AS (
+            SELECT CAST(SUM(cents) AS BIGINT) // COUNT(*) AS k FROM x
+        ),
+        p AS (
+            SELECT user_id, ts, event_id,
+                   CAST(SUM(cents - r.k) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS pfx
+            FROM x CROSS JOIN ref r
+        ),
+        s AS (
+            SELECT user_id, ts, event_id,
+                   pfx - LEAST(CAST(0 AS BIGINT), MIN(pfx) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )) AS cusum
+            FROM p
+        )
+        SELECT s.user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               CAST(MAX(cusum) AS BIGINT) AS max_cusum,
+               CAST(SUM(CASE WHEN cusum > 6 * r.k THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_alerts
+        FROM s CROSS JOIN ref r
+        GROUP BY s.user_id, r.k
+        HAVING SUM(CASE WHEN cusum > 6 * r.k THEN 1 ELSE 0 END) > 0
+        ORDER BY s.user_id
+    """,
+)
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM drift detection (Page 1954) on purchase amounts:
+    the sequential recurrence S_t = max(0, S_{t-1} + x_t - k) looks
+    window-inexpressible, but the identity S_t = P_t - min(0,
+    running-min P) (P = prefix sum of x - k) turns it into two plain
+    windows over ONE user_id exchange — no UDF, no iteration.  Users
+    whose cumulative overshoot ever exceeds 6x the reference mean are
+    reported with their alert counts.  Exact integers throughout
+    (cents, floor-divided reference mean).
+
+    Scale: the reference mean is a single-row broadcast; both windows
+    share one user_id partitioning.  The streaming twin
+    (streaming.cusum_stateful) carries (prefix, min_prefix) per key —
+    O(1) state — and converges to this query exactly."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    x = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    ref = x.agg(
+        F.expr("CAST(sum(cents) div count(1) AS LONG)").alias("k")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    p = x.crossJoin(F.broadcast(ref)).withColumn(
+        "pfx", F.sum(F.col("cents") - F.col("k")).over(w).cast("long")
+    )
+    s = p.withColumn(
+        "cusum",
+        F.col("pfx")
+        - F.least(F.lit(0).cast("long"), F.min("pfx").over(w)),
+    )
+    return (
+        s.groupBy("user_id", "k")
+        .agg(
+            F.count("*").cast("long").alias("n_obs"),
+            F.max("cusum").cast("long").alias("max_cusum"),
+            F.sum(
+                F.when(F.col("cusum") > 6 * F.col("k"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_alerts"),
+        )
+        .filter(F.col("n_alerts") > 0)
+        .select("user_id", "n_obs", "max_cusum", "n_alerts")
+        .orderBy("user_id")
+    )

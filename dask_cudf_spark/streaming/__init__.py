@@ -12,6 +12,7 @@ file source + availableNow trigger (tests/test_streaming.py).
 from .jobs import (
     event_type_dims,
     classify_documents,
+    cusum_stateful,
     documents_stream,
     exactly_once_batch_writer,
     ingest_exactly_once,
@@ -34,6 +35,7 @@ from .jobs import (
 __all__ = [
     "events_stream",
     "classify_documents",
+    "cusum_stateful",
     "documents_stream",
     "exactly_once_batch_writer",
     "ingest_exactly_once",

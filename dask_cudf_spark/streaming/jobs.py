@@ -701,3 +701,61 @@ def ingest_txlog_exactly_once(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cusum_stateful(events: DataFrame, k: int, threshold: int) -> DataFrame:
+    """Streaming CUSUM drift detector (Page 1954) via
+    applyInPandasWithState: per user, state carries the running
+    (prefix, min_prefix, n_obs, max_cusum, n_alerts) of the deviation
+    stream x - k, so the batch identity S = prefix - min(0, running
+    min prefix) continues EXACTLY across micro-batches with O(1) state
+    — the online twin of q_cusum_drift (same k and threshold converge
+    to the same per-user rollup; the convergence test pins it).
+
+    Emits the user's updated rollup each batch (update mode; final row
+    per user is the answer)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        if state.exists:
+            pfx, mn, n, mx, alerts = state.get
+        else:
+            pfx, mn, n, mx, alerts = 0, 0, 0, 0, 0
+        rows = []
+        for pdf in pdfs:
+            for _, r in (
+                pdf.sort_values(["ts_long", "event_id"]).iterrows()
+            ):
+                pfx += int(r["cents"]) - k
+                mn = min(mn, pfx)
+                s = pfx - min(0, mn)
+                n += 1
+                mx = max(mx, s)
+                if s > threshold:
+                    alerts += 1
+        state.update((pfx, mn, n, mx, alerts))
+        rows.append((key[0], n, mx, alerts))
+        return iter(
+            [
+                pd.DataFrame(
+                    rows,
+                    columns=["user_id", "n_obs", "max_cusum", "n_alerts"],
+                )
+            ]
+        )
+
+    x = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").cast("long").alias("ts_long"),
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return x.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, n_obs long, max_cusum long, n_alerts long",
+        "pfx long, mn long, n long, mx long, alerts long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -614,3 +614,47 @@ def test_txlog_stream_ingest_exactly_once(spark, tmp_path):
         )
     assert len(table_history(spark, path)) == versions_before
     assert read_snapshot(spark, path).count() == n_batch
+
+
+def test_cusum_stateful_converges_to_batch(spark, tmp_path):
+    """Streaming CUSUM (O(1) per-key state over the prefix/running-min
+    identity) must converge to q_cusum_drift's per-user rollup exactly
+    with the same reference mean and threshold."""
+    from pyspark.sql import functions as F
+
+    from dask_cudf_spark.registry import REGISTRY, _ensure_loaded
+    from dask_cudf_spark.streaming import cusum_stateful
+
+    _ensure_loaded()
+    ev = load_table(spark, SF_DIR, "events")
+    k = ev.filter(F.col("event_type") == "purchase").agg(
+        F.expr(
+            "CAST(sum(CAST(round(value * 100, 0) AS LONG))"
+            " div count(1) AS LONG)"
+        )
+    ).collect()[0][0]
+    stream = cusum_stateful(
+        events_stream(spark, SF_DIR), k=int(k), threshold=6 * int(k)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("s_cusum")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cusum"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("s_cusum")
+        .toPandas()
+        .groupby("user_id", as_index=False)
+        .last()
+    )
+    got = got[got["n_alerts"] > 0].sort_values("user_id")
+    batch = (
+        REGISTRY["q_cusum_drift"].fn(spark, SF_DIR).toPandas()
+    ).sort_values("user_id")
+    g = {tuple(r) for r in got.itertuples(index=False)}
+    b = {tuple(r) for r in batch.itertuples(index=False)}
+    assert g == b, (len(g), len(b), list(g - b)[:2], list(b - g)[:2])

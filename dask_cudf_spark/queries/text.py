@@ -3381,3 +3381,145 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REG["q_bloom_decontaminate"].oracle = _bloom_oracle()
+
+
+@register(
+    "q_ppjoin_neardup",
+    family="dedup",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' '
+                            || string_split(text, ' ')[i + 1] || ' '
+                            || string_split(text, ' ')[i + 2])) AS sh
+            FROM documents
+            WHERE doc_id < 400 AND len(string_split(text, ' ')) >= 3
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(1000000 * len(list_intersect(a.sh, b.sh))
+                    // (len(a.sh) + len(b.sh)
+                        - len(list_intersect(a.sh, b.sh)))
+                    AS BIGINT) AS jaccard_ppm
+        FROM d a JOIN d b ON b.doc_id > a.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+              >= 0.5
+    """,
+)
+def q_ppjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering (SSJoin /
+    PPJoin family — Chaudhuri et al. 2006, Xiao et al. 2008) over
+    word-trigram shingle sets: the whole-corpus Jaccard >= 0.5 join
+    WITHOUT any blocking key and without materializing the quadratic
+    pair space.  Shingles get a global rarity order (ascending
+    document frequency); each doc emits only its n - ceil(t*n) + 1
+    rarest shingles (the PREFIX), and candidates are pairs sharing a
+    prefix shingle — lossless for J >= t because a qualifying pair
+    overlaps in >= ceil(t*n) shingles, which cannot all hide in the
+    ceil(t*n) - 1 suffix.  The quadratic DuckDB oracle IS the ground
+    truth, so a single dropped pair fails the hash — the losslessness
+    proof is executed, not asserted.  Complementary to MinHash+LSH:
+    this path is exact (no probabilistic recall), the LSH path is
+    cheaper at extreme scale; both define similarity over the same
+    shingle sets.
+
+    Scale: prefix emission prunes candidates to rare-shingle
+    collisions (shingle spaces are sparse, so prefixes are highly
+    selective — unlike raw unigrams); the exact intersect runs only
+    on surviving candidates.  Shuffles: shingle df count, the
+    prefix-shingle candidate join, the pair dedup — all keyed, no
+    cartesian anywhere.  The doc_id < 400 bound caps the ORACLE's
+    quadratic ground truth, not the operator."""
+    t = 0.5
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                )
+            ).alias("toks"),
+        )
+        .withColumn("n", F.size("toks"))
+    )
+    tok = d.select("doc_id", F.explode("toks").alias("token"))
+    df_rank = tok.groupBy("token").agg(F.count("*").alias("df"))
+    # global rarity order: (df, token) ascending — deterministic
+    ranked = (
+        tok.join(df_rank, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("df", "token"))
+            ).alias("ordered")
+        )
+    )
+    prefix = (
+        ranked.join(d.select("doc_id", "n"), "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.slice(
+                    F.col("ordered"),
+                    1,
+                    F.greatest(
+                        F.lit(1),
+                        (F.col("n") - F.ceil(t * F.col("n")) + 1).cast(
+                            "int"
+                        ),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.token").alias("token"))
+    )
+    cand = (
+        prefix.alias("x")
+        .join(
+            prefix.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("token").alias("tok_b"),
+            ),
+            (F.col("token") == F.col("tok_b"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(
+            F.col("doc_id").alias("id_a"), F.col("doc_b").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", inter)
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            >= t
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "CAST(1000000 * inter div (n_a + n_b - inter) AS LONG)"
+            ).alias("jaccard_ppm"),
+        )
+    )

@@ -910,12 +910,18 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 (suppliers who kept orders waiting): for finished
     multi-supplier orders, the supplier whose shipment was STRICTLY last
     (l_shipdate vs the missing receipt/commit dates) — the EXISTS /
-    NOT-EXISTS double self-join, re-expressed as two groupBys: per-order
-    (max shipdate, supplier count), then per-order count of
-    max-achieving suppliers == 1.  Every step shuffles on l_orderkey, so
-    after the first exchange the join and both aggs are co-partitioned —
-    one wide shuffle total, vs the textbook plan's two lineitem
-    self-joins.  Supplier broadcasts at the end onto a tiny result."""
+    NOT-EXISTS double self-join, re-expressed over ONE l_orderkey
+    partitioning (round-5 plan fix: the previous two-groupBy + re-join
+    shape recomputed the filtered lineitem subtree and audited at 8
+    exchanges): per-order max shipdate and supplier set come from
+    windows over the semi-joined lineitem, the late-row filter and the
+    per-order uniqueness count are windows/aggregates on the SAME
+    partitioning (HashPartitioning(l_orderkey) satisfies every
+    downstream distribution, distinct included, since its keys are a
+    superset), so lineitem crosses the wire once.  Supplier broadcasts
+    at the end onto a tiny result."""
+    from pyspark.sql import Window
+
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
@@ -924,30 +930,23 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
     )
-    per_order = fl.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.max("l_shipdate").alias("max_ship"),
-        F.countDistinct("l_suppkey").alias("n_supp"),
-    )
+    w = Window.partitionBy("l_orderkey")
     late = (
-        fl.join(
-            per_order,
-            (F.col("l_orderkey") == F.col("ok"))
-            & (F.col("n_supp") >= 2)
-            & (F.col("l_shipdate") == F.col("max_ship")),
+        fl.withColumn("max_ship", F.max("l_shipdate").over(w))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .filter(
+            (F.col("n_supp") >= 2)
+            & (F.col("l_shipdate") == F.col("max_ship"))
         )
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
-    uniq = (
-        late.groupBy(F.col("l_orderkey").alias("uk"))
-        .agg(F.count("*").alias("n_late"))
-        .filter(F.col("n_late") == 1)
-        .select("uk")
-    )
+    uniq = late.withColumn(
+        "n_late", F.count("*").over(Window.partitionBy("l_orderkey"))
+    ).filter(F.col("n_late") == 1)
     s = load_table(spark, sf_dir, "supplier")
     return (
-        late.join(uniq, F.col("l_orderkey") == F.col("uk"), "left_semi")
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        uniq.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )

@@ -871,6 +871,9 @@ def q_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos_prefix(16).alias("cos16"),
             cos_prefix(32).alias("cos32"),
         )
+        # three top-k windows consume this |queries| x |corpus| frame;
+        # checkpoint so the scan + three cosine folds run once
+        .localCheckpoint(eager=False)
     )
 
     def top5(col: str):

@@ -1215,9 +1215,14 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = sess.select(
         F.col("t0").alias("t"), F.lit(1).alias("d")
     ).unionByName(sess.select((F.col("t1") + 1).alias("t"), F.lit(-1).alias("d")))
-    net = deltas.groupBy("t").agg(F.sum("d").cast("long").alias("nd"))
-    # two-level prefix sum: within-day running + cumulative day offsets
-    net = net.withColumn("day", F.expr("t div 86400"))
+    net = (
+        deltas.groupBy("t")
+        .agg(F.sum("d").cast("long").alias("nd"))
+        .withColumn("day", F.expr("t div 86400"))
+        # net feeds BOTH the within-day window and the day-total
+        # rollup; checkpoint so the sessionize+delta subtree runs once
+        .localCheckpoint(eager=False)
+    )
     w_in_day = Window.partitionBy("day").orderBy("t").rowsBetween(
         Window.unboundedPreceding, 0
     )

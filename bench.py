@@ -101,6 +101,8 @@ EXTRA = [
     "q_nearest_centroid_classify",  # in-engine train+eval classifier
     "q_pagerank_items",          # iterated graph centrality (r5)
     "q_bloom_decontaminate",     # fixed-bitset decontamination (r5)
+    "q_tpch_q21",                # single-partitioning rewrite (r5)
+    "q_ppjoin_neardup",          # exact prefix-filtered similarity join (r5)
 ]
 
 

@@ -1442,3 +1442,98 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_obs", "max_cusum", "n_alerts")
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_seasonal_anomaly",
+    family="window",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+                   CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1, 2
+        ),
+        dow_med AS (
+            SELECT dow,
+                   CAST(FLOOR(median(cents)) AS BIGINT) AS med_c
+            FROM daily GROUP BY dow
+        ),
+        resid AS (
+            SELECT d.day, d.dow, d.cents,
+                   d.cents - m.med_c AS r
+            FROM daily d JOIN dow_med m USING (dow)
+        ),
+        mad AS (
+            SELECT CAST(FLOOR(median(ABS(r))) AS BIGINT) AS mad_c
+            FROM resid
+        )
+        SELECT day, dow, cents, residual_c, mad_ratio_ppm,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY mad_ratio_ppm DESC, day
+               ) AS BIGINT) AS rank
+        FROM (
+            SELECT r.day, CAST(r.dow AS BIGINT) AS dow, r.cents,
+                   CAST(r.r AS BIGINT) AS residual_c,
+                   (1000000 * ABS(r.r)) // GREATEST(m.mad_c, 1)
+                       AS mad_ratio_ppm
+            FROM resid r CROSS JOIN mad m
+        )
+        ORDER BY rank
+        LIMIT 10
+    """,
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly detection: daily purchase revenue
+    minus its day-of-week MEDIAN, the ten most deviant days ranked by
+    residual-to-MAD ratio — the robust-statistics anomaly screen that
+    survives both weekly seasonality (the median removes it) and
+    outlier contamination (median/MAD, not mean/std).  Medians of
+    integer cents are floored to integers, so residuals, the MAD, and
+    the threshold comparison are exact integers end to end.
+
+    Scale: one (day, dow) rollup shuffles the corpus; everything
+    after runs on the |days| table (weekday medians broadcast, MAD is
+    a single row)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.dayofweek("ts").alias("dow"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    ).localCheckpoint(eager=False)
+    dow_med = daily.groupBy("dow").agg(
+        F.floor(F.expr("median(cents)")).cast("long").alias("med_c")
+    )
+    resid = daily.join(F.broadcast(dow_med), "dow").select(
+        "day", "dow", "cents", (F.col("cents") - F.col("med_c")).alias("r")
+    ).localCheckpoint(eager=False)
+    mad = resid.agg(
+        F.floor(F.expr("median(abs(r))")).cast("long").alias("mad_c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("mad_ratio_ppm"), F.asc("day"))
+    return (
+        resid.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            F.col("dow").cast("long").alias("dow"),
+            "cents",
+            F.col("r").cast("long").alias("residual_c"),
+            F.expr(
+                "(1000000 * abs(r)) div greatest(mad_c, 1)"
+            ).alias("mad_ratio_ppm"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .orderBy("rank")
+        .limit(10)
+    )

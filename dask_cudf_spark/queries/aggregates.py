@@ -2605,3 +2605,142 @@ _REG_ALS = __import__(
     "dask_cudf_spark.registry", fromlist=["REGISTRY"]
 ).REGISTRY
 _REG_ALS["q_als_user_step"].oracle = _als_oracle()
+
+
+def _bootstrap_oracle() -> str:
+    from ..functions.text import _md5_long_sql
+
+    h = _md5_long_sql(
+        "'bs' || CAST(b.rep AS VARCHAR) || ':' || CAST(e.event_id AS VARCHAR)"
+    )
+    # Poisson(1) inverse CDF on u = hash / 2^60, capped at 5
+    u = f"(CAST({h} AS DOUBLE) / 1152921504606846976.0)"
+    w = (
+        f"(CASE WHEN {u} < 0.36787944117144233 THEN 0 "
+        f"WHEN {u} < 0.7357588823428846 THEN 1 "
+        f"WHEN {u} < 0.9196986029286058 THEN 2 "
+        f"WHEN {u} < 0.9810118431238462 THEN 3 "
+        f"WHEN {u} < 0.9963401531726563 THEN 4 ELSE 5 END)"
+    )
+    return f"""
+        WITH e AS (
+            SELECT event_id,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        reps AS (
+            SELECT b.rep,
+                   CAST(SUM({w} * e.cents) AS BIGINT)
+                       // GREATEST(CAST(SUM({w}) AS BIGINT), 1)
+                       AS mean_c
+            FROM e CROSS JOIN (SELECT UNNEST(range(32)) AS rep) b
+            GROUP BY b.rep
+        ),
+        ranked AS (
+            SELECT mean_c,
+                   ROW_NUMBER() OVER (ORDER BY mean_c, mean_c) AS rk
+            FROM reps
+        )
+        SELECT
+            (SELECT CAST(SUM(cents) AS BIGINT) // COUNT(*) FROM e)
+                AS point_mean_c,
+            CAST(32 AS BIGINT) AS n_replicates,
+            (SELECT CAST(mean_c AS BIGINT) FROM ranked WHERE rk = 2)
+                AS ci_low_c,
+            (SELECT CAST(mean_c AS BIGINT) FROM ranked WHERE rk = 31)
+                AS ci_high_c
+    """
+
+
+@register(
+    "q_bootstrap_ci",
+    family="aggregate",
+    oracle=None,  # set below (generated md5-twin SQL)
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean purchase value
+    (Efron 1979 via the streaming Poisson reformulation — Chamandy et
+    al., 'Estimating Uncertainty for Massive Data Streams', Google
+    2012): each of 32 replicates reweights every row by a
+    Poisson(1)-distributed count drawn DETERMINISTICALLY from the
+    seeded md5 of (replicate, event_id) through the inverse CDF, so
+    resampling never materializes a resample and replays exactly in
+    SQL.  The CI is rank-based (2nd / 31st order statistic of the
+    replicate means ~ a 94% interval) and every statistic is an
+    integer floor — no float percentile interpolation.
+
+    Scale: the replicate dimension is a x32 map-side explode feeding
+    ONE 32-group aggregate (map-side combined, so the shuffle carries
+    32 x |partitions| rows regardless of corpus size) — the pattern
+    that makes bootstrap FEASIBLE on data too big to resample."""
+    from ..functions.text import md5_long
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    e = ev.select(
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    reps = e.sparkSession.range(32).select(
+        F.col("id").cast("long").alias("rep")
+    )
+    h = md5_long(
+        F.concat(
+            F.lit("bs"),
+            F.col("rep").cast("string"),
+            F.lit(":"),
+            F.col("event_id").cast("string"),
+        )
+    )
+    u = h.cast("double") / F.lit(1152921504606846976.0)
+    w = (
+        F.when(u < 0.36787944117144233, 0)
+        .when(u < 0.7357588823428846, 1)
+        .when(u < 0.9196986029286058, 2)
+        .when(u < 0.9810118431238462, 3)
+        .when(u < 0.9963401531726563, 4)
+        .otherwise(5)
+    )
+    rep_means = (
+        e.crossJoin(F.broadcast(reps))
+        .select("rep", (w * F.col("cents")).alias("wc"), w.alias("w"))
+        .groupBy("rep")
+        .agg(
+            F.expr(
+                "CAST(sum(wc) AS LONG) div greatest(CAST(sum(w) AS LONG), 1)"
+            ).alias("mean_c")
+        )
+    )
+    from pyspark.sql import Window
+
+    ranked = rep_means.withColumn(
+        "rk", F.row_number().over(Window.orderBy("mean_c"))
+    )
+    point = e.agg(
+        F.expr("CAST(sum(cents) AS LONG) div count(1)").alias(
+            "point_mean_c"
+        )
+    )
+    lo = ranked.filter(F.col("rk") == 2).select(
+        F.col("mean_c").alias("ci_low_c")
+    )
+    hi = ranked.filter(F.col("rk") == 31).select(
+        F.col("mean_c").alias("ci_high_c")
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "point_mean_c",
+            F.lit(32).cast("long").alias("n_replicates"),
+            "ci_low_c",
+            "ci_high_c",
+        )
+    )
+
+
+_REG_BS = __import__(
+    "dask_cudf_spark.registry", fromlist=["REGISTRY"]
+).REGISTRY
+_REG_BS["q_bootstrap_ci"].oracle = _bootstrap_oracle()

@@ -232,8 +232,10 @@ def read_snapshot(
     dirs = snapshot_dirs(spark, path, version, prune)
     if not dirs:
         return None
-    return spark.read.parquet(
-        *[f"{path.rstrip('/')}/{d}" for d in dirs]
+    return (
+        spark.read.option("mergeSchema", "true").parquet(
+            *[f"{path.rstrip('/')}/{d}" for d in dirs]
+        )
     )
 
 

@@ -510,3 +510,25 @@ def test_txlog_stats_pruning_skips_files(spark, tmp_path):
         spark.range(500, 510).withColumnRenamed("id", "k"), path, "append"
     )
     assert len(snapshot_dirs(spark, path, prune=("k", 120, 130))) == 2
+
+
+def test_txlog_schema_evolution(spark, tmp_path):
+    """Additive schema evolution: a later commit may carry extra
+    columns; snapshot reads merge schemas (old rows get nulls), and
+    time travel to the pre-evolution version sees the old schema
+    only."""
+    from dask_cudf_spark.sources.txlog import commit, read_snapshot
+
+    path = str(tmp_path / "txevo")
+    v0 = spark.createDataFrame([(1, "a")], "k long, v string")
+    commit(v0, path, "append")
+    v1 = spark.createDataFrame(
+        [(2, "b", 9.5)], "k long, v string, score double"
+    )
+    commit(v1, path, "append")
+    cur = read_snapshot(spark, path)
+    assert set(cur.columns) == {"k", "v", "score"}
+    rows = {r["k"]: (r["v"], r["score"]) for r in cur.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    old = read_snapshot(spark, path, version=0)
+    assert set(old.columns) == {"k", "v"}

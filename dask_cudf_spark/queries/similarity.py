@@ -926,3 +926,116 @@ def q_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REG_SIM["q_mrl_recall"].oracle = _mrl_oracle()
+
+
+def _jl_signs(n_in: int = 64, n_out: int = 16) -> list[list[int]]:
+    """Deterministic +-1 projection matrix from md5 — shared by the
+    Spark expression and the generated oracle so both engines project
+    with the SAME rotation."""
+    import hashlib
+
+    signs = []
+    for j in range(n_out):
+        row = []
+        for i in range(n_in):
+            hd = hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()
+            row.append(1 if int(hd[:2], 16) % 2 == 0 else -1)
+        signs.append(row)
+    return signs
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    proj = ", ".join(
+        "CAST(list_sum(list_transform(range(1, 65), i -> "
+        f"CAST(TRUNC(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)"
+        f" * ([{', '.join(str(v) for v in row)}]::BIGINT[])[i])) AS BIGINT)"
+        f" AS p{j}"
+        for j, row in enumerate(signs)
+    )
+    p2 = " + ".join(f"p{j} * p{j}" for j in range(16))
+    return f"""
+        WITH s AS (
+            SELECT vec_id,
+                   CAST(list_sum(list_transform(range(1, 65), i ->
+                       CAST(TRUNC(CAST(embedding[i] AS DOUBLE) * 10000)
+                            AS BIGINT)
+                       * CAST(TRUNC(CAST(embedding[i] AS DOUBLE) * 10000)
+                              AS BIGINT))) AS BIGINT) AS norm2,
+                   {proj}
+            FROM embeddings WHERE vec_id < 200
+        )
+        SELECT vec_id, norm2,
+               CAST({p2} AS BIGINT) AS proj_norm2,
+               (1000000 * CAST({p2} AS BIGINT))
+                   // (16 * GREATEST(norm2, 1)) AS distortion_ppm
+        FROM s
+        ORDER BY vec_id
+    """
+
+
+@register(
+    "q_jl_projection",
+    family="similarity",
+    oracle=None,  # set below (generated from the shared sign matrix)
+)
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketch (Achlioptas 2003's +-1 variant):
+    project 64-dim embeddings to 16 dims through a deterministic
+    +-1 matrix and AUDIT the distortion per vector — since
+    E[proj_j^2] = ||x||^2 for +-1 rows, the ratio ||proj||^2 /
+    (16 ||x||^2) concentrates at 1, and the query reports it in ppm
+    so downstream consumers can decide whether 4x cheaper vectors
+    hold their distances (the random-rotation complement to
+    q_mrl_recall's learned-prefix truncation).  Embeddings quantize
+    to 1e4-scaled integers first (the scale that keeps 1e6*||proj||^2
+    inside int64), so projections, norms, and ratios
+    are exact integers in both engines.
+
+    Scale: entirely map-side (the sign matrix is 1024 literals baked
+    into the expression); no shuffle but the output ORDER BY."""
+    signs = _jl_signs()
+    em = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 200
+    )
+    xs6 = F.transform(
+        F.col("embedding"),
+        lambda x: F.expr("CAST(1 AS LONG)")
+        * (x.cast("double") * 10000).cast("long"),
+    )
+    staged = em.select("vec_id", xs6.alias("xs"))
+    norm2 = F.aggregate(
+        F.transform(F.col("xs"), lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                F.col("xs"),
+                F.array(*[F.lit(v).cast("long") for v in row]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias(f"p{j}")
+        for j, row in enumerate(signs)
+    ]
+    s = staged.select("vec_id", norm2.alias("norm2"), *projs)
+    p2 = sum(F.col(f"p{j}") * F.col(f"p{j}") for j in range(16))
+    return s.select(
+        "vec_id",
+        "norm2",
+        p2.cast("long").alias("proj_norm2"),
+        F.expr(
+            "CAST((1000000 * ("
+            + " + ".join(f"p{j} * p{j}" for j in range(16))
+            + ")) div (16 * greatest(norm2, 1)) AS LONG)"
+        ).alias("distortion_ppm"),
+    ).orderBy("vec_id")
+
+
+_REG_JL = __import__(
+    "dask_cudf_spark.registry", fromlist=["REGISTRY"]
+).REGISTRY
+_REG_JL["q_jl_projection"].oracle = _jl_oracle()

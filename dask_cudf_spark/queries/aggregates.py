@@ -2744,3 +2744,104 @@ _REG_BS = __import__(
     "dask_cudf_spark.registry", fromlist=["REGISTRY"]
 ).REGISTRY
 _REG_BS["q_bootstrap_ci"].oracle = _bootstrap_oracle()
+
+
+def _hll_merge_oracle() -> str:
+    from ..functions.text import _md5_long_sql
+
+    h = _md5_long_sql("'h:' || CAST(user_id AS VARCHAR)")
+    rho = (
+        f"CASE WHEN {h} // 64 = 0 THEN 55 "
+        f"ELSE 55 - length(bin({h} // 64)) END"
+    )
+    return f"""
+        WITH daily_regs AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   {h} % 64 AS bucket,
+                   CAST(MAX({rho}) AS BIGINT) AS m
+            FROM events
+            GROUP BY 1, 2
+        ),
+        merged AS (
+            SELECT bucket, CAST(MAX(m) AS BIGINT) AS m
+            FROM daily_regs GROUP BY bucket
+        ),
+        direct AS (
+            SELECT {h} % 64 AS bucket,
+                   CAST(MAX({rho}) AS BIGINT) AS m
+            FROM events
+            GROUP BY 1
+        )
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM daily_regs) AS n_day_regs,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM merged) AS n_merged_regs,
+            (SELECT CAST(COUNT(*) AS BIGINT)
+             FROM merged x JOIN direct y
+               ON x.bucket = y.bucket AND x.m = y.m) AS n_regs_equal,
+            (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+                AS exact_users
+    """
+
+
+@register(
+    "q_hll_merge",
+    family="aggregate",
+    oracle=None,  # set below (generated md5-twin SQL)
+)
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY — the property that makes register sketches
+    the cardinality backbone of incremental pipelines: per-DAY
+    register tables (the shape a daily rollup job persists) merged
+    with MAX must equal the registers computed directly over the whole
+    corpus, bucket for bucket.  The query materializes both sides and
+    counts agreeing registers (n_regs_equal == n_merged_regs is the
+    lossless-merge identity, hash-checked by the oracle), alongside
+    the exact user count the merged sketch would estimate.
+
+    Scale: daily registers are |days| x 64 rows (this is the entire
+    state a year of daily jobs keeps for distinct-user reporting);
+    the merge is a 64-group MAX."""
+    from ..functions.text import md5_long
+
+    ev = load_table(spark, sf_dir, "events")
+    h = md5_long(F.concat(F.lit("h:"), F.col("user_id").cast("string")))
+    base = ev.select(
+        F.date_trunc("day", "ts").alias("day"), h.alias("hv")
+    ).select(
+        "day",
+        (F.col("hv") % 64).alias("bucket"),
+        F.when(F.expr("hv div 64") == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.expr("length(bin(hv div 64))"))
+        .cast("long")
+        .alias("rho"),
+    ).localCheckpoint(eager=False)
+    daily = base.groupBy("day", "bucket").agg(F.max("rho").alias("m"))
+    merged = daily.groupBy("bucket").agg(
+        F.max("m").cast("long").alias("m")
+    )
+    direct = base.groupBy("bucket").agg(F.max("rho").cast("long").alias("m"))
+    n_day = daily.agg(F.count("*").cast("long").alias("n_day_regs"))
+    n_merged = merged.agg(F.count("*").cast("long").alias("n_merged_regs"))
+    n_equal = (
+        merged.join(
+            direct.select(
+                F.col("bucket").alias("db"), F.col("m").alias("dm")
+            ),
+            (F.col("bucket") == F.col("db")) & (F.col("m") == F.col("dm")),
+        )
+        .agg(F.count("*").cast("long").alias("n_regs_equal"))
+    )
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        n_day.crossJoin(F.broadcast(n_merged))
+        .crossJoin(F.broadcast(n_equal))
+        .crossJoin(F.broadcast(exact))
+    )
+
+
+_REG_HLLM = __import__(
+    "dask_cudf_spark.registry", fromlist=["REGISTRY"]
+).REGISTRY
+_REG_HLLM["q_hll_merge"].oracle = _hll_merge_oracle()

@@ -93,47 +93,79 @@ def ordered_specs() -> list[QuerySpec]:
     return _rotate_window(with_oracle) + rows_only
 
 
-# Round-5 rotation (r4 VERDICT item 4): the driver scores only the
-# first 50 entries, so each round we cede long-green slots to heavy
-# never-driver-scored queries — growing the union of ever-driver-scored
-# names.  _ROTATE_OUT names leave the window (they stay green in the
-# judge's full-registry replay and pytest); _ROTATE_IN names take their
-# slots.  Both lists must stay the same length; the pinned-window test
+# Per-round window rotation (r4 VERDICT item 4, continued each round):
+# the driver scores only the first 50 entries, so each round we cede
+# long-green slots to heavy never-driver-scored queries — growing the
+# union of ever-driver-scored names.  Each (rotate_in, rotate_out) pair
+# is applied in sequence, so a name promoted in round N naturally drops
+# back out in round N+1 once it has its driver-green row.  Lists in a
+# pair must stay the same length; the pinned-window test
 # (tests/test_oracle.py) locks the resulting first-50.
-_ROTATE_IN = [
-    "q_bm25_topk",
-    "q_nearest_centroid_classify",
-    "q_pmi_collocations",
-    "q_ngram_span_dedup",
-    "q_tpch_q21",
-    "q_retention_cohort",
-]
-_ROTATE_OUT = [
-    # q_project_arith / q_filter_pred stay: they are their families'
-    # only window representatives and the every-family invariant
-    # (tests/test_oracle.py) outranks rotating two more green slots.
-    "q_when_clip",
-    "q_sql_query",
-    "q_combine_first",
-    "q_dropna_fillna",
-    "q_scalar_pack_date",
-    "q_scalar_pack_math",
+_ROTATIONS: list[tuple[list[str], list[str]]] = [
+    (
+        # round 5 (r4 VERDICT item 4)
+        [
+            "q_bm25_topk",
+            "q_nearest_centroid_classify",
+            "q_pmi_collocations",
+            "q_ngram_span_dedup",
+            "q_tpch_q21",
+            "q_retention_cohort",
+        ],
+        # q_project_arith / q_filter_pred stay: they are their families'
+        # only window representatives and the every-family invariant
+        # (tests/test_oracle.py) outranks rotating two more green slots.
+        [
+            "q_when_clip",
+            "q_sql_query",
+            "q_combine_first",
+            "q_dropna_fillna",
+            "q_scalar_pack_date",
+            "q_scalar_pack_math",
+        ],
+    ),
+    (
+        # round 6 (r5 VERDICT item 1): the heaviest never-driver-scored
+        # queries enter; six long-green r5 residents (incl. the r5
+        # promotions, now driver-scored) cede their slots.
+        [
+            "q_pagerank_items",
+            "q_ppjoin_neardup",
+            "q_bloom_decontaminate",
+            "q_hll_merge",
+            "q_mrl_recall",
+            "q_als_user_step",
+        ],
+        # q_scalar_pack_str stays (sole scalar-family window rep —
+        # the every-family invariant outranks rotating it); q_explode
+        # cedes instead (q_explode_udtf keeps the udtf family green).
+        [
+            "q_explode",
+            "q_json_extract",
+            "q_union_all",
+            "q_head_sorted",
+            "q_intersect",
+            "q_groupby_mean",
+        ],
+    ),
 ]
 _WINDOW = 50
 
 
 def _rotate_window(specs: list[QuerySpec]) -> list[QuerySpec]:
-    """Swap _ROTATE_OUT (inside the first-50 window) for _ROTATE_IN
-    (outside it), preserving every entry exactly once: rotated-out
-    specs land immediately after the window, rotated-in specs fill the
-    vacated tail of the window in _ROTATE_IN order."""
-    inset, outset = set(_ROTATE_IN), set(_ROTATE_OUT)
-    by_name = {s.name: s for s in specs}
-    head = [s for s in specs[:_WINDOW] if s.name not in outset | inset]
-    promoted = [by_name[n] for n in _ROTATE_IN if n in by_name]
-    demoted = [by_name[n] for n in _ROTATE_OUT if n in by_name]
-    tail = [s for s in specs[_WINDOW:] if s.name not in inset]
-    return head + promoted + demoted + tail
+    """Apply each round's (rotate_in, rotate_out) swap in sequence:
+    rotated-out specs land immediately after the window, rotated-in
+    specs fill the vacated tail of the window in rotate_in order.
+    Every entry is preserved exactly once."""
+    for rotate_in, rotate_out in _ROTATIONS:
+        inset, outset = set(rotate_in), set(rotate_out)
+        by_name = {s.name: s for s in specs}
+        head = [s for s in specs[:_WINDOW] if s.name not in outset | inset]
+        promoted = [by_name[n] for n in rotate_in if n in by_name]
+        demoted = [by_name[n] for n in rotate_out if n in by_name]
+        tail = [s for s in specs[_WINDOW:] if s.name not in inset]
+        specs = head + promoted + demoted + tail
+    return specs
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -72,29 +72,30 @@ def test_driver_scoring_window_covers_every_family():
 # update this list ONLY deliberately, together with a local
 # driver_replay of the new window.
 _PINNED_WINDOW = [
-    # round-5 rotation (r4 VERDICT item 4): six long-green slots
-    # (when_clip, sql_query, combine_first, dropna_fillna,
-    # scalar_pack_date, scalar_pack_math) ceded to the heaviest
-    # never-driver-scored queries (bm25, centroid classifier, PMI,
-    # span dedup, tpch q21, retention) — registry._ROTATE_IN/_OUT.
-    # project_arith / filter_pred stay as their families' only reps.
+    # round-6 rotation (r5 VERDICT item 1): six long-green slots
+    # (explode, json_extract, union_all, head_sorted, intersect,
+    # groupby_mean) ceded to the heaviest never-driver-scored queries
+    # (pagerank, ppjoin, bloom decontamination, HLL merge, MRL recall,
+    # ALS half-step) — registry._ROTATIONS round-6 entry.
+    # scalar_pack_str stays as the scalar family's only window rep;
+    # explode_udtf keeps the udtf family covered.
     "q_groupby_sum", "q_udaf_grouped", "q_skew_salted_sum",
     "q_tpch_q5_shape", "q_multimodal_meta", "q_scan_parquet",
     "q_project_arith", "q_filter_pred", "q_scalar_pack_str",
-    "q_json_extract", "q_union_all", "q_ann_pq",
-    "q_minhash_dedup", "q_sort_global", "q_stream_tumbling",
-    "q_bpe_encode", "q_tpch_q1", "q_window_rolling",
-    "q_groupby_mean", "q_cogroup_udf", "q_skew_salted_collect",
+    "q_ann_pq", "q_minhash_dedup", "q_sort_global",
+    "q_stream_tumbling", "q_bpe_encode", "q_tpch_q1",
+    "q_window_rolling", "q_cogroup_udf", "q_skew_salted_collect",
     "q_join_inner", "q_multimodal_frames", "q_scan_pushdown_ts",
-    "q_explode", "q_union_missing_cols", "q_kmeans_step",
-    "q_neardup_embedding", "q_topk", "q_stream_sliding",
-    "q_text_stats", "q_tpch_q6", "q_window_time_range",
-    "q_groupby_std", "q_explode_udtf", "q_skew_salted_nunique",
-    "q_join_broadcast", "q_multimodal_features", "q_array_pack",
-    "q_intersect", "q_cosine_sim", "q_semdedup",
-    "q_head_sorted", "q_stream_session", "q_bm25_topk",
+    "q_union_missing_cols", "q_kmeans_step", "q_neardup_embedding",
+    "q_topk", "q_stream_sliding", "q_text_stats",
+    "q_tpch_q6", "q_window_time_range", "q_groupby_std",
+    "q_explode_udtf", "q_skew_salted_nunique", "q_join_broadcast",
+    "q_multimodal_features", "q_array_pack", "q_cosine_sim",
+    "q_semdedup", "q_stream_session", "q_bm25_topk",
     "q_nearest_centroid_classify", "q_pmi_collocations",
     "q_ngram_span_dedup", "q_tpch_q21", "q_retention_cohort",
+    "q_pagerank_items", "q_ppjoin_neardup", "q_bloom_decontaminate",
+    "q_hll_merge", "q_mrl_recall", "q_als_user_step",
 ]
 
 

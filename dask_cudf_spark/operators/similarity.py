@@ -372,10 +372,29 @@ def semdedup(
     oracle can replay assignment exactly), so cell assignment is a
     partition-local expression and the corpus never shuffles for it.
 
+    Assignment is TWO-LEVEL (r5 VERDICT item 2): with K derived from
+    the corpus (K = N/64), a flat nearest-of-K scan makes assignment
+    itself O(N*K) = O(N^2/64) — the classic IVF coarse-quantizer
+    problem.  Instead the fine codebook is grouped under ceil(sqrt(K))
+    super-centroids (every sqrt(K)-th fine centroid, so the coarse
+    codebook is itself oracle-replayable); each row finds its nearest
+    super-centroid (O(sqrt K)) and then its nearest fine centroid among
+    only that group's members (O(sqrt K) average) — O(N*sqrt(K)) total,
+    still one map-side expression, zero shuffles.  Fine-to-coarse
+    grouping is computed ONCE in Spark on the K-row codebook (so the
+    rounded-cosine tie-break semantics are byte-identical to the
+    per-row path and the DuckDB oracle), with each sampled fine
+    centroid pinned to its own group so no group is empty.  Codebooks
+    ride into the plan as single ``from_json`` constants — one literal
+    string each, not K*64 literal expressions — keeping analyzer and
+    codegen cost flat as K grows.
+
     Drop rule (one hop, matching the paper's per-cluster sweep): b is
     dropped iff some a < b in the same cell has cosine(a, b) >=
     threshold.  Returns surviving (id, cell) rows.
     """
+    import json as _json
+
     seeds = (
         corpus.filter((F.col(id_col) % centroid_stride) == 0)
         .orderBy(id_col)
@@ -383,18 +402,65 @@ def semdedup(
         .select(id_col, vec_col)
         .collect()
     )
-    cent_arr = F.array(
-        *[F.array(*[F.lit(float(v)) for v in r[1]]) for r in seeds]
+    fine = [[float(v) for v in r[1]] for r in seeds]
+    k = len(fine)
+    stride2 = max(1, math.ceil(math.sqrt(k)))
+    coarse = [fine[i] for i in range(0, k, stride2)]  # gidx = cidx // stride2
+    coarse_lit = F.from_json(
+        F.lit(_json.dumps(coarse)), "array<array<double>>"
     )
-    def assigned() -> DataFrame:
+
+    def nearest_gidx(vec):
         scored = F.transform(
-            cent_arr,
-            lambda c, i: F.struct(
-                (-F.round(cosine(F.col(vec_col), c), 6)).alias("negcos"),
-                i.alias("cidx"),
+            coarse_lit,
+            lambda c, j: F.struct(
+                (-F.round(cosine(vec, c), 6)).alias("negcos"),
+                j.alias("gidx"),
             ),
         )
-        cell = F.element_at(F.array_sort(scored), 1)["cidx"]
+        return F.element_at(F.array_sort(scored), 1)["gidx"]
+
+    # Fine->coarse grouping on the K-row codebook — a codebook-sized
+    # Spark job, so round/tie-break semantics match the per-row
+    # assignment exactly (driver-side numpy would reintroduce
+    # banker's-rounding drift vs Spark/DuckDB HALF_UP).
+    spark = corpus.sparkSession
+    fine_df = spark.createDataFrame(
+        [(i, fine[i]) for i in range(k)], "cidx int, cvec array<double>"
+    )
+    f2c_rows = fine_df.select(
+        "cidx",
+        F.when(
+            (F.col("cidx") % stride2) == 0,
+            (F.col("cidx") / stride2).cast("int"),
+        )
+        .otherwise(nearest_gidx(F.col("cvec")).cast("int"))
+        .alias("gidx"),
+    ).collect()
+    groups: list[list[dict]] = [[] for _ in coarse]
+    for r in f2c_rows:
+        groups[int(r["gidx"])].append(
+            {"cidx": int(r["cidx"]), "cvec": fine[int(r["cidx"])]}
+        )
+    for grp in groups:
+        grp.sort(key=lambda m: m["cidx"])
+    groups_lit = F.from_json(
+        F.lit(_json.dumps(groups)),
+        "array<array<struct<cidx:int,cvec:array<double>>>>",
+    )
+
+    def assigned() -> DataFrame:
+        vec = F.col(vec_col)
+        g = nearest_gidx(vec)
+        members = F.element_at(groups_lit, g.cast("int") + 1)
+        fine_scored = F.transform(
+            members,
+            lambda m: F.struct(
+                (-F.round(cosine(vec, m["cvec"]), 6)).alias("negcos"),
+                m["cidx"].alias("cidx"),
+            ),
+        )
+        cell = F.element_at(F.array_sort(fine_scored), 1)["cidx"]
         return scale_out(corpus).select(
             F.col(id_col).alias("__id"),
             F.col(vec_col).alias("__vec"),

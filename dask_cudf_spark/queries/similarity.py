@@ -402,14 +402,49 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ), k
             WHERE rn <= kk
         ),
-        assign AS (
-            SELECT vec_id, embedding, cell FROM (
-                SELECT e.vec_id, e.embedding, CAST(s.cidx AS BIGINT) AS cell,
+        p AS (
+            SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS stride2
+            FROM seeds
+        ),
+        coarse AS (
+            SELECT s.cidx // p.stride2 AS gidx, s.cvec AS gvec
+            FROM seeds s, p WHERE s.cidx % p.stride2 = 0
+        ),
+        f2c_near AS (
+            SELECT cidx, gidx FROM (
+                SELECT s.cidx, c.gidx,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.cidx
+                           ORDER BY -{_duck_cos("s.cvec", "c.gvec")}, c.gidx
+                       ) AS rn
+                FROM seeds s CROSS JOIN coarse c
+            ) WHERE rn = 1
+        ),
+        f2c AS (
+            SELECT s.cidx, s.cvec,
+                   CASE WHEN s.cidx % p.stride2 = 0
+                        THEN s.cidx // p.stride2
+                        ELSE n.gidx END AS gidx
+            FROM seeds s JOIN f2c_near n USING (cidx), p
+        ),
+        vcoarse AS (
+            SELECT vec_id, embedding, gidx FROM (
+                SELECT e.vec_id, e.embedding, c.gidx,
                        ROW_NUMBER() OVER (
                            PARTITION BY e.vec_id
-                           ORDER BY -{_duck_cos("e.embedding", "s.cvec")}, s.cidx
+                           ORDER BY -{_duck_cos("e.embedding", "c.gvec")}, c.gidx
                        ) AS rn
-                FROM embeddings e CROSS JOIN seeds s
+                FROM embeddings e CROSS JOIN coarse c
+            ) WHERE rn = 1
+        ),
+        assign AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT v.vec_id, v.embedding, CAST(f.cidx AS BIGINT) AS cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY -{_duck_cos("v.embedding", "f.cvec")}, f.cidx
+                       ) AS rn
+                FROM vcoarse v JOIN f2c f ON f.gidx = v.gidx
             ) WHERE rn = 1
         ),
         normed AS (
@@ -447,7 +482,14 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and within-cell pair work stays linear in N — the shipped query is
     the scale-safe instance, not the quadratic fixed-K one.  The count
     is a metadata-only parquet job; the oracle computes the identical K
-    from the same table."""
+    from the same table.
+
+    Assignment is TWO-LEVEL (r5 VERDICT item 2): nearest of ceil(
+    sqrt(K)) super-centroids first, then nearest fine centroid within
+    that group only — O(N*sqrt(K)) instead of the flat O(N*K) scan,
+    still zero-shuffle map-side.  The oracle replays the identical
+    two-level rule (coarse codebook = every sqrt(K)-th fine centroid;
+    sampled fines pinned to their own group so no group is empty)."""
     import math
 
     from ..operators.similarity import semdedup

@@ -23,7 +23,7 @@ sf0.1 itself and written once to /tmp/scale_probe/x{K}):
   magnitude-driven, not value-driven).
 - dims (region nation customer supplier part): symlinked unscaled.
 
-Usage: python scripts/scale_probe.py [factor] [runs]
+Usage: python scripts/scale_probe.py [factor] [runs] [name-substr ...]
 Prints one JSON line {"factor": K, "queries": {name: {"x1": s,
 "x10": s, "ratio": r}}, ...}.
 """
@@ -157,8 +157,14 @@ def main() -> None:
     x1 = build(spark, 1)
     xk = build(spark, FACTOR)
 
+    substrs = sys.argv[3:]
+    probes = (
+        [n for n in PROBES if any(s in n for s in substrs)]
+        if substrs
+        else PROBES
+    )
     result: dict[str, dict] = {}
-    for name in PROBES:
+    for name in probes:
         fn = queries[name]
         times: dict[str, float] = {}
         for label, d in (("x1", x1), (f"x{FACTOR}", xk)):

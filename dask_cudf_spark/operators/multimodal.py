@@ -898,6 +898,8 @@ def build_jpeg_codec():
                 b = self.d[self.p]
                 self.p += 1
                 if b == 0xFF:
+                    if self.p >= len(self.d):
+                        raise ValueError("entropy stream truncated")
                     nxt = self.d[self.p]
                     if nxt == 0x00:
                         self.p += 1  # stuffed

@@ -74,24 +74,37 @@ def cosine_topk(
     than ``max_queries`` (default 10_000, override via the
     ``SPARK_GRAFT_COSINE_MAX_QUERIES`` env var) raises instead of
     silently collecting an unbounded side to the driver — a mis-swapped
-    corpus/queries call fails loudly, not with a driver OOM."""
+    corpus/queries call fails loudly, not with a driver OOM.  The guard
+    is folded into the work each impl already does (ADVICE r5): the
+    vectorized path bounds its own collect with limit(max+1) — zero
+    extra Spark jobs, and laziness-preserving for the 'sql' path too
+    since broadcast collection is where the count materializes anyway."""
     import os
 
     max_queries = int(os.environ.get("SPARK_GRAFT_COSINE_MAX_QUERIES", "10000"))
-    # limit(max+1).count() touches at most max+1 rows — never a full scan
-    n_q = queries.limit(max_queries + 1).count()
-    if n_q > max_queries:
-        raise ValueError(
+
+    def _too_many() -> ValueError:
+        return ValueError(
             f"cosine_topk: queries side has >{max_queries} rows; it is "
             "collected/broadcast to every task, so it must be small. "
             "Did you swap corpus and queries?  (Raise the cap via "
             "SPARK_GRAFT_COSINE_MAX_QUERIES if this is intentional.)"
         )
+
     if impl == "vectorized":
         import numpy as np
         import pandas as pd
 
-        qrows = queries.select(query_id_col, vec_col).collect()
+        # limit(max+1) bounds the driver-side materialization: the
+        # (max+1)th row proves the contract violation without ever
+        # collecting an unbounded side
+        qrows = (
+            queries.select(query_id_col, vec_col)
+            .limit(max_queries + 1)
+            .collect()
+        )
+        if len(qrows) > max_queries:
+            raise _too_many()
         qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
         qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
         qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
@@ -129,6 +142,11 @@ def cosine_topk(
                 F.col("rank").cast("long").alias("rank"),
             )
         )
+    # sql impl: the queries side broadcasts JVM-side with no driver
+    # collect to piggyback the guard on, so probe with a bounded count
+    # (touches at most max+1 rows — never a full scan)
+    if queries.limit(max_queries + 1).count() > max_queries:
+        raise _too_many()
     # norms are per-row, not per-pair: precompute each side once so the
     # O(Q x N) pair stage does a single interpreted fold (the dot), not
     # three.  scale_out: scoring is compute-bound -> use every core.

@@ -228,10 +228,20 @@ def read_snapshot(
     """The table as of ``version`` (latest when None); ``prune=(col,
     lo, hi)`` applies stats-based data skipping (see snapshot_dirs) —
     the caller still applies the row-level filter, pruning only
-    bounds which FILES are opened."""
+    bounds which FILES are opened.
+
+    When pruning eliminates EVERY dir, returns an empty DataFrame with
+    the table schema (read from the unpruned snapshot, limit 0 — a
+    metadata-only plan) so callers can chain .filter()/.count()
+    uniformly instead of crashing on None."""
     dirs = snapshot_dirs(spark, path, version, prune)
     if not dirs:
-        return None
+        dirs = snapshot_dirs(spark, path, version, None)
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[f"{path.rstrip('/')}/{d}" for d in dirs])
+            .limit(0)
+        )
     return (
         spark.read.option("mergeSchema", "true").parquet(
             *[f"{path.rstrip('/')}/{d}" for d in dirs]
@@ -266,7 +276,16 @@ def merge_by_key(
     Scale: the touch-set probe is one semi-join aggregation over
     input_file_name() (pushdown-friendly: only ``key`` is read), and
     rewrite volume is proportional to matched FILES, not table size —
-    the copy-on-write trade every log-structured table format makes."""
+    the copy-on-write trade every log-structured table format makes.
+
+    Concurrency: survivors/rewrites are computed against a LOG SNAPSHOT;
+    if any other writer commits between that snapshot and this merge's
+    version-file create, blindly committing the stale survivor list
+    would silently drop the concurrent commit's dirs.  The retry loop
+    therefore re-reads the log and ABORTS with CommitConflict when the
+    live set moved — the same detect-and-abort contract Delta's
+    ConcurrentAppendException implements; the caller re-runs the merge
+    against the new snapshot."""
     spark = updates.sparkSession
     from pyspark.sql import functions as F
 
@@ -313,6 +332,15 @@ def merge_by_key(
     last_err: Exception | None = None
     for _ in range(max_retries):
         log = _read_log(spark, path)
+        if _live_dirs(log, None) != live:
+            # A concurrent writer committed since our snapshot: the
+            # survivor list is stale and committing it would drop that
+            # writer's data.  Abort — never silently lose a commit.
+            raise CommitConflict(
+                f"concurrent commit detected on {path} during merge; "
+                "live set changed since the merge snapshot — re-run "
+                "the merge against the current table state"
+            )
         version = log[-1]["version"] + 1 if log else 0
         record = json.dumps(
             {
@@ -367,6 +395,15 @@ def optimize(
     last_err: Exception | None = None
     for _ in range(max_retries):
         log = _read_log(spark, path)
+        if _live_dirs(log, None) != live:
+            # Same detect-and-abort as merge_by_key: a concurrent
+            # append's rows would otherwise vanish from the compacted
+            # overwrite.
+            raise CommitConflict(
+                f"concurrent commit detected on {path} during optimize; "
+                "live set changed since the compaction snapshot — "
+                "re-run optimize against the current table state"
+            )
         version = log[-1]["version"] + 1 if log else 0
         record = json.dumps(
             {"version": version, "op": "overwrite", "dirs": [new_dir]}
@@ -389,11 +426,26 @@ def optimize(
     ) from last_err
 
 
-def vacuum(spark: SparkSession, path: str, keep_versions: int = 1) -> int:
+def vacuum(
+    spark: SparkSession,
+    path: str,
+    keep_versions: int = 1,
+    min_age_seconds: float = 3600.0,
+) -> int:
     """Physically delete data dirs unreachable from the last
     ``keep_versions`` snapshots; returns the number of dirs removed.
     After vacuum, time travel older than the horizon fails (by design
-    — same contract as Delta's VACUUM)."""
+    — same contract as Delta's VACUUM).
+
+    ``min_age_seconds`` is the retention grace (Delta's
+    retentionDurationCheck): commit() writes its data dir BEFORE its
+    version file, so a dir absent from the log may be an IN-FLIGHT
+    commit, not garbage — deleting it would let that commit succeed
+    pointing at vanished data.  Dirs whose modification time is within
+    the grace window are never deleted; pass 0 only when no concurrent
+    writer can exist (single-writer maintenance window)."""
+    import time as _time
+
     entries = _read_log(spark, path)
     if not entries:
         return 0
@@ -408,9 +460,13 @@ def vacuum(spark: SparkSession, path: str, keep_versions: int = 1) -> int:
     removed = 0
     if not fs.exists(data_root):
         return 0
+    now_ms = _time.time() * 1000.0
     for st in fs.listStatus(data_root):
         d = f"data/{st.getPath().getName()}"
-        if d not in reachable:
-            fs.delete(st.getPath(), True)
-            removed += 1
+        if d in reachable:
+            continue
+        if now_ms - st.getModificationTime() < min_age_seconds * 1000.0:
+            continue  # possibly an in-flight commit's dir: keep
+        fs.delete(st.getPath(), True)
+        removed += 1
     return removed

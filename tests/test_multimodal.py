@@ -240,6 +240,26 @@ def test_jpeg_random_roundtrip_quality():
     assert np.mean(np.abs(out.astype(float) - grad.astype(float))) < 6.0
 
 
+def test_jpeg_truncated_after_stuffing_ff_raises_valueerror():
+    """ADVICE r5: a stream cut immediately after a 0xFF byte must
+    raise the decoder's typed truncation error, not IndexError from an
+    unguarded stuffing-byte read."""
+    import numpy as np
+    import pytest
+
+    from dask_cudf_spark.operators.multimodal import build_jpeg_codec
+
+    enc, dec = build_jpeg_codec()
+    rng = np.random.default_rng(7)
+    good = enc(rng.integers(0, 256, (24, 40), dtype=np.uint8))
+    # strip the EOI, then cut right after the last 0xFF in the
+    # entropy stream (a stuffed-byte prefix)
+    body = good[:-2]
+    cut = body.rindex(b"\xff") + 1
+    with pytest.raises(ValueError, match="truncated"):
+        dec(body[:cut])
+
+
 def test_jpeg_rejects_non_baseline():
     import numpy as np
     import pytest

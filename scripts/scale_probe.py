@@ -79,8 +79,18 @@ DIMS = ["region", "nation", "customer", "supplier", "part"]
 
 
 def _rot(i: int) -> tuple[str, str]:
-    a = string.ascii_lowercase
-    return a, a[i:] + a[:i]
+    """Copy-i alphabet permutation: affine cipher x -> a*x + b (mod 26)
+    with a coprime to 26.  A plain rotation caps at 26 distinct maps
+    (and i >= 26 silently degenerated to the identity via slicing past
+    the string end), which at factor 100 would hand every doc ~3
+    synthetic near-dups; the affine family gives 12*26 = 312 distinct
+    bijections, so all 100 copies keep (near-)disjoint shingle spaces
+    and the dup problem scales in SIZE, not hardness.  i=0 stays the
+    identity (a=1, b=0)."""
+    alpha = string.ascii_lowercase
+    coprimes = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+    a, b = coprimes[(i // 26) % 12], i % 26
+    return alpha, "".join(alpha[(a * x + b) % 26] for x in range(26))
 
 
 def build(spark, factor: int) -> str:

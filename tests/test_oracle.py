@@ -72,30 +72,36 @@ def test_driver_scoring_window_covers_every_family():
 # update this list ONLY deliberately, together with a local
 # driver_replay of the new window.
 _PINNED_WINDOW = [
-    # round-6 rotation (r5 VERDICT item 1): six long-green slots
-    # (explode, json_extract, union_all, head_sorted, intersect,
-    # groupby_mean) ceded to the heaviest never-driver-scored queries
-    # (pagerank, ppjoin, bloom decontamination, HLL merge, MRL recall,
-    # ALS half-step) — registry._ROTATIONS round-6 entry.
-    # scalar_pack_str stays as the scalar family's only window rep;
-    # explode_udtf keeps the udtf family covered.
+    # round-7 rotation (r6 VERDICT item 2): EVERY slot except five pins
+    # ceded to a never-driver-scored query — registry._ROTATIONS
+    # round-7 entry.  Pins: q_scan_parquet (no never-scored scan
+    # queries remain), q_skew_salted_sum / q_udaf_grouped (family
+    # reps), q_groupby_sum / q_filter_pred (sub-100-ms canaries).
+    # Ever-driver-scored union after this round: 142 of 233.
     "q_groupby_sum", "q_udaf_grouped", "q_skew_salted_sum",
-    "q_tpch_q5_shape", "q_multimodal_meta", "q_scan_parquet",
-    "q_project_arith", "q_filter_pred", "q_scalar_pack_str",
-    "q_ann_pq", "q_minhash_dedup", "q_sort_global",
-    "q_stream_tumbling", "q_bpe_encode", "q_tpch_q1",
-    "q_window_rolling", "q_cogroup_udf", "q_skew_salted_collect",
-    "q_join_inner", "q_multimodal_frames", "q_scan_pushdown_ts",
-    "q_union_missing_cols", "q_kmeans_step", "q_neardup_embedding",
-    "q_topk", "q_stream_sliding", "q_text_stats",
-    "q_tpch_q6", "q_window_time_range", "q_groupby_std",
-    "q_explode_udtf", "q_skew_salted_nunique", "q_join_broadcast",
-    "q_multimodal_features", "q_array_pack", "q_cosine_sim",
-    "q_semdedup", "q_stream_session", "q_bm25_topk",
-    "q_nearest_centroid_classify", "q_pmi_collocations",
-    "q_ngram_span_dedup", "q_tpch_q21", "q_retention_cohort",
-    "q_pagerank_items", "q_ppjoin_neardup", "q_bloom_decontaminate",
-    "q_hll_merge", "q_mrl_recall", "q_als_user_step",
+    "q_scan_parquet", "q_filter_pred",
+    "q_kaplan_meier", "q_basket_pairs", "q_bootstrap_ci",
+    "q_rfm_segmentation", "q_crosstab",
+    "q_minhash_pairs", "q_dedup_components", "q_neardup_blocked",
+    "q_simhash", "q_dedup_keep_best",
+    "q_stratified_sample",
+    "q_join_asof_forward", "q_join_asof_tolerance", "q_merge_indicator",
+    "q_multimodal_avi", "q_multimodal_jpeg", "q_multimodal_wav",
+    "q_skew_salted_join", "q_repartition_sorted",
+    "q_melt_unpivot",
+    "q_scalar_pack_str2",
+    "q_json_full_parse", "q_struct_ops",
+    "q_except",
+    "q_ann_ivf", "q_ann_recall", "q_jl_projection",
+    "q_group_head", "q_zorder_cluster",
+    "q_stream_stateful", "q_stream_stream_join",
+    "q_curation_pipeline", "q_countmin_heavy_hitters",
+    "q_tfidf_topterms", "q_gopher_rules", "q_dsir_lift",
+    "q_inverted_index",
+    "q_tpch_q9", "q_tpch_q8", "q_tpch_q7",
+    "q_python_udtf", "q_arrow_batch_stats",
+    "q_peak_concurrency", "q_multitouch_attribution",
+    "q_acf_daily_revenue",
 ]
 
 

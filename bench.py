@@ -105,6 +105,44 @@ EXTRA = [
     "q_ppjoin_neardup",          # exact prefix-filtered similarity join (r5)
 ]
 
+# Frozen per-query anchors for the EXTRA set (r6 VERDICT item 8): the
+# headline gates against the r2 anchor table in BASELINE.md, but extras
+# had nothing to gate against, so drifts (pagerank r5->r6 +23%) were
+# only caught by judge eyeballing.  Values are the driver-recorded
+# BENCH_r06 extras at sf0.1/local[32]; a run where min-of-RUNS exceeds
+# anchor * 1.4 is flagged in the BENCH_DIAG sidecar ("regressions").
+EXTRA_ANCHORS = {
+    "q_ann_pq": 1.0383,
+    "q_kmeans_step": 1.1795,
+    "q_semdedup": 1.4238,
+    "q_bm25_topk": 0.5608,
+    "q_nearest_centroid_classify": 1.2235,
+    "q_pagerank_items": 2.0499,
+    "q_bloom_decontaminate": 1.3757,
+    "q_tpch_q21": 0.9426,
+    "q_ppjoin_neardup": 1.6344,
+}
+
+
+def _gc_millis(spark) -> int:
+    """Cumulative JVM GC time (ms) across all collectors, via the
+    in-process management beans (local mode: driver JVM == executor
+    JVM, so this covers task-side GC too).  Per-sample deltas separate
+    'slow because collecting garbage' from hypervisor steal and
+    replans in the BENCH_DIAG sidecar (r6 VERDICT item 5: ppjoin/q21
+    samples showed 5x spreads with steal_ms~0 and identical plans)."""
+    try:
+        beans = (
+            spark._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        return sum(
+            max(0, beans.get(i).getCollectionTime())
+            for i in range(beans.size())
+        )
+    except Exception:
+        return 0
+
 
 def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
@@ -136,6 +174,7 @@ def main() -> None:
     for rnd in range(RUNS + 2):
         for name in timed:
             s0 = _steal_ticks()
+            g0 = _gc_millis(spark)
             t0 = time.perf_counter()
             # full execution forced via a one-row count AGGREGATE built
             # ON the query frame and collect()ed: unlike Dataset.count()
@@ -152,6 +191,7 @@ def main() -> None:
                 {
                     "sec": round(sec, 4),
                     "steal_ms": round((_steal_ticks() - s0) * 1000 / clk_tck),
+                    "gc_ms": _gc_millis(spark) - g0,
                     "plan": _plan_digest(df),
                     "warmup": rnd <= 1,
                 }
@@ -167,11 +207,22 @@ def main() -> None:
     # embedding "samples" in the stdout line grows it past the driver's
     # tail capture and the truncated JSON parses as null (VERDICT r4 §1).
     diag_path = os.environ.get("BENCH_DIAG_PATH", "BENCH_DIAG.json")
+    # anchors are sf0.1/local[32] measurements: only meaningful there
+    regressions = (
+        {
+            n: {"sec": extra[n], "anchor": a, "ratio": round(extra[n] / a, 2)}
+            for n, a in EXTRA_ANCHORS.items()
+            if n in extra and extra[n] > a * 1.4
+        }
+        if sf == 0.1
+        else {}
+    )
     try:
         with open(diag_path, "w") as f:
             json.dump(
                 {
                     "samples": samples,
+                    "regressions": regressions,
                     "host": {"clk_tck": clk_tck, "cpus": os.cpu_count()},
                 },
                 f,

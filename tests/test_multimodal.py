@@ -298,3 +298,50 @@ def test_jpeg_420_subsampling_roundtrip():
     rng = np.random.default_rng(5)
     odd = rng.integers(0, 256, (13, 19, 3), dtype=np.uint8)
     assert dec(enc(odd, subsample="420")).shape == (13, 19, 3)
+
+
+def test_mjpeg_codec_flat_exact_and_container_errors():
+    """MJPEG-in-AVI (round 7): flat frames round-trip EXACTLY through
+    per-frame baseline JPEG in '00dc' chunks (DC-only blocks, quant
+    step 1); container-level guards — fourcc mismatch, frame-count
+    mismatch, truncation — raise typed ValueErrors."""
+    import numpy as np
+    import pytest
+
+    from dask_cudf_spark.operators.multimodal import (
+        build_avi_codec,
+        build_mjpeg_codec,
+    )
+
+    enc, dec = build_mjpeg_codec()
+    frames = [np.full((8, 8), v, dtype=np.uint8) for v in (0, 255, 17)]
+    m = dec(enc(frames, fps=10))
+    assert m == {
+        "width": 8,
+        "height": 8,
+        "n_frames": 3,
+        "fps": 10,
+        "duration_us": 300000,
+        "sum_pix": 64 * (0 + 255 + 17),
+        "min_pix": 0,
+        "max_pix": 255,
+    }
+    # a real compressed stream: non-flat frames decode within JPEG loss
+    rng = np.random.default_rng(7)
+    noisy = [
+        rng.integers(0, 256, (16, 24), dtype=np.uint8) for _ in range(2)
+    ]
+    m2 = dec(enc(noisy))
+    assert (m2["width"], m2["height"], m2["n_frames"]) == (24, 16, 2)
+    # uncompressed AVI is NOT an MJPEG stream (fourcc guard)
+    enc_avi, _ = build_avi_codec()
+    with pytest.raises(ValueError, match="fccHandler"):
+        dec(enc_avi([bytes(64)], 8, 8))
+    # frame-count lies are caught
+    buf = bytearray(enc(frames))
+    i = buf.find(b"avih") + 8 + 16  # dwTotalFrames field
+    buf[i : i + 4] = (7).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="frame count mismatch"):
+        dec(bytes(buf))
+    with pytest.raises(ValueError, match="truncated|RIFF"):
+        dec(bytes(enc(frames))[:40])

@@ -77,7 +77,8 @@ _PINNED_WINDOW = [
     # round-7 entry.  Pins: q_scan_parquet (no never-scored scan
     # queries remain), q_skew_salted_sum / q_udaf_grouped (family
     # reps), q_groupby_sum / q_filter_pred (sub-100-ms canaries).
-    # Ever-driver-scored union after this round: 142 of 233.
+    # Ever-driver-scored union after this round: 142 of 234
+    # (q_multimodal_mjpeg registered this round, outside the window).
     "q_groupby_sum", "q_udaf_grouped", "q_skew_salted_sum",
     "q_scan_parquet", "q_filter_pred",
     "q_kaplan_meier", "q_basket_pairs", "q_bootstrap_ci",

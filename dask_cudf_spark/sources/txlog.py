@@ -38,7 +38,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class CommitConflict(Exception):
-    """Another writer committed this version first; retry."""
+    """Another writer committed this version first; retrying the SAME
+    call is safe and is what commit()'s internal loop does before
+    giving up and surfacing this."""
+
+
+class ConcurrentModification(CommitConflict):
+    """The table's live set changed between this operation's log
+    snapshot and its commit attempt, so the operation's output was
+    computed against stale state.  Retrying the same call is NOT
+    sufficient: the caller must RECOMPUTE against the current snapshot
+    (re-run the merge/optimize).  Same contract as Delta's
+    ConcurrentAppendException.  Subclasses CommitConflict so existing
+    ``except CommitConflict`` handlers still see both."""
 
 
 def _jfs(spark: SparkSession, path: str):
@@ -336,7 +348,7 @@ def merge_by_key(
             # A concurrent writer committed since our snapshot: the
             # survivor list is stale and committing it would drop that
             # writer's data.  Abort — never silently lose a commit.
-            raise CommitConflict(
+            raise ConcurrentModification(
                 f"concurrent commit detected on {path} during merge; "
                 "live set changed since the merge snapshot — re-run "
                 "the merge against the current table state"
@@ -399,7 +411,7 @@ def optimize(
             # Same detect-and-abort as merge_by_key: a concurrent
             # append's rows would otherwise vanish from the compacted
             # overwrite.
-            raise CommitConflict(
+            raise ConcurrentModification(
                 f"concurrent commit detected on {path} during optimize; "
                 "live set changed since the compaction snapshot — "
                 "re-run optimize against the current table state"
@@ -443,7 +455,15 @@ def vacuum(
     commit, not garbage — deleting it would let that commit succeed
     pointing at vanished data.  Dirs whose modification time is within
     the grace window are never deleted; pass 0 only when no concurrent
-    writer can exist (single-writer maintenance window)."""
+    writer can exist (single-writer maintenance window).
+
+    Age is measured against the FILESYSTEM's clock, not the driver's:
+    "now" is the mtime of a probe file written just before the sweep,
+    so the grace comparison is same-clock even on remote filesystems
+    (s3a/hdfs) whose server time is skewed from the driver — a skewed
+    driver wall-clock could otherwise under-estimate a fresh in-flight
+    commit dir's age and delete it.  Falls back to driver time if the
+    probe can't be written."""
     import time as _time
 
     entries = _read_log(spark, path)
@@ -461,6 +481,15 @@ def vacuum(
     if not fs.exists(data_root):
         return 0
     now_ms = _time.time() * 1000.0
+    probe = jvm.org.apache.hadoop.fs.Path(
+        f"{base}/data/.vacuum-probe-{uuid.uuid4().hex}"
+    )
+    try:
+        fs.create(probe, True).close()
+        now_ms = float(fs.getFileStatus(probe).getModificationTime())
+        fs.delete(probe, False)
+    except Exception:
+        pass  # driver-clock fallback (local fs shares the clock anyway)
     for st in fs.listStatus(data_root):
         d = f"data/{st.getPath().getName()}"
         if d in reachable:

@@ -41,9 +41,14 @@ def kafka_events_reader(
     no kafka artifact) and has no network to fetch one, so even a
     loopback stub broker could not exercise ``.load()`` — the source
     cannot be instantiated at all, which is why the boundary sits at
-    reader construction + wire-format parse (both tested).  On any
-    normal deployment (``--packages org.apache.spark:spark-sql-kafka-
-    0-10_2.13``) the returned reader is the complete working source.
+    reader construction + wire-format parse (both tested).  Round 7
+    widened the probe to a HOST-WIDE filesystem search (``find / -name
+    '*kafka*.jar'`` and any jar under a kafka path, plus ~/.ivy2):
+    zero hits — unlike the vendored-protobuf discovery that unblocked
+    transformWithState, there is no Kafka artifact anywhere to wire in
+    via ``spark.jars``.  On any normal deployment (``--packages
+    org.apache.spark:spark-sql-kafka-0-10_2.13``) the returned reader
+    is the complete working source.
 
     maxOffsetsPerTrigger is the backpressure knob: at cluster scale it
     bounds each micro-batch so one slow batch can't snowball."""

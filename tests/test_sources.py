@@ -548,10 +548,15 @@ def test_txlog_concurrent_commit_aborts_merge(spark, tmp_path, monkeypatch):
     from dask_cudf_spark.sources import txlog
     from dask_cudf_spark.sources.txlog import (
         CommitConflict,
+        ConcurrentModification,
         commit,
         merge_by_key,
         read_snapshot,
     )
+
+    # ADVICE r6: the stale-snapshot abort is a DISTINCT type from the
+    # retryable commit race, but still catchable as CommitConflict
+    assert issubclass(ConcurrentModification, CommitConflict)
 
     path = str(tmp_path / "txrace")
     base = spark.range(0, 10).withColumnRenamed("id", "k").withColumn(
@@ -585,7 +590,7 @@ def test_txlog_concurrent_commit_aborts_merge(spark, tmp_path, monkeypatch):
         return log
 
     monkeypatch.setattr(txlog, "_read_log", racing)
-    with pytest.raises(CommitConflict, match="concurrent commit"):
+    with pytest.raises(ConcurrentModification, match="concurrent commit"):
         merge_by_key(upd, path, "k")
     monkeypatch.setattr(txlog, "_read_log", real)
     # the concurrent append's rows are intact: nothing was lost

@@ -18,6 +18,7 @@ from .multimodal import (
     resample_signal,
     sample_frames,
 )
+from .ranking import global_ntile, global_row_number
 from .similarity import centroids, cosine_topk, ivf_topk, lsh_bucket_topk
 from .skew import (
     salted_collect,
@@ -43,6 +44,8 @@ __all__ = [
     "lsh_bucket_topk",
     "ivf_topk",
     "centroids",
+    "global_row_number",
+    "global_ntile",
     "salted_sum",
     "salted_join",
     "salted_collect",

@@ -1790,11 +1790,13 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (not just invariant) — the per-code counts hash
     exactly.
 
-    Scale: one user_id rollup shuffle; the three quintile windows
-    order the |users| reduced rows (global windows at this
-    cardinality; range-partitioned rank at extreme user counts); the
+    Scale: one user_id rollup shuffle; the three quintiles each run as
+    the DISTRIBUTED exact ntile (operators/ranking.py: range exchange
+    + bounded prefix offsets + partition-local window — round 7; the
+    single-partition NTILE funnel this replaced cannot hold a
+    100-TB-scale user table), recombined by user_id equi-joins; the
     code rollup is <= 125 rows."""
-    from pyspark.sql import Window
+    from ..operators.ranking import global_ntile
 
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
@@ -1807,12 +1809,16 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_c"
         ),
     )
-    r = F.ntile(5).over(Window.orderBy(F.desc("recency_s"), F.asc("user_id")))
-    f = F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.asc("user_id")))
-    m = F.ntile(5).over(Window.orderBy(F.asc("monetary_c"), F.asc("user_id")))
-    scored = per_user.select(
-        "user_id", r.alias("r"), f.alias("f"), m.alias("m")
-    )
+    r = global_ntile(
+        per_user, 5, [F.desc("recency_s"), F.asc("user_id")], out="r"
+    ).select("user_id", "r")
+    f = global_ntile(
+        per_user, 5, [F.asc("frequency"), F.asc("user_id")], out="f"
+    ).select("user_id", "f")
+    m = global_ntile(
+        per_user, 5, [F.asc("monetary_c"), F.asc("user_id")], out="m"
+    ).select("user_id", "m")
+    scored = r.join(f, "user_id").join(m, "user_id")
     return scored.groupBy(
         (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).alias("rfm_code")
     ).agg(F.count("*").alias("n_users"))

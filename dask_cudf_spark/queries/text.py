@@ -1728,19 +1728,28 @@ def q_qcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin replays it bit-for-bit.  Ties at bucket edges split by the
     tiebreak keys rather than pandas' value-edge rule — documented
     divergence; the equal-count property (the reason qcut exists) is
-    exact.  Scale note: a global ntile is a single-partition sort — at
-    100 TB use the two-phase variant: approx percentile edges
-    (q_approx_quantile) broadcast + a map-side bucket lookup, trading
-    exact equal counts for full parallelism."""
+    exact.  Scale (round 7): runs as the DISTRIBUTED exact ntile
+    (operators/ranking.py — range exchange + bounded prefix offsets +
+    partition-local window) over the FULL fact table; the previous
+    single-partition NTILE funnel could never hold lineitem at
+    100 TB, and the approx-edges fallback the old note suggested is
+    no longer needed — exact equal counts survive at full
+    parallelism."""
+    from ..operators.ranking import global_ntile
+
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
-    )
-    return li.select(
+    order = [
+        F.asc("l_extendedprice"),
+        F.asc("l_orderkey"),
+        F.asc("l_linenumber"),
+        F.asc("l_partkey"),
+        F.asc("l_suppkey"),
+    ]
+    return global_ntile(li, 4, order, out="__q").select(
         "l_orderkey",
         "l_linenumber",
         "l_partkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.col("__q").cast("long").alias("quartile"),
     )
 
 
@@ -2157,10 +2166,14 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic rarity rank) — the selective-term slice a real
     index would shard; common-term postings stay distributed.
 
-    Scale: one (token, doc) tf shuffle; the vocabulary rollup is
-    tiny and re-joined by BROADCAST; posting-list assembly
-    (sort + join) happens per surviving token only.  The oracle
-    replays the list as an ORDER BY'd string_agg."""
+    Scale: one (token, doc) tf shuffle; the 10 rarest terms are
+    selected by ``orderBy().limit(10)`` — TakeOrderedAndProject, a
+    distributed per-partition top-k + driver merge (round 7: this
+    replaced a rank-then-filter global window, which funneled the
+    WHOLE vocabulary — Heaps-law-large at 100 TB — through one
+    partition to keep 10 rows); posting-list assembly (sort + join)
+    happens per surviving token only.  The oracle replays the list
+    as an ORDER BY'd string_agg."""
     d = load_table(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
@@ -2168,12 +2181,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     vocab = tf.groupBy("token").agg(F.count("*").alias("df"))
-    wv = Window.orderBy(F.asc("df"), F.asc("token"))
-    rare = (
-        vocab.withColumn("rarity_rank", F.row_number().over(wv))
-        .filter(F.col("rarity_rank") <= 10)
-        .select("token", "df")
-    )
+    rare = vocab.orderBy(F.asc("df"), F.asc("token")).limit(10)
     return (
         tf.join(F.broadcast(rare), "token")
         .groupBy("token", "df")
@@ -2927,18 +2935,20 @@ def q_dsir_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("df").cast("long").alias("n_tokens"),
         )
     )
-    w = Window.orderBy(
-        F.desc(F.expr("raw_s6 div n_tokens")), F.asc("doc_id")
+    # top-20 FIRST (TakeOrderedAndProject, distributed), then rank the
+    # bounded 20-row result — round 7: the previous form ranked EVERY
+    # document through a single-partition window before the limit
+    scored = score.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("raw_s6 div n_tokens").alias("weight_s6"),
     )
+    top = scored.orderBy(F.desc("weight_s6"), F.asc("doc_id")).limit(20)
+    w = Window.orderBy(F.desc("weight_s6"), F.asc("doc_id"))
     return (
-        score.select(
-            "doc_id",
-            "n_tokens",
-            F.expr("raw_s6 div n_tokens").alias("weight_s6"),
-            F.row_number().over(w).cast("long").alias("rank"),
-        )
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", "n_tokens", "weight_s6", "rank")
         .orderBy("rank")
-        .limit(20)
     )
 
 

@@ -196,6 +196,7 @@ _PYTHON_OK = {
     "q_multimodal_jpeg",     # REAL baseline JPEG codec in mapInPandas (r5)
     "q_multimodal_png",      # REAL PNG decode in mapInPandas (r4)
     "q_multimodal_avi",      # REAL RIFF/AVI decode in mapInPandas (r4)
+    "q_multimodal_mjpeg",    # REAL MJPEG-in-AVI decode in mapInPandas (r7)
 }
 # queries that intentionally build a cartesian/nested-loop product
 _CARTESIAN_OK = {"q_join_cross"}

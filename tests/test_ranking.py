@@ -1,0 +1,87 @@
+"""Distributed exact global ranking (operators/ranking.py, round 7):
+bit-equality against the single-partition window ground truth, NTILE
+edge cases, and the plan contract (no full-data Exchange
+SinglePartition)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dask_cudf_spark.operators.ranking import global_ntile, global_row_number
+
+
+def _same(a, b) -> bool:
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+@pytest.fixture()
+def frame(spark):
+    # adversarial: heavy ties in v (1000 distinct over 10007 rows), so
+    # correctness leans on the tiebreaker key and on range-partition
+    # boundaries landing mid-tie-group
+    return spark.range(0, 10007).select(
+        (F.hash("id") % 1000).alias("v"), F.col("id").alias("k")
+    )
+
+
+def test_global_row_number_matches_window(spark, frame):
+    order = [F.asc("v"), F.asc("k")]
+    got = global_row_number(frame, order, out="rank")
+    exp = frame.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("long")
+    )
+    assert _same(got, exp)
+
+
+def test_global_row_number_desc_order(spark, frame):
+    order = [F.desc("v"), F.asc("k")]
+    got = global_row_number(frame, order, out="rank")
+    exp = frame.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("long")
+    )
+    assert _same(got, exp)
+
+
+@pytest.mark.parametrize("n", [2, 5, 7, 13])
+def test_global_ntile_matches_window(spark, frame, n):
+    order = [F.asc("v"), F.asc("k")]
+    got = global_ntile(frame, n, order, out="t")
+    exp = frame.withColumn("t", F.ntile(n).over(Window.orderBy(*order)))
+    assert _same(got, exp)
+
+
+def test_global_ntile_fewer_rows_than_tiles(spark):
+    tiny = spark.range(0, 3).select(
+        F.col("id").alias("v"), F.col("id").alias("k")
+    )
+    got = global_ntile(tiny, 5, [F.asc("v"), F.asc("k")], out="t")
+    exp = tiny.withColumn(
+        "t", F.ntile(5).over(Window.orderBy(F.asc("v"), F.asc("k")))
+    )
+    assert _same(got, exp)
+
+
+def test_plan_has_no_full_data_single_partition(spark, frame):
+    """The contract that makes the operator worth having: the ranked
+    DATA never funnels through one partition.  The only allowed
+    SinglePartition exchange is the bounded per-partition-counts
+    prefix sum (<= spark.sql.shuffle.partitions rows), which feeds the
+    BROADCAST side of the offsets join — so the plan's window over the
+    data must be keyed (partitioned) and the single-partition subtree
+    must end in a broadcast exchange."""
+    got = global_row_number(frame, [F.asc("v"), F.asc("k")], out="rank")
+    got.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString echoes the pre-adaptive plan after the final one;
+    # assert on the FINAL section only
+    plan = plan.split("== Initial Plan ==")[0]
+    # exactly one SinglePartition exchange: the counts prefix-sum
+    assert plan.count("SinglePartition") == 1
+    # the data-bearing window is partition-keyed (has a partitionBy)
+    assert "windowspecdefinition(__pid" in plan
+    # the ranked data reaches the window via range + pid-hash
+    # exchanges, never via the SinglePartition one
+    assert "rangepartitioning" in plan
+    assert "hashpartitioning(__pid" in plan

@@ -698,6 +698,49 @@ class Frame:
         keys = [columns] if isinstance(columns, str) else list(columns)
         return Frame(self._sdf.orderBy(*[F.asc(k) for k in keys]).limit(n))
 
+    def rank(
+        self,
+        col: str,
+        method: str = "average",
+        ascending: bool = True,
+        pct: bool = False,
+        out: str | None = None,
+    ) -> "Frame":
+        """cudf/pandas ``rank`` over the WHOLE frame (no group key):
+        method in {'average','min','max','dense'}, optional percentile
+        scaling (rank / row count, pandas semantics).  Runs as the
+        fully distributed tie-aware ranking in operators/ranking.py —
+        distinct values carry tie counts through a range-partitioned
+        prefix sum; the data itself never funnels through one
+        partition (the plan a bare RANK() OVER (ORDER BY ...) would
+        produce).  Upstream: cudf DataFrame.rank /
+        cpp/src/sorts/rank.cu RANK_METHOD."""
+        from .operators.ranking import global_rank_methods
+
+        methods = ("average", "min", "max", "dense")
+        if method not in methods:
+            raise ValueError(f"method must be one of {methods}")
+        key = {"average": "avg"}.get(method, method)
+        out = out or f"{col}_rank"
+        ranked = global_rank_methods(
+            self._sdf, col, ascending=ascending, prefix="__rank_"
+        )
+        expr = F.col(f"__rank_{key}")
+        if pct:
+            # pandas parity: dense pct divides by the DISTINCT count
+            # (so the top group lands exactly at 1.0), the other
+            # methods by the row count
+            denom = (
+                F.count_distinct(F.col(col))
+                if method == "dense"
+                else F.count("*")
+            )
+            n = ranked.groupBy().agg(denom.alias("__N"))
+            ranked = ranked.crossJoin(F.broadcast(n))
+            expr = expr / F.col("__N")
+        keep = [c for c in ranked.columns if not c.startswith("__")]
+        return Frame(ranked.withColumn(out, expr).select(*keep, out))
+
     def head(self, n: int = 5) -> pd.DataFrame:
         return self._sdf.limit(n).toPandas()
 

@@ -37,7 +37,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_row_number", "global_ntile"]
+__all__ = [
+    "global_row_number",
+    "global_ntile",
+    "global_cumsum",
+    "global_rank_methods",
+]
 
 
 def _ranked_with_offsets(
@@ -98,3 +103,75 @@ def global_ntile(
         .withColumn(out, tile.cast("int"))
         .drop("__rk", "__N")
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[Column],
+    sum_col: str,
+    out: str = "cumsum",
+) -> DataFrame:
+    """Exact global running sum of ``sum_col`` in ``order_cols`` order,
+    distributed the same two-phase way: per-partition sums -> bounded
+    prefix offsets -> partition-local cumulative window + offset."""
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    psums = ranged.groupBy("__pid").agg(F.sum(sum_col).alias("__s"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = psums.select(
+        "__pid",
+        F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            out,
+            (F.sum(sum_col).over(w_local) + F.col("__off")).cast("long"),
+        )
+        .drop("__pid", "__off")
+    )
+
+
+def global_rank_methods(
+    df: DataFrame,
+    value_col: str,
+    ascending: bool = True,
+    prefix: str = "rank_",
+) -> DataFrame:
+    """Tie-aware GLOBAL ranks — cudf ``DataFrame.rank``'s four methods
+    (upstream: cpp/src/sorts/rank.cu RANK_METHOD) with no partition
+    key, fully distributed.  Ranks only the DISTINCT values (with tie
+    counts), derives every method from the running tie count, and
+    equi-joins the per-value ranks back onto the rows:
+
+      dense = global row number of the distinct value
+      max   = inclusive running sum of tie counts
+      min   = max - ties + 1
+      avg   = (min + max) / 2  (exact: .5 fractions are representable)
+
+    Adds ``<prefix>min/max/avg/dense`` columns.  Ties make min/max/avg
+    diverge, which is the whole point of the method family; the
+    distinct table is what shuffles (bounded by value cardinality),
+    the full data moves only through the final equi-join."""
+    order = [F.asc(value_col) if ascending else F.desc(value_col)]
+    g = df.groupBy(value_col).agg(F.count("*").alias("__ties"))
+    g = global_row_number(g, order, out="__dense")
+    g = global_cumsum(g, order, "__ties", out="__cmax")
+    ranks = g.select(
+        value_col,
+        (F.col("__cmax") - F.col("__ties") + 1).alias(f"{prefix}min"),
+        F.col("__cmax").alias(f"{prefix}max"),
+        (
+            (2 * F.col("__cmax") - F.col("__ties") + 1) / 2.0
+        ).alias(f"{prefix}avg"),
+        F.col("__dense").alias(f"{prefix}dense"),
+    )
+    return df.join(ranks, value_col)

@@ -1537,3 +1537,52 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank")
         .limit(10)
     )
+
+
+@register(
+    "q_rank_global",
+    family="window",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS BIGINT) AS qty,
+               CAST(RANK() OVER w AS BIGINT) AS rank_min,
+               CAST(RANK() OVER w + COUNT(*) OVER t - 1 AS BIGINT)
+                   AS rank_max,
+               RANK() OVER w + (COUNT(*) OVER t - 1) / 2.0 AS rank_avg,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS rank_dense
+        FROM lineitem
+        WINDOW w AS (ORDER BY CAST(l_quantity AS BIGINT)),
+               t AS (PARTITION BY CAST(l_quantity AS BIGINT))
+    """,
+)
+def q_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL tie-aware rank — cudf rank(method=min|max|average|dense)
+    with NO group key (upstream: cpp/src/sorts/rank.cu RANK_METHOD),
+    over a fact-table column with massive ties (~50 distinct
+    quantities across every lineitem row).  q_rank_methods covers the
+    per-group form; this is the one that breaks naive plans at scale:
+    a bare RANK() OVER (ORDER BY ...) funnels the whole fact table
+    through Exchange SinglePartition.  Runs instead as the
+    distributed tie-aware ranking (operators/ranking.py
+    global_rank_methods): distinct values carry tie counts through a
+    range-partitioned prefix sum; the fact rows move only through the
+    final equi-join.  All four methods derived exactly (avg's .5
+    fractions are representable doubles), replayed bit-for-bit by the
+    oracle's RANK/DENSE_RANK/tie-count forms."""
+    from ..operators.ranking import global_rank_methods
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    ranked = global_rank_methods(li, "qty", prefix="rank_")
+    return ranked.select(
+        "l_orderkey",
+        "l_linenumber",
+        "qty",
+        "rank_min",
+        "rank_max",
+        "rank_avg",
+        "rank_dense",
+    )

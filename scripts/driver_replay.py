@@ -54,8 +54,17 @@ elif HOSTILE == "noaqe":
     builder = builder.config("spark.sql.adaptive.enabled", "false").config(
         "spark.sql.autoBroadcastJoinThreshold", "-1"
     )
+elif HOSTILE == "noarrow":
+    # Arrow optimization OFF: every pandas_udf / mapInPandas /
+    # applyInPandas / mapInArrow-adjacent path falls back to the
+    # pickle-based serializer — results must be identical
+    builder = builder.config(
+        "spark.sql.execution.arrow.pyspark.enabled", "false"
+    ).config("spark.sql.execution.arrow.pyspark.fallback.enabled", "true")
 elif HOSTILE:
-    raise SystemExit(f"unknown HOSTILE mode: {HOSTILE!r} (tz|noaqe)")
+    raise SystemExit(
+        f"unknown HOSTILE mode: {HOSTILE!r} (tz|noaqe|noarrow)"
+    )
 spark = builder.getOrCreate()
 if HOSTILE:
     print(f"== HOSTILE config: {HOSTILE} ==")

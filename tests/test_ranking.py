@@ -9,7 +9,11 @@ import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from dask_cudf_spark.operators.ranking import global_ntile, global_row_number
+from dask_cudf_spark.operators.ranking import (
+    global_cumsum,
+    global_ntile,
+    global_row_number,
+)
 
 
 def _same(a, b) -> bool:
@@ -85,3 +89,85 @@ def test_plan_has_no_full_data_single_partition(spark, frame):
     # exchanges, never via the SinglePartition one
     assert "rangepartitioning" in plan
     assert "hashpartitioning(__pid" in plan
+
+
+def test_global_cumsum_matches_window(spark, frame):
+    got = global_cumsum(
+        frame.withColumn("w", (F.col("v") % 7) + 1),
+        [F.asc("v"), F.asc("k")],
+        "w",
+        out="cs",
+    )
+    exp = frame.withColumn("w", (F.col("v") % 7) + 1).withColumn(
+        "cs",
+        F.sum("w")
+        .over(
+            Window.orderBy(F.asc("v"), F.asc("k")).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("long"),
+    )
+    assert _same(got, exp)
+
+
+def test_global_rank_methods_match_window(spark):
+    from dask_cudf_spark.operators.ranking import global_rank_methods
+
+    df = spark.range(0, 5000).select(
+        (F.hash("id") % 40).alias("v"), F.col("id").alias("k")
+    )
+    got = global_rank_methods(df, "v")
+    w = Window.orderBy("v")
+    t = Window.partitionBy("v")
+    ties = F.count("*").over(t)
+    rmin = F.rank().over(w)
+    exp = df.select(
+        "v",
+        "k",
+        rmin.cast("long").alias("rank_min"),
+        (rmin + ties - 1).cast("long").alias("rank_max"),
+        (rmin + (ties - 1) / 2.0).alias("rank_avg"),
+        F.dense_rank().over(w).cast("long").alias("rank_dense"),
+    )
+    assert _same(got.select(*exp.columns), exp)
+
+
+def test_frame_rank_pandas_parity(spark):
+    """Frame.rank matches pandas Series.rank for every method, both
+    directions, and pct (incl. the dense-pct distinct-count rule)."""
+    import pandas as pd
+
+    from dask_cudf_spark.frame import Frame
+
+    pdf = pd.DataFrame(
+        {"v": [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5], "k": range(11)}
+    )
+    fr = Frame(spark.createDataFrame(pdf))
+    for method in ("average", "min", "max", "dense"):
+        for asc in (True, False):
+            for pct in (False, True):
+                got = (
+                    fr.rank("v", method=method, ascending=asc, pct=pct)
+                    .compute()
+                    .sort_values("k")["v_rank"]
+                    .astype(float)
+                    .to_numpy()
+                )
+                exp = (
+                    pdf["v"]
+                    .rank(method=method, ascending=asc, pct=pct)
+                    .astype(float)
+                    .to_numpy()
+                )
+                assert (got == exp).all(), (method, asc, pct, got, exp)
+
+
+def test_frame_rank_rejects_unknown_method(spark):
+    import pytest as _pytest
+
+    from dask_cudf_spark.frame import Frame
+
+    fr = Frame(spark.range(3).select(F.col("id").alias("v")))
+    with _pytest.raises(ValueError, match="method"):
+        fr.rank("v", method="first")

@@ -159,13 +159,41 @@ def global_rank_methods(
 
     Adds ``<prefix>min/max/avg/dense`` columns.  Ties make min/max/avg
     diverge, which is the whole point of the method family; the
-    distinct table is what shuffles (bounded by value cardinality),
-    the full data moves only through the final equi-join."""
+    distinct table is what shuffles (bounded by value cardinality —
+    which for continuous columns approaches data size, so the dense
+    row-number and the tie-count running sum are FUSED into a single
+    ranged pass: one range exchange, one pid exchange, both prefix
+    offsets from the same bounded per-partition rollup); the full
+    data moves only through the final equi-join."""
     order = [F.asc(value_col) if ascending else F.desc(value_col)]
     g = df.groupBy(value_col).agg(F.count("*").alias("__ties"))
-    g = global_row_number(g, order, out="__dense")
-    g = global_cumsum(g, order, "__ties", out="__cmax")
-    ranks = g.select(
+    ranged = g.repartitionByRange(*order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    per = ranged.groupBy("__pid").agg(
+        F.count("*").alias("__n"), F.sum("__ties").alias("__s")
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per.select(
+        "__pid",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offn"),
+        F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__offs"),
+    )
+    w_rn = Window.partitionBy("__pid").orderBy(*order)
+    w_cum = w_rn.rowsBetween(Window.unboundedPreceding, 0)
+    g2 = ranged.join(F.broadcast(offsets), "__pid").select(
+        value_col,
+        "__ties",
+        (F.row_number().over(w_rn) + F.col("__offn"))
+        .cast("long")
+        .alias("__dense"),
+        (F.sum("__ties").over(w_cum) + F.col("__offs"))
+        .cast("long")
+        .alias("__cmax"),
+    )
+    ranks = g2.select(
         value_col,
         (F.col("__cmax") - F.col("__ties") + 1).alias(f"{prefix}min"),
         F.col("__cmax").alias(f"{prefix}max"),

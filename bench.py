@@ -103,6 +103,8 @@ EXTRA = [
     "q_bloom_decontaminate",     # fixed-bitset decontamination (r5)
     "q_tpch_q21",                # single-partitioning rewrite (r5)
     "q_ppjoin_neardup",          # exact prefix-filtered similarity join (r5)
+    "q_qcut",                    # distributed exact NTILE over the fact table (r7)
+    "q_rank_global",             # distributed tie-aware global rank (r7)
 ]
 
 # Frozen per-query anchors for the EXTRA set (r6 VERDICT item 8): the

@@ -705,26 +705,43 @@ class Frame:
         ascending: bool = True,
         pct: bool = False,
         out: str | None = None,
+        tiebreak: str | None = None,
     ) -> "Frame":
         """cudf/pandas ``rank`` over the WHOLE frame (no group key):
-        method in {'average','min','max','dense'}, optional percentile
-        scaling (rank / row count, pandas semantics).  Runs as the
-        fully distributed tie-aware ranking in operators/ranking.py —
-        distinct values carry tie counts through a range-partitioned
-        prefix sum; the data itself never funnels through one
-        partition (the plan a bare RANK() OVER (ORDER BY ...) would
-        produce).  Upstream: cudf DataFrame.rank /
-        cpp/src/sorts/rank.cu RANK_METHOD."""
-        from .operators.ranking import global_rank_methods
+        method in {'average','min','max','dense','first'}, optional
+        percentile scaling (rank / row count, pandas semantics).  Runs
+        as the fully distributed tie-aware ranking in
+        operators/ranking.py — distinct values carry tie counts
+        through a range-partitioned prefix sum; the data itself never
+        funnels through one partition (the plan a bare RANK() OVER
+        (ORDER BY ...) would produce).  ``method='first'`` requires an
+        explicit ``tiebreak`` column: pandas breaks ties by physical
+        row order, which a distributed frame does not have — the same
+        explicit-axis contract as ffill/diff.  Upstream: cudf
+        DataFrame.rank / cpp/src/sorts/rank.cu RANK_METHOD."""
+        from .operators.ranking import global_rank_methods, global_row_number
 
-        methods = ("average", "min", "max", "dense")
+        methods = ("average", "min", "max", "dense", "first")
         if method not in methods:
             raise ValueError(f"method must be one of {methods}")
-        key = {"average": "avg"}.get(method, method)
         out = out or f"{col}_rank"
-        ranked = global_rank_methods(
-            self._sdf, col, ascending=ascending, prefix="__rank_"
-        )
+        if method == "first":
+            if tiebreak is None:
+                raise ValueError(
+                    "method='first' needs tiebreak= (a column giving "
+                    "the row order pandas would use) — a distributed "
+                    "frame has no physical row order"
+                )
+            order = [
+                F.asc(col) if ascending else F.desc(col),
+                F.asc(tiebreak),
+            ]
+            ranked = global_row_number(self._sdf, order, out="__rank_first")
+        else:
+            ranked = global_rank_methods(
+                self._sdf, col, ascending=ascending, prefix="__rank_"
+            )
+        key = {"average": "avg"}.get(method, method)
         expr = F.col(f"__rank_{key}")
         if pct:
             # pandas parity: dense pct divides by the DISTINCT count

@@ -163,6 +163,35 @@ def test_frame_rank_pandas_parity(spark):
                 assert (got == exp).all(), (method, asc, pct, got, exp)
 
 
+def test_frame_rank_first_with_tiebreak(spark):
+    """method='first' matches pandas when the tiebreak column IS the
+    physical row order pandas uses; without a tiebreak it refuses (a
+    distributed frame has no row order to break ties by)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from dask_cudf_spark.frame import Frame
+
+    pdf = pd.DataFrame(
+        {"v": [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5], "k": range(11)}
+    )
+    fr = Frame(spark.createDataFrame(pdf))
+    for asc in (True, False):
+        got = (
+            fr.rank("v", method="first", ascending=asc, tiebreak="k")
+            .compute()
+            .sort_values("k")["v_rank"]
+            .astype(float)
+            .to_numpy()
+        )
+        exp = (
+            pdf["v"].rank(method="first", ascending=asc).astype(float).to_numpy()
+        )
+        assert (got == exp).all(), (asc, got, exp)
+    with _pytest.raises(ValueError, match="tiebreak"):
+        fr.rank("v", method="first")
+
+
 def test_frame_rank_rejects_unknown_method(spark):
     import pytest as _pytest
 
@@ -170,4 +199,4 @@ def test_frame_rank_rejects_unknown_method(spark):
 
     fr = Frame(spark.range(3).select(F.col("id").alias("v")))
     with _pytest.raises(ValueError, match="method"):
-        fr.rank("v", method="first")
+        fr.rank("v", method="percentile")

@@ -73,6 +73,11 @@ PROBES = [
     "q_bloom_decontaminate",
     "q_countmin_heavy_hitters",
     "q_dsir_lift",
+    # r7 additions: the distributed exact ranking rewrites — a global
+    # NTILE/rank over the FULL fact table is exactly the shape the
+    # single-partition window form could never scale
+    "q_qcut",
+    "q_rank_global",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -214,3 +214,50 @@ def test_block_pool_scaled_means_exact(payload, factor):
         assert int(blocks[i].min()) * 10000 <= int(s4[i]) <= int(blocks[i].max()) * 10000
         # scaled mean is exactly sum * 10000 / factor (no remainder)
         assert int(s4[i]) * factor == int(sums[i]) * 10000
+
+
+# ------------------------------------------------ operators/ranking.py
+
+
+@given(st.integers(1, 5000), st.integers(1, 64))
+def test_ntile_closed_form_matches_sql_tile_rule(N, n):
+    """The closed-form tile expression global_ntile builds (q/r/big
+    branches) equals the SQL-standard NTILE rule — first N mod n tiles
+    hold one extra row — for every (row count, tile count), including
+    N < n.  The distributed machinery is window-equivalence-tested in
+    test_ranking; this pins the FORMULA itself across the whole input
+    space."""
+    q, r = divmod(N, n)
+    expected = []
+    for tile in range(1, n + 1):
+        expected.extend([tile] * (q + 1 if tile <= r else q))
+    assert len(expected) == N
+    big = r * (q + 1)
+    for rank in range(1, N + 1):
+        if rank <= big:
+            t = -(-rank // (q + 1))  # ceil
+        else:
+            t = r + -(-(rank - big) // max(q, 1))
+        assert t == expected[rank - 1], (N, n, rank)
+
+
+@given(
+    st.lists(st.integers(-50, 50), min_size=1, max_size=300),
+    st.integers(2, 8),
+)
+def test_two_phase_rank_offsets_recombine(xs, k):
+    """Per-chunk local row numbers + exclusive prefix counts == global
+    row numbers for ANY consecutive split of the sorted data — the
+    invariant that makes global_row_number's range-partitioned
+    recombination exact."""
+    s = sorted(xs)
+    chunks = [
+        s[i * len(s) // k : (i + 1) * len(s) // k] for i in range(k)
+    ]
+    offset = 0
+    global_rank = 0
+    for ch in chunks:
+        for local_rn, _ in enumerate(ch, start=1):
+            global_rank += 1
+            assert local_rn + offset == global_rank
+        offset += len(ch)

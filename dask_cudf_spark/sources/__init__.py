@@ -24,6 +24,7 @@ from .tables import (
     register_temp_views,
     scale_out,
 )
+from .matview import matview_is_fresh, read_matview, refresh_matview
 from .txlog import commit as txlog_commit
 from .txlog import merge_by_key as txlog_merge
 from .txlog import optimize as txlog_optimize
@@ -52,6 +53,9 @@ __all__ = [
     "txlog_vacuum",
     "txlog_read_snapshot",
     "txlog_history",
+    "refresh_matview",
+    "read_matview",
+    "matview_is_fresh",
     "TABLE_NAMES",
     "load_table",
     "load_tables",

@@ -113,6 +113,7 @@ def commit(
     max_retries: int = 5,
     batch_id: int | None = None,
     stats_cols: list[str] | None = None,
+    extra_stats: dict | None = None,
 ) -> int:
     """Write ``df`` as a new commit; returns the committed version.
 
@@ -131,7 +132,12 @@ def commit(
     ``stats_cols`` records per-dir min/max for those columns in the
     commit record (one tiny aggregate over the just-written data) —
     the Iceberg-style file statistics ``read_snapshot``'s ``prune``
-    uses for data skipping."""
+    uses for data skipping.
+
+    ``extra_stats`` merges arbitrary application metadata into the
+    commit's stats blob (e.g. matview refresh watermarks); keys must
+    not collide with data-dir names (they are uuid-prefixed, so any
+    readable label is safe)."""
     if op not in ("append", "overwrite"):
         raise ValueError(f"op must be append|overwrite, got {op!r}")
     spark = df.sparkSession
@@ -156,6 +162,8 @@ def commit(
                 c: [row[f"mn_{c}"], row[f"mx_{c}"]] for c in stats_cols
             }
         }
+    if extra_stats:
+        stats.update(extra_stats)
 
     jvm, fs, _ = _jfs(spark, path)
     last_err: Exception | None = None

@@ -78,6 +78,11 @@ PROBES = [
     # single-partition window form could never scale
     "q_qcut",
     "q_rank_global",
+    # r7: heavy compositions newly inside the driver's scored window
+    "q_curation_pipeline",
+    "q_tpch_q9",
+    "q_peak_concurrency",
+    "q_minhash_pairs",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -617,3 +617,107 @@ def test_txlog_schema_evolution(spark, tmp_path):
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
     old = read_snapshot(spark, path, version=0)
     assert set(old.columns) == {"k", "v"}
+
+
+def test_matview_incremental_refresh_matches_full_recompute(spark, tmp_path):
+    """Incremental MV maintenance (round 7): after every refresh, the
+    stored view equals a from-scratch groupBy over the source
+    snapshot — across several appends, including negative values and
+    new groups appearing mid-stream."""
+    from pyspark.sql import functions as F
+
+    from dask_cudf_spark.sources.matview import (
+        matview_is_fresh,
+        read_matview,
+        refresh_matview,
+    )
+    from dask_cudf_spark.sources.txlog import commit, read_snapshot
+
+    src = str(tmp_path / "mv_src")
+    dst = str(tmp_path / "mv_dst")
+    aggs = {
+        "n": ("count", None),
+        "total": ("sum", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+
+    def batch(lo, hi, kmod):
+        return (
+            spark.range(lo, hi)
+            .select(
+                (F.col("id") % kmod).alias("k"),
+                (F.col("id") * 7 - 40).alias("v"),
+            )
+        )
+
+    commit(batch(0, 50, 3), src, "append")
+    r = refresh_matview(spark, src, dst, ["k"], aggs)
+    assert r["mode"] == "full"  # first build
+    modes = []
+    for lo, hi, kmod in ((50, 120, 3), (120, 200, 5), (200, 201, 7)):
+        commit(batch(lo, hi, kmod), src, "append")
+        modes.append(refresh_matview(spark, src, dst, ["k"], aggs)["mode"])
+        got = read_matview(spark, dst).orderBy("k").collect()
+        exp = (
+            read_snapshot(spark, src)
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("v").alias("total"),
+                F.min("v").alias("lo"),
+                F.max("v").alias("hi"),
+            )
+            .orderBy("k")
+            .collect()
+        )
+        assert [r.asDict() for r in got] == [r.asDict() for r in exp]
+        assert matview_is_fresh(spark, src, dst)
+    assert modes == ["incremental"] * 3  # deltas only, no full rescans
+    # source untouched -> refresh is a no-op
+    assert refresh_matview(spark, src, dst, ["k"], aggs)["mode"] == "noop"
+
+
+def test_matview_overwrite_falls_back_to_full(spark, tmp_path):
+    """A source overwrite/compaction invalidates 'new dirs == new
+    rows'; refresh must detect it and recompute fully (and say so)."""
+    from pyspark.sql import functions as F
+
+    from dask_cudf_spark.sources.matview import (
+        read_matview,
+        refresh_matview,
+    )
+    from dask_cudf_spark.sources.txlog import commit
+
+    src = str(tmp_path / "ow_src")
+    dst = str(tmp_path / "ow_dst")
+    aggs = {"n": ("count", None), "total": ("sum", "v")}
+    df = spark.range(0, 30).select(
+        (F.col("id") % 2).alias("k"), F.col("id").alias("v")
+    )
+    commit(df, src, "append")
+    refresh_matview(spark, src, dst, ["k"], aggs)
+    # overwrite shrinks the table to 5 rows
+    small = spark.range(0, 5).select(
+        F.lit(9).alias("k"), F.col("id").alias("v")
+    )
+    commit(small, src, "overwrite")
+    r = refresh_matview(spark, src, dst, ["k"], aggs)
+    assert r["mode"] == "full"
+    rows = {r["k"]: r["total"] for r in read_matview(spark, dst).collect()}
+    assert rows == {9: 10}  # only the overwrite's rows survive
+
+
+def test_matview_rejects_non_decomposable_aggs(spark, tmp_path):
+    import pytest as _pytest
+
+    from dask_cudf_spark.sources.matview import refresh_matview
+
+    with _pytest.raises(ValueError, match="decomposable"):
+        refresh_matview(
+            spark,
+            str(tmp_path / "x"),
+            str(tmp_path / "y"),
+            ["k"],
+            {"m": ("mean", "v")},
+        )

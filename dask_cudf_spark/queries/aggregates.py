@@ -2851,3 +2851,62 @@ _REG_HLLM = __import__(
     "dask_cudf_spark.registry", fromlist=["REGISTRY"]
 ).REGISTRY
 _REG_HLLM["q_hll_merge"].oracle = _hll_merge_oracle()
+
+
+@register(
+    "q_matview_incremental",
+    family="partitioning",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                    AS BIGINT) AS total_c,
+               CAST(MIN(event_id) AS BIGINT) AS first_id,
+               CAST(MAX(event_id) AS BIGINT) AS last_id
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def q_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance end to end
+    (sources/matview.py, round 7): events load into a txlog table as
+    THREE append commits, the per-event-type aggregate view refreshes
+    after each — first build full, the next two INCREMENTAL
+    (commit-sized delta scans; the query raises if incrementality was
+    lost) — and the final view must equal the oracle's from-scratch
+    groupBy over all events.  Exercises the real maintenance loop:
+    append -> delta aggregate -> partial-merge -> overwrite-commit
+    with the src_version watermark.
+
+    Scale: each refresh reads ONLY its delta commit (at 100 TB: the
+    day's appends, not the table) plus the |event_type|-row stored
+    view; every aggregate is decomposable (sum/count/min/max), the
+    exact property Spark's own partial aggregation relies on."""
+    import tempfile
+
+    from ..sources.matview import read_matview, refresh_matview
+    from ..sources.txlog import commit
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="spark-graft-matview-")
+    src, dst = f"{root}/src", f"{root}/view"
+    aggs = {
+        "n": ("count", None),
+        "total_c": ("sum", "cents"),
+        "first_id": ("min", "event_id"),
+        "last_id": ("max", "event_id"),
+    }
+    lo = F.col("event_id") % 3
+    modes = []
+    for part in range(3):
+        commit(ev.filter(lo == part), src, "append")
+        modes.append(refresh_matview(spark, src, dst, ["event_type"], aggs))
+    if [m["mode"] for m in modes] != ["full", "incremental", "incremental"]:
+        raise AssertionError(f"incrementality lost: {modes}")
+    return read_matview(spark, dst).select(
+        "event_type", "n", "total_c", "first_id", "last_id"
+    )

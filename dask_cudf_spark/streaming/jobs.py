@@ -719,6 +719,47 @@ def ingest_txlog_exactly_once(
     )
 
 
+def stream_matview(
+    stream_df: DataFrame,
+    src_path: str,
+    dst_path: str,
+    checkpoint: str,
+    group_cols: list,
+    aggs: dict,
+    query_name: str = "stream-matview",
+):
+    """Streaming MATERIALIZED VIEW (round 7): each micro-batch commits
+    exactly-once into the txlog source (batch_id idempotence), then
+    incrementally refreshes the grouped-aggregate view
+    (sources.matview) — so the view trails the stream by at most one
+    micro-batch while every refresh reads only that batch's commit.
+
+    The exactly-once contracts COMPOSE: a replayed batch no-ops at the
+    commit (same batch_id), which leaves src_version unchanged, which
+    makes the refresh a no-op too — the view can never double-count
+    the at-least-once foreachBatch window.  This is the
+    Kappa-architecture serving table: streaming ingest + incremental
+    maintenance + snapshot-isolated readers, all on plain parquet.
+
+    Returns the StreamingQuery (caller awaits termination)."""
+    from ..sources.matview import refresh_matview
+    from ..sources.txlog import commit
+
+    def write_and_refresh(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        commit(batch_df, src_path, "append", batch_id=int(batch_id))
+        refresh_matview(spark, src_path, dst_path, group_cols, aggs)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_and_refresh)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def cusum_stateful(events: DataFrame, k: int, threshold: int) -> DataFrame:
     """Streaming CUSUM drift detector (Page 1954) via
     applyInPandasWithState: per user, state carries the running

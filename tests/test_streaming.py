@@ -659,3 +659,78 @@ def test_cusum_stateful_converges_to_batch(spark, tmp_path):
     g = {tuple(r) for r in got.itertuples(index=False)}
     b = {tuple(r) for r in batch.itertuples(index=False)}
     assert g == b, (len(g), len(b), list(g - b)[:2], list(b - g)[:2])
+
+
+def test_stream_matview_converges_and_replay_is_noop(spark, tmp_path):
+    """Streaming materialized view (round 7): the stream ingests into
+    a txlog source exactly-once AND incrementally refreshes the
+    grouped view per micro-batch.  After the stream drains, the view
+    equals the batch groupBy over all events; replaying a committed
+    batch through the same foreachBatch body changes NOTHING (the
+    commit no-ops on batch_id, so src_version holds, so the refresh
+    no-ops too — the two idempotence contracts compose)."""
+    from pyspark.sql import functions as F
+
+    from dask_cudf_spark.sources.matview import (
+        matview_is_fresh,
+        read_matview,
+        refresh_matview,
+    )
+    from dask_cudf_spark.sources.txlog import commit, table_history
+    from dask_cudf_spark.streaming.jobs import stream_matview
+
+    src = str(tmp_path / "smv_src")
+    dst = str(tmp_path / "smv_view")
+    aggs = {
+        "n": ("count", None),
+        "total_c": ("sum", "cents"),
+        "hi": ("max", "event_id"),
+    }
+    stream = events_stream(spark, SF_DIR).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    q = stream_matview(
+        stream, src, dst, str(tmp_path / "ckpt_smv"), ["event_type"], aggs
+    )
+    q.awaitTermination(120)
+
+    ev = load_table(spark, SF_DIR, "events")
+    exp = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "total_c"
+            ),
+            F.max("event_id").alias("hi"),
+        )
+        .orderBy("event_type")
+        .collect()
+    )
+    got = read_matview(spark, dst).orderBy("event_type").collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in exp]
+    assert matview_is_fresh(spark, src, dst)
+
+    # replay: same batch_id -> commit no-op -> refresh no-op
+    src_versions = len(table_history(spark, src))
+    dst_versions = len(table_history(spark, dst))
+    replay = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .limit(7)
+    )
+    commit(replay, src, "append", batch_id=0)
+    r = refresh_matview(spark, src, dst, ["event_type"], aggs)
+    assert r["mode"] == "noop"
+    assert len(table_history(spark, src)) == src_versions
+    assert len(table_history(spark, dst)) == dst_versions
+    assert [x.asDict() for x in
+            read_matview(spark, dst).orderBy("event_type").collect()] == [
+        x.asDict() for x in exp
+    ]

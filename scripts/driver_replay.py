@@ -61,9 +61,15 @@ elif HOSTILE == "noarrow":
     builder = builder.config(
         "spark.sql.execution.arrow.pyspark.enabled", "false"
     ).config("spark.sql.execution.arrow.pyspark.fallback.enabled", "true")
+elif HOSTILE == "oddparts":
+    # hostile shuffle-partition count (prime, tiny): results must be
+    # invariant to HOW data lands across partitions — stresses every
+    # partition-id-structured plan (two-phase global ranking, salted
+    # aggs, range recombinations) plus AQE coalescing behavior
+    builder = builder.config("spark.sql.shuffle.partitions", "7")
 elif HOSTILE:
     raise SystemExit(
-        f"unknown HOSTILE mode: {HOSTILE!r} (tz|noaqe|noarrow)"
+        f"unknown HOSTILE mode: {HOSTILE!r} (tz|noaqe|noarrow|oddparts)"
     )
 spark = builder.getOrCreate()
 if HOSTILE:

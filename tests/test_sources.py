@@ -721,3 +721,31 @@ def test_matview_rejects_non_decomposable_aggs(spark, tmp_path):
             ["k"],
             {"m": ("mean", "v")},
         )
+
+
+def test_matview_vacuum_reclaims_old_refreshes(spark, tmp_path):
+    """Every refresh overwrites the view, leaving the prior view dir
+    reachable only via time travel; txlog.vacuum (the view IS a txlog
+    table) reclaims them without touching the live state."""
+    from pyspark.sql import functions as F
+
+    from dask_cudf_spark.sources.matview import read_matview, refresh_matview
+    from dask_cudf_spark.sources.txlog import commit, vacuum
+
+    src = str(tmp_path / "vv_src")
+    dst = str(tmp_path / "vv_dst")
+    aggs = {"n": ("count", None)}
+    for i in range(4):
+        commit(
+            spark.range(i * 10, (i + 1) * 10).select(
+                (F.col("id") % 2).alias("k")
+            ),
+            src,
+            "append",
+        )
+        refresh_matview(spark, src, dst, ["k"], aggs)
+    before = read_matview(spark, dst).orderBy("k").collect()
+    removed = vacuum(spark, dst, keep_versions=1, min_age_seconds=0)
+    assert removed == 3  # the three superseded view snapshots
+    after = read_matview(spark, dst).orderBy("k").collect()
+    assert [r.asDict() for r in after] == [r.asDict() for r in before]

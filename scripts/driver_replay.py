@@ -16,6 +16,7 @@ ordered_specs entries) — the pre-commit check for a window rotation.
 Hostile-config replays (results must not depend on session defaults):
     HOSTILE=tz    python scripts/driver_replay.py ...   # JVM +05:30
     HOSTILE=noaqe python scripts/driver_replay.py ...   # AQE + auto-broadcast off
+    HOSTILE=noarrow / oddparts / nocodegen              # see below
 """
 
 import os
@@ -67,9 +68,19 @@ elif HOSTILE == "oddparts":
     # partition-id-structured plan (two-phase global ranking, salted
     # aggs, range recombinations) plus AQE coalescing behavior
     builder = builder.config("spark.sql.shuffle.partitions", "7")
+elif HOSTILE == "nocodegen":
+    # whole-stage codegen OFF + codegen factory forced to NO_CODEGEN:
+    # every expression evaluates through the interpreted path instead
+    # of Janino-compiled classes — results must be bit-identical
+    # (catches codegen/interpreted divergence in expression trees,
+    # e.g. around nulls, decimals, and higher-order functions)
+    builder = builder.config(
+        "spark.sql.codegen.wholeStage", "false"
+    ).config("spark.sql.codegen.factoryMode", "NO_CODEGEN")
 elif HOSTILE:
     raise SystemExit(
-        f"unknown HOSTILE mode: {HOSTILE!r} (tz|noaqe|noarrow|oddparts)"
+        f"unknown HOSTILE mode: {HOSTILE!r} "
+        "(tz|noaqe|noarrow|oddparts|nocodegen)"
     )
 spark = builder.getOrCreate()
 if HOSTILE:

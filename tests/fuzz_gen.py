@@ -1,0 +1,441 @@
+"""Differential plan fuzzer: seeded random relational plans executed
+BOTH as a PySpark DataFrame composition and as DuckDB SQL, compared
+with the same order-insensitive exact-value rule as the driver's
+oracle gate (tests/oracle_compare.py).
+
+This extends the 237-query fixed-oracle methodology (SURVEY.md §5) to
+an unbounded plan space, the way SQLancer/NoREC fuzz real engines:
+every seed deterministically derives one plan over the TPC-H-ish test
+tables — scan -> [filter] -> [join] -> project / groupBy.agg ->
+[having] — emitted from ONE AST into two dialects, so any mismatch is
+an engine-semantics divergence, not a test bug.
+
+Determinism discipline (same rules as det.py / the registry oracles):
+
+- SUM/AVG only over integer expressions (associative & exact; float
+  accumulation order would differ by partitioning).  DuckDB's HUGEINT
+  sums are cast back to BIGINT so pandas keeps them exact.
+- MIN/MAX allowed on any type (order-free).
+- Per-row double arithmetic is allowed (one IEEE evaluation per row on
+  identical operands is bit-identical in both engines); ROUND is not
+  (half-up vs banker's divergence between engines).
+- double->int casts are expressed as CAST(FLOOR(x) AS BIGINT) (Spark
+  CAST truncates where DuckDB rounds — the one cast rule the two
+  engines genuinely disagree on, so the fuzzer must not emit it raw).
+- Every output column carries an explicit top-level CAST so the two
+  pandas frames land on identical dtypes (Spark year() is INT where
+  DuckDB's is BIGINT, etc.).
+- No LIMIT / ORDER BY (results compared as sorted multisets).
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+
+# ---------------------------------------------------------------------------
+# Expression fragments: (spark SQL text, duckdb SQL text, kind)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Ex:
+    s: str  # Spark fragment (fed to F.expr)
+    d: str  # DuckDB fragment
+    kind: str  # int | double | str | ts | bool
+
+
+def _same(sql: str, kind: str) -> Ex:
+    return Ex(sql, sql, kind)
+
+
+# base columns per table (all present in /root/testdata/sf*/ parquet)
+_LINEITEM = {
+    "int": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    "double": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "str": ["l_returnflag", "l_linestatus"],
+    "ts": ["l_shipdate"],
+}
+_ORDERS = {
+    "int": ["o_orderkey", "o_custkey"],
+    "double": ["o_totalprice"],
+    "str": ["o_orderstatus", "o_orderpriority"],
+    "ts": ["o_orderdate"],
+}
+
+
+def _env(table: str) -> dict[str, list[Ex]]:
+    cols = {"int": [], "double": [], "str": [], "ts": []}
+    srcs = {
+        "lineitem": [_LINEITEM],
+        "orders": [_ORDERS],
+        "join": [_LINEITEM, _ORDERS],
+        # LEFT JOIN: orders is the preserved side, lineitem columns are
+        # null-extended for orders whose (pre-filtered) lineitems all
+        # drop out — every downstream expression sees genuine nulls
+        "leftjoin": [_LINEITEM, _ORDERS],
+    }[table]
+    for src in srcs:
+        for kind, names in src.items():
+            cols[kind].extend(_same(n, kind) for n in names)
+    return cols
+
+
+# ---------------------------------------------------------------------------
+# Random expression generators (all closed over rng + env)
+# ---------------------------------------------------------------------------
+
+
+def _int_expr(rng: random.Random, env, depth: int = 0) -> Ex:
+    base = rng.choice(env["int"])
+    if depth >= 2:
+        return base
+    roll = rng.random()
+    if roll < 0.30:
+        return base
+    if roll < 0.50:  # small modulus -> bounded group-key-able value
+        k = rng.choice([3, 5, 7, 11, 13])
+        a = _int_expr(rng, env, depth + 1)
+        return Ex(f"({a.s} % {k})", f"({a.d} % {k})", "int")
+    if roll < 0.65:
+        a = _int_expr(rng, env, depth + 1)
+        b = _int_expr(rng, env, depth + 1)
+        return Ex(f"({a.s} + {b.s})", f"({a.d} + {b.d})", "int")
+    if roll < 0.78:
+        a = _int_expr(rng, env, depth + 1)
+        k = rng.randint(2, 9)
+        return Ex(f"({a.s} * {k})", f"({a.d} * {k})", "int")
+    if roll < 0.88:  # the SAFE double->int bridge (see module docstring)
+        dc = rng.choice(env["double"])
+        return Ex(
+            f"CAST(FLOOR({dc.s}) AS BIGINT)",
+            f"CAST(FLOOR({dc.d}) AS BIGINT)",
+            "int",
+        )
+    # date part extraction
+    ts = rng.choice(env["ts"])
+    part = rng.choice(["year", "month", "day", "quarter"])
+    return Ex(f"{part}({ts.s})", f"{part}({ts.d})", "int")
+
+
+def _double_expr(rng: random.Random, env, depth: int = 0) -> Ex:
+    base = rng.choice(env["double"])
+    if depth >= 2 or rng.random() < 0.45:
+        return base
+    roll = rng.random()
+    if roll < 0.40:
+        a = _double_expr(rng, env, depth + 1)
+        b = _double_expr(rng, env, depth + 1)
+        return Ex(f"({a.s} + {b.s})", f"({a.d} + {b.d})", "double")
+    if roll < 0.75:
+        a = _double_expr(rng, env, depth + 1)
+        b = _double_expr(rng, env, depth + 1)
+        return Ex(f"({a.s} * {b.s})", f"({a.d} * {b.d})", "double")
+    # int / nonzero-int-const -> double in BOTH engines (duck `/` is
+    # float division; integer division there is `//`)
+    a = _int_expr(rng, env, depth + 1)
+    k = rng.randint(2, 9)
+    return Ex(
+        f"(CAST({a.s} AS DOUBLE) / {k})",
+        f"(CAST({a.d} AS DOUBLE) / {k})",
+        "double",
+    )
+
+
+def _str_expr(rng: random.Random, env, depth: int = 0) -> Ex:
+    base = rng.choice(env["str"])
+    if depth >= 1 or rng.random() < 0.5:
+        return base
+    roll = rng.random()
+    if roll < 0.4:
+        return Ex(f"upper({base.s})", f"upper({base.d})", "str")
+    if roll < 0.7:
+        k = rng.randint(1, 3)
+        return Ex(
+            f"substring({base.s}, 1, {k})",
+            f"substring({base.d}, 1, {k})",
+            "str",
+        )
+    other = rng.choice(env["str"])
+    # Spark concat() is NULL-propagating; DuckDB concat() SKIPS null
+    # args — DuckDB's || operator is the null-propagating equivalent
+    return Ex(
+        f"concat({base.s}, '_', {other.s})",
+        f"({base.d} || '_' || {other.d})",
+        "str",
+    )
+
+
+# value pools grounded in the generators' actual ranges so predicates
+# are selective-but-not-empty at any SF
+_STR_CONSTS = {
+    "l_returnflag": ["A", "N", "R"],
+    "l_linestatus": ["O", "F"],
+    "o_orderstatus": ["O", "F", "P"],
+    "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+}
+_TS_CONSTS = [
+    "1993-06-30 00:00:00",
+    "1994-01-01 00:00:00",
+    "1995-06-17 00:00:00",
+    "1996-12-31 00:00:00",
+    "1997-03-15 00:00:00",
+]
+
+
+def _pred(rng: random.Random, env, depth: int = 0) -> Ex:
+    roll = rng.random()
+    if depth < 2 and roll < 0.25:
+        a = _pred(rng, env, depth + 1)
+        b = _pred(rng, env, depth + 1)
+        op = rng.choice(["AND", "OR"])
+        return Ex(f"({a.s} {op} {b.s})", f"({a.d} {op} {b.d})", "bool")
+    if depth < 2 and roll < 0.32:
+        a = _pred(rng, env, depth + 1)
+        return Ex(f"(NOT {a.s})", f"(NOT {a.d})", "bool")
+    leaf = rng.random()
+    if leaf < 0.30:  # numeric comparison on an int expression
+        a = _int_expr(rng, env, 1)
+        op = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
+        k = rng.randint(0, 12)
+        return Ex(f"({a.s} {op} {k})", f"({a.d} {op} {k})", "bool")
+    if leaf < 0.50:  # double comparison against a grid constant
+        dc = rng.choice(env["double"])
+        op = rng.choice(["<", ">", "<=", ">="])
+        c = {
+            "l_quantity": rng.choice([10.0, 25.0, 40.0]),
+            "l_extendedprice": rng.choice([5000.0, 20000.0, 50000.0]),
+            "l_discount": rng.choice([0.02, 0.05, 0.08]),
+            "l_tax": rng.choice([0.02, 0.04, 0.06]),
+            "o_totalprice": rng.choice([50000.0, 150000.0, 300000.0]),
+        }[dc.s]
+        return Ex(f"({dc.s} {op} {c})", f"({dc.d} {op} {c})", "bool")
+    if leaf < 0.68:  # string equality / IN / LIKE
+        sc = rng.choice([c for c in env["str"] if c.s in _STR_CONSTS])
+        pool = _STR_CONSTS[sc.s]
+        sub = rng.random()
+        if sub < 0.4:
+            v = rng.choice(pool)
+            op = rng.choice(["=", "<>"])
+            return Ex(f"({sc.s} {op} '{v}')", f"({sc.d} {op} '{v}')", "bool")
+        if sub < 0.7:
+            vals = rng.sample(pool, k=min(len(pool), rng.randint(1, 3)))
+            lst = ", ".join(f"'{v}'" for v in sorted(vals))
+            return Ex(f"({sc.s} IN ({lst}))", f"({sc.d} IN ({lst}))", "bool")
+        v = rng.choice(pool)[0]
+        return Ex(f"({sc.s} LIKE '{v}%')", f"({sc.d} LIKE '{v}%')", "bool")
+    if leaf < 0.85:  # timestamp range
+        ts = rng.choice(env["ts"])
+        op = rng.choice(["<", ">=", ">"])
+        c = rng.choice(_TS_CONSTS)
+        return Ex(
+            f"({ts.s} {op} TIMESTAMP '{c}')",
+            f"({ts.d} {op} TIMESTAMP '{c}')",
+            "bool",
+        )
+    # NULL-injection probe: NULLIF creates nulls, IS [NOT] NULL tests
+    # three-valued logic end to end
+    dc = rng.choice(env["double"])
+    v = {
+        "l_quantity": 26.0,
+        "l_extendedprice": 10000.0,
+        "l_discount": 0.05,
+        "l_tax": 0.04,
+        "o_totalprice": 100000.0,
+    }[dc.s]
+    neg = rng.choice(["", "NOT "])
+    return Ex(
+        f"(NULLIF({dc.s}, {v}) IS {neg}NULL)",
+        f"(NULLIF({dc.d}, {v}) IS {neg}NULL)",
+        "bool",
+    )
+
+
+def _group_key(rng: random.Random, env) -> Ex:
+    roll = rng.random()
+    if roll < 0.45:
+        return _str_expr(rng, env)
+    if roll < 0.75:  # bounded int key
+        a = _int_expr(rng, env, 1)
+        k = rng.choice([3, 5, 7])
+        return Ex(f"({a.s} % {k})", f"({a.d} % {k})", "int")
+    if roll < 0.9:
+        ts = rng.choice(env["ts"])
+        part = rng.choice(["year", "quarter", "month"])
+        return Ex(f"{part}({ts.s})", f"{part}({ts.d})", "int")
+    p = _pred(rng, env, 1)  # CASE bucket
+    return Ex(
+        f"(CASE WHEN {p.s} THEN 'hi' ELSE 'lo' END)",
+        f"(CASE WHEN {p.d} THEN 'hi' ELSE 'lo' END)",
+        "str",
+    )
+
+
+def _agg(rng: random.Random, env) -> Ex:
+    roll = rng.random()
+    if roll < 0.12:
+        return _same("count(*)", "int")
+    if roll < 0.24:
+        e = _int_expr(rng, env, 1)
+        return Ex(f"count({e.s})", f"count({e.d})", "int")
+    if roll < 0.44:  # exact integer sum; duck HUGEINT -> BIGINT
+        e = _int_expr(rng, env, 1)
+        return Ex(f"sum({e.s})", f"CAST(sum({e.d}) AS BIGINT)", "int")
+    if roll < 0.58:
+        e = _int_expr(rng, env, 1)
+        f = rng.choice(["min", "max"])
+        return Ex(f"{f}({e.s})", f"{f}({e.d})", "int")
+    if roll < 0.72:  # min/max are order-free: doubles allowed here
+        dc = rng.choice(env["double"])
+        f = rng.choice(["min", "max"])
+        return Ex(f"{f}({dc.s})", f"{f}({dc.d})", "double")
+    if roll < 0.82:
+        sc = _str_expr(rng, env)
+        f = rng.choice(["min", "max"])
+        return Ex(f"{f}({sc.s})", f"{f}({sc.d})", "str")
+    if roll < 0.92:
+        e = rng.choice([_str_expr(rng, env), _int_expr(rng, env, 1)])
+        return Ex(
+            f"count(DISTINCT {e.s})", f"count(DISTINCT {e.d})", "int"
+        )
+    # exact integer mean: one division of exact operands
+    e = _int_expr(rng, env, 1)
+    return Ex(
+        f"(CAST(sum({e.s}) AS DOUBLE) / count({e.s}))",
+        f"(CAST(CAST(sum({e.d}) AS BIGINT) AS DOUBLE) / count({e.d}))",
+        "double",
+    )
+
+
+# top-level dtype pinning so both pandas frames agree bit-for-bit
+_CAST = {"int": ("BIGINT", "BIGINT"), "double": ("DOUBLE", "DOUBLE"), "str": ("STRING", "VARCHAR")}
+
+
+def _pin(e: Ex) -> Ex:
+    cs, cd = _CAST[e.kind]
+    return Ex(f"CAST({e.s} AS {cs})", f"CAST({e.d} AS {cd})", e.kind)
+
+
+# ---------------------------------------------------------------------------
+# Plan
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Plan:
+    seed: int
+    table: str  # lineitem | orders | join | leftjoin
+    rpred: Ex | None  # leftjoin only: filter on lineitem BEFORE the join
+    pred: Ex | None
+    keys: list[Ex]  # aliased k0, k1, ...   (empty => scalar plan)
+    aggs: list[Ex]  # aliased a0, a1, ...
+    projs: list[Ex]  # scalar plan: aliased c0, c1, ...
+    having: tuple[int, int] | None  # (agg index with kind int, threshold)
+
+    def describe(self) -> str:
+        bits = [f"seed={self.seed}", self.table]
+        if self.rpred:
+            bits.append(f"RIGHT-FILTER {self.rpred.d}")
+        if self.pred:
+            bits.append(f"WHERE {self.pred.d}")
+        if self.keys:
+            bits.append(
+                "GROUP BY " + ", ".join(k.d for k in self.keys)
+            )
+            bits.append("AGG " + ", ".join(a.d for a in self.aggs))
+        else:
+            bits.append("PROJECT " + ", ".join(p.d for p in self.projs))
+        if self.having:
+            bits.append(f"HAVING a{self.having[0]} > {self.having[1]}")
+        return "  ".join(bits)
+
+    # -- Spark side: genuine DataFrame composition ------------------------
+    def run_spark(self, spark, sf_dir: str):
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        if self.table == "lineitem":
+            df = li
+        elif self.table == "orders":
+            df = od
+        elif self.table == "join":
+            df = li.join(od, li.l_orderkey == od.o_orderkey, "inner")
+        else:  # leftjoin: orders preserved, filtered lineitem nullable
+            rt = li
+            if self.rpred is not None:
+                rt = rt.filter(F.expr(self.rpred.s))
+            df = od.join(rt, od.o_orderkey == rt.l_orderkey, "left")
+        if self.pred is not None:
+            df = df.filter(F.expr(self.pred.s))
+        if self.keys:
+            res = df.groupBy(
+                *[F.expr(k.s).alias(f"k{i}") for i, k in enumerate(self.keys)]
+            ).agg(*[F.expr(a.s).alias(f"a{i}") for i, a in enumerate(self.aggs)])
+            if self.having is not None:
+                idx, thr = self.having
+                res = res.filter(F.col(f"a{idx}") > thr)
+            return res
+        return df.select(
+            *[F.expr(p.s).alias(f"c{i}") for i, p in enumerate(self.projs)]
+        )
+
+    # -- DuckDB side -------------------------------------------------------
+    def duck_sql(self) -> str:
+        if self.table == "leftjoin":
+            rw = f" WHERE {self.rpred.d}" if self.rpred is not None else ""
+            frm = (
+                "orders LEFT JOIN (SELECT * FROM lineitem" + rw + ") l "
+                "ON o_orderkey = l_orderkey"
+            )
+        else:
+            frm = {
+                "lineitem": "lineitem",
+                "orders": "orders",
+                "join": "lineitem JOIN orders ON l_orderkey = o_orderkey",
+            }[self.table]
+        where = f" WHERE {self.pred.d}" if self.pred is not None else ""
+        if self.keys:
+            sel = ", ".join(
+                f"{k.d} AS k{i}" for i, k in enumerate(self.keys)
+            ) + ", " + ", ".join(
+                f"{a.d} AS a{i}" for i, a in enumerate(self.aggs)
+            )
+            gb = ", ".join(str(i + 1) for i in range(len(self.keys)))
+            inner = f"SELECT {sel} FROM {frm}{where} GROUP BY {gb}"
+            if self.having is not None:
+                idx, thr = self.having
+                return f"SELECT * FROM ({inner}) h WHERE a{idx} > {thr}"
+            return inner
+        sel = ", ".join(f"{p.d} AS c{i}" for i, p in enumerate(self.projs))
+        return f"SELECT {sel} FROM {frm}{where}"
+
+
+def gen_plan(seed: int) -> Plan:
+    """One deterministic random plan per seed."""
+    rng = random.Random(seed)
+    table = rng.choice(
+        ["lineitem", "lineitem", "orders", "join", "leftjoin"]
+    )
+    rpred = None
+    if table == "leftjoin":
+        # selective filter on the lineitem side so a real fraction of
+        # orders null-extend (every order has lineitems otherwise)
+        rpred = _pred(rng, _env("lineitem"))
+    env = _env(table)
+    pred = _pred(rng, env) if rng.random() < 0.8 else None
+    if rng.random() < 0.75:  # aggregate plan
+        keys = [_pin(_group_key(rng, env)) for _ in range(rng.randint(1, 2))]
+        aggs = [_pin(_agg(rng, env)) for _ in range(rng.randint(1, 3))]
+        having = None
+        int_aggs = [i for i, a in enumerate(aggs) if a.kind == "int"]
+        if int_aggs and rng.random() < 0.3:
+            having = (rng.choice(int_aggs), rng.randint(0, 20))
+        return Plan(seed, table, rpred, pred, keys, aggs, [], having)
+    projs = [
+        _pin(
+            rng.choice([_int_expr, _double_expr, _str_expr])(rng, env)
+        )
+        for _ in range(rng.randint(2, 4))
+    ]
+    return Plan(seed, table, rpred, pred, [], [], projs, None)

@@ -1,12 +1,17 @@
 """Long-run differential plan fuzzer (see tests/fuzz_gen.py).
 
     python scripts/fuzz_differential.py [N_SEEDS] [SF_DIR] [START_SEED]
+    HOSTILE=nocodegen python scripts/fuzz_differential.py ...
 
 Every seed derives one random relational plan executed both as a
 PySpark DataFrame composition and as DuckDB SQL over the same parquet;
 results are compared with the driver's order-insensitive exact-value
 rule.  Exit 0 = every seed matched.  Prints a one-line JSON summary
 (seeds, matches, empty-result plans, wall seconds) for the log.
+
+HOSTILE composes the same modes as scripts/driver_replay.py onto the
+fuzz sweep (tz | noaqe | noarrow | oddparts | nocodegen), giving a
+fuzz-grammar x hostile-config matrix.
 """
 
 from __future__ import annotations
@@ -25,14 +30,44 @@ from fuzz_gen import gen_plan  # noqa: E402
 from oracle_compare import assert_frames_match  # noqa: E402
 
 
+_TZOPT = "-Duser.timezone=Asia/Kolkata"
+HOSTILE_CONF: dict[str, dict[str, str]] = {
+    "": {},
+    "tz": {
+        "spark.driver.extraJavaOptions": _TZOPT,
+        "spark.executor.extraJavaOptions": _TZOPT,
+    },
+    "noaqe": {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    },
+    "noarrow": {
+        "spark.sql.execution.arrow.pyspark.enabled": "false",
+        "spark.sql.execution.arrow.pyspark.fallback.enabled": "true",
+    },
+    "oddparts": {"spark.sql.shuffle.partitions": "7"},
+    "nocodegen": {
+        "spark.sql.codegen.wholeStage": "false",
+        "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+    },
+}
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
     start = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    hostile = os.environ.get("HOSTILE", "")
+    if hostile not in HOSTILE_CONF:
+        raise SystemExit(f"unknown HOSTILE mode: {hostile!r}")
 
     from dask_cudf_spark.session import get_spark
 
-    spark = get_spark(app_name="fuzz-differential")
+    spark = get_spark(
+        app_name="fuzz-differential", extra_conf=HOSTILE_CONF[hostile]
+    )
+    if hostile:
+        print(f"== HOSTILE config: {hostile} ==")
     con = duckdb.connect()
     for t in ("lineitem", "orders"):
         con.execute(
@@ -65,6 +100,7 @@ def main() -> int:
                 "failures": [s for s, _ in failures],
                 "empty_results": empty,
                 "sf_dir": sf_dir,
+                "hostile": hostile,
                 "wall_s": round(wall, 1),
             }
         )

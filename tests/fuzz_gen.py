@@ -307,6 +307,34 @@ def _agg(rng: random.Random, env) -> Ex:
     )
 
 
+def _window_expr(rng: random.Random, env) -> Ex:
+    """Order-free window aggregate: sum/count/min/max OVER (PARTITION
+    BY k) — exact in any evaluation order, so safe to diff.  Ranking
+    functions need a total order and are deliberately excluded."""
+    k = _group_key(rng, env)
+    roll = rng.random()
+    if roll < 0.35:
+        e = _int_expr(rng, env, 1)
+        return Ex(
+            f"sum({e.s}) OVER (PARTITION BY {k.s})",
+            f"sum({e.d}) OVER (PARTITION BY {k.d})",
+            "int",
+        )
+    if roll < 0.6:
+        return Ex(
+            f"count(*) OVER (PARTITION BY {k.s})",
+            f"count(*) OVER (PARTITION BY {k.d})",
+            "int",
+        )
+    dc = rng.choice(env["double"])
+    f = rng.choice(["min", "max"])
+    return Ex(
+        f"{f}({dc.s}) OVER (PARTITION BY {k.s})",
+        f"{f}({dc.d}) OVER (PARTITION BY {k.d})",
+        "double",
+    )
+
+
 # top-level dtype pinning so both pandas frames agree bit-for-bit
 _CAST = {"int": ("BIGINT", "BIGINT"), "double": ("DOUBLE", "DOUBLE"), "str": ("STRING", "VARCHAR")}
 
@@ -331,6 +359,7 @@ class Plan:
     aggs: list[Ex]  # aliased a0, a1, ...
     projs: list[Ex]  # scalar plan: aliased c0, c1, ...
     having: tuple[int, int] | None  # (agg index with kind int, threshold)
+    distinct: bool = False  # scalar plan: dedup the projection
 
     def describe(self) -> str:
         bits = [f"seed={self.seed}", self.table]
@@ -344,7 +373,8 @@ class Plan:
             )
             bits.append("AGG " + ", ".join(a.d for a in self.aggs))
         else:
-            bits.append("PROJECT " + ", ".join(p.d for p in self.projs))
+            d = "DISTINCT " if self.distinct else ""
+            bits.append(f"PROJECT {d}" + ", ".join(p.d for p in self.projs))
         if self.having:
             bits.append(f"HAVING a{self.having[0]} > {self.having[1]}")
         return "  ".join(bits)
@@ -376,9 +406,10 @@ class Plan:
                 idx, thr = self.having
                 res = res.filter(F.col(f"a{idx}") > thr)
             return res
-        return df.select(
+        res = df.select(
             *[F.expr(p.s).alias(f"c{i}") for i, p in enumerate(self.projs)]
         )
+        return res.distinct() if self.distinct else res
 
     # -- DuckDB side -------------------------------------------------------
     def duck_sql(self) -> str:
@@ -408,7 +439,8 @@ class Plan:
                 return f"SELECT * FROM ({inner}) h WHERE a{idx} > {thr}"
             return inner
         sel = ", ".join(f"{p.d} AS c{i}" for i, p in enumerate(self.projs))
-        return f"SELECT {sel} FROM {frm}{where}"
+        kw = "SELECT DISTINCT" if self.distinct else "SELECT"
+        return f"{kw} {sel} FROM {frm}{where}"
 
 
 def gen_plan(seed: int) -> Plan:
@@ -438,4 +470,7 @@ def gen_plan(seed: int) -> Plan:
         )
         for _ in range(rng.randint(2, 4))
     ]
-    return Plan(seed, table, rpred, pred, [], [], projs, None)
+    if rng.random() < 0.35:  # order-free window aggregates alongside
+        projs += [_pin(_window_expr(rng, env)) for _ in range(rng.randint(1, 2))]
+    distinct = rng.random() < 0.3
+    return Plan(seed, table, rpred, pred, [], [], projs, None, distinct)

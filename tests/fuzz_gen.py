@@ -360,16 +360,28 @@ class Plan:
     projs: list[Ex]  # scalar plan: aliased c0, c1, ...
     having: tuple[int, int] | None  # (agg index with kind int, threshold)
     distinct: bool = False  # scalar plan: dedup the projection
+    # single-table plans only: ('semi'|'anti', filter on the OTHER
+    # table) -> Spark left_semi/left_anti join == SQL [NOT] IN
+    # (subquery).  Key columns are never null in the testdata, so
+    # NOT IN and anti-join agree (the null-RHS trap can't fire).
+    subq: tuple[str, Ex] | None = None
+    # aggregate plans: GROUP BY ROLLUP with a grouping_id marker column
+    # (disambiguates subtotal NULLs from genuine null keys, which
+    # leftjoin plans really produce).  Exercises Spark's Expand.
+    rollup: bool = False
 
     def describe(self) -> str:
         bits = [f"seed={self.seed}", self.table]
+        if self.subq:
+            bits.append(f"{self.subq[0].upper()}-SUBQ WHERE {self.subq[1].d}")
         if self.rpred:
             bits.append(f"RIGHT-FILTER {self.rpred.d}")
         if self.pred:
             bits.append(f"WHERE {self.pred.d}")
         if self.keys:
+            kw = "ROLLUP " if self.rollup else ""
             bits.append(
-                "GROUP BY " + ", ".join(k.d for k in self.keys)
+                f"GROUP BY {kw}" + ", ".join(k.d for k in self.keys)
             )
             bits.append("AGG " + ", ".join(a.d for a in self.aggs))
         else:
@@ -387,8 +399,24 @@ class Plan:
         od = spark.read.parquet(f"{sf_dir}/orders.parquet")
         if self.table == "lineitem":
             df = li
+            if self.subq is not None:
+                how, sp = self.subq
+                other = od.filter(F.expr(sp.s))
+                df = df.join(
+                    other,
+                    df.l_orderkey == other.o_orderkey,
+                    "left_semi" if how == "semi" else "left_anti",
+                )
         elif self.table == "orders":
             df = od
+            if self.subq is not None:
+                how, sp = self.subq
+                other = li.filter(F.expr(sp.s))
+                df = df.join(
+                    other,
+                    df.o_orderkey == other.l_orderkey,
+                    "left_semi" if how == "semi" else "left_anti",
+                )
         elif self.table == "join":
             df = li.join(od, li.l_orderkey == od.o_orderkey, "inner")
         else:  # leftjoin: orders preserved, filtered lineitem nullable
@@ -399,9 +427,32 @@ class Plan:
         if self.pred is not None:
             df = df.filter(F.expr(self.pred.s))
         if self.keys:
-            res = df.groupBy(
-                *[F.expr(k.s).alias(f"k{i}") for i, k in enumerate(self.keys)]
-            ).agg(*[F.expr(a.s).alias(f"a{i}") for i, a in enumerate(self.aggs)])
+            if self.rollup:
+                # grouping() demands REAL columns, not aliased exprs —
+                # pre-project the keys, then rollup over the names
+                for i, k in enumerate(self.keys):
+                    df = df.withColumn(f"k{i}", F.expr(k.s))
+                names = [f"k{i}" for i in range(len(self.keys))]
+                gid = " + ".join(
+                    f"grouping({n}) * {2 ** (len(names) - 1 - i)}"
+                    for i, n in enumerate(names)
+                )
+                res = df.rollup(*names).agg(
+                    F.expr(f"CAST(({gid}) AS BIGINT)").alias("g"),
+                    *[
+                        F.expr(a.s).alias(f"a{i}")
+                        for i, a in enumerate(self.aggs)
+                    ],
+                )
+            else:
+                res = df.groupBy(
+                    *[
+                        F.expr(k.s).alias(f"k{i}")
+                        for i, k in enumerate(self.keys)
+                    ]
+                ).agg(
+                    *[F.expr(a.s).alias(f"a{i}") for i, a in enumerate(self.aggs)]
+                )
             if self.having is not None:
                 idx, thr = self.having
                 res = res.filter(F.col(f"a{idx}") > thr)
@@ -425,8 +476,51 @@ class Plan:
                 "orders": "orders",
                 "join": "lineitem JOIN orders ON l_orderkey = o_orderkey",
             }[self.table]
-        where = f" WHERE {self.pred.d}" if self.pred is not None else ""
+        conj = []
+        if self.pred is not None:
+            conj.append(self.pred.d)
+        if self.subq is not None:
+            how, sp = self.subq
+            if self.table == "lineitem":
+                key, okey, other = "l_orderkey", "o_orderkey", "orders"
+            else:
+                key, okey, other = "o_orderkey", "l_orderkey", "lineitem"
+            neg = "" if how == "semi" else "NOT "
+            conj.append(
+                f"{key} {neg}IN (SELECT {okey} FROM {other} WHERE {sp.d})"
+            )
+        where = f" WHERE {' AND '.join(conj)}" if conj else ""
         if self.keys:
+            if self.rollup:
+                names = [f"k{i}" for i in range(len(self.keys))]
+                proj = ", ".join(
+                    f"{k.d} AS k{i}" for i, k in enumerate(self.keys)
+                )
+                gid = " + ".join(
+                    f"GROUPING({n}) * {2 ** (len(names) - 1 - i)}"
+                    for i, n in enumerate(names)
+                )
+                aggs = ", ".join(
+                    f"{a.d} AS a{i}" for i, a in enumerate(self.aggs)
+                )
+                # FOUND DIVERGENCE (fuzzer seed 5, r7): over EMPTY
+                # input, the SQL standard (and DuckDB/Postgres) emit
+                # the () grand-total grouping-set row; Spark's rollup
+                # returns 0 rows.  For non-empty input every
+                # grouping-set row has count(*) >= 1, so HAVING
+                # count(*) > 0 emulates Spark exactly and is a no-op
+                # otherwise.
+                inner = (
+                    f"SELECT {', '.join(names)}, "
+                    f"CAST(({gid}) AS BIGINT) AS g, {aggs} "
+                    f"FROM (SELECT *, {proj} FROM {frm}{where}) rsrc "
+                    f"GROUP BY ROLLUP ({', '.join(names)}) "
+                    f"HAVING count(*) > 0"
+                )
+                if self.having is not None:
+                    idx, thr = self.having
+                    return f"SELECT * FROM ({inner}) h WHERE a{idx} > {thr}"
+                return inner
             sel = ", ".join(
                 f"{k.d} AS k{i}" for i, k in enumerate(self.keys)
             ) + ", " + ", ".join(
@@ -454,6 +548,13 @@ def gen_plan(seed: int) -> Plan:
         # selective filter on the lineitem side so a real fraction of
         # orders null-extend (every order has lineitems otherwise)
         rpred = _pred(rng, _env("lineitem"))
+    subq = None
+    if table in ("lineitem", "orders") and rng.random() < 0.3:
+        other = "orders" if table == "lineitem" else "lineitem"
+        subq = (
+            rng.choice(["semi", "anti"]),
+            _pred(rng, _env(other)),
+        )
     env = _env(table)
     pred = _pred(rng, env) if rng.random() < 0.8 else None
     if rng.random() < 0.75:  # aggregate plan
@@ -463,7 +564,9 @@ def gen_plan(seed: int) -> Plan:
         int_aggs = [i for i, a in enumerate(aggs) if a.kind == "int"]
         if int_aggs and rng.random() < 0.3:
             having = (rng.choice(int_aggs), rng.randint(0, 20))
-        return Plan(seed, table, rpred, pred, keys, aggs, [], having)
+        rollup = len(keys) >= 1 and rng.random() < 0.25
+        return Plan(seed, table, rpred, pred, keys, aggs, [], having,
+                    False, subq, rollup)
     projs = [
         _pin(
             rng.choice([_int_expr, _double_expr, _str_expr])(rng, env)
@@ -473,4 +576,4 @@ def gen_plan(seed: int) -> Plan:
     if rng.random() < 0.35:  # order-free window aggregates alongside
         projs += [_pin(_window_expr(rng, env)) for _ in range(rng.randint(1, 2))]
     distinct = rng.random() < 0.3
-    return Plan(seed, table, rpred, pred, [], [], projs, None, distinct)
+    return Plan(seed, table, rpred, pred, [], [], projs, None, distinct, subq)

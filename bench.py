@@ -105,6 +105,9 @@ EXTRA = [
     "q_ppjoin_neardup",          # exact prefix-filtered similarity join (r5)
     "q_qcut",                    # distributed exact NTILE over the fact table (r7)
     "q_rank_global",             # distributed tie-aware global rank (r7)
+    "q_matview_incremental",     # txlog matview maintenance loop (r7)
+    "q_join_bucketed",           # zero-exchange co-located bucketed join (r7)
+    "q_multimodal_mjpeg",        # MJPEG-in-AVI frame decode (r7)
 ]
 
 # Frozen per-query anchors for the EXTRA set (r6 VERDICT item 8): the

@@ -369,6 +369,10 @@ class Plan:
     # (disambiguates subtotal NULLs from genuine null keys, which
     # leftjoin plans really produce).  Exercises Spark's Expand.
     rollup: bool = False
+    # scalar plans: set operation between two filter branches of the
+    # same table — (op, second branch predicate).  Distinct-based ops
+    # treat NULLs as equal in both engines (SQL standard).
+    setop: tuple[str, Ex] | None = None
 
     def describe(self) -> str:
         bits = [f"seed={self.seed}", self.table]
@@ -387,6 +391,8 @@ class Plan:
         else:
             d = "DISTINCT " if self.distinct else ""
             bits.append(f"PROJECT {d}" + ", ".join(p.d for p in self.projs))
+            if self.setop:
+                bits.append(f"{self.setop[0]} [branch2 WHERE {self.setop[1].d}]")
         if self.having:
             bits.append(f"HAVING a{self.having[0]} > {self.having[1]}")
         return "  ".join(bits)
@@ -424,6 +430,7 @@ class Plan:
             if self.rpred is not None:
                 rt = rt.filter(F.expr(self.rpred.s))
             df = od.join(rt, od.o_orderkey == rt.l_orderkey, "left")
+        base = df  # pre-predicate relation (setop branch 2 starts here)
         if self.pred is not None:
             df = df.filter(F.expr(self.pred.s))
         if self.keys:
@@ -457,9 +464,18 @@ class Plan:
                 idx, thr = self.having
                 res = res.filter(F.col(f"a{idx}") > thr)
             return res
-        res = df.select(
-            *[F.expr(p.s).alias(f"c{i}") for i, p in enumerate(self.projs)]
-        )
+        cols = [F.expr(p.s).alias(f"c{i}") for i, p in enumerate(self.projs)]
+        res = df.select(*cols)
+        if self.setop is not None:
+            op, p2 = self.setop
+            other = base.filter(F.expr(p2.s)).select(*cols)
+            res = {
+                "UNION ALL": res.union,
+                "INTERSECT": res.intersect,
+                "INTERSECT ALL": res.intersectAll,
+                "EXCEPT": res.subtract,  # EXCEPT DISTINCT semantics
+                "EXCEPT ALL": res.exceptAll,
+            }[op](other)
         return res.distinct() if self.distinct else res
 
     # -- DuckDB side -------------------------------------------------------
@@ -477,6 +493,7 @@ class Plan:
                 "join": "lineitem JOIN orders ON l_orderkey = o_orderkey",
             }[self.table]
         conj = []
+        base_conj = []  # pre-predicate conjuncts (shared by setop branch 2)
         if self.pred is not None:
             conj.append(self.pred.d)
         if self.subq is not None:
@@ -486,9 +503,9 @@ class Plan:
             else:
                 key, okey, other = "o_orderkey", "l_orderkey", "lineitem"
             neg = "" if how == "semi" else "NOT "
-            conj.append(
-                f"{key} {neg}IN (SELECT {okey} FROM {other} WHERE {sp.d})"
-            )
+            sq = f"{key} {neg}IN (SELECT {okey} FROM {other} WHERE {sp.d})"
+            conj.append(sq)
+            base_conj.append(sq)
         where = f" WHERE {' AND '.join(conj)}" if conj else ""
         if self.keys:
             if self.rollup:
@@ -533,6 +550,17 @@ class Plan:
                 return f"SELECT * FROM ({inner}) h WHERE a{idx} > {thr}"
             return inner
         sel = ", ".join(f"{p.d} AS c{i}" for i, p in enumerate(self.projs))
+        if self.setop is not None:
+            op, p2 = self.setop
+            b2 = base_conj + [p2.d]
+            w2 = f" WHERE {' AND '.join(b2)}"
+            combined = (
+                f"(SELECT {sel} FROM {frm}{where}) {op} "
+                f"(SELECT {sel} FROM {frm}{w2})"
+            )
+            if self.distinct:
+                return f"SELECT DISTINCT * FROM ({combined}) s"
+            return combined
         kw = "SELECT DISTINCT" if self.distinct else "SELECT"
         return f"{kw} {sel} FROM {frm}{where}"
 
@@ -576,4 +604,14 @@ def gen_plan(seed: int) -> Plan:
     if rng.random() < 0.35:  # order-free window aggregates alongside
         projs += [_pin(_window_expr(rng, env)) for _ in range(rng.randint(1, 2))]
     distinct = rng.random() < 0.3
-    return Plan(seed, table, rpred, pred, [], [], projs, None, distinct, subq)
+    setop = None
+    if rng.random() < 0.3:
+        setop = (
+            rng.choice(
+                ["UNION ALL", "INTERSECT", "INTERSECT ALL",
+                 "EXCEPT", "EXCEPT ALL"]
+            ),
+            _pred(rng, env),
+        )
+    return Plan(seed, table, rpred, pred, [], [], projs, None, distinct,
+                subq, False, setop)

@@ -478,6 +478,35 @@ def test_txlog_optimize_and_vacuum(spark, tmp_path):
         read_snapshot(spark, path, version=0).collect()
 
 
+def test_txlog_crashed_writer_orphan_dir(spark, tmp_path):
+    """Crash consistency: a writer that dies AFTER writing its data dir
+    but BEFORE creating its version file leaves an orphan.  Readers
+    must never see it (the log is the source of truth), a later commit
+    must be unaffected, and vacuum must treat it exactly like any
+    unreachable dir: kept inside the retention grace (it is
+    indistinguishable from an in-flight commit), reclaimed after."""
+    from dask_cudf_spark.sources.txlog import commit, read_snapshot, vacuum
+
+    path = str(tmp_path / "txcrash")
+    commit(spark.range(0, 5).withColumnRenamed("id", "k"), path, "append")
+    # simulate the dying writer: data files land, version file never does
+    spark.range(100, 200).withColumnRenamed("id", "k").write.parquet(
+        f"{path}/data/deadbeefcafe"
+    )
+    got = sorted(r["k"] for r in read_snapshot(spark, path).collect())
+    assert got == list(range(5)), "orphan dir must be invisible to readers"
+    # a subsequent commit proceeds normally alongside the orphan
+    commit(spark.range(5, 10).withColumnRenamed("id", "k"), path, "append")
+    got = sorted(r["k"] for r in read_snapshot(spark, path).collect())
+    assert got == list(range(10))
+    # grace keeps the fresh orphan (could be someone's in-flight commit)
+    assert vacuum(spark, path, keep_versions=2) == 0
+    # maintenance window (grace 0): the orphan is reclaimed, live data safe
+    assert vacuum(spark, path, keep_versions=2, min_age_seconds=0) == 1
+    got = sorted(r["k"] for r in read_snapshot(spark, path).collect())
+    assert got == list(range(10))
+
+
 def test_txlog_stats_pruning_skips_files(spark, tmp_path):
     """Iceberg-style data skipping: commits record per-dir min/max for
     stats_cols; a pruned snapshot read lists ONLY dirs whose range can

@@ -126,6 +126,11 @@ EXTRA_ANCHORS = {
     "q_bloom_decontaminate": 1.3757,
     "q_tpch_q21": 0.9426,
     "q_ppjoin_neardup": 1.6344,
+    # r7 additions, frozen from the round-7 local protocol run
+    # (min of 3, sf0.1/local[32], quiet machine)
+    "q_matview_incremental": 2.0934,
+    "q_join_bucketed": 1.1057,
+    "q_multimodal_mjpeg": 0.378,
 }
 
 

@@ -80,6 +80,30 @@ def timed_join(spark, fact, dim, skew_on: bool) -> tuple[float, bool, int]:
     return wall, ("skew=true" in plan), len(rows)
 
 
+def timed_groupby_join(
+    spark, fact, dim, force: bool
+) -> tuple[float, bool, int]:
+    """The partitioning-reuse case: groupBy on the JOIN KEY downstream.
+    AQE declines the skew split here (it would insert an extra
+    shuffle) unless forceOptimizeSkewedJoin says the trade is worth
+    it — which it is, whenever the hot key dwarfs one shuffle."""
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.forceOptimizeSkewedJoin", str(force).lower()
+    )
+    t0 = time.time()
+    out = (
+        fact.join(dim, "k")
+        .groupBy("k")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("s"))
+    )
+    rows = out.collect()
+    wall = time.time() - t0
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    return wall, ("skew=true" in plan), len(rows)
+
+
 def main() -> int:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
@@ -115,6 +139,20 @@ def main() -> int:
         marker_on = m
     assert n_off == n_on == 1, (n_off, n_on)  # global aggregate
 
+    # leg 2: groupBy-on-join-key (partitioning reuse blocks the split
+    # unless forced)
+    timed_groupby_join(spark, fact, dim, False)  # warm
+    gb_noforce, gb_force = [], []
+    m_noforce = m_force = None
+    for _ in range(runs):
+        w, m, n1 = timed_groupby_join(spark, fact, dim, False)
+        gb_noforce.append(w)
+        m_noforce = m
+        w, m, n2 = timed_groupby_join(spark, fact, dim, True)
+        gb_force.append(w)
+        m_force = m
+    assert n1 == n2 == 997  # {0} ∪ (id % 997): 997 distinct keys
+
     result = {
         "n_fact_rows": n_rows,
         "hot_key_share": 0.9,
@@ -123,10 +161,21 @@ def main() -> int:
         "speedup": round(min(offs) / min(ons), 2),
         "plan_skew_marker_on": marker_on,
         "plan_skew_marker_off": marker_off,
+        "groupby_reuse_min_s": round(min(gb_noforce), 3),
+        "groupby_forced_min_s": round(min(gb_force), 3),
+        "groupby_speedup": round(min(gb_noforce) / min(gb_force), 2),
+        "groupby_marker_unforced": m_noforce,
+        "groupby_marker_forced": m_force,
         "runs": runs,
     }
     print(json.dumps(result))
-    ok = marker_on and not marker_off and min(ons) < min(offs)
+    ok = (
+        marker_on
+        and not marker_off
+        and min(ons) < min(offs)
+        and m_force
+        and not m_noforce
+    )
     print("PROBE", "OK" if ok else "UNEXPECTED")
     return 0 if ok else 1
 

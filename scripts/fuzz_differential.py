@@ -69,7 +69,7 @@ def main() -> int:
     if hostile:
         print(f"== HOSTILE config: {hostile} ==")
     con = duckdb.connect()
-    for t in ("lineitem", "orders"):
+    for t in ("lineitem", "orders", "events"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )

@@ -62,13 +62,20 @@ _ORDERS = {
     "str": ["o_orderstatus", "o_orderpriority"],
     "ts": ["o_orderdate"],
 }
+_EVENTS = {
+    "int": ["event_id", "user_id"],
+    "double": ["value"],
+    "str": ["event_type"],
+    "ts": ["ts"],
+}
 
 
-def _env(table: str) -> dict[str, list[Ex]]:
-    cols = {"int": [], "double": [], "str": [], "ts": []}
+def _env(table: str) -> dict[str, list]:
+    cols: dict[str, list] = {"int": [], "double": [], "str": [], "ts": []}
     srcs = {
         "lineitem": [_LINEITEM],
         "orders": [_ORDERS],
+        "events": [_EVENTS],
         "join": [_LINEITEM, _ORDERS],
         # LEFT JOIN: orders is the preserved side, lineitem columns are
         # null-extended for orders whose (pre-filtered) lineitems all
@@ -78,6 +85,29 @@ def _env(table: str) -> dict[str, list[Ex]]:
     for src in srcs:
         for kind, names in src.items():
             cols[kind].extend(_same(n, kind) for n in names)
+    if table == "events":
+        # JSON path extraction — the one base expression whose NAME
+        # differs between the engines (semantics identical: string out,
+        # NULL on missing path)
+        cols["int"].append(
+            Ex(
+                "CAST(get_json_object(props, '$.k') AS BIGINT)",
+                "CAST(json_extract_string(props, '$.k') AS BIGINT)",
+                "int",
+            )
+        )
+    # per-table timestamp constant pool so range predicates stay
+    # selective-but-not-empty (events live in 2024, TPC-H in the 90s)
+    cols["ts_consts"] = (
+        [
+            "2024-01-08 00:00:00",
+            "2024-01-15 12:00:00",
+            "2024-01-22 00:00:00",
+            "2024-01-29 06:30:00",
+        ]
+        if table == "events"
+        else list(_TS_CONSTS)
+    )
     return cols
 
 
@@ -173,6 +203,7 @@ _STR_CONSTS = {
     "l_linestatus": ["O", "F"],
     "o_orderstatus": ["O", "F", "P"],
     "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+    "event_type": ["click", "error", "purchase", "signup", "view"],
 }
 _TS_CONSTS = [
     "1993-06-30 00:00:00",
@@ -208,6 +239,7 @@ def _pred(rng: random.Random, env, depth: int = 0) -> Ex:
             "l_discount": rng.choice([0.02, 0.05, 0.08]),
             "l_tax": rng.choice([0.02, 0.04, 0.06]),
             "o_totalprice": rng.choice([50000.0, 150000.0, 300000.0]),
+            "value": rng.choice([50.0, 150.0, 250.0]),
         }[dc.s]
         return Ex(f"({dc.s} {op} {c})", f"({dc.d} {op} {c})", "bool")
     if leaf < 0.68:  # string equality / IN / LIKE
@@ -227,7 +259,7 @@ def _pred(rng: random.Random, env, depth: int = 0) -> Ex:
     if leaf < 0.85:  # timestamp range
         ts = rng.choice(env["ts"])
         op = rng.choice(["<", ">=", ">"])
-        c = rng.choice(_TS_CONSTS)
+        c = rng.choice(env["ts_consts"])
         return Ex(
             f"({ts.s} {op} TIMESTAMP '{c}')",
             f"({ts.d} {op} TIMESTAMP '{c}')",
@@ -242,6 +274,7 @@ def _pred(rng: random.Random, env, depth: int = 0) -> Ex:
         "l_discount": 0.05,
         "l_tax": 0.04,
         "o_totalprice": 100000.0,
+        "value": 100.0,
     }[dc.s]
     neg = rng.choice(["", "NOT "])
     return Ex(
@@ -403,7 +436,9 @@ class Plan:
 
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         od = spark.read.parquet(f"{sf_dir}/orders.parquet")
-        if self.table == "lineitem":
+        if self.table == "events":
+            df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        elif self.table == "lineitem":
             df = li
             if self.subq is not None:
                 how, sp = self.subq
@@ -490,6 +525,7 @@ class Plan:
             frm = {
                 "lineitem": "lineitem",
                 "orders": "orders",
+                "events": "events",
                 "join": "lineitem JOIN orders ON l_orderkey = o_orderkey",
             }[self.table]
         conj = []
@@ -569,7 +605,7 @@ def gen_plan(seed: int) -> Plan:
     """One deterministic random plan per seed."""
     rng = random.Random(seed)
     table = rng.choice(
-        ["lineitem", "lineitem", "orders", "join", "leftjoin"]
+        ["lineitem", "lineitem", "orders", "events", "join", "leftjoin"]
     )
     rpred = None
     if table == "leftjoin":

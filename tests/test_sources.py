@@ -478,6 +478,45 @@ def test_txlog_optimize_and_vacuum(spark, tmp_path):
         read_snapshot(spark, path, version=0).collect()
 
 
+def test_txlog_two_process_commit_race(spark, tmp_path):
+    """True inter-process ACID: two SEPARATE JVMs (subprocess workers,
+    not threads in this session) each append 4 commits concurrently to
+    one table.  The create-exclusive version-file primitive must
+    serialize them: 8 distinct versions, zero lost commits, and the
+    table contents are exactly the union of both writers' rows."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from dask_cudf_spark.sources.txlog import read_snapshot, table_history
+
+    path = str(tmp_path / "txrace2p")
+    worker = os.path.join(os.path.dirname(__file__), "txlog_race_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, path, str(w), "4"],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+        )
+        for w in (1, 2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    won: list[int] = []
+    for out in outs:
+        rec = json.loads(out.strip().splitlines()[-1])
+        assert len(rec["versions"]) == 4
+        won.extend(rec["versions"])
+    assert sorted(won) == list(range(8)), won  # every version won once
+    hist = table_history(spark, path)
+    assert [h["version"] for h in hist] == list(range(8))
+    rows = read_snapshot(spark, path).collect()
+    got = sorted((r["writer"], r["seq"]) for r in rows)
+    assert got == [(w, i) for w in (1, 2) for i in range(4)]
+
+
 def test_txlog_crashed_writer_orphan_dir(spark, tmp_path):
     """Crash consistency: a writer that dies AFTER writing its data dir
     but BEFORE creating its version file leaves an orphan.  Readers

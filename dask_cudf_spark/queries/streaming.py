@@ -263,3 +263,63 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+@register(
+    "q_kafka_roundtrip",
+    family="streaming",
+    oracle="""
+        SELECT
+            CAST(doc_id % 4 AS INT) AS partition,
+            COUNT(*) AS n_msgs,
+            CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+            CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+            COUNT(DISTINCT source) AS n_sources,
+            CAST((COUNT(*) * (COUNT(*) - 1)) // 2 AS BIGINT) AS sum_offset
+        FROM documents
+        GROUP BY 1
+    """,
+)
+def q_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka round trip under the oracle gate (the reference's
+    custreamz Kafka source, upstream: custreamz/kafka.py): the
+    documents table is produced onto an in-process wire-protocol
+    broker (streaming/kafka_fixture.py) and read back through the
+    jar-free ``format("kafka_py")`` Python DataSource — real Kafka
+    bytes over TCP, one Spark task per Kafka partition — then
+    aggregated per partition.  The oracle recomputes every column from
+    the parquet alone: counts/sums check payload fidelity, n_sources
+    the delimiter framing, and sum_offset = n*(n-1)/2 checks that
+    broker offset assignment saw each record exactly once in order.
+    Scale: against a real cluster the same source fans a
+    1000-partition topic into 1000 fetch tasks; the per-partition
+    aggregate is one shuffle with map-side partial aggregation."""
+    from ..streaming.kafka_fixture import TOPIC, documents_broker
+    from ..streaming.kafka_source import register_kafka_source
+
+    broker = documents_broker(sf_dir)
+    register_kafka_source(spark)
+    raw = (
+        spark.read.format("kafka_py")
+        .option("bootstrap", broker.bootstrap)
+        .option("subscribe", TOPIC)
+        .load()
+    )
+    fields = F.split(F.col("value").cast("string"), r"\|")
+    return (
+        raw.select(
+            "partition",
+            "offset",
+            fields.getItem(0).cast("long").alias("doc_id"),
+            fields.getItem(1).alias("source"),
+            fields.getItem(2).cast("long").alias("n_chars"),
+        )
+        .groupBy("partition")
+        .agg(
+            F.count("*").alias("n_msgs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum("n_chars").alias("sum_n_chars"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("offset").alias("sum_offset"),
+        )
+    )

@@ -272,6 +272,17 @@ _ROTATIONS: list[tuple[list[str], list[str]]] = [
             "q_window_time_range",
         ],
     ),
+    (
+        # round 7b: q_kafka_roundtrip landed after the round-7 rotation
+        # — the jar-free Kafka wire-protocol source is this round's
+        # flagship closure, so it takes a driver slot immediately.
+        # q_acf_daily_revenue (window family keeps two other reps) is
+        # the union-neutral cede: both names are never-driver-scored,
+        # so the ever-scored union is unchanged and acf simply waits
+        # for round 8.
+        ["q_kafka_roundtrip"],
+        ["q_acf_daily_revenue"],
+    ),
 ]
 _WINDOW = 50
 

@@ -102,7 +102,11 @@ _PINNED_WINDOW = [
     "q_tpch_q9", "q_tpch_q8", "q_tpch_q7",
     "q_python_udtf", "q_arrow_batch_stats",
     "q_peak_concurrency", "q_multitouch_attribution",
-    "q_acf_daily_revenue",
+    # round 7b: the jar-free Kafka wire-protocol source lands its
+    # flagship oracle row in the scored window; q_acf_daily_revenue
+    # cedes (union-neutral — both never-driver-scored) and waits for
+    # the round-8 rotation.
+    "q_kafka_roundtrip",
 ]
 
 

@@ -70,6 +70,31 @@ _EVENTS = {
 }
 
 
+#: Per-table ORDER BY key list under which row_number / lag / running
+#: frames are MULTISET-deterministic.  o_orderkey / event_id are
+#: verified unique in the testdata (all SFs).  The synthetic lineitem
+#: has NO unique key — not even (l_orderkey, l_linenumber); fuzz seed
+#: 101 caught row_number diverging on the duplicates — so lineitem
+#: relations order by EVERY column: ties are then fully-identical rows,
+#: and swapping identical rows between consecutive ranks cannot change
+#: the output multiset (any projection of them is identical too).  For
+#: joined relations the order-side row is a pure function of the
+#: already-included join key, so listing both sides keeps the property.
+_LI_ALL = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+]
+_UNIQUE_ORDER = {
+    "lineitem": _LI_ALL,
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "join": _LI_ALL,
+    "leftjoin": ["o_orderkey"] + _LI_ALL,
+    "fullouter": ["o_orderkey"] + _LI_ALL,
+}
+
+
 def _env(table: str) -> dict[str, list]:
     cols: dict[str, list] = {"int": [], "double": [], "str": [], "ts": []}
     srcs = {
@@ -81,6 +106,9 @@ def _env(table: str) -> dict[str, list]:
         # null-extended for orders whose (pre-filtered) lineitems all
         # drop out — every downstream expression sees genuine nulls
         "leftjoin": [_LINEITEM, _ORDERS],
+        # FULL OUTER: both sides null-extend (filtered lineitem misses
+        # orders AND keeps orphaned lineitems of filtered-out orders)
+        "fullouter": [_LINEITEM, _ORDERS],
     }[table]
     for src in srcs:
         for kind, names in src.items():
@@ -108,6 +136,12 @@ def _env(table: str) -> dict[str, list]:
         if table == "events"
         else list(_TS_CONSTS)
     )
+    # identical on both sides; explicit NULLS FIRST on EVERY key because
+    # the engines' ASC defaults differ (Spark NULLS FIRST, DuckDB NULLS
+    # LAST) and outer-join plans genuinely produce null key components
+    cols["unique_order"] = ", ".join(
+        f"{k} ASC NULLS FIRST" for k in _UNIQUE_ORDER[table]
+    )
     return cols
 
 
@@ -116,30 +150,68 @@ def _env(table: str) -> dict[str, list]:
 # ---------------------------------------------------------------------------
 
 
+def _ts_expr(rng: random.Random, env) -> Ex:
+    """Timestamp-valued expression.  DuckDB date_trunc returns DATE for
+    day-or-coarser granularity where Spark keeps TIMESTAMP, so both
+    sides carry an explicit TIMESTAMP cast (also the verify-skill rule:
+    never emit DATE-typed output columns)."""
+    base = rng.choice(env["ts"])
+    if rng.random() < 0.45:
+        return base
+    g = rng.choice(["year", "quarter", "month", "day"])
+    return Ex(
+        f"CAST(date_trunc('{g}', {base.s}) AS TIMESTAMP)",
+        f"CAST(date_trunc('{g}', {base.d}) AS TIMESTAMP)",
+        "ts",
+    )
+
+
 def _int_expr(rng: random.Random, env, depth: int = 0) -> Ex:
     base = rng.choice(env["int"])
     if depth >= 2:
         return base
     roll = rng.random()
-    if roll < 0.30:
+    if roll < 0.26:
         return base
-    if roll < 0.50:  # small modulus -> bounded group-key-able value
+    if roll < 0.44:  # small modulus -> bounded group-key-able value
         k = rng.choice([3, 5, 7, 11, 13])
         a = _int_expr(rng, env, depth + 1)
         return Ex(f"({a.s} % {k})", f"({a.d} % {k})", "int")
-    if roll < 0.65:
+    if roll < 0.56:
         a = _int_expr(rng, env, depth + 1)
         b = _int_expr(rng, env, depth + 1)
         return Ex(f"({a.s} + {b.s})", f"({a.d} + {b.d})", "int")
-    if roll < 0.78:
+    if roll < 0.66:
         a = _int_expr(rng, env, depth + 1)
         k = rng.randint(2, 9)
         return Ex(f"({a.s} * {k})", f"({a.d} * {k})", "int")
-    if roll < 0.88:  # the SAFE double->int bridge (see module docstring)
+    if roll < 0.74:  # the SAFE double->int bridge (see module docstring)
         dc = rng.choice(env["double"])
         return Ex(
             f"CAST(FLOOR({dc.s}) AS BIGINT)",
             f"CAST(FLOOR({dc.d}) AS BIGINT)",
+            "int",
+        )
+    if roll < 0.80:  # abs / greatest / least (null-skipping in BOTH)
+        a = _int_expr(rng, env, depth + 1)
+        b = _int_expr(rng, env, depth + 1)
+        f = rng.choice(["greatest", "least"])
+        if rng.random() < 0.4:
+            return Ex(f"abs({a.s} - {b.s})", f"abs({a.d} - {b.d})", "int")
+        return Ex(f"{f}({a.s}, {b.s})", f"{f}({a.d}, {b.d})", "int")
+    if roll < 0.86:  # string introspection: length / instr
+        sc = _str_expr(rng, env, 1)
+        if rng.random() < 0.5:
+            return Ex(f"length({sc.s})", f"length({sc.d})", "int")
+        ch = rng.choice(["A", "O", "1", "e"])
+        return Ex(f"instr({sc.s}, '{ch}')", f"instr({sc.d}, '{ch}')", "int")
+    if roll < 0.92:  # day difference: Spark datediff(end, start) ==
+        # DuckDB datediff('day', start, end); may be negative — exact int
+        a = _ts_expr(rng, env)
+        c = rng.choice(env["ts_consts"])
+        return Ex(
+            f"datediff({a.s}, TIMESTAMP '{c}')",
+            f"datediff('day', TIMESTAMP '{c}', {a.d})",
             "int",
         )
     # date part extraction
@@ -177,13 +249,31 @@ def _str_expr(rng: random.Random, env, depth: int = 0) -> Ex:
     if depth >= 1 or rng.random() < 0.5:
         return base
     roll = rng.random()
-    if roll < 0.4:
-        return Ex(f"upper({base.s})", f"upper({base.d})", "str")
-    if roll < 0.7:
+    if roll < 0.22:
+        f = rng.choice(["upper", "lower", "reverse"])
+        return Ex(f"{f}({base.s})", f"{f}({base.d})", "str")
+    if roll < 0.42:
         k = rng.randint(1, 3)
         return Ex(
             f"substring({base.s}, 1, {k})",
             f"substring({base.d}, 1, {k})",
+            "str",
+        )
+    if roll < 0.56:  # 3-arg pad (DuckDB's lpad/rpad REQUIRE the pad char)
+        k = rng.randint(3, 8)
+        f = rng.choice(["lpad", "rpad"])
+        return Ex(
+            f"{f}({base.s}, {k}, '*')", f"{f}({base.d}, {k}, '*')", "str"
+        )
+    if roll < 0.68:
+        k = rng.randint(1, 3)
+        f = rng.choice(["left", "right"])
+        return Ex(f"{f}({base.s}, {k})", f"{f}({base.d}, {k})", "str")
+    if roll < 0.80:
+        src = rng.choice(["A", "O", "E", "-"])
+        return Ex(
+            f"replace({base.s}, '{src}', '#')",
+            f"replace({base.d}, '{src}', '#')",
             "str",
         )
     other = rng.choice(env["str"])
@@ -286,16 +376,24 @@ def _pred(rng: random.Random, env, depth: int = 0) -> Ex:
 
 def _group_key(rng: random.Random, env) -> Ex:
     roll = rng.random()
-    if roll < 0.45:
+    if roll < 0.40:
         return _str_expr(rng, env)
-    if roll < 0.75:  # bounded int key
+    if roll < 0.65:  # bounded int key
         a = _int_expr(rng, env, 1)
         k = rng.choice([3, 5, 7])
         return Ex(f"({a.s} % {k})", f"({a.d} % {k})", "int")
-    if roll < 0.9:
+    if roll < 0.78:
         ts = rng.choice(env["ts"])
         part = rng.choice(["year", "quarter", "month"])
         return Ex(f"{part}({ts.s})", f"{part}({ts.d})", "int")
+    if roll < 0.88:  # calendar-bucket key, timestamp-typed
+        ts = rng.choice(env["ts"])
+        g = rng.choice(["year", "quarter", "month"])
+        return Ex(
+            f"CAST(date_trunc('{g}', {ts.s}) AS TIMESTAMP)",
+            f"CAST(date_trunc('{g}', {ts.d}) AS TIMESTAMP)",
+            "ts",
+        )
     p = _pred(rng, env, 1)  # CASE bucket
     return Ex(
         f"(CASE WHEN {p.s} THEN 'hi' ELSE 'lo' END)",
@@ -322,10 +420,14 @@ def _agg(rng: random.Random, env) -> Ex:
         dc = rng.choice(env["double"])
         f = rng.choice(["min", "max"])
         return Ex(f"{f}({dc.s})", f"{f}({dc.d})", "double")
-    if roll < 0.82:
+    if roll < 0.78:
         sc = _str_expr(rng, env)
         f = rng.choice(["min", "max"])
         return Ex(f"{f}({sc.s})", f"{f}({sc.d})", "str")
+    if roll < 0.86:  # order-free timestamp extrema
+        te = _ts_expr(rng, env)
+        f = rng.choice(["min", "max"])
+        return Ex(f"{f}({te.s})", f"{f}({te.d})", "ts")
     if roll < 0.92:
         e = rng.choice([_str_expr(rng, env), _int_expr(rng, env, 1)])
         return Ex(
@@ -340,36 +442,115 @@ def _agg(rng: random.Random, env) -> Ex:
     )
 
 
-def _window_expr(rng: random.Random, env) -> Ex:
-    """Order-free window aggregate: sum/count/min/max OVER (PARTITION
-    BY k) — exact in any evaluation order, so safe to diff.  Ranking
-    functions need a total order and are deliberately excluded."""
+def _window_partition_key(rng: random.Random, env) -> Ex:
+    """Partition key for window expressions.  A partition key only
+    needs to induce the same equivalence classes on both sides, so the
+    two dialects may differ textually.
+
+    FOUND ENGINE BUG (fuzzer seed 351, r7): DuckDB 1.0.0's window
+    PARTITION BY over a date_trunc-derived expression on an OUTER-JOIN
+    relation is internally inconsistent — its own window max() disagrees
+    with its own GROUP BY max() over the identical expression (NULL rows
+    split across two partitions, and one month partition inherits the
+    NULL partition's max).  Verified self-contained: raw-timestamp, int,
+    and string partition keys are consistent; plain-table date_trunc is
+    consistent; only outer-join + date_trunc triggers it.  Spark agrees
+    with the GROUP BY ground truth on every variant.  Workaround: keep
+    the real date_trunc partition on the SPARK side (the engine under
+    test) and give DuckDB the class-equivalent integer key
+    (year*K + part), which partitions identically (NULL ts -> NULL int
+    -> one NULL class)."""
     k = _group_key(rng, env)
+    if k.kind != "ts":
+        return k
+    ts = rng.choice(env["ts"])
+    g = rng.choice(["year", "quarter", "month"])
+    duck_int = {
+        "year": f"year({ts.d})",
+        "quarter": f"(year({ts.d}) * 10 + quarter({ts.d}))",
+        "month": f"(year({ts.d}) * 100 + month({ts.d}))",
+    }[g]
+    return Ex(
+        f"CAST(date_trunc('{g}', {ts.s}) AS TIMESTAMP)", duck_int, "ts"
+    )
+
+
+def _window_expr(rng: random.Random, env) -> Ex:
+    """Windows that are deterministic regardless of physical row order:
+
+    - unordered frames (sum/count/min/max OVER PARTITION BY) are exact
+      in any evaluation order;
+    - rank()/dense_rank() are functions of each row's SORT-KEY VALUE,
+      not its position among ties, so ANY order expression is safe;
+    - row_number / lag / running frames ARE position-dependent, so they
+      order by the table's proven-unique key list (env["unique_order"],
+      explicit NULLS FIRST — the engines' ASC null defaults differ).
+    ntile stays excluded: tie placement inside buckets is physical."""
+    k = _window_partition_key(rng, env)
     roll = rng.random()
-    if roll < 0.35:
+    if roll < 0.20:
         e = _int_expr(rng, env, 1)
         return Ex(
             f"sum({e.s}) OVER (PARTITION BY {k.s})",
             f"sum({e.d}) OVER (PARTITION BY {k.d})",
             "int",
         )
-    if roll < 0.6:
+    if roll < 0.35:
         return Ex(
             f"count(*) OVER (PARTITION BY {k.s})",
             f"count(*) OVER (PARTITION BY {k.d})",
             "int",
         )
-    dc = rng.choice(env["double"])
-    f = rng.choice(["min", "max"])
+    if roll < 0.50:
+        dc = rng.choice(env["double"])
+        f = rng.choice(["min", "max"])
+        return Ex(
+            f"{f}({dc.s}) OVER (PARTITION BY {k.s})",
+            f"{f}({dc.d}) OVER (PARTITION BY {k.d})",
+            "double",
+        )
+    if roll < 0.68:  # rank over an arbitrary expression (tie-safe)
+        e = rng.choice([_int_expr(rng, env, 1), _str_expr(rng, env, 1)])
+        f = rng.choice(["rank", "dense_rank"])
+        dirn = rng.choice(["ASC NULLS FIRST", "DESC NULLS LAST"])
+        return Ex(
+            f"{f}() OVER (PARTITION BY {k.s} ORDER BY {e.s} {dirn})",
+            f"{f}() OVER (PARTITION BY {k.d} ORDER BY {e.d} {dirn})",
+            "int",
+        )
+    uo = env["unique_order"]
+    if roll < 0.80:
+        return Ex(
+            f"row_number() OVER (PARTITION BY {k.s} ORDER BY {uo})",
+            f"row_number() OVER (PARTITION BY {k.d} ORDER BY {uo})",
+            "int",
+        )
+    if roll < 0.90:
+        e = _int_expr(rng, env, 1)
+        return Ex(
+            f"lag({e.s}, 1) OVER (PARTITION BY {k.s} ORDER BY {uo})",
+            f"lag({e.d}, 1) OVER (PARTITION BY {k.d} ORDER BY {uo})",
+            "int",
+        )
+    # running exact-integer sum over the unique total order; explicit
+    # ROWS frame (the default with ORDER BY is RANGE, which both engines
+    # share, but ROWS states the intent and is tie-proof by construction)
+    e = _int_expr(rng, env, 1)
+    frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     return Ex(
-        f"{f}({dc.s}) OVER (PARTITION BY {k.s})",
-        f"{f}({dc.d}) OVER (PARTITION BY {k.d})",
-        "double",
+        f"sum({e.s}) OVER (PARTITION BY {k.s} ORDER BY {uo} {frame})",
+        f"sum({e.d}) OVER (PARTITION BY {k.d} ORDER BY {uo} {frame})",
+        "int",
     )
 
 
 # top-level dtype pinning so both pandas frames agree bit-for-bit
-_CAST = {"int": ("BIGINT", "BIGINT"), "double": ("DOUBLE", "DOUBLE"), "str": ("STRING", "VARCHAR")}
+_CAST = {
+    "int": ("BIGINT", "BIGINT"),
+    "double": ("DOUBLE", "DOUBLE"),
+    "str": ("STRING", "VARCHAR"),
+    "ts": ("TIMESTAMP", "TIMESTAMP"),
+}
 
 
 def _pin(e: Ex) -> Ex:
@@ -406,6 +587,12 @@ class Plan:
     # same table — (op, second branch predicate).  Distinct-based ops
     # treat NULLs as equal in both engines (SQL standard).
     setop: tuple[str, Ex] | None = None
+    # fullouter only: pre-join filter on the ORDERS side, so BOTH sides
+    # null-extend (FK integrity means unfiltered orders always match)
+    opred: Ex | None = None
+    # aggregate plans: GROUP BY CUBE instead of ROLLUP (same grouping_id
+    # marker and empty-input twin rule)
+    cube: bool = False
 
     def describe(self) -> str:
         bits = [f"seed={self.seed}", self.table]
@@ -413,10 +600,12 @@ class Plan:
             bits.append(f"{self.subq[0].upper()}-SUBQ WHERE {self.subq[1].d}")
         if self.rpred:
             bits.append(f"RIGHT-FILTER {self.rpred.d}")
+        if self.opred:
+            bits.append(f"LEFT-FILTER {self.opred.d}")
         if self.pred:
             bits.append(f"WHERE {self.pred.d}")
         if self.keys:
-            kw = "ROLLUP " if self.rollup else ""
+            kw = "ROLLUP " if self.rollup else ("CUBE " if self.cube else "")
             bits.append(
                 f"GROUP BY {kw}" + ", ".join(k.d for k in self.keys)
             )
@@ -460,6 +649,11 @@ class Plan:
                 )
         elif self.table == "join":
             df = li.join(od, li.l_orderkey == od.o_orderkey, "inner")
+        elif self.table == "fullouter":
+            # both sides pre-filtered so both genuinely null-extend
+            rt = li.filter(F.expr(self.rpred.s))
+            lt = od.filter(F.expr(self.opred.s))
+            df = lt.join(rt, lt.o_orderkey == rt.l_orderkey, "full")
         else:  # leftjoin: orders preserved, filtered lineitem nullable
             rt = li
             if self.rpred is not None:
@@ -469,9 +663,9 @@ class Plan:
         if self.pred is not None:
             df = df.filter(F.expr(self.pred.s))
         if self.keys:
-            if self.rollup:
+            if self.rollup or self.cube:
                 # grouping() demands REAL columns, not aliased exprs —
-                # pre-project the keys, then rollup over the names
+                # pre-project the keys, then rollup/cube over the names
                 for i, k in enumerate(self.keys):
                     df = df.withColumn(f"k{i}", F.expr(k.s))
                 names = [f"k{i}" for i in range(len(self.keys))]
@@ -479,7 +673,8 @@ class Plan:
                     f"grouping({n}) * {2 ** (len(names) - 1 - i)}"
                     for i, n in enumerate(names)
                 )
-                res = df.rollup(*names).agg(
+                grouped = (df.rollup if self.rollup else df.cube)(*names)
+                res = grouped.agg(
                     F.expr(f"CAST(({gid}) AS BIGINT)").alias("g"),
                     *[
                         F.expr(a.s).alias(f"a{i}")
@@ -521,6 +716,12 @@ class Plan:
                 "orders LEFT JOIN (SELECT * FROM lineitem" + rw + ") l "
                 "ON o_orderkey = l_orderkey"
             )
+        elif self.table == "fullouter":
+            frm = (
+                f"(SELECT * FROM orders WHERE {self.opred.d}) o "
+                f"FULL JOIN (SELECT * FROM lineitem WHERE {self.rpred.d}) l "
+                "ON o_orderkey = l_orderkey"
+            )
         else:
             frm = {
                 "lineitem": "lineitem",
@@ -544,7 +745,7 @@ class Plan:
             base_conj.append(sq)
         where = f" WHERE {' AND '.join(conj)}" if conj else ""
         if self.keys:
-            if self.rollup:
+            if self.rollup or self.cube:
                 names = [f"k{i}" for i in range(len(self.keys))]
                 proj = ", ".join(
                     f"{k.d} AS k{i}" for i, k in enumerate(self.keys)
@@ -559,15 +760,16 @@ class Plan:
                 # FOUND DIVERGENCE (fuzzer seed 5, r7): over EMPTY
                 # input, the SQL standard (and DuckDB/Postgres) emit
                 # the () grand-total grouping-set row; Spark's rollup
-                # returns 0 rows.  For non-empty input every
+                # (and cube) return 0 rows.  For non-empty input every
                 # grouping-set row has count(*) >= 1, so HAVING
                 # count(*) > 0 emulates Spark exactly and is a no-op
                 # otherwise.
+                gkw = "ROLLUP" if self.rollup else "CUBE"
                 inner = (
                     f"SELECT {', '.join(names)}, "
                     f"CAST(({gid}) AS BIGINT) AS g, {aggs} "
                     f"FROM (SELECT *, {proj} FROM {frm}{where}) rsrc "
-                    f"GROUP BY ROLLUP ({', '.join(names)}) "
+                    f"GROUP BY {gkw} ({', '.join(names)}) "
                     f"HAVING count(*) > 0"
                 )
                 if self.having is not None:
@@ -605,13 +807,18 @@ def gen_plan(seed: int) -> Plan:
     """One deterministic random plan per seed."""
     rng = random.Random(seed)
     table = rng.choice(
-        ["lineitem", "lineitem", "orders", "events", "join", "leftjoin"]
+        ["lineitem", "lineitem", "orders", "events", "join", "leftjoin",
+         "fullouter"]
     )
-    rpred = None
+    rpred = opred = None
     if table == "leftjoin":
         # selective filter on the lineitem side so a real fraction of
         # orders null-extend (every order has lineitems otherwise)
         rpred = _pred(rng, _env("lineitem"))
+    elif table == "fullouter":
+        # pre-join filters on BOTH sides so both genuinely null-extend
+        rpred = _pred(rng, _env("lineitem"))
+        opred = _pred(rng, _env("orders"))
     subq = None
     if table in ("lineitem", "orders") and rng.random() < 0.3:
         other = "orders" if table == "lineitem" else "lineitem"
@@ -628,16 +835,23 @@ def gen_plan(seed: int) -> Plan:
         int_aggs = [i for i, a in enumerate(aggs) if a.kind == "int"]
         if int_aggs and rng.random() < 0.3:
             having = (rng.choice(int_aggs), rng.randint(0, 20))
-        rollup = len(keys) >= 1 and rng.random() < 0.25
+        rollup = cube = False
+        gs = rng.random()
+        if len(keys) >= 1 and gs < 0.25:
+            rollup = True
+        elif len(keys) >= 1 and gs < 0.40:
+            cube = True
         return Plan(seed, table, rpred, pred, keys, aggs, [], having,
-                    False, subq, rollup)
+                    False, subq, rollup, None, opred, cube)
     projs = [
         _pin(
-            rng.choice([_int_expr, _double_expr, _str_expr])(rng, env)
+            rng.choice([_int_expr, _double_expr, _str_expr, _ts_expr])(
+                rng, env
+            )
         )
         for _ in range(rng.randint(2, 4))
     ]
-    if rng.random() < 0.35:  # order-free window aggregates alongside
+    if rng.random() < 0.4:  # order-safe window functions alongside
         projs += [_pin(_window_expr(rng, env)) for _ in range(rng.randint(1, 2))]
     distinct = rng.random() < 0.3
     setop = None
@@ -650,4 +864,4 @@ def gen_plan(seed: int) -> Plan:
             _pred(rng, env),
         )
     return Plan(seed, table, rpred, pred, [], [], projs, None, distinct,
-                subq, False, setop)
+                subq, False, setop, opred, False)

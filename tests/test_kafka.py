@@ -317,3 +317,70 @@ def test_documents_broker_idempotent_and_offsets():
         doc_ids = [int(r.value.split(b"|")[0]) for r in recs]
         assert doc_ids == sorted(doc_ids)  # ascending doc_id per partition
         assert all(d % NUM_PARTITIONS == 0 for d in doc_ids)
+
+
+# ------------------------------------- composition: windowed event time
+
+def test_kafka_stream_tumbling_window_converges(spark, broker):
+    """The jar-free source composes with the engine's event-time
+    machinery: kafka_py stream -> parse event time from the payload ->
+    watermark -> tumbling window + grouped sum must converge to the
+    identical batch computation over the same Kafka bytes (the same
+    stream/batch-twin contract every §2.9 query follows)."""
+    register_kafka_source(spark)
+    base = 1_700_000_000  # epoch seconds, windows at :00/:10/:20
+    with KafkaClient(broker.bootstrap) as c:
+        for pid in range(3):
+            c.produce(
+                "win",
+                pid,
+                [
+                    (None, f"{base + 60 * i + pid}|u{i % 2}|{i + pid}".encode())
+                    for i in range(30)
+                ],
+                1,
+            )
+
+    def parsed(df):
+        f = F.split(F.col("value").cast("string"), r"\|")
+        return df.select(
+            F.col("partition"),
+            F.to_timestamp(F.from_unixtime(f.getItem(0).cast("long"))).alias("ts"),
+            f.getItem(1).alias("user"),
+            f.getItem(2).cast("long").alias("v"),
+        )
+
+    def windowed(df):
+        return (
+            df.groupBy(F.window("ts", "10 minutes").alias("w"), "user")
+            .agg(F.sum("v").alias("total"), F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "user", "total", "n")
+        )
+
+    reader = (
+        spark.readStream.format("kafka_py")
+        .option("bootstrap", broker.bootstrap)
+        .option("subscribe", "win")
+        .load()
+    )
+    q = (
+        windowed(parsed(reader).withWatermark("ts", "5 minutes"))
+        .writeStream.format("memory")
+        .queryName("kafka_win")
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        batch = windowed(parsed(_read_kafka(spark, broker, "win"))).toPandas()
+        expect = sorted(map(tuple, batch.itertuples(index=False)))
+        got = lambda: sorted(
+            map(tuple, spark.sql("select * from kafka_win").toPandas()
+                .itertuples(index=False))
+        )
+        assert _wait(lambda: got() == expect), (
+            f"stream={got()[:5]}... batch={expect[:5]}..."
+        )
+    finally:
+        q.stop()

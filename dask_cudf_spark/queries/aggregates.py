@@ -2910,3 +2910,75 @@ def q_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_matview(spark, dst).select(
         "event_type", "n", "total_c", "first_id", "last_id"
     )
+
+
+@register(
+    "q_txlog_change_feed",
+    family="partitioning",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                   o_orderstatus
+            FROM orders
+        )
+        SELECT o_orderkey, o_custkey,
+               cents + CASE WHEN o_orderkey % 7 = 0 THEN 1000 ELSE 0 END
+                   AS cents,
+               o_orderstatus, 'insert' AS change_type
+        FROM o WHERE o_orderkey % 5 = 4
+        UNION ALL
+        SELECT o_orderkey, o_custkey, cents, o_orderstatus,
+               'update_preimage' AS change_type
+        FROM o WHERE o_orderkey % 5 <> 4 AND o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, cents + 1000, o_orderstatus,
+               'update_postimage' AS change_type
+        FROM o WHERE o_orderkey % 5 <> 4 AND o_orderkey % 7 = 0
+    """,
+)
+def q_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed over the transaction-log table
+    (sources/txlog.py::change_feed; the Delta ``table_changes`` /
+    Iceberg changelog shape — upstream has no equivalent; lakehouse
+    CDC is a Spark-ecosystem capability): 80% of orders commit as the
+    base version, then one MERGE upserts the missing 20% (inserts) and
+    bumps every key divisible by 7 by 1000 cents (updates).  The feed
+    between the two versions must classify every row exactly —
+    inserts with their post-merge values, updates as
+    preimage/postimage pairs, and the merge's copy-on-write carried
+    rows (non-matching rows of touched files, rewritten verbatim into
+    the keep-dir) suppressed by the null-safe all-column comparison.
+    The oracle reconstructs the same classification from raw orders
+    alone.
+
+    Scale: the feed reads ONLY dirs retired or added between the
+    versions (immutability makes that set complete), then one
+    full-outer shuffle join on the key — churn-proportional CDC, never
+    a full-table diff."""
+    import tempfile
+
+    from ..sources.txlog import change_feed, commit, merge_by_key
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        "o_orderstatus",
+    )
+    root = tempfile.mkdtemp(prefix="spark-graft-cdc-")
+    path = f"{root}/t"
+    commit(od.filter(F.col("o_orderkey") % 5 != 4), path, "append")  # v0
+    updates = od.filter(
+        (F.col("o_orderkey") % 5 == 4) | (F.col("o_orderkey") % 7 == 0)
+    ).withColumn(
+        "cents",
+        F.col("cents")
+        + F.when(F.col("o_orderkey") % 7 == 0, F.lit(1000)).otherwise(
+            F.lit(0)
+        ),
+    )
+    v1 = merge_by_key(updates, path, "o_orderkey")
+    return change_feed(
+        spark, path, "o_orderkey", from_version=0, to_version=v1
+    )

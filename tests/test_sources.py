@@ -817,3 +817,88 @@ def test_matview_vacuum_reclaims_old_refreshes(spark, tmp_path):
     assert removed == 3  # the three superseded view snapshots
     after = read_matview(spark, dst).orderBy("k").collect()
     assert [r.asDict() for r in after] == [r.asDict() for r in before]
+
+
+def test_txlog_change_feed_classifies_and_suppresses_copies(spark, tmp_path):
+    """CDC by snapshot diff (txlog.change_feed): inserts, deletes, and
+    update pre/post image pairs classified exactly; rows the merge's
+    copy-on-write carried verbatim are suppressed; a pure OPTIMIZE
+    compaction between versions yields an EMPTY feed."""
+    from pyspark.sql import functions as F
+
+    from dask_cudf_spark.sources.txlog import (
+        change_feed,
+        commit,
+        merge_by_key,
+        optimize,
+    )
+
+    path = str(tmp_path / "cdc")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    assert commit(base, path, "append") == 0
+    # upsert: keys 100..104 insert, keys 0..4 update (v -> v+1)
+    upd = spark.range(0, 5).select(
+        F.col("id").alias("k"), (F.col("id") * 10 + 1).alias("v")
+    )
+    ins = spark.range(100, 105).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    v1 = merge_by_key(upd.union(ins), path, "k")
+
+    feed = change_feed(spark, path, "k", 0, v1).toPandas()
+    by_type = feed.groupby("change_type").size().to_dict()
+    # 95 base rows were carried verbatim into the keep-dir: suppressed
+    assert by_type == {
+        "insert": 5, "update_preimage": 5, "update_postimage": 5
+    }
+    pre = feed[feed.change_type == "update_preimage"].sort_values("k")
+    post = feed[feed.change_type == "update_postimage"].sort_values("k")
+    assert list(pre.v) == [0, 10, 20, 30, 40]
+    assert list(post.v) == [1, 11, 21, 31, 41]
+    assert sorted(feed[feed.change_type == "insert"].k) == list(
+        range(100, 105)
+    )
+
+    # pure compaction: every row copied verbatim -> empty feed
+    v2 = optimize(spark, path)
+    assert change_feed(spark, path, "k", v1, v2).count() == 0
+
+    # overwrite that drops rows -> deletes (and re-inserts the rest)
+    kept = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    v3 = commit(kept, path, "overwrite")
+    f2 = change_feed(spark, path, "k", v2, v3)
+    dels = f2.filter("change_type = 'delete'")
+    assert dels.count() == 55  # keys 50..104 gone
+    assert dels.agg(F.min("k"), F.max("k")).first() == (50, 104)
+
+
+def test_txlog_change_feed_spans_schema_evolution(spark, tmp_path):
+    """A feed spanning an additive-schema commit null-extends the old
+    side's missing column instead of failing."""
+    from pyspark.sql import functions as F
+
+    from dask_cudf_spark.sources.txlog import change_feed, commit
+
+    path = str(tmp_path / "cdcschema")
+    commit(
+        spark.range(0, 3).select(F.col("id").alias("k")), path, "append"
+    )
+    wide = spark.range(1, 4).select(
+        F.col("id").alias("k"), F.lit("x").alias("tag")
+    )
+    v1 = commit(wide, path, "overwrite")
+    feed = change_feed(spark, path, "k", 0, v1).toPandas()
+    # k=0 deleted (tag null-extended); k=3 inserted; k=1,2 update pairs
+    # because the post side genuinely differs (tag 'x' vs null)
+    by_type = feed.groupby("change_type").size().to_dict()
+    assert by_type == {
+        "delete": 1, "insert": 1,
+        "update_preimage": 2, "update_postimage": 2,
+    }
+    assert feed[feed.change_type == "delete"].k.tolist() == [0]
+    assert feed[feed.change_type == "delete"].tag.isna().all()
+    assert feed[feed.change_type == "insert"].k.tolist() == [3]

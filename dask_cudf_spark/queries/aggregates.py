@@ -2982,3 +2982,63 @@ def q_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return change_feed(
         spark, path, "o_orderkey", from_version=0, to_version=v1
     )
+
+
+@register(
+    "q_matview_cdc",
+    family="partitioning",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                        + CASE WHEN o_orderkey % 7 = 0 THEN 1000
+                               ELSE 0 END) AS BIGINT) AS total_c
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def q_matview_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized view maintained THROUGH a MERGE via change-feed
+    deltas (sources/matview.py CDC mode, r7b): 80% of orders build the
+    view full, then one MERGE inserts the rest and bumps every
+    key%7==0 by 1000 cents; the second refresh must run in 'cdc' mode
+    (signed change-feed application, NOT a full recompute — the query
+    raises if it fell back) and the resulting view must equal the
+    oracle's from-scratch groupBy over the post-merge table
+    reconstructed from raw orders.
+
+    Scale: the cdc refresh reads only the merge's retired+added files
+    (change_feed dir-diff) plus the |groups|-row stored view — at
+    100 TB a merge touching 0.1% of files costs 0.1% of a rebuild,
+    where the previous fallback re-aggregated the whole table."""
+    import tempfile
+
+    from ..sources.matview import read_matview, refresh_matview
+    from ..sources.txlog import commit, merge_by_key
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        "o_orderstatus",
+    )
+    root = tempfile.mkdtemp(prefix="spark-graft-mvcdc-")
+    src, dst = f"{root}/src", f"{root}/view"
+    aggs = {"n": ("count", None), "total_c": ("sum", "cents")}
+    commit(od.filter(F.col("o_orderkey") % 5 != 4), src, "append")
+    m0 = refresh_matview(spark, src, dst, ["o_orderstatus"], aggs,
+                         key="o_orderkey")
+    updates = od.filter(
+        (F.col("o_orderkey") % 5 == 4) | (F.col("o_orderkey") % 7 == 0)
+    ).withColumn(
+        "cents",
+        F.col("cents")
+        + F.when(F.col("o_orderkey") % 7 == 0, F.lit(1000)).otherwise(
+            F.lit(0)
+        ),
+    )
+    merge_by_key(updates, src, "o_orderkey")
+    m1 = refresh_matview(spark, src, dst, ["o_orderstatus"], aggs,
+                         key="o_orderkey")
+    if [m0["mode"], m1["mode"]] != ["full", "cdc"]:
+        raise AssertionError(f"cdc maintenance lost: {[m0, m1]}")
+    return read_matview(spark, dst).select("o_orderstatus", "n", "total_c")

@@ -19,9 +19,22 @@ state.
 
 Source OVERWRITE commits (compaction rewrites live dirs, so "new dirs
 since version N" no longer equals "new rows") invalidate the delta
-shortcut; refresh detects them and falls back to a FULL recompute —
-correct, and recorded as ``mode='full'`` in the result so operators
-can see when incrementality was lost.
+shortcut.  Two recoveries, tried in order:
+
+- **CDC mode** (r7b): when the caller supplies the table's row ``key``
+  and every aggregate is SUBTRACTABLE (sum/count — min/max have no
+  inverse), the refresh applies ``txlog.change_feed`` deltas with a
+  sign column (+1 for insert/update_postimage, −1 for
+  delete/update_preimage) and drops groups whose maintained row count
+  hits zero — still churn-proportional through a MERGE or row-level
+  overwrite, ``mode='cdc'``.
+- otherwise a FULL recompute, recorded as ``mode='full'`` so operators
+  can see when incrementality was lost.
+
+To make groups-emptying-out detectable, every refresh stores a hidden
+``__nrows`` per-group row count (dropped by ``read_matview``); a view
+written before this column existed reads it as null and CDC mode
+declines in favor of 'full' (never guesses).
 
 The view itself is a txlog table: every refresh is an ``overwrite``
 commit whose stats blob carries ``{"matview": {"src_version": N}}``,
@@ -39,13 +52,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .txlog import _read_log, commit, read_snapshot
+from .txlog import _read_log, change_feed, commit, read_snapshot
 
 #: agg spec: out_col -> (fn, src_col); fn in _DECOMPOSABLE.  For
 #: "count", src_col is ignored (row count).
 _DECOMPOSABLE = ("sum", "count", "min", "max")
+#: the subset with an INVERSE — maintainable through deletes/updates
+_SUBTRACTABLE = ("sum", "count")
 #: merge step per fn: how partials of the SAME group combine
 _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+#: hidden per-group row count enabling group-drop detection in CDC mode
+_NROWS = "__nrows"
 
 
 def _check_spec(aggs: dict) -> None:
@@ -67,13 +84,37 @@ def _partial(df: DataFrame, group_cols: list[str], aggs: dict) -> DataFrame:
             exprs.append(F.sum(col).alias(out))
         else:
             exprs.append(getattr(F, fn)(col).alias(out))
+    exprs.append(F.count(F.lit(1)).cast("long").alias(_NROWS))
     return df.groupBy(*group_cols).agg(*exprs)
+
+
+def _signed_partial(
+    feed: DataFrame, group_cols: list[str], aggs: dict
+) -> DataFrame:
+    """Per-group SIGNED deltas from a change feed: postimages/inserts
+    add, preimages/deletes subtract.  Null measure values contribute
+    nothing with either sign, so they cancel exactly as groupBy's
+    null-ignoring sum does."""
+    sign = F.when(
+        F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    exprs = []
+    for out, (fn, col) in aggs.items():
+        if fn == "count":
+            exprs.append(F.sum(sign).cast("long").alias(out))
+        else:  # sum
+            exprs.append(
+                F.sum(F.col(col) * sign).alias(out)
+            )
+    exprs.append(F.sum(sign).cast("long").alias(_NROWS))
+    return feed.groupBy(*group_cols).agg(*exprs)
 
 
 def _merge(df: DataFrame, group_cols: list[str], aggs: dict) -> DataFrame:
     exprs = [
         _MERGE[fn](out).alias(out) for out, (fn, _c) in aggs.items()
     ]
+    exprs.append(F.sum(_NROWS).cast("long").alias(_NROWS))
     return df.groupBy(*group_cols).agg(*exprs)
 
 
@@ -95,14 +136,17 @@ def refresh_matview(
     dst: str,
     group_cols: list[str],
     aggs: dict,
+    key: str | None = None,
 ) -> dict:
     """Create or refresh the materialized view at ``dst`` for
     ``src.groupBy(group_cols).agg(aggs)``.
 
-    Returns ``{"mode": 'full'|'incremental'|'noop',
-    "src_version": N}``.  'full' on first build or after a source
-    overwrite/compaction; 'incremental' reads only the delta commits;
-    'noop' when the source has not advanced."""
+    Returns ``{"mode": 'full'|'incremental'|'cdc'|'noop',
+    "src_version": N}``.  'full' on first build; 'incremental' reads
+    only append-delta commits; 'cdc' maintains the view THROUGH a
+    merge/overwrite via ``change_feed`` signed deltas (requires
+    ``key`` and subtractable-only aggs — sum/count); 'noop' when the
+    source has not advanced."""
     _check_spec(aggs)
     src_entries = _read_log(spark, src)
     if not src_entries:
@@ -119,8 +163,20 @@ def refresh_matview(
         if last is not None
         else None
     )
-    incremental = delta_entries is not None and all(
-        e["op"] == "append" for e in delta_entries
+    stored = read_snapshot(spark, dst) if last is not None else None
+    # a view written before __nrows existed cannot be maintained (its
+    # group row counts are unknown) — rebuild once, full, to upgrade it
+    maintainable = stored is not None and _NROWS in stored.columns
+    incremental = (
+        delta_entries is not None
+        and maintainable
+        and all(e["op"] == "append" for e in delta_entries)
+    )
+    cdc_able = (
+        not incremental
+        and maintainable
+        and key is not None
+        and all(fn in _SUBTRACTABLE for fn, _c in aggs.values())
     )
 
     if incremental:
@@ -129,13 +185,19 @@ def refresh_matview(
             *[f"{base}/{d}" for d in delta_dirs]
         )
         merged = _merge(
-            _partial(delta, group_cols, aggs).unionByName(
-                read_snapshot(spark, dst)
-            ),
+            _partial(delta, group_cols, aggs).unionByName(stored),
             group_cols,
             aggs,
         )
         mode = "incremental"
+    elif cdc_able:
+        feed = change_feed(spark, src, key, last, src_version)
+        merged = _merge(
+            _signed_partial(feed, group_cols, aggs).unionByName(stored),
+            group_cols,
+            aggs,
+        ).filter(F.col(_NROWS) > 0)
+        mode = "cdc"
     else:
         merged = _partial(
             read_snapshot(spark, src), group_cols, aggs
@@ -152,8 +214,10 @@ def refresh_matview(
 
 
 def read_matview(spark: SparkSession, dst: str) -> DataFrame:
-    """The view's current contents (latest refresh)."""
-    return read_snapshot(spark, dst)
+    """The view's current contents (latest refresh); the internal
+    ``__nrows`` maintenance column is dropped."""
+    df = read_snapshot(spark, dst)
+    return df.drop(_NROWS) if _NROWS in df.columns else df
 
 
 def matview_is_fresh(spark: SparkSession, src: str, dst: str) -> bool:

@@ -902,3 +902,76 @@ def test_txlog_change_feed_spans_schema_evolution(spark, tmp_path):
     assert feed[feed.change_type == "delete"].k.tolist() == [0]
     assert feed[feed.change_type == "delete"].tag.isna().all()
     assert feed[feed.change_type == "insert"].k.tolist() == [3]
+
+
+def test_matview_cdc_maintains_through_merge_and_group_drop(spark, tmp_path):
+    """CDC matview mode: a MERGE (overwrite commit) no longer forces a
+    full recompute when the aggs are subtractable and a row key is
+    given — the refresh applies signed change-feed deltas, and a group
+    whose maintained row count hits zero drops out of the view."""
+    from pyspark.sql import functions as F
+
+    from dask_cudf_spark.sources.matview import (
+        read_matview,
+        refresh_matview,
+    )
+    from dask_cudf_spark.sources.txlog import commit, merge_by_key
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "view")
+    aggs = {"n": ("count", None), "total": ("sum", "v")}
+
+    def rows(lo, hi, bump=0):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).alias("g"),
+            (F.col("id") + bump).alias("v"),
+        )
+
+    commit(rows(0, 100), src, "append")
+    m0 = refresh_matview(spark, src, dst, ["g"], aggs, key="k")
+    commit(rows(100, 150), src, "append")
+    m1 = refresh_matview(spark, src, dst, ["g"], aggs, key="k")
+    # MERGE: bump v by 1000 for keys 0..9, insert keys 150..159
+    upd = rows(0, 10, bump=1000).union(rows(150, 160))
+    merge_by_key(upd, src, "k")
+    m2 = refresh_matview(spark, src, dst, ["g"], aggs, key="k")
+    assert [m["mode"] for m in (m0, m1, m2)] == [
+        "full", "incremental", "cdc"
+    ]
+    got = {
+        r["g"]: (r["n"], r["total"])
+        for r in read_matview(spark, dst).collect()
+    }
+    # ground truth from scratch
+    truth = {
+        g: (
+            sum(1 for k in range(160) if k % 4 == g),
+            sum(
+                k + (1000 if k < 10 else 0)
+                for k in range(160)
+                if k % 4 == g
+            ),
+        )
+        for g in range(4)
+    }
+    assert got == truth
+
+    # overwrite that removes EVERY g==0 row: CDC refresh drops the group
+    survivors = rows(0, 160).filter("g <> 0").withColumn(
+        "v", F.col("v") + F.when(F.col("k") < 10, 1000).otherwise(0)
+    )
+    commit(survivors, src, "overwrite")
+    m3 = refresh_matview(spark, src, dst, ["g"], aggs, key="k")
+    assert m3["mode"] == "cdc"
+    view = read_matview(spark, dst)
+    assert sorted(r["g"] for r in view.collect()) == [1, 2, 3]
+    assert "__nrows" not in view.columns
+
+    # min/max are not subtractable: a further merge falls back to full
+    aggs_mm = {"n": ("count", None), "hi": ("max", "v")}
+    dst2 = str(tmp_path / "view2")
+    refresh_matview(spark, src, dst2, ["g"], aggs_mm, key="k")
+    merge_by_key(rows(200, 205), src, "k")
+    m4 = refresh_matview(spark, src, dst2, ["g"], aggs_mm, key="k")
+    assert m4["mode"] == "full"

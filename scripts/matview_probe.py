@@ -1,5 +1,5 @@
-"""Matview maintenance-cost probe (round 7): measure an INCREMENTAL
-refresh against a FULL recompute as the source table grows.
+"""Matview maintenance-cost probe (round 7; CDC leg r7b): measure an
+INCREMENTAL refresh against a FULL recompute as the source table grows.
 
 The claim under test is the whole point of sources/matview.py: refresh
 cost tracks the DELTA size (one appended commit), not the table size —
@@ -12,6 +12,12 @@ fixed-size delta commit (the original events batch) and time
 (a) refresh_matview (incremental path), vs
 (b) a full groupBy recompute over the source snapshot committed the
 same way.  min of RUNS, warmed.  Prints one JSON line.
+
+CDC leg (r7b): on the same grown table, a fixed-size MERGE (1% of the
+first replica's keys, constant as K grows) followed by a keyed
+refresh must run in 'cdc' mode and stay ~flat too — the feed reads
+only the merge's retired+added files, so view maintenance through
+UPDATES is churn-proportional, not table-proportional.
 
 Usage: python scripts/matview_probe.py [factors...] (default 1 10 50)
 """
@@ -31,7 +37,7 @@ from pyspark.sql import functions as F
 from dask_cudf_spark.session import get_spark
 from dask_cudf_spark.sources import load_table
 from dask_cudf_spark.sources.matview import refresh_matview
-from dask_cudf_spark.sources.txlog import commit, read_snapshot
+from dask_cudf_spark.sources.txlog import commit, merge_by_key, read_snapshot
 
 SF = "/root/testdata/sf0.1"
 BASE = "/tmp/matview_probe"
@@ -96,10 +102,35 @@ def main() -> None:
             ).collect()
             if r > 0:
                 full_ts.append(time.perf_counter() - t0)
+        # CDC leg: fixed-churn MERGE, keyed refresh must stay flat too
+        dst2 = f"{root}/view2"
+        aggs_sub = {"n": ("count", None), "total_c": ("sum", "cents")}
+        refresh_matview(
+            spark, src, dst2, ["event_type"], aggs_sub, key="event_id"
+        )
+        churn = ev.filter(F.col("event_id") % 100 == 0).localCheckpoint()
+        n_churn = churn.count()
+        cdc_ts = []
+        for r in range(RUNS + 1):  # +1 warm
+            merge_by_key(
+                churn.withColumn("cents", F.col("cents") + F.lit(r + 1)),
+                src,
+                "event_id",
+            )
+            t0 = time.perf_counter()
+            out = refresh_matview(
+                spark, src, dst2, ["event_type"], aggs_sub, key="event_id"
+            )
+            dt = time.perf_counter() - t0
+            assert out["mode"] == "cdc", out
+            if r > 0:
+                cdc_ts.append(dt)
         result[f"x{k}"] = {
             "src_rows": n_batch * (k + RUNS + 1),
             "incremental_s": round(min(inc_ts), 3),
             "full_recompute_s": round(min(full_ts), 3),
+            "cdc_churn_rows": n_churn,
+            "cdc_refresh_s": round(min(cdc_ts), 3),
         }
         print(f"  x{k}: {result[f'x{k}']}", file=sys.stderr)
     print(json.dumps({"runs": RUNS, "delta_rows": n_batch, "by_history": result}))

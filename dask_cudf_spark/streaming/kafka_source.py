@@ -138,7 +138,16 @@ class KafkaBatchReader(DataSourceReader):
 class KafkaStreamReader(DataSourceStreamReader):
     """Micro-batch read: offsets are dicts ``{"<partition>": next_off}``
     checkpointed by Spark; each batch covers (start, min(latest,
-    start + maxOffsetsPerTrigger)] per partition."""
+    start + maxOffsetsPerTrigger)] per partition.
+
+    Trigger note: under ``processingTime`` triggers the
+    maxOffsetsPerTrigger cap yields genuine multi-batch backpressure
+    (tested).  Under ``Trigger.AvailableNow`` Spark's Python
+    DataSource wrapper snapshots latestOffset ONCE and drains it as a
+    single planned batch — the public API has no
+    prepareForTriggerAvailableNow hook for the capped-catch-up
+    behavior the jar connector implements, so availableNow + cap
+    degrades to one batch (still exactly-once)."""
 
     def __init__(self, options: dict):
         self._opts = _KafkaOptions(options)

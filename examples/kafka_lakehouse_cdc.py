@@ -1,0 +1,220 @@
+"""Kafka -> lakehouse -> CDC-maintained serving view, end to end.
+
+The round-7 capstone loop on the engine's public API, jar-free:
+
+1. **Ingest**: events produced onto a Kafka broker (wire-protocol
+   bytes; here the in-process broker, on a cluster the real one) are
+   read with the pure-Python ``format("kafka_py")`` source and land in
+   an ACID txlog table EXACTLY-ONCE per micro-batch, while a grouped
+   revenue view refreshes incrementally per batch
+   (``streaming.jobs.stream_matview`` — replayed batches no-op at the
+   commit AND at the refresh).
+2. **Late correction**: finance reprices one event type — a keyed
+   MERGE (copy-on-write, file-granular) fixes the affected rows.
+3. **CDC maintenance**: the next keyed refresh runs in ``cdc`` mode —
+   it applies signed ``change_feed`` deltas (reads only the merge's
+   retired+added files, never the table) instead of rebuilding.
+4. **Audit**: ``change_feed`` between the pre- and post-merge versions
+   is the row-level audit trail of what the correction did.
+
+Every number is cross-checked against a from-scratch batch computation
+over the same Kafka bytes at the end.
+
+Scale shape: ingest fans one Spark task per Kafka partition; each
+refresh reads one micro-batch commit (append) or one merge's churn
+(cdc) plus the |groups|-row view; the audit reads the churn only.
+At 100 TB none of these steps reads the accumulated table.
+
+Run:  python examples/kafka_lakehouse_cdc.py [SF_DIR] [WORK_DIR]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+N_PARTITIONS = 4
+TOPIC = "events"
+
+
+def _produce_events(spark, sf_dir: str, broker) -> int:
+    """Events onto the broker as 'event_id|event_type|cents' bytes,
+    partitioned by event_id (the key) — deterministic layout."""
+    from dask_cudf_spark.sources import load_table
+    from dask_cudf_spark.streaming.kafka_protocol import KafkaClient
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    buckets: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: r.event_id):
+        buckets.setdefault(r.event_id % N_PARTITIONS, []).append(
+            (str(r.event_id).encode(),
+             f"{r.event_id}|{r.event_type}|{r.cents}".encode())
+        )
+    with KafkaClient(broker.bootstrap) as cli:
+        for pid, recs in sorted(buckets.items()):
+            cli.produce(TOPIC, pid, recs, timestamp_ms=1_700_000_000_000)
+    return len(rows)
+
+
+def run_pipeline(spark, sf_dir: str, work_dir: str) -> dict:
+    from dask_cudf_spark.sources.matview import (
+        read_matview,
+        refresh_matview,
+    )
+    from dask_cudf_spark.sources.txlog import (
+        change_feed,
+        merge_by_key,
+        read_snapshot,
+        table_history,
+    )
+    from dask_cudf_spark.streaming.jobs import stream_matview
+    from dask_cudf_spark.streaming.kafka_protocol import InProcBroker
+    from dask_cudf_spark.streaming.kafka_source import register_kafka_source
+
+    register_kafka_source(spark)
+    table = f"{work_dir}/events_table"
+    view = f"{work_dir}/revenue_by_type"
+    aggs = {"n": ("count", None), "revenue_c": ("sum", "cents")}
+
+    with InProcBroker(num_partitions=N_PARTITIONS) as broker:
+        n_produced = _produce_events(spark, sf_dir, broker)
+
+        # 1. Kafka -> txlog + per-batch incremental view, exactly-once
+        fields = F.split(F.col("value").cast("string"), r"\|")
+        stream = (
+            spark.readStream.format("kafka_py")
+            .option("bootstrap", broker.bootstrap)
+            .option("subscribe", TOPIC)
+            .option(
+                "maxOffsetsPerTrigger",
+                str(max(n_produced // (3 * N_PARTITIONS), 1)),
+            )
+            .load()
+            .select(
+                fields.getItem(0).cast("long").alias("event_id"),
+                fields.getItem(1).alias("event_type"),
+                fields.getItem(2).cast("long").alias("cents"),
+            )
+        )
+        # availableNow drains the snapshot as ONE planned batch on the
+        # Python DataSource path (kafka_source.KafkaStreamReader note);
+        # multi-batch backpressure is exercised under processingTime
+        # triggers in tests/test_kafka.py.
+        q = stream_matview(
+            stream,
+            table,
+            view,
+            checkpoint=tempfile.mkdtemp(prefix="ckpt-"),
+            group_cols=["event_type"],
+            aggs=aggs,
+        )
+        q.awaitTermination(300)
+        n_ingested = read_snapshot(spark, table).count()
+        n_batches = sum(
+            1 for e in table_history(spark, table) if e["op"] == "append"
+        )
+        v_before = table_history(spark, table)[-1]["version"]
+
+        # 2. late correction: +25% on every 'purchase' (integer cents)
+        fixed = (
+            read_snapshot(spark, table)
+            .filter(F.col("event_type") == "purchase")
+            .withColumn(
+                "cents", F.col("cents") + (F.col("cents") / 4).cast("long")
+            )
+        )
+        n_fixed = fixed.count()
+        v_after = merge_by_key(fixed, table, "event_id")
+
+        # 3. CDC refresh: through the merge without a rebuild
+        mode = refresh_matview(
+            spark, table, view, ["event_type"], aggs, key="event_id"
+        )["mode"]
+
+        # 4. audit trail of the correction
+        feed = change_feed(spark, table, "event_id", v_before, v_after)
+        audit = {
+            r["change_type"]: r["cnt"]
+            for r in feed.groupBy("change_type")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+
+        # ground truth from the same Kafka bytes, from scratch
+        raw = (
+            spark.read.format("kafka_py")
+            .option("bootstrap", broker.bootstrap)
+            .option("subscribe", TOPIC)
+            .load()
+            .select(
+                fields.getItem(0).cast("long").alias("event_id"),
+                fields.getItem(1).alias("event_type"),
+                fields.getItem(2).cast("long").alias("cents"),
+            )
+            .withColumn(
+                "cents",
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("cents") + (F.col("cents") / 4).cast("long"),
+                ).otherwise(F.col("cents")),
+            )
+        )
+        truth = {
+            r["event_type"]: (r["n"], r["revenue_c"])
+            for r in raw.groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("cents").alias("revenue_c"))
+            .collect()
+        }
+        served = {
+            r["event_type"]: (r["n"], r["revenue_c"])
+            for r in read_matview(spark, view).collect()
+        }
+
+    assert n_ingested == n_produced, (n_ingested, n_produced)
+    assert mode == "cdc", mode
+    assert served == truth, {
+        k: (served.get(k), truth.get(k)) for k in set(served) | set(truth)
+    }
+    assert audit == {
+        "update_preimage": n_fixed, "update_postimage": n_fixed
+    }, audit
+    return {
+        "produced": n_produced,
+        "ingested_exactly_once": n_ingested,
+        "ingest_batches": n_batches,
+        "corrected_rows": n_fixed,
+        "refresh_mode_after_merge": mode,
+        "audit": audit,
+        "view_matches_from_scratch": True,
+        "event_types": len(served),
+    }
+
+
+def main() -> None:
+    from dask_cudf_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    work = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(
+        prefix="kafka-lakehouse-"
+    )
+    spark = get_spark(app_name="kafka-lakehouse-cdc")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(run_pipeline(spark, sf_dir, work)))
+
+
+if __name__ == "__main__":
+    main()

@@ -108,6 +108,8 @@ EXTRA = [
     "q_matview_incremental",     # txlog matview maintenance loop (r7)
     "q_join_bucketed",           # zero-exchange co-located bucketed join (r7)
     "q_multimodal_mjpeg",        # MJPEG-in-AVI frame decode (r7)
+    "q_txlog_change_feed",       # churn-proportional CDC snapshot diff (r7b)
+    "q_matview_cdc",             # view maintenance THROUGH a merge (r7b)
 ]
 
 # Frozen per-query anchors for the EXTRA set (r6 VERDICT item 8): the

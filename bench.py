@@ -133,6 +133,12 @@ EXTRA_ANCHORS = {
     "q_matview_incremental": 2.0934,
     "q_join_bucketed": 1.1057,
     "q_multimodal_mjpeg": 0.378,
+    # r7b additions, frozen from the best of three same-day protocol
+    # runs under measured host steal (BENCH_DIAG steal_ms 80-290/sample
+    # that day) — conservative-high anchors; tighten when a clean run
+    # records lower
+    "q_txlog_change_feed": 2.1003,
+    "q_matview_cdc": 2.9324,
 }
 
 

@@ -314,8 +314,7 @@ def register_kafka_source(spark) -> None:
     cloudpickle, which serializes classes from importable modules BY
     REFERENCE — and Spark workers do not inherit the driver's
     ``sys.path``, so on a cluster where this repo is not installed
-    site-wide the reference would fail to resolve (the round-2
-    pandas_udf lesson, .claude/skills/verify).  Registering the two
+    site-wide the reference would fail to resolve.  Registering the two
     self-contained Kafka modules for BY-VALUE pickling makes the
     source carry its own code — stdlib-only, so the payload is small
     and works on any executor."""

@@ -283,6 +283,125 @@ _ROTATIONS: list[tuple[list[str], list[str]]] = [
         ["q_kafka_roundtrip"],
         ["q_acf_daily_revenue"],
     ),
+    (
+        # round 8 (r7 VERDICT item 1): rotate EVERY slot whose family
+        # still has never-driver-scored queries.  Only five families
+        # are exhausted (scan, udf, scalar, setops, sort have zero
+        # never-scored names left) — their reps q_scan_parquet,
+        # q_udaf_grouped, q_scalar_pack_str2, q_except, q_group_head
+        # hold the every-family invariant; the other 45 slots all cede,
+        # including the former sub-100-ms canaries q_groupby_sum /
+        # q_filter_pred / q_skew_salted_sum whose families are
+        # re-covered by incoming never-scored names.  Ever-driver-scored
+        # union: 142 -> 187 of 240 (round 9 closes the remaining 53).
+        [
+            # partitioning (r7b heavies, first-in per VERDICT)
+            "q_txlog_change_feed",
+            "q_matview_cdc",
+            "q_matview_incremental",
+            # multimodal
+            "q_multimodal_mjpeg",
+            "q_multimodal_png",
+            "q_multimodal_resample",
+            # join
+            "q_join_bucketed",
+            "q_join_asof_nearest",
+            # dedup
+            "q_jaccard",
+            "q_dup_cluster_sizes",
+            "q_dup_rate_by_source",
+            # filter
+            "q_sample",
+            # projection
+            "q_map_dict",
+            # semistructured
+            "q_sequence_zip",
+            "q_map_ops",
+            # similarity
+            "q_vector_norms",
+            "q_embed_quantize",
+            # streaming
+            "q_stream_static_join",
+            "q_stream_stream_left",
+            "q_stream_topk",
+            # window (the straggler family: 24 never-scored)
+            "q_acf_daily_revenue",
+            "q_window_lag",
+            "q_window_cumsum",
+            "q_window_rank",
+            "q_window_ntile",
+            "q_window_firstlast",
+            "q_ffill",
+            "q_ewm",
+            "q_rolling_median",
+            "q_rank_global",
+            "q_cusum_drift",
+            # tpch heavy tail
+            "q_tpch_q2",
+            "q_tpch_q4",
+            "q_tpch_q11",
+            "q_tpch_q17",
+            "q_tpch_q20",
+            "q_tpch_q22",
+            # aggregate
+            "q_funnel_steps",
+            "q_qcut",
+            "q_decimal_agg",
+            "q_mode_bool_agg",
+            # text
+            "q_entity_match_blocked",
+            "q_stem_tokens",
+            "q_decontaminate",
+            "q_pii_redact",
+        ],
+        [
+            "q_groupby_sum",
+            "q_skew_salted_sum",
+            "q_filter_pred",
+            "q_kaplan_meier",
+            "q_basket_pairs",
+            "q_bootstrap_ci",
+            "q_rfm_segmentation",
+            "q_crosstab",
+            "q_minhash_pairs",
+            "q_dedup_components",
+            "q_neardup_blocked",
+            "q_simhash",
+            "q_dedup_keep_best",
+            "q_stratified_sample",
+            "q_join_asof_forward",
+            "q_join_asof_tolerance",
+            "q_merge_indicator",
+            "q_multimodal_avi",
+            "q_multimodal_jpeg",
+            "q_multimodal_wav",
+            "q_skew_salted_join",
+            "q_repartition_sorted",
+            "q_melt_unpivot",
+            "q_json_full_parse",
+            "q_struct_ops",
+            "q_ann_ivf",
+            "q_ann_recall",
+            "q_jl_projection",
+            "q_zorder_cluster",
+            "q_stream_stateful",
+            "q_stream_stream_join",
+            "q_curation_pipeline",
+            "q_countmin_heavy_hitters",
+            "q_tfidf_topterms",
+            "q_gopher_rules",
+            "q_dsir_lift",
+            "q_inverted_index",
+            "q_tpch_q9",
+            "q_tpch_q8",
+            "q_tpch_q7",
+            "q_python_udtf",
+            "q_arrow_batch_stats",
+            "q_peak_concurrency",
+            "q_multitouch_attribution",
+            "q_kafka_roundtrip",
+        ],
+    ),
 ]
 _WINDOW = 50
 

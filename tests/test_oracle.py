@@ -72,41 +72,34 @@ def test_driver_scoring_window_covers_every_family():
 # update this list ONLY deliberately, together with a local
 # driver_replay of the new window.
 _PINNED_WINDOW = [
-    # round-7 rotation (r6 VERDICT item 2): EVERY slot except five pins
-    # ceded to a never-driver-scored query — registry._ROTATIONS
-    # round-7 entry.  Pins: q_scan_parquet (no never-scored scan
-    # queries remain), q_skew_salted_sum / q_udaf_grouped (family
-    # reps), q_groupby_sum / q_filter_pred (sub-100-ms canaries).
-    # Ever-driver-scored union after this round: 142 of 234
-    # (q_multimodal_mjpeg registered this round, outside the window).
-    "q_groupby_sum", "q_udaf_grouped", "q_skew_salted_sum",
-    "q_scan_parquet", "q_filter_pred",
-    "q_kaplan_meier", "q_basket_pairs", "q_bootstrap_ci",
-    "q_rfm_segmentation", "q_crosstab",
-    "q_minhash_pairs", "q_dedup_components", "q_neardup_blocked",
-    "q_simhash", "q_dedup_keep_best",
-    "q_stratified_sample",
-    "q_join_asof_forward", "q_join_asof_tolerance", "q_merge_indicator",
-    "q_multimodal_avi", "q_multimodal_jpeg", "q_multimodal_wav",
-    "q_skew_salted_join", "q_repartition_sorted",
-    "q_melt_unpivot",
-    "q_scalar_pack_str2",
-    "q_json_full_parse", "q_struct_ops",
-    "q_except",
-    "q_ann_ivf", "q_ann_recall", "q_jl_projection",
-    "q_group_head", "q_zorder_cluster",
-    "q_stream_stateful", "q_stream_stream_join",
-    "q_curation_pipeline", "q_countmin_heavy_hitters",
-    "q_tfidf_topterms", "q_gopher_rules", "q_dsir_lift",
-    "q_inverted_index",
-    "q_tpch_q9", "q_tpch_q8", "q_tpch_q7",
-    "q_python_udtf", "q_arrow_batch_stats",
-    "q_peak_concurrency", "q_multitouch_attribution",
-    # round 7b: the jar-free Kafka wire-protocol source lands its
-    # flagship oracle row in the scored window; q_acf_daily_revenue
-    # cedes (union-neutral — both never-driver-scored) and waits for
-    # the round-8 rotation.
-    "q_kafka_roundtrip",
+    # round-8 rotation (r7 VERDICT item 1): every slot whose family
+    # still has never-driver-scored queries ceded — 45 of 50, including
+    # the former canaries q_groupby_sum / q_filter_pred /
+    # q_skew_salted_sum (their families re-covered by incoming names).
+    # The five holds are the exhausted families' reps: scan, udf,
+    # scalar, setops, sort have zero never-scored queries left.
+    # Ever-driver-scored union after this round: 187 of 240 (round 9
+    # closes the remaining 53).
+    "q_udaf_grouped", "q_scan_parquet", "q_scalar_pack_str2",
+    "q_except", "q_group_head",
+    "q_txlog_change_feed", "q_matview_cdc", "q_matview_incremental",
+    "q_multimodal_mjpeg", "q_multimodal_png", "q_multimodal_resample",
+    "q_join_bucketed", "q_join_asof_nearest",
+    "q_jaccard", "q_dup_cluster_sizes", "q_dup_rate_by_source",
+    "q_sample",
+    "q_map_dict",
+    "q_sequence_zip", "q_map_ops",
+    "q_vector_norms", "q_embed_quantize",
+    "q_stream_static_join", "q_stream_stream_left", "q_stream_topk",
+    "q_acf_daily_revenue", "q_window_lag", "q_window_cumsum",
+    "q_window_rank", "q_window_ntile", "q_window_firstlast",
+    "q_ffill", "q_ewm", "q_rolling_median", "q_rank_global",
+    "q_cusum_drift",
+    "q_tpch_q2", "q_tpch_q4", "q_tpch_q11", "q_tpch_q17",
+    "q_tpch_q20", "q_tpch_q22",
+    "q_funnel_steps", "q_qcut", "q_decimal_agg", "q_mode_bool_agg",
+    "q_entity_match_blocked", "q_stem_tokens", "q_decontaminate",
+    "q_pii_redact",
 ]
 
 

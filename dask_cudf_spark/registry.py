@@ -293,7 +293,9 @@ _ROTATIONS: list[tuple[list[str], list[str]]] = [
         # including the former sub-100-ms canaries q_groupby_sum /
         # q_filter_pred / q_skew_salted_sum whose families are
         # re-covered by incoming never-scored names.  Ever-driver-scored
-        # union: 142 -> 187 of 240 (round 9 closes the remaining 53).
+        # union: 142 -> 185 of 240 (judge-corrected: q_approx_nunique /
+        # q_approx_quantile's r01 rows were rows-only `err: no_oracle`,
+        # not green — they re-enter the round-9 window below).
         [
             # partitioning (r7b heavies, first-in per VERDICT)
             "q_txlog_change_feed",
@@ -400,6 +402,122 @@ _ROTATIONS: list[tuple[list[str], list[str]]] = [
             "q_peak_concurrency",
             "q_multitouch_attribution",
             "q_kafka_roundtrip",
+        ],
+    ),
+    (
+        # round 9 (r8 VERDICT item 1): the 55 never-driver-green queries
+        # span only FOUR families (aggregate 14, text 22, tpch 6,
+        # window 13) — every other family is exhausted, so holding a
+        # window slot per exhausted family would burn 9 slots on
+        # already-green rows.  All 45 non-pinned slots cede; the
+        # every-family invariant is now historical (ever-driver-green
+        # union covers each exhausted family — asserted in
+        # tests/test_oracle.py).  In: all 14 aggregate (incl.
+        # q_approx_nunique / q_approx_quantile, whose r01 rows were
+        # rows-only, per the judge's correction), all 6 TPC-H, 9 of 13
+        # window, 16 of 22 text.  Deferred to round 10 (10 names, 8 of
+        # them judge-replay MATCH already): q_edit_distance,
+        # q_subword_tokens, q_winsorized_stats, q_weighted_resample,
+        # q_interval_arith, q_interpolate_linear, q_sessionize_gaps,
+        # q_rank_methods, q_doc_packing, q_train_test_split.
+        # Ever-driver-scored union target: 185 -> 230 of 240.
+        [
+            # aggregate (all 14 remaining)
+            "q_approx_nunique",
+            "q_approx_quantile",
+            "q_mad_outliers",
+            "q_drift_chi2",
+            "q_trend_slope",
+            "q_hhi_concentration",
+            "q_gini_coefficient",
+            "q_abtest_ztest",
+            "q_lorenz_deciles",
+            "q_cohort_ltv",
+            "q_pareto_coverage",
+            "q_hll_sketch",
+            "q_dow_seasonality",
+            "q_benford_digits",
+            # tpch (all 6 remaining)
+            "q_tpch_q12",
+            "q_tpch_q13",
+            "q_tpch_q14",
+            "q_tpch_q15",
+            "q_tpch_q16",
+            "q_tpch_q19",
+            # window (9 of 13)
+            "q_resample",
+            "q_group_zscore",
+            "q_pct_change",
+            "q_cumprod",
+            "q_event_paths",
+            "q_max_drawdown",
+            "q_funnel_latency",
+            "q_markov_transitions",
+            "q_seasonal_anomaly",
+            # text (16 of 22)
+            "q_quality_score",
+            "q_ngrams",
+            "q_lang_id",
+            "q_token_filter",
+            "q_rolling_fingerprint",
+            "q_vocab_topk",
+            "q_repetition_ngrams",
+            "q_domain_mix_weights",
+            "q_split_leakage",
+            "q_text_normalize",
+            "q_chunk_documents",
+            "q_token_rarity",
+            "q_feature_hash_embed",
+            "q_lexical_diversity",
+            "q_vocab_growth",
+            "q_tokenizer_fertility",
+        ],
+        [
+            "q_txlog_change_feed",
+            "q_matview_cdc",
+            "q_matview_incremental",
+            "q_multimodal_mjpeg",
+            "q_multimodal_png",
+            "q_multimodal_resample",
+            "q_join_bucketed",
+            "q_join_asof_nearest",
+            "q_jaccard",
+            "q_dup_cluster_sizes",
+            "q_dup_rate_by_source",
+            "q_sample",
+            "q_map_dict",
+            "q_sequence_zip",
+            "q_map_ops",
+            "q_vector_norms",
+            "q_embed_quantize",
+            "q_stream_static_join",
+            "q_stream_stream_left",
+            "q_stream_topk",
+            "q_acf_daily_revenue",
+            "q_window_lag",
+            "q_window_cumsum",
+            "q_window_rank",
+            "q_window_ntile",
+            "q_window_firstlast",
+            "q_ffill",
+            "q_ewm",
+            "q_rolling_median",
+            "q_rank_global",
+            "q_cusum_drift",
+            "q_tpch_q2",
+            "q_tpch_q4",
+            "q_tpch_q11",
+            "q_tpch_q17",
+            "q_tpch_q20",
+            "q_tpch_q22",
+            "q_funnel_steps",
+            "q_qcut",
+            "q_decimal_agg",
+            "q_mode_bool_agg",
+            "q_entity_match_blocked",
+            "q_stem_tokens",
+            "q_decontaminate",
+            "q_pii_redact",
         ],
     ),
 ]

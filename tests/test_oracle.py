@@ -43,18 +43,75 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()).issubset(set(e.queries()))
 
 
+def _ever_driver_green() -> set[str]:
+    """Names with a full-green row (rows+schema+hash, no err) in any
+    committed CORRECTNESS_r*.json driver artifact."""
+    import glob
+    import json
+    import os
+
+    green: set[str] = set()
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        if not os.path.exists(path):
+            continue
+        rows = json.load(open(path))
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            ):
+                green.add(name)
+    return green
+
+
 def test_driver_scoring_window_covers_every_family():
     """The driver records CORRECTNESS rows for only the FIRST 50
-    queries() entries (round-1 VERDICT finding): that window must hold
-    at least one oracle-backed query of EVERY family, and no oracle-less
-    query may burn a scored slot."""
+    queries() entries (round-1 VERDICT finding).  Through round 8 the
+    window itself held a rep of every family; from round 9 on the
+    invariant is HISTORICAL — every family must be covered by the
+    union of ever-driver-green rows and the current window — because
+    the 55 never-green stragglers span only four families and holding
+    an already-green rep per exhausted family would burn 9 scored
+    slots.  No oracle-less query may burn a scored slot, ever."""
     from dask_cudf_spark.registry import ordered_specs
 
     specs = ordered_specs()
     all_families = {s.family for s in specs}
     window = specs[:50]
-    assert {s.family for s in window} == all_families
+    green = _ever_driver_green()
+    covered = {s.family for s in window} | {
+        s.family for s in specs if s.name in green
+    }
+    assert covered == all_families
     assert all(s.oracle is not None for s in window)
+
+
+def test_driver_scoring_window_maximizes_never_green():
+    """Round-9 rotation contract: every non-pinned window slot must
+    hold a never-driver-green query while any remain outside the
+    window (the whole point of rotating is growing the ever-green
+    union; an already-green name occupying a slot while a never-green
+    name waits outside is a wasted round)."""
+    from dask_cudf_spark.registry import ordered_specs
+
+    specs = ordered_specs()
+    green = _ever_driver_green()
+    window = specs[:50]
+    outside_never_green = [
+        s.name for s in specs[50:] if s.name not in green and s.oracle
+    ]
+    pins = {"q_udaf_grouped", "q_scan_parquet", "q_scalar_pack_str2",
+            "q_except", "q_group_head"}
+    wasted = [
+        s.name for s in window if s.name in green and s.name not in pins
+    ]
+    assert not (wasted and outside_never_green), (
+        f"window slots {wasted} hold already-green queries while "
+        f"{len(outside_never_green)} never-green wait outside"
+    )
 
 
 # The exact scoring window the driver sees (50/50 green in
@@ -72,34 +129,33 @@ def test_driver_scoring_window_covers_every_family():
 # update this list ONLY deliberately, together with a local
 # driver_replay of the new window.
 _PINNED_WINDOW = [
-    # round-8 rotation (r7 VERDICT item 1): every slot whose family
-    # still has never-driver-scored queries ceded — 45 of 50, including
-    # the former canaries q_groupby_sum / q_filter_pred /
-    # q_skew_salted_sum (their families re-covered by incoming names).
-    # The five holds are the exhausted families' reps: scan, udf,
-    # scalar, setops, sort have zero never-scored queries left.
-    # Ever-driver-scored union after this round: 187 of 240 (round 9
-    # closes the remaining 53).
+    # round-9 rotation (r8 VERDICT item 1): ALL 45 non-pinned slots
+    # cede to never-driver-green queries — the 55 stragglers span only
+    # aggregate/text/tpch/window, so the per-family window invariant is
+    # now historical (see test above).  Five pins unchanged (exhausted
+    # families' reps + driver-environment canaries).  Window: all 14
+    # remaining aggregate (incl. q_approx_nunique / q_approx_quantile,
+    # rows-only in r01 per the judge's correction), all 6 TPC-H, 9 of
+    # 13 window, 16 of 22 text.  Ever-driver-scored union target:
+    # 185 -> 230 of 240; round 10 closes the deferred 10 (8 of which
+    # are judge-replay MATCH already).
     "q_udaf_grouped", "q_scan_parquet", "q_scalar_pack_str2",
     "q_except", "q_group_head",
-    "q_txlog_change_feed", "q_matview_cdc", "q_matview_incremental",
-    "q_multimodal_mjpeg", "q_multimodal_png", "q_multimodal_resample",
-    "q_join_bucketed", "q_join_asof_nearest",
-    "q_jaccard", "q_dup_cluster_sizes", "q_dup_rate_by_source",
-    "q_sample",
-    "q_map_dict",
-    "q_sequence_zip", "q_map_ops",
-    "q_vector_norms", "q_embed_quantize",
-    "q_stream_static_join", "q_stream_stream_left", "q_stream_topk",
-    "q_acf_daily_revenue", "q_window_lag", "q_window_cumsum",
-    "q_window_rank", "q_window_ntile", "q_window_firstlast",
-    "q_ffill", "q_ewm", "q_rolling_median", "q_rank_global",
-    "q_cusum_drift",
-    "q_tpch_q2", "q_tpch_q4", "q_tpch_q11", "q_tpch_q17",
-    "q_tpch_q20", "q_tpch_q22",
-    "q_funnel_steps", "q_qcut", "q_decimal_agg", "q_mode_bool_agg",
-    "q_entity_match_blocked", "q_stem_tokens", "q_decontaminate",
-    "q_pii_redact",
+    "q_approx_nunique", "q_approx_quantile", "q_mad_outliers",
+    "q_drift_chi2", "q_trend_slope", "q_hhi_concentration",
+    "q_gini_coefficient", "q_abtest_ztest", "q_lorenz_deciles",
+    "q_cohort_ltv", "q_pareto_coverage", "q_hll_sketch",
+    "q_dow_seasonality", "q_benford_digits",
+    "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
+    "q_tpch_q16", "q_tpch_q19",
+    "q_resample", "q_group_zscore", "q_pct_change", "q_cumprod",
+    "q_event_paths", "q_max_drawdown", "q_funnel_latency",
+    "q_markov_transitions", "q_seasonal_anomaly",
+    "q_quality_score", "q_ngrams", "q_lang_id", "q_token_filter",
+    "q_rolling_fingerprint", "q_vocab_topk", "q_repetition_ngrams",
+    "q_domain_mix_weights", "q_split_leakage", "q_text_normalize",
+    "q_chunk_documents", "q_token_rarity", "q_feature_hash_embed",
+    "q_lexical_diversity", "q_vocab_growth", "q_tokenizer_fertility",
 ]
 
 

@@ -23,11 +23,20 @@ shortcut.  Two recoveries, tried in order:
 
 - **CDC mode** (r7b): when the caller supplies the table's row ``key``
   and every aggregate is SUBTRACTABLE (sum/count — min/max have no
-  inverse), the refresh applies ``txlog.change_feed`` deltas with a
-  sign column (+1 for insert/update_postimage, −1 for
+  inverse) over an EXACT-arithMETIC measure dtype (integral or
+  decimal — see below), the refresh applies ``txlog.change_feed``
+  deltas with a sign column (+1 for insert/update_postimage, −1 for
   delete/update_preimage) and drops groups whose maintained row count
   hits zero — still churn-proportional through a MERGE or row-level
   overwrite, ``mode='cdc'``.
+- FLOAT/DOUBLE sum measures are deliberately EXCLUDED from cdc mode
+  (round-9, ADVICE): ``x + y - y != x`` in IEEE floats, so a view
+  maintained via signed deltas accumulates rounding drift against a
+  recompute — invisible at test scale, divergent after enough churn
+  at 100 TB.  Integral and decimal sums are exact under
+  addition/subtraction (Spark widens to bigint/decimal(38), overflow
+  raises rather than drifts), so only they qualify; float-measure
+  views fall back to a full recompute on overwrite commits.
 - otherwise a FULL recompute, recorded as ``mode='full'`` so operators
   can see when incrementality was lost.
 
@@ -59,6 +68,25 @@ from .txlog import _read_log, change_feed, commit, read_snapshot
 _DECOMPOSABLE = ("sum", "count", "min", "max")
 #: the subset with an INVERSE — maintainable through deletes/updates
 _SUBTRACTABLE = ("sum", "count")
+#: sum-measure dtypes whose +/- arithmetic is EXACT (signed-delta
+#: maintenance cannot drift): integral widths and decimals.  float /
+#: double are excluded — IEEE addition is not invertible.
+_EXACT_SUM_DTYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _sums_are_exact(src_df: DataFrame, aggs: dict) -> bool:
+    """True when every ``sum`` measure column has an exact-arithmetic
+    dtype (integral or decimal) — the cdc-mode eligibility gate.
+    Schema-only: no data is read."""
+    sum_cols = [col for fn, col in aggs.values() if fn == "sum"]
+    if not sum_cols:
+        return True
+    dtypes = dict(src_df.dtypes)
+    return all(
+        dtypes.get(c) in _EXACT_SUM_DTYPES
+        or (dtypes.get(c) or "").startswith("decimal")
+        for c in sum_cols
+    )
 #: merge step per fn: how partials of the SAME group combine
 _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 #: hidden per-group row count enabling group-drop detection in CDC mode
@@ -145,7 +173,8 @@ def refresh_matview(
     "src_version": N}``.  'full' on first build; 'incremental' reads
     only append-delta commits; 'cdc' maintains the view THROUGH a
     merge/overwrite via ``change_feed`` signed deltas (requires
-    ``key`` and subtractable-only aggs — sum/count); 'noop' when the
+    ``key``, subtractable-only aggs — sum/count — and exact-dtype sum
+    measures: integral/decimal, not float/double); 'noop' when the
     source has not advanced."""
     _check_spec(aggs)
     src_entries = _read_log(spark, src)
@@ -177,6 +206,10 @@ def refresh_matview(
         and maintainable
         and key is not None
         and all(fn in _SUBTRACTABLE for fn, _c in aggs.values())
+        # float/double sums drift under +/- delta maintenance (IEEE
+        # addition is not invertible) — exact dtypes only; others take
+        # the full-recompute path below
+        and _sums_are_exact(read_snapshot(spark, src), aggs)
     )
 
     if incremental:

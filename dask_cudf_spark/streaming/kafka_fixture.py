@@ -15,8 +15,10 @@ Determinism contract the oracle relies on:
     order, so broker-assigned offsets are 0..n_p-1 in doc_id order —
     which makes SUM(offset) per partition a closed form the oracle can
     state: n_p * (n_p - 1) / 2;
-  - value bytes are "doc_id|source|n_chars" (fields verified free of
-    the delimiter), timestamps a fixed constant.
+  - value bytes are "doc_id|source|n_chars" (the produce loop ASSERTS
+    each field is delimiter-free, so a testdata regen that introduces
+    '|' into source fails loudly instead of silently corrupting the
+    split), timestamps a fixed constant.
 """
 
 from __future__ import annotations
@@ -56,6 +58,15 @@ def documents_broker(sf_dir: str) -> InProcBroker:
         )
         buckets: dict[int, list[tuple[bytes, bytes]]] = {}
         for doc_id, source, n_chars in rows:
+            # the docstring's determinism contract, enforced: a '|'
+            # inside any field would silently shift the consumer-side
+            # split_part columns (round-9 ADVICE fix)
+            for f in (doc_id, source, n_chars):
+                if "|" in str(f):
+                    raise ValueError(
+                        f"kafka fixture delimiter collision: {f!r} "
+                        "contains '|'; pick another delimiter"
+                    )
             buckets.setdefault(int(doc_id) % NUM_PARTITIONS, []).append(
                 (
                     str(doc_id).encode(),

@@ -15,11 +15,18 @@ is exercised against real request/response bytes, not a mock.
 
 Versions are pinned to the oldest stable wire forms — RequestHeader
 v1, ApiVersions v0, Metadata v0, Produce v0, Fetch v0, ListOffsets v0,
-message format v1 (magic=1, CRC-32 over the message tail) — which
-every Kafka broker since 0.10 still serves, so the client also works
-against a real cluster at scale.  Compression codecs are out of scope
-(attributes byte must be 0); a real deployment negotiates them via
-ApiVersions.
+message format v1 (magic=1, CRC-32 over the message tail).  Verified
+IN-PROCESS against ``InProcBroker`` only: these byte layouts follow
+the published protocol spec that brokers since 0.10 serve, but no real
+cluster has been exercised from this sandbox (no network).  Known
+real-broker caveats for anyone pointing this at one: a modern broker
+DOWN-CONVERTS record batches to magic-1 for a Fetch v0 consumer (extra
+broker CPU, and fields newer than magic-1 — headers, control records —
+are dropped), segments originally written as magic-0 carry no
+timestamp and come back as ts = -1 (mapped to a NULL timestamp by
+``kafka_source._read_range``), and compression codecs are out of scope
+(attributes byte must be 0); a production client would negotiate
+modern versions via ApiVersions instead of pinning.
 """
 
 from __future__ import annotations

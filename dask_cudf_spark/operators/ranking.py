@@ -157,6 +157,12 @@ def global_rank_methods(
       min   = max - ties + 1
       avg   = (min + max) / 2  (exact: .5 fractions are representable)
 
+    NULL values follow the pandas/cudf ``rank`` convention: the row is
+    KEPT with null ranks and does not consume a rank position (ranks
+    are computed over non-null values only).  Before round 9 the final
+    equi-join silently DROPPED null-valued rows — the null-injection
+    replay caught it.
+
     Adds ``<prefix>min/max/avg/dense`` columns.  Ties make min/max/avg
     diverge, which is the whole point of the method family; the
     distinct table is what shuffles (bounded by value cardinality —
@@ -166,7 +172,11 @@ def global_rank_methods(
     offsets from the same bounded per-partition rollup); the full
     data moves only through the final equi-join."""
     order = [F.asc(value_col) if ascending else F.desc(value_col)]
-    g = df.groupBy(value_col).agg(F.count("*").alias("__ties"))
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(F.count("*").alias("__ties"))
+    )
     ranged = g.repartitionByRange(*order).withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -202,4 +212,6 @@ def global_rank_methods(
         ).alias(f"{prefix}avg"),
         F.col("__dense").alias(f"{prefix}dense"),
     )
-    return df.join(ranks, value_col)
+    # LEFT join keeps null-valued rows (their rank columns stay null);
+    # non-null keys always hit exactly one ranks row
+    return df.join(ranks, value_col, "left")

@@ -82,6 +82,12 @@ def cosine_topk(
     import os
 
     max_queries = int(os.environ.get("SPARK_GRAFT_COSINE_MAX_QUERIES", "10000"))
+    # null-robustness (round-9 null-injection leg): a NULL vector has
+    # no geometry — such rows can neither be neighbors nor queries.
+    # Declarative filters (pushed to the scan, free) instead of letting
+    # the BLAS batch kernel crash on a None in the Arrow batch.
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
 
     def _too_many() -> ValueError:
         return ValueError(
@@ -285,7 +291,12 @@ def ivf_topk(
     expression: the corpus NEVER shuffles. Candidate generation is a
     broadcast join on list id; only candidates shuffle (for the
     per-query window). Recall/cost dial = nprobe/n_centroids.
+
+    NULL vectors are excluded up front (no geometry => neither seed,
+    neighbor, nor query) — round-9 null-injection leg.
     """
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     seeds = (
         corpus.filter((F.col(id_col) % centroid_stride) == 0)
         .orderBy(id_col)
@@ -413,6 +424,9 @@ def semdedup(
     """
     import json as _json
 
+    # NULL vectors have no geometry: excluded from codebook and corpus
+    # alike (round-9 null-injection leg)
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     seeds = (
         corpus.filter((F.col(id_col) % centroid_stride) == 0)
         .orderBy(id_col)
@@ -578,6 +592,7 @@ def pq_topk(
     ties and the oracle hash are exact.
     """
     sub = dim // n_subspaces
+    corpus = corpus.filter(F.col(vec_col).isNotNull())  # round-9 null guard
     seeds = (
         corpus.filter((F.col(id_col) % seed_stride) == 0)
         .orderBy(id_col)
@@ -710,7 +725,10 @@ def kmeans_step(
     side regardless of corpus size; step 3 broadcasts the K updated
     centroids back as a single-row array and is map-side again; the
     final rollup shuffles K rows.  Iterating = repeating steps 2-3.
+
+    NULL vectors are excluded up front (no geometry — round 9).
     """
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     seeds = (
         corpus.filter((F.col(id_col) % seed_stride) == 0)
         .orderBy(id_col)
@@ -814,6 +832,7 @@ def kmeans(
     non-increasing over iterations) is testable EXACTLY, no float
     tolerance.  Iterations are deterministic for any partitioning.
     """
+    corpus = corpus.filter(F.col(vec_col).isNotNull())  # round-9 null guard
     seeds = (
         corpus.filter((F.col(id_col) % seed_stride) == 0)
         .orderBy(id_col)
@@ -913,6 +932,7 @@ def build_ivf_index(
     """
     import json
 
+    corpus = corpus.filter(F.col(vec_col).isNotNull())  # round-9 null guard
     seeds = (
         corpus.filter((F.col(id_col) % centroid_stride) == 0)
         .orderBy(id_col)

@@ -563,7 +563,8 @@ def q_bucketize_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH codes AS (
             SELECT c_mktsegment,
-                   DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1 AS code
+                   DENSE_RANK() OVER (ORDER BY c_mktsegment NULLS LAST)
+                       - 1 AS code
             FROM (SELECT DISTINCT c_mktsegment FROM customer)
         )
         SELECT c.c_custkey, c.c_mktsegment, CAST(k.code AS BIGINT) AS code
@@ -584,8 +585,16 @@ def q_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select("c_mktsegment")
         .distinct()
         .withColumn(
+            # NULLS LAST pinned on both sides: a null category must not
+            # shift the non-null codes (Spark defaults nulls FIRST,
+            # which renumbered every real segment +1 — round-9 leg)
             "code",
-            (F.dense_rank().over(Window.orderBy("c_mktsegment")) - 1).cast("long"),
+            (
+                F.dense_rank().over(
+                    Window.orderBy(F.asc_nulls_last("c_mktsegment"))
+                )
+                - 1
+            ).cast("long"),
         )
     )
     return (
@@ -783,7 +792,10 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                    bool_and(ba) AS all_positive,
                    bool_or(bo)  AS any_large
             FROM per GROUP BY event_type
-        ) a JOIN md m USING (event_type)
+        ) a JOIN md m
+            -- null-safe: a NULL event_type is a real group in both
+            -- engines; USING would drop it (round-9 null leg)
+            ON a.event_type IS NOT DISTINCT FROM m.event_type
     """,
 )
 def q_mode_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

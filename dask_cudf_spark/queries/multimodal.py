@@ -54,7 +54,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                  THEN ((octet_length(encode(text)) - 64) // 32 + 1) * 64
                  ELSE 0 END AS BIGINT) AS bytes_sampled
         FROM documents
-        WHERE doc_id < 100
+        WHERE doc_id < 100 AND text IS NOT NULL
     """,
 )
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,7 +65,9 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_payload, sample_frames
 
     docs = attach_payload(
-        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+        load_table(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") < 100) & F.col("text").isNotNull()
+        )
     )
     frames = sample_frames(docs, frame_bytes=64, stride=32)
     counted = frames.groupBy("doc_id").agg(
@@ -99,7 +101,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             CAST(list_max(list_transform(range(1, length(text) + 1),
                     i -> ascii(substring(text, i, 1)))) AS BIGINT) AS byte_max
         FROM documents
-        WHERE doc_id < 100
+        WHERE doc_id < 100 AND text IS NOT NULL
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,7 +113,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_payload, extract_features
 
     docs = attach_payload(
-        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+        load_table(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") < 100) & F.col("text").isNotNull()
+        )
     )
     return extract_features(docs).select(
         "doc_id", "n_bytes", "byte_mean", "byte_min", "byte_max"
@@ -125,7 +129,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH t AS (
             SELECT doc_id, text, length(text) AS n
             FROM documents
-            WHERE doc_id < 150
+            WHERE doc_id < 150 AND text IS NOT NULL
         ),
         b AS (
             SELECT doc_id, n // 8 AS n_blocks,
@@ -157,7 +161,9 @@ def q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_payload, resample_signal
 
     docs = attach_payload(
-        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+        load_table(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") < 150) & F.col("text").isNotNull()
+        )
     )
     return resample_signal(docs, factor=8, head=4)
 
@@ -173,7 +179,7 @@ def q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                        range(octet_length(encode(text))),
                        i -> ascii(substr(text, i + 1, 1)) - 128
                    ) AS centered
-            FROM documents WHERE doc_id < 200
+            FROM documents WHERE doc_id < 200 AND text IS NOT NULL
         )
         SELECT doc_id,
                1 AS n_channels,
@@ -201,7 +207,7 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 200)
+        .filter((F.col("doc_id") < 200) & F.col("text").isNotNull())
         .select("doc_id", "text")
     )
     encode_wav, decode_meta = build_wav_codec()
@@ -244,7 +250,7 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
                        range(octet_length(encode(text))),
                        i -> ascii(substr(text, i + 1, 1))
                    ) AS px
-            FROM documents WHERE doc_id < 200
+            FROM documents WHERE doc_id < 200 AND text IS NOT NULL
         )
         SELECT doc_id,
                h AS height,
@@ -272,7 +278,7 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 200)
+        .filter((F.col("doc_id") < 200) & F.col("text").isNotNull())
         .select("doc_id", "text")
     )
     encode_png, decode_meta = build_png_codec()
@@ -318,7 +324,7 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                        range((octet_length(encode(text)) // 64) * 64),
                        i -> ascii(substr(text, i + 1, 1))
                    ) AS px
-            FROM documents WHERE doc_id < 200
+            FROM documents WHERE doc_id < 200 AND text IS NOT NULL
               AND octet_length(encode(text)) >= 64
         )
         SELECT doc_id,
@@ -389,7 +395,7 @@ def q_multimodal_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ascii(substr(text, 2, 1)) AS b,
                    ascii(substr(text, 3, 1)) AS c,
                    ascii(substr(text, 4, 1)) AS d
-            FROM documents WHERE doc_id < 200
+            FROM documents WHERE doc_id < 200 AND text IS NOT NULL
         )
         SELECT doc_id,
                CAST(16 AS BIGINT) AS height,
@@ -420,7 +426,7 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 200)
+        .filter((F.col("doc_id") < 200) & F.col("text").isNotNull())
         .select("doc_id", "text")
     )
     encode_jpeg, decode_jpeg = build_jpeg_codec()

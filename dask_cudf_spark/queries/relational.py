@@ -473,16 +473,22 @@ def q_scalar_pack_str2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_melt_unpivot",
     family="projection",
     oracle="""
-        SELECT l_orderkey, l_linenumber, metric, CAST(val AS DOUBLE) AS val
-        FROM (
-            UNPIVOT (
-                SELECT l_orderkey, l_linenumber, l_quantity,
-                       l_extendedprice, l_discount
-                FROM lineitem WHERE l_orderkey < 100
-            )
-            ON l_quantity, l_extendedprice, l_discount
-            INTO NAME metric VALUE val
-        )
+        -- manual UNION-ALL melt, NOT SQL UNPIVOT: pandas/cudf melt
+        -- KEEPS null values (one output row per id x metric, val NULL),
+        -- while UNPIVOT excludes them (round-9 null-injection leg) —
+        -- the oracle must encode the pandas convention the engine
+        -- implements
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+               CAST(l_quantity AS DOUBLE) AS val
+        FROM lineitem WHERE l_orderkey < 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+               CAST(l_extendedprice AS DOUBLE)
+        FROM lineitem WHERE l_orderkey < 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount',
+               CAST(l_discount AS DOUBLE)
+        FROM lineitem WHERE l_orderkey < 100
     """,
 )
 def q_melt_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -271,6 +271,8 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="token_idx bigint, token string")
     class Tokenize:
         def eval(self, text: str):
+            if text is None:  # NULL text -> zero rows, like LATERAL
+                return  # UNNEST over a NULL split (round-9 null leg)
             for i, tok in enumerate(text.split(" ")):
                 yield i, tok
 

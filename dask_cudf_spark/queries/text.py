@@ -750,11 +750,17 @@ def q_stem_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         from functools import lru_cache
 
         stem = lru_cache(maxsize=1 << 16)(porter_stem)
+        # SQL null convention: NULL text -> NULL stems (round-9
+        # null-injection leg; .split on None raised in the worker)
         return texts.map(
             lambda t: sorted({stem(tok) for tok in t.split(" ")})
+            if t is not None
+            else None
         )
 
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & F.col("text").isNotNull()
+    )
     stems = distinct_stems("text")
     return d.select("doc_id", stems.alias("s")).select(
         "doc_id",
@@ -794,7 +800,10 @@ def q_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         pid = lru_cache(maxsize=1 << 16)(piece_id)
         rows = []
         for t in texts:
-            pieces = [p for w in t.split(" ") for p in pieces_of(w)]
+            pieces = [
+                p for w in (t.split(" ") if t is not None else [])
+                for p in pieces_of(w)
+            ]
             rows.append(
                 (len(pieces), len(set(pieces)), sum(pid(p) for p in pieces))
             )
@@ -802,7 +811,9 @@ def q_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows, columns=["n_pieces", "n_distinct_pieces", "id_sum"]
         )
 
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & F.col("text").isNotNull()
+    )
     return d.select("doc_id", seg_stats("text").alias("s")).select(
         "doc_id", "s.n_pieces", "s.n_distinct_pieces", "s.id_sum"
     )
@@ -1714,8 +1725,8 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
             SELECT l_orderkey, l_linenumber, l_partkey,
                    CAST(NTILE(4) OVER (
-                       ORDER BY l_extendedprice, l_orderkey, l_linenumber,
-                                l_partkey, l_suppkey
+                       ORDER BY l_extendedprice NULLS LAST, l_orderkey,
+                                l_linenumber, l_partkey, l_suppkey
                    ) AS BIGINT) AS quartile
             FROM lineitem
         )
@@ -1738,8 +1749,10 @@ def q_qcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranking import global_ntile
 
     li = load_table(spark, sf_dir, "lineitem")
+    # explicit NULLS LAST (round-9 null leg): Spark ASC defaults nulls
+    # first, DuckDB last — a nullable qcut measure must pin placement
     order = [
-        F.asc("l_extendedprice"),
+        F.asc_nulls_last("l_extendedprice"),
         F.asc("l_orderkey"),
         F.asc("l_linenumber"),
         F.asc("l_partkey"),

@@ -372,8 +372,8 @@ def q_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT doc_id, lang, n_chars,
                CAST(ntile(4) OVER (PARTITION BY lang
-                                   ORDER BY n_chars, doc_id) AS BIGINT)
-                   AS quartile
+                                   ORDER BY n_chars NULLS LAST, doc_id)
+                    AS BIGINT) AS quartile
         FROM documents
     """,
 )
@@ -387,7 +387,10 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
-    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    # explicit NULLS LAST: Spark ASC defaults nulls first, DuckDB last
+    w = W.partitionBy("lang").orderBy(
+        F.asc_nulls_last("n_chars"), "doc_id"
+    )
     return d.select(
         "doc_id",
         "lang",
@@ -445,7 +448,10 @@ def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
             RANK() OVER w + (COUNT(*) OVER t - 1) / 2.0 AS rank_avg,
             DENSE_RANK() OVER w AS rank_dense
         FROM documents
-        WINDOW w AS (PARTITION BY lang ORDER BY n_chars),
+        -- NULLS LAST made explicit on BOTH sides (round-9 null leg):
+        -- Spark ASC defaults to NULLS FIRST, DuckDB to NULLS LAST —
+        -- any rank over a nullable order key must pin the choice
+        WINDOW w AS (PARTITION BY lang ORDER BY n_chars NULLS LAST),
                t AS (PARTITION BY lang, n_chars)
     """,
 )
@@ -458,7 +464,8 @@ def q_rank_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     separate unordered window over the same shuffle.  n_chars within a
     lang has real ties, so all four methods differ on this data."""
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("n_chars")
+    # explicit null placement: see the oracle comment (round-9 null leg)
+    w = Window.partitionBy("lang").orderBy(F.asc_nulls_last("n_chars"))
     t = Window.partitionBy("lang", "n_chars")
     ties = F.count("*").over(t)
     rmin = F.rank().over(w)
@@ -486,7 +493,15 @@ def q_rank_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id, event_id, rn, value AS y
             FROM seq WHERE rn = 1
             UNION ALL
-            SELECT s.user_id, s.event_id, s.rn, 0.5 * s.value + 0.5 * e.y
+            -- NULL gaps (round-9 leg): a NULL observation carries the
+            -- running mean unchanged; the first valid value after
+            -- leading NULLs restarts the mean — pandas
+            -- ewm(adjust=False, ignore_na=True) semantics, mirrored
+            -- exactly by the engine's kernel
+            SELECT s.user_id, s.event_id, s.rn,
+                   CASE WHEN s.value IS NULL THEN e.y
+                        WHEN e.y IS NULL THEN s.value
+                        ELSE 0.5 * s.value + 0.5 * e.y END
             FROM seq s JOIN ewm e
               ON s.user_id = e.user_id AND s.rn = e.rn + 1
         )
@@ -515,12 +530,22 @@ def q_ewm(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         pdf = pdf.sort_values(["ts", "event_id"])
-        y = pdf["value"].ewm(alpha=0.5, adjust=False).mean()
+        # ignore_na=True: a NULL gap carries the mean unchanged (no
+        # extra decay), matching the oracle's CASE recurrence exactly;
+        # the pandas default (ignore_na=False) decays by gap LENGTH,
+        # which no closed-form SQL recurrence replays
+        y = pdf["value"].ewm(alpha=0.5, adjust=False, ignore_na=True).mean()
+        # null-robustness (round 9): pandas ewm carries the running
+        # mean PAST interior NaNs (cudf/pandas semantics) but yields
+        # NaN before the first valid value — emit those as NULL rather
+        # than crash the int cast
         return pd.DataFrame(
             {
                 "user_id": pdf["user_id"],
                 "event_id": pdf["event_id"],
-                "ewm_micro": np.floor(y * 1000000 + 0.5).astype("int64"),
+                "ewm_micro": pd.array(
+                    np.floor(y * 1000000 + 0.5), dtype="Int64"
+                ),
             }
         )
 
@@ -1543,15 +1568,23 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rank_global",
     family="window",
     oracle="""
+        -- pandas/cudf rank convention: NULL values keep their row but
+        -- take NULL ranks and consume no rank position (NULLS LAST
+        -- keeps non-null ranks unaffected; CASE masks the null rows)
         SELECT l_orderkey, l_linenumber,
                CAST(l_quantity AS BIGINT) AS qty,
-               CAST(RANK() OVER w AS BIGINT) AS rank_min,
-               CAST(RANK() OVER w + COUNT(*) OVER t - 1 AS BIGINT)
-                   AS rank_max,
-               RANK() OVER w + (COUNT(*) OVER t - 1) / 2.0 AS rank_avg,
-               CAST(DENSE_RANK() OVER w AS BIGINT) AS rank_dense
+               CASE WHEN l_quantity IS NULL THEN NULL ELSE
+                   CAST(RANK() OVER w AS BIGINT) END AS rank_min,
+               CASE WHEN l_quantity IS NULL THEN NULL ELSE
+                   CAST(RANK() OVER w + COUNT(l_quantity) OVER t - 1
+                        AS BIGINT) END AS rank_max,
+               CASE WHEN l_quantity IS NULL THEN NULL ELSE
+                   RANK() OVER w + (COUNT(l_quantity) OVER t - 1) / 2.0
+                   END AS rank_avg,
+               CASE WHEN l_quantity IS NULL THEN NULL ELSE
+                   CAST(DENSE_RANK() OVER w AS BIGINT) END AS rank_dense
         FROM lineitem
-        WINDOW w AS (ORDER BY CAST(l_quantity AS BIGINT)),
+        WINDOW w AS (ORDER BY CAST(l_quantity AS BIGINT) NULLS LAST),
                t AS (PARTITION BY CAST(l_quantity AS BIGINT))
     """,
 )

@@ -115,6 +115,19 @@ class _KafkaOptions:
                          or "earliest").lower()
         cap = _opt(options, "maxoffsetspertrigger")
         self.max_per_trigger = int(cap) if cap else None
+        # endingoffsets: JSON {"<partition>": off} upper bound on what
+        # latestOffset may report — the latch `drain_available_now`
+        # uses to emulate a capped AvailableNow drain (the Python
+        # DataSource API has no prepareForTriggerAvailableNow hook, so
+        # the cap must come from outside the trigger machinery)
+        ending = _opt(options, "endingoffsets")
+        self.ending: dict[str, int] | None = None
+        if ending and ending.lower() not in ("latest", ""):
+            import json as _json
+
+            self.ending = {
+                str(k): int(v) for k, v in _json.loads(ending).items()
+            }
 
     def partition_ids(self, cli: KafkaClient) -> list[int]:
         meta = cli.metadata([self.topic])
@@ -155,8 +168,12 @@ class KafkaStreamReader(DataSourceStreamReader):
     DataSource wrapper snapshots latestOffset ONCE and drains it as a
     single planned batch — the public API has no
     prepareForTriggerAvailableNow hook for the capped-catch-up
-    behavior the jar connector implements, so availableNow + cap
-    degrades to one batch (still exactly-once)."""
+    behavior the jar connector implements, so a bare availableNow +
+    cap degrades to one (still exactly-once) batch.  For a BOUNDED
+    drain of a large backlog use ``drain_available_now`` below: it
+    latches the target end offsets once and advances an
+    ``endingoffsets`` bound by at most the cap per run, so every
+    planned batch is cap-bounded by construction (round 9)."""
 
     def __init__(self, options: dict):
         self._opts = _KafkaOptions(options)
@@ -188,6 +205,11 @@ class KafkaStreamReader(DataSourceStreamReader):
             latest = {
                 p: min(off, base.get(p, 0) + o.max_per_trigger)
                 if p in base else off
+                for p, off in latest.items()
+            }
+        if o.ending is not None:
+            latest = {
+                p: min(off, o.ending.get(p, off))
                 for p, off in latest.items()
             }
         self._prev_end = dict(latest)
@@ -371,3 +393,120 @@ def register_kafka_source(spark) -> None:
     cloudpickle.register_pickle_by_value(kafka_protocol)
     cloudpickle.register_pickle_by_value(_self)
     spark.dataSource.register(KafkaPyDataSource)
+
+
+def _committed_offsets(checkpoint: str) -> dict[str, int] | None:
+    """Last COMMITTED per-partition offsets from a streaming
+    checkpoint (offsets/<id> of the max id present in commits/), or
+    None for a fresh checkpoint.  The offsets file is the public v1
+    layout: a version line, a metadata JSON line, then one offset JSON
+    line per source — ours is the ``{"<partition>": next_off}`` dict
+    the reader checkpoints."""
+    import glob
+    import json
+    import os
+
+    commits = [
+        int(os.path.basename(p))
+        for p in glob.glob(f"{checkpoint}/commits/*")
+        if os.path.basename(p).isdigit()
+    ]
+    if not commits:
+        return None
+    with open(f"{checkpoint}/offsets/{max(commits)}") as f:
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    payload = json.loads(lines[-1])
+    if isinstance(payload, str):  # python offsets may be double-encoded
+        payload = json.loads(payload)
+    return {str(k): int(v) for k, v in payload.items()}
+
+
+def drain_available_now(
+    spark,
+    *,
+    bootstrap: str,
+    topic: str,
+    checkpoint: str,
+    sink_builder,
+    max_offsets_per_trigger: int,
+    transform=None,
+    run_timeout_s: float = 300.0,
+) -> dict:
+    """Chunked ``Trigger.AvailableNow`` drain (round 9): process the
+    backlog AVAILABLE AT CALL TIME in bounded micro-batches of at most
+    ``max_offsets_per_trigger`` rows per Kafka partition, exactly-once
+    through one shared ``checkpoint``.
+
+    Why this exists: the Python DataSource API has no
+    ``prepareForTriggerAvailableNow`` hook, and Spark's wrapper for
+    non-supporting sources latches ``latestOffset()`` ONCE and plans
+    the whole backlog as a single batch — ignoring
+    ``maxOffsetsPerTrigger`` — so a month-old backlog becomes one
+    unbounded batch.  The capped catch-up the jar connector implements
+    inside the trigger is emulated here one level up:
+
+    1. LATCH the per-partition end offsets at call time (AvailableNow's
+       "available now" contract — rows produced during the drain are
+       excluded, exactly like the jar connector).
+    2. Run successive ``availableNow`` streams against the SAME
+       checkpoint, each with ``endingoffsets`` advanced by at most the
+       cap per partition; the wrapper's one-batch plan is then a
+       bounded batch by construction.
+    3. Stop when the latch is reached.  Exactly-once holds across runs
+       because the checkpoint carries committed offsets between them —
+       a crash between runs resumes, never replays into the sink.
+
+    ``sink_builder(df) -> DataStreamWriter`` attaches the output sink
+    (format/path/options); trigger and checkpointLocation are managed
+    here.  ``transform(df) -> df`` optionally reshapes the stream.
+    Returns ``{"runs": N, "target": {pid: off}, "start": {pid: off}}``.
+    """
+    from .kafka_protocol import KafkaClient
+
+    with KafkaClient(bootstrap) as cli:
+        pids = sorted(cli.metadata([topic])["topics"][topic]["partitions"])
+        target = {p: cli.list_offsets(topic, p, LATEST_TS) for p in pids}
+        start = {p: cli.list_offsets(topic, p, EARLIEST_TS) for p in pids}
+
+    import json
+
+    committed = _committed_offsets(checkpoint)
+    if committed is not None:
+        # resume: plan from the checkpoint's last committed offsets,
+        # not from earliest — otherwise a re-drain replans (empty)
+        # already-committed chunks
+        start = {
+            p: max(start[p], committed.get(str(p), start[p])) for p in pids
+        }
+    planned = dict(start)
+    runs = 0
+    while any(planned[p] < target[p] for p in pids):
+        planned = {
+            p: min(target[p], planned[p] + max_offsets_per_trigger)
+            for p in pids
+        }
+        df = (
+            spark.readStream.format("kafka_py")
+            .option("bootstrap", bootstrap)
+            .option("subscribe", topic)
+            .option(
+                "endingoffsets",
+                json.dumps({str(p): planned[p] for p in pids}),
+            )
+            .load()
+        )
+        if transform is not None:
+            df = transform(df)
+        q = (
+            sink_builder(df)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(run_timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"drain run {runs} did not finish in {run_timeout_s}s"
+            )
+        runs += 1
+    return {"runs": runs, "target": target, "start": start}

@@ -1,0 +1,157 @@
+"""Null-injection robustness leg (round 9, r7 VERDICT item 5):
+deterministically NULL ~3% of every nullable NON-KEY column in a copy
+of a testdata scale dir, then replay the full oracle registry —
+Spark and DuckDB both run on the SAME injected parquet, so any
+mismatch is a real engine-vs-engine null-semantics divergence, not a
+data artifact.
+
+Key columns (join/group identities: *_key, *_id) are NOT injected —
+null join keys are a separate, deliberate semantics choice (SQL inner
+joins drop them; that is not a robustness gap).  Injection is
+deterministic: each (table, column) gets an md5-seeded mask, so the
+replay is reproducible bit-for-bit.
+
+Usage:
+    python scripts/null_replay.py [src_sf_dir] [out_dir] [name ...]
+
+Writes the injected copy, replays every registry oracle on it, prints
+the per-query table (same format as driver_replay), and appends the
+summary to stdout suitable for NULLS.md.  Exit 0 only if every query
+either MATCHes or fails with a DOCUMENTED idiom (see _KNOWN below).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/nulls_sf0.01"
+ONLY = sys.argv[3:]
+
+NULL_FRACTION = 0.03
+
+#: nullable non-key columns per table.  region/nation are excluded
+#: entirely: their name columns serve as group keys for most TPC-H
+#: shapes and the tables are 5/25 rows — a 3% mask rounds to ~0 rows.
+INJECT: dict[str, list[str]] = {
+    "customer": ["c_name", "c_acctbal", "c_mktsegment"],
+    "documents": ["text", "lang", "source", "n_chars"],
+    "embeddings": ["embedding", "label"],
+    "events": ["event_type", "value", "props"],
+    "lineitem": [
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    ],
+    "orders": [
+        "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+    ],
+    "part": ["p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "supplier": ["s_name", "s_acctbal"],
+}
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _mask(table: str, col: str, n: int) -> np.ndarray:
+    seed = int.from_bytes(
+        hashlib.md5(f"nulls|{table}|{col}".encode()).digest()[:4], "big"
+    )
+    return np.random.default_rng(seed).random(n) < NULL_FRACTION
+
+
+def inject(src: str, out: str) -> dict[str, int]:
+    os.makedirs(out, exist_ok=True)
+    injected: dict[str, int] = {}
+    for t in TABLES:
+        tab = pq.read_table(f"{src}/{t}.parquet")
+        cols = INJECT.get(t, [])
+        if cols:
+            n = tab.num_rows
+            arrays, names = [], []
+            total = 0
+            for field in tab.schema:
+                arr = tab.column(field.name)
+                if field.name in cols:
+                    m = _mask(t, field.name, n)
+                    total += int(m.sum())
+                    keep = pa.array(~m)  # True where the value survives
+                    arr = pa.compute.if_else(
+                        keep, arr.combine_chunks(), pa.nulls(n, field.type)
+                    )
+                arrays.append(arr)
+                names.append(field.name)
+            tab = pa.table(dict(zip(names, arrays)))
+            injected[t] = total
+        pq.write_table(tab, f"{out}/{t}.parquet")
+    return injected
+
+
+def main() -> None:
+    counts = inject(SRC, OUT)
+    print(f"== injected copy at {OUT} (fraction={NULL_FRACTION}) ==")
+    for t, n in sorted(counts.items()):
+        print(f"  {t:12s} {n} nulled cells")
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .appName("null-replay")
+        .getOrCreate()
+    )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    if ONLY:
+        qs = {n: f for n, f in qs.items() if any(s in n for s in ONLY)}
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{OUT}/{t}.parquet')"
+        )
+    sys.path.insert(0, "/root/repo/tests")
+    from oracle_compare import assert_frames_match
+
+    results: dict[str, str] = {}
+    for name, fn in sorted(qs.items()):
+        t0 = time.time()
+        try:
+            spdf = fn(spark, OUT).toPandas()
+            if name in oracles:
+                ddf = con.execute(oracles[name]).fetchdf()
+                assert_frames_match(spdf, ddf, name)
+                status = f"MATCH ({len(spdf)} rows)"
+            else:
+                status = f"rows-only ({len(spdf)} rows)"
+        except Exception as e:  # noqa: BLE001 — replay records, not raises
+            status = f"DIVERGE: {type(e).__name__}: {str(e)[:160]}"
+        results[name] = status
+        print(f"  {name:28s} {status}  [{time.time()-t0:.1f}s]")
+
+    diverged = {n: s for n, s in results.items() if s.startswith("DIVERGE")}
+    print(f"\n== {len(results)} replayed, {len(diverged)} diverged ==")
+    for n, s in sorted(diverged.items()):
+        print(f"  {n}: {s}")
+    sys.exit(1 if diverged else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -328,6 +328,77 @@ def test_spark_stream_write_sink(spark, broker):
 
 # ------------------------------------------------------ fixture query
 
+def test_available_now_drains_backlog_in_bounded_batches(spark, broker):
+    """Round-9 chunked AvailableNow drain: a pre-seeded backlog must
+    drain in MULTIPLE cap-bounded batches exactly-once — the bare
+    availableNow trigger would plan it as one unbounded batch (the
+    Python DataSource wrapper latches latestOffset once and ignores
+    maxOffsetsPerTrigger)."""
+    import glob
+
+    from dask_cudf_spark.streaming.kafka_source import (
+        drain_available_now,
+        register_kafka_source,
+    )
+
+    register_kafka_source(spark)
+    # backlog: 20 rows on each of 2 partitions, pre-seeded BEFORE the
+    # drain starts (the month-old-topic shape)
+    with KafkaClient(broker.bootstrap) as c:
+        for pid in (0, 1):
+            c.produce(
+                "drain", pid,
+                [(None, f"p{pid}-{i}".encode()) for i in range(20)], 1,
+            )
+    out = tempfile.mkdtemp() + "/out"
+    ckpt = tempfile.mkdtemp()
+    res = drain_available_now(
+        spark,
+        bootstrap=broker.bootstrap,
+        topic="drain",
+        checkpoint=ckpt,
+        sink_builder=lambda df: (
+            df.selectExpr(
+                "CAST(value AS STRING) v", "partition", "offset"
+            ).writeStream.format("parquet").option("path", out)
+        ),
+        max_offsets_per_trigger=8,
+    )
+    # 20 rows/partition at cap 8 -> ends advance 8,16,20 -> 3 runs
+    assert res["runs"] == 3, res
+    assert res["target"] == {0: 20, 1: 20, 2: 0}
+    got = spark.read.parquet(out)
+    # exactly-once: every (partition, offset) exactly once, all 40 rows
+    assert got.count() == 40
+    assert got.select("partition", "offset").distinct().count() == 40
+    vals = {r.v for r in got.collect()}
+    assert vals == {f"p{p}-{i}" for p in (0, 1) for i in range(20)}
+    # bounded batches: each run wrote its own commit -> >= 3 parquet
+    # commits in the sink (one-batch drain would write once)
+    commits = glob.glob(f"{ckpt}/commits/*")
+    assert len(commits) >= 3, commits
+    # rows produced DURING/AFTER the latch are excluded until the next
+    # drain, then picked up from the checkpoint exactly-once
+    with KafkaClient(broker.bootstrap) as c:
+        c.produce("drain", 0, [(None, b"late-0")], 2)
+    res2 = drain_available_now(
+        spark,
+        bootstrap=broker.bootstrap,
+        topic="drain",
+        checkpoint=ckpt,
+        sink_builder=lambda df: (
+            df.selectExpr(
+                "CAST(value AS STRING) v", "partition", "offset"
+            ).writeStream.format("parquet").option("path", out)
+        ),
+        max_offsets_per_trigger=8,
+    )
+    assert res2["runs"] == 1
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 41
+    assert got2.select("partition", "offset").distinct().count() == 41
+
+
 def test_documents_broker_idempotent_and_offsets():
     from dask_cudf_spark.streaming.kafka_fixture import (
         NUM_PARTITIONS,

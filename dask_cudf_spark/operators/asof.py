@@ -62,15 +62,28 @@ def merge_asof(
         out_names = {**out_names, "__on": "__right_on"}
         carry = carry + ["__on"]
 
+    # The carried right columns ride in ONE struct: `last(ignorenulls)`
+    # must skip LEFT rows (struct NULL) but never tear fields apart —
+    # per-column picks pulled a non-null `value` from an OLDER right
+    # row than the matched `ts` whenever the matched row's value was
+    # NULL (round-9 null-injection finding).  A struct over a right row
+    # is non-null even when every field is null, so the pick stays
+    # row-aligned.
+    from pyspark.sql.types import StructField, StructType
+
+    asof_struct = StructType(
+        [
+            StructField(
+                out_names[c],
+                right.schema[c if c != "__on" else on].dataType,
+            )
+            for c in carry
+        ]
+    )
     left_tagged = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__is_left"),
-        *[
-            F.lit(None)
-            .cast(right.schema[c if c != "__on" else on].dataType)
-            .alias(out_names[c])
-            for c in carry
-        ],
+        F.lit(None).cast(asof_struct).alias("__asof"),
     )
     right_tagged = right.select(
         *by_cols,
@@ -81,7 +94,12 @@ def merge_asof(
             if c not in by_cols and c != on
         ],
         F.lit(0).alias("__is_left"),
-        *[F.col(c if c != "__on" else on).alias(out_names[c]) for c in carry],
+        F.struct(
+            *[
+                F.col(c if c != "__on" else on).alias(out_names[c])
+                for c in carry
+            ]
+        ).alias("__asof"),
     )
     unioned = left_tagged.unionByName(right_tagged)
 
@@ -117,25 +135,32 @@ def merge_asof(
         # delta; with a fixed offset it cancels in every distance.
         return F.unix_micros(c.cast("timestamp")) if is_ts else c
 
-    keep = [c for c in unioned.columns if c not in out_names.values()]
+    keep = [c for c in unioned.columns if c != "__asof"]
+
+    def expand(struct_col):
+        return [
+            struct_col.getField(out_names[c]).alias(out_names[c])
+            for c in carry
+        ]
+
     if direction == "backward":
         picked = unioned.select(
-            *keep, *[pick(out_names[c], w_bwd).alias(out_names[c]) for c in carry]
+            *keep, *expand(pick("__asof", w_bwd))
         )
     elif direction == "forward":
         picked = unioned.select(
-            *keep, *[pick(out_names[c], w_fwd).alias(out_names[c]) for c in carry]
+            *keep, *expand(pick("__asof", w_fwd))
         )
     else:
         # nearest: evaluate both directions (one shuffle, two sorts),
         # then choose per row by time distance; ties -> backward
         both = unioned.select(
             *keep,
-            *[pick(out_names[c], w_bwd).alias(f"__b_{out_names[c]}") for c in carry],
-            *[pick(out_names[c], w_fwd).alias(f"__f_{out_names[c]}") for c in carry],
+            pick("__asof", w_bwd).alias("__b"),
+            pick("__asof", w_fwd).alias("__f"),
         )
-        b_ts = F.col("__b___right_on")
-        f_ts = F.col("__f___right_on")
+        b_ts = F.col("__b").getField("__right_on")
+        f_ts = F.col("__f").getField("__right_on")
         use_bwd = f_ts.isNull() | (
             b_ts.isNotNull()
             & (
@@ -145,12 +170,7 @@ def merge_asof(
         )
         picked = both.select(
             *keep,
-            *[
-                F.when(use_bwd, F.col(f"__b_{out_names[c]}"))
-                .otherwise(F.col(f"__f_{out_names[c]}"))
-                .alias(out_names[c])
-                for c in carry
-            ],
+            *expand(F.when(use_bwd, F.col("__b")).otherwise(F.col("__f"))),
         )
     if tolerance is not None:
         # distance in µs for timestamps, raw units for numerics

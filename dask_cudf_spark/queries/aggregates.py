@@ -294,8 +294,11 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey, o_orderkey, o_orderdate
         FROM (
             SELECT o_custkey, o_orderkey, o_orderdate,
-                   ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                      ORDER BY o_orderdate, o_orderkey) AS rn
+                   ROW_NUMBER() OVER (
+                       -- NULLS LAST pinned on both sides: an undated
+                       -- order must not win "first" (round-9 null leg)
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate NULLS LAST, o_orderkey) AS rn
             FROM orders
         ) WHERE rn = 1
     """,
@@ -306,7 +309,9 @@ def q_drop_dup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), "o_orderkey"
+    )
     return (
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -910,18 +915,26 @@ def q_cogroup_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        # SQL null discipline (round-9 leg): SUM skips NULL rows
+        # (never floors a NaN into int garbage); a NULL balance stays
+        # NULL through the scaling
+        prices = opdf["o_totalprice"].to_numpy(dtype="float64")
+        prices = prices[~np.isnan(prices)] if len(opdf) else prices
         spend = (
-            int(np.floor(opdf["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64").sum())
-            if len(opdf)
+            int(np.floor(prices * 100 + 0.5).astype("int64").sum())
+            if len(prices)
             else 0
         )
-        bal = int(
-            np.floor(cpdf["c_acctbal"].to_numpy() * 100 + 0.5).astype("int64").sum()
+        balv = cpdf["c_acctbal"].iloc[0] if len(cpdf) else None
+        bal = (
+            int(np.floor(float(balv) * 100 + 0.5))
+            if balv is not None and pd.notna(balv)
+            else None
         )
         return pd.DataFrame(
             {
                 "c_custkey": [key[0]],
-                "acctbal_s2": [bal],
+                "acctbal_s2": pd.array([bal], dtype="Int64"),
                 "n_orders": [len(opdf)],
                 "total_spend_s2": [spend],
             }
@@ -2942,13 +2955,19 @@ def q_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                o_orderstatus, 'insert' AS change_type
         FROM o WHERE o_orderkey % 5 = 4
         UNION ALL
+        -- cents IS NOT NULL: bumping a NULL price leaves the row
+        -- byte-identical (NULL + 1000 IS NULL), so the feed's
+        -- null-safe copy suppression rightly emits NO update pair for
+        -- it — the oracle must agree (round-9 null leg)
         SELECT o_orderkey, o_custkey, cents, o_orderstatus,
                'update_preimage' AS change_type
         FROM o WHERE o_orderkey % 5 <> 4 AND o_orderkey % 7 = 0
+              AND cents IS NOT NULL
         UNION ALL
         SELECT o_orderkey, o_custkey, cents + 1000, o_orderstatus,
                'update_postimage' AS change_type
         FROM o WHERE o_orderkey % 5 <> 4 AND o_orderkey % 7 = 0
+              AND cents IS NOT NULL
     """,
 )
 def q_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:

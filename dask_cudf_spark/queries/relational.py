@@ -165,7 +165,11 @@ def q_when_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
             CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS is_promo,
             CASE WHEN regexp_matches(p_name, '^[a-z]+ ') THEN 1 ELSE 0 END AS starts_word,
             regexp_replace(p_name, '[aeiou]', '*', 'g') AS name_devowel,
-            split_part(p_type, ' ', 1) AS type_first_word,
+            -- DuckDB split_part(NULL, ...) returns '' (documented
+            -- upstream quirk); Spark follows the SQL null-in-null-out
+            -- convention — pin NULL explicitly (round-9 null leg)
+            CASE WHEN p_type IS NULL THEN NULL
+                 ELSE split_part(p_type, ' ', 1) END AS type_first_word,
             REVERSE(p_brand) AS brand_rev,
             REPEAT('-', 3) AS dashes
         FROM part

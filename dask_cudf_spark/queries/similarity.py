@@ -173,7 +173,12 @@ def _duck_cos(x: str, y: str) -> str:
     "q_ann_ivf",
     family="similarity",
     oracle=f"""
-        WITH seeds AS (
+        WITH embeddings AS (
+            -- engine semantics: NULL vectors have no geometry and are
+            -- excluded from codebooks, corpus, and queries alike
+            SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+        ),
+        seeds AS (
             SELECT cid, cvec, ROW_NUMBER() OVER (ORDER BY cid) - 1 AS cidx
             FROM (
                 SELECT vec_id AS cid, embedding AS cvec FROM embeddings
@@ -389,7 +394,12 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_semdedup",
     family="dedup",
     oracle=f"""
-        WITH k AS (
+        WITH embeddings AS (
+            -- engine semantics: NULL vectors have no geometry and are
+            -- excluded from codebooks, corpus, and queries alike
+            SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+        ),
+        k AS (
             SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)) AS kk
             FROM embeddings
         ),
@@ -517,7 +527,12 @@ def _duck_sqd_s6(x: str, y: str, m: str) -> str:
     family="similarity",
     tags=["flagship"],
     oracle=f"""
-        WITH seeds AS (
+        WITH embeddings AS (
+            -- engine semantics: NULL vectors have no geometry and are
+            -- excluded from codebooks, corpus, and queries alike
+            SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+        ),
+        seeds AS (
             SELECT cvec, ROW_NUMBER() OVER (ORDER BY cid) - 1 AS cidx
             FROM (
                 SELECT vec_id AS cid, embedding AS cvec FROM embeddings
@@ -600,7 +615,12 @@ def _duck_sqd_int(a: str, b: str) -> str:
     family="similarity",
     tags=["flagship"],
     oracle=f"""
-        WITH seeds AS (
+        WITH embeddings AS (
+            -- engine semantics: NULL vectors have no geometry and are
+            -- excluded from codebooks, corpus, and queries alike
+            SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+        ),
+        seeds AS (
             SELECT cvec, ROW_NUMBER() OVER (ORDER BY cid) - 1 AS cidx
             FROM (
                 SELECT vec_id AS cid, embedding AS cvec FROM embeddings
@@ -675,7 +695,12 @@ def _ann_recall_oracle() -> str:
     """Brute-force and IVF top-5 CTE chains (the q_cosine_sim and
     q_ann_ivf oracles verbatim) joined into per-query recall@5."""
     return f"""
-        WITH brute AS (
+        WITH embeddings AS (
+            -- engine semantics: NULL vectors have no geometry and are
+            -- excluded from codebooks, corpus, and queries alike
+            SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+        ),
+        brute AS (
             SELECT query_id, neighbor_id FROM (
                 SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                        ROW_NUMBER() OVER (

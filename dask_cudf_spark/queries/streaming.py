@@ -306,13 +306,18 @@ def q_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     fields = F.split(F.col("value").cast("string"), r"\|")
+
+    def denull(i):  # '' encodes NULL on the wire (kafka_fixture)
+        f = fields.getItem(i)
+        return F.when(f != "", f)
+
     return (
         raw.select(
             "partition",
             "offset",
             fields.getItem(0).cast("long").alias("doc_id"),
-            fields.getItem(1).alias("source"),
-            fields.getItem(2).cast("long").alias("n_chars"),
+            denull(1).alias("source"),
+            denull(2).cast("long").alias("n_chars"),
         )
         .groupBy("partition")
         .agg(

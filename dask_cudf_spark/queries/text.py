@@ -171,6 +171,12 @@ def q_exact_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_jaccard",
     family="dedup",
     oracle="""
+        -- COALESCE(text, '') pinned on BOTH sides (round-9 null leg):
+        -- a null document is the empty token set, so jaccard is 0
+        -- against any real text, not NULL
+        WITH d AS (
+            SELECT doc_id, coalesce(text, '') AS text FROM documents
+        )
         SELECT
             a.doc_id AS id_a,
             b.doc_id AS id_b,
@@ -178,8 +184,8 @@ def q_exact_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
             / len(list_distinct(list_concat(list_distinct(string_split(a.text, ' ')),
                                             list_distinct(string_split(b.text, ' '))))) AS jaccard
-        FROM documents a
-        JOIN documents b ON b.doc_id = a.doc_id + 1
+        FROM d a
+        JOIN d b ON b.doc_id = a.doc_id + 1
         WHERE a.doc_id < 250
     """,
 )
@@ -187,7 +193,9 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard on adjacent doc pairs (nvtext.jaccard_index).
     Integer-size ratio -> deterministic double.  (DuckDB's jaccard() is
     character-based — the oracle computes token-set overlap explicitly.)"""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))  # see the oracle comment
+    )
     a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")).filter(
         F.col("id_a") < 250
     )
@@ -256,16 +264,22 @@ def q_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
-        F.array_join(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+        # NULL text -> NULL bigrams (SQL convention, matches the
+        # oracle; unguarded, size(NULL) = -1 fed sequence(1, 0) which
+        # emitted a DESCENDING [1, 0] and a phantom "," — round-9 leg)
+        F.when(
+            F.col("text").isNotNull(),
+            F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+                    ),
+                    lambda i: F.concat_ws(
+                        "_", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ),
                 ),
-                lambda i: F.concat_ws(
-                    "_", F.element_at(toks, i), F.element_at(toks, i + 1)
-                ),
+                ",",
             ),
-            ",",
         ).alias("bigrams"),
     )
 
@@ -844,7 +858,9 @@ _REG["q_subword_tokens"].oracle = _subword_oracle()
                 (a, c) -> (a * 31 + c) % 1000000007) AS BIGINT)
                 AS fingerprint
         FROM documents
-        WHERE doc_id < 200
+        -- no text, no fingerprint (round-9 null leg; also keeps the
+        -- output column non-null BIGINT on both engines)
+        WHERE doc_id < 200 AND text IS NOT NULL
     """,
 )
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -855,7 +871,9 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import scale_out
 
     d = scale_out(
-        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        load_table(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") < 200) & F.col("text").isNotNull()
+        )
     )
     codes = F.transform(
         F.sequence(F.lit(1), F.length("text")),
@@ -1339,13 +1357,16 @@ def q_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         ),
         train_fp AS (
-            SELECT DISTINCT md5(array_to_string(string_split(text, ' ')[1:5],
-                                                ' ')) AS fp
+            -- coalesce(text, '') mirrors Spark concat_ws's null-skip:
+            -- null docs fingerprint as md5('') on both sides (round 9)
+            SELECT DISTINCT md5(array_to_string(
+                       string_split(coalesce(text, ''), ' ')[1:5], ' ')) AS fp
             FROM assigned WHERE split = 'train'
         ),
         ev AS (
             SELECT split, doc_id,
-                   md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp
+                   md5(array_to_string(
+                       string_split(coalesce(text, ''), ' ')[1:5], ' ')) AS fp
             FROM assigned WHERE split <> 'train'
         )
         SELECT ev.split,
@@ -1406,18 +1427,23 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_keep_best",
     family="dedup",
     oracle="""
+        -- coalesce(text, '') mirrors Spark concat_ws, which treats a
+        -- null slice as empty (null docs cluster under md5('') on both
+        -- sides — round-9 null leg); NULLS LAST pins n_chars order
         SELECT key_hash, doc_id, n_chars, n_dups
         FROM (
-            SELECT md5(array_to_string(string_split(text, ' ')[1:2], ' '))
+            SELECT md5(array_to_string(
+                       string_split(coalesce(text, ''), ' ')[1:2], ' '))
                        AS key_hash,
                    doc_id, n_chars,
                    ROW_NUMBER() OVER (
                        PARTITION BY md5(array_to_string(
-                           string_split(text, ' ')[1:2], ' '))
-                       ORDER BY n_chars DESC, doc_id) AS rn,
+                           string_split(coalesce(text, ''), ' ')[1:2], ' '))
+                       ORDER BY n_chars DESC NULLS LAST, doc_id) AS rn,
                    COUNT(*) OVER (
                        PARTITION BY md5(array_to_string(
-                           string_split(text, ' ')[1:2], ' '))) AS n_dups
+                           string_split(coalesce(text, ''), ' ')[1:2], ' ')))
+                       AS n_dups
             FROM documents
         )
         WHERE rn = 1

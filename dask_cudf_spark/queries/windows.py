@@ -588,10 +588,16 @@ def q_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cumprod",
     family="window",
     oracle="""
+        -- null handling pinned (round-9 leg): Spark's product aggregate
+        -- SKIPS null inputs, so a NULL discount multiplies by 1 here;
+        -- NULLS LAST pins the nullable l_quantity tiebreak
         SELECT l_orderkey, l_linenumber,
-               CAST(FLOOR(list_reduce(list(1 + l_discount) OVER (
+               CAST(FLOOR(list_reduce(list(
+                   CASE WHEN l_discount IS NULL THEN 1
+                        ELSE 1 + l_discount END) OVER (
                    PARTITION BY l_orderkey
-                   ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity
+                   ORDER BY l_linenumber, l_partkey, l_suppkey,
+                            l_quantity NULLS LAST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ), (a, b) -> a * b) * 1000000 + 0.5) AS BIGINT) AS cum_factor_s6
         FROM lineitem
@@ -614,10 +620,18 @@ def q_cumprod(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order is made total with the remaining line attributes.
     w = (
         Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+        .orderBy(
+            "l_linenumber", "l_partkey", "l_suppkey",
+            F.asc_nulls_last("l_quantity"),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.product(1 + F.col("l_discount")).over(w)
+    # empty product = 1: a frame whose discounts are ALL null (possible
+    # only on a group's first rows under null injection) must yield the
+    # identity, matching the oracle's null->1 factor (round-9 leg)
+    cum = F.coalesce(
+        F.product(1 + F.col("l_discount")).over(w), F.lit(1.0)
+    )
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -848,7 +862,12 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ORDER BY COUNT(*) DESC,
                                 event_type || '>' || e2 || '>' || e3
                    ) AS rank
-            FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+            -- all three steps must be known: a NULL event_type is not
+            -- a path step (round-9 null leg; Spark concat_ws would
+            -- silently collapse it into a 2-step path, DuckDB || into
+            -- a NULL path — both wrong for path mining)
+            FROM seq WHERE event_type IS NOT NULL
+              AND e2 IS NOT NULL AND e3 IS NOT NULL
             GROUP BY path
         ) WHERE rank <= 10
     """,
@@ -870,7 +889,11 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.lead("event_type", 1).over(w).alias("e2"),
         F.lead("event_type", 2).over(w).alias("e3"),
-    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    ).filter(
+        F.col("event_type").isNotNull()  # see the oracle comment
+        & F.col("e2").isNotNull()
+        & F.col("e3").isNotNull()
+    )
     paths = seq.select(
         F.concat_ws(">", "event_type", "e2", "e3").alias("path")
     ).groupBy("path").agg(F.count("*").alias("n"))

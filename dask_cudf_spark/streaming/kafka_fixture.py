@@ -18,7 +18,8 @@ Determinism contract the oracle relies on:
   - value bytes are "doc_id|source|n_chars" (the produce loop ASSERTS
     each field is delimiter-free, so a testdata regen that introduces
     '|' into source fails loudly instead of silently corrupting the
-    split), timestamps a fixed constant.
+    split; NULL fields are encoded as the empty string and mapped back
+    to NULL by the consumer), timestamps a fixed constant.
 """
 
 from __future__ import annotations
@@ -67,11 +68,16 @@ def documents_broker(sf_dir: str) -> InProcBroker:
                         f"kafka fixture delimiter collision: {f!r} "
                         "contains '|'; pick another delimiter"
                     )
+            # NULL fields ride as the empty string (the consumer maps
+            # '' back to NULL before casting — round-9 null leg; the
+            # old str(None) produced a literal 'None' that an ANSI
+            # cast-to-bigint rejects); doc_id is the key, never null
+            payload = "|".join(
+                "" if v is None else str(v)
+                for v in (doc_id, source, n_chars)
+            )
             buckets.setdefault(int(doc_id) % NUM_PARTITIONS, []).append(
-                (
-                    str(doc_id).encode(),
-                    f"{doc_id}|{source}|{n_chars}".encode(),
-                )
+                (str(doc_id).encode(), payload.encode())
             )
         with KafkaClient(broker.bootstrap) as cli:
             for pid, records in sorted(buckets.items()):

@@ -14,10 +14,11 @@ replay is reproducible bit-for-bit.
 Usage:
     python scripts/null_replay.py [src_sf_dir] [out_dir] [name ...]
 
-Writes the injected copy, replays every registry oracle on it, prints
-the per-query table (same format as driver_replay), and appends the
-summary to stdout suitable for NULLS.md.  Exit 0 only if every query
-either MATCHes or fails with a DOCUMENTED idiom (see _KNOWN below).
+Writes the injected copy, replays every registry oracle on it, and
+prints the per-query table (same format as driver_replay).  Exit 0
+only on 240/240 MATCH: every cross-engine null idiom the first sweep
+surfaced is now pinned explicitly on both sides (NULLS.md records the
+catalog), so any new divergence is a regression, not noise.
 """
 
 from __future__ import annotations
@@ -130,6 +131,25 @@ def main() -> None:
     sys.path.insert(0, "/root/repo/tests")
     from oracle_compare import assert_frames_match
 
+    def _normalize_nullable_ints(pdf):
+        """Nullable-BIGINT artifact: a NULL in an integer column makes
+        BOTH duckdb.fetchdf and Spark.toPandas deliver float64, but not
+        always on the same side — 14080 then canonicalizes differently
+        from 14080.0.  For the NULL leg only, integral float columns
+        are normalized to nullable Int64 on both frames before the
+        strict compare (the driver-gate replica in tests/oracle_compare
+        stays byte-strict: clean data has no nullable-int columns)."""
+        for c in pdf.columns:
+            if str(pdf[c].dtype) == "float64":
+                nonnull = pdf[c].dropna()
+                if (
+                    len(nonnull)
+                    and (nonnull % 1 == 0).all()
+                    and nonnull.abs().max() < 2**62
+                ):
+                    pdf[c] = pdf[c].astype("Int64")
+        return pdf
+
     results: dict[str, str] = {}
     for name, fn in sorted(qs.items()):
         t0 = time.time()
@@ -137,7 +157,11 @@ def main() -> None:
             spdf = fn(spark, OUT).toPandas()
             if name in oracles:
                 ddf = con.execute(oracles[name]).fetchdf()
-                assert_frames_match(spdf, ddf, name)
+                assert_frames_match(
+                    _normalize_nullable_ints(spdf),
+                    _normalize_nullable_ints(ddf),
+                    name,
+                )
                 status = f"MATCH ({len(spdf)} rows)"
             else:
                 status = f"rows-only ({len(spdf)} rows)"

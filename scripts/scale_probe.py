@@ -83,6 +83,12 @@ PROBES = [
     "q_tpch_q9",
     "q_peak_concurrency",
     "q_minhash_pairs",
+    # r9 (r8 VERDICT item 6): the CDC pair — the lakehouse write+merge
+    # +changefeed path builds its txlog INSIDE the timed callable, so
+    # the probe measures commit, MERGE, dir-diff feed, and (for the
+    # matview) signed-delta refresh against row volume
+    "q_txlog_change_feed",
+    "q_matview_cdc",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -74,18 +74,21 @@ _SUBTRACTABLE = ("sum", "count")
 _EXACT_SUM_DTYPES = ("tinyint", "smallint", "int", "bigint")
 
 
-def _sums_are_exact(src_df: DataFrame, aggs: dict) -> bool:
-    """True when every ``sum`` measure column has an exact-arithmetic
-    dtype (integral or decimal) — the cdc-mode eligibility gate.
-    Schema-only: no data is read."""
-    sum_cols = [col for fn, col in aggs.values() if fn == "sum"]
-    if not sum_cols:
+def _sums_are_exact(stored_view: DataFrame, aggs: dict) -> bool:
+    """True when every ``sum`` OUTPUT column of the stored view has an
+    exact-arithmetic dtype (integral or decimal) — the cdc-mode
+    eligibility gate.  Spark's sum types are faithful to the measure
+    (sum long -> bigint, sum float/double -> double, sum decimal ->
+    decimal), so the view the refresh already reads carries the signal
+    and no extra source-schema read is needed."""
+    sum_outs = [out for out, (fn, _c) in aggs.items() if fn == "sum"]
+    if not sum_outs:
         return True
-    dtypes = dict(src_df.dtypes)
+    dtypes = dict(stored_view.dtypes)
     return all(
-        dtypes.get(c) in _EXACT_SUM_DTYPES
-        or (dtypes.get(c) or "").startswith("decimal")
-        for c in sum_cols
+        dtypes.get(o) in _EXACT_SUM_DTYPES
+        or (dtypes.get(o) or "").startswith("decimal")
+        for o in sum_outs
     )
 #: merge step per fn: how partials of the SAME group combine
 _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
@@ -209,7 +212,7 @@ def refresh_matview(
         # float/double sums drift under +/- delta maintenance (IEEE
         # addition is not invertible) — exact dtypes only; others take
         # the full-recompute path below
-        and _sums_are_exact(read_snapshot(spark, src), aggs)
+        and _sums_are_exact(stored, aggs)
     )
 
     if incremental:

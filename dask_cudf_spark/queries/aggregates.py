@@ -3075,3 +3075,69 @@ def q_matview_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     if [m0["mode"], m1["mode"]] != ["full", "cdc"]:
         raise AssertionError(f"cdc maintenance lost: {[m0, m1]}")
     return read_matview(spark, dst).select("o_orderstatus", "n", "total_c")
+
+
+_NULL_AUDIT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+@register(
+    "q_null_audit",
+    family="aggregate",
+    oracle="""
+        -- per-column null audit: COUNT(*) - COUNT(col); ppm is exact
+        -- integer floor division over non-negative operands
+        SELECT col, n_null,
+               CAST(n_null * 1000000 // n AS BIGINT) AS null_ppm
+        FROM (
+            SELECT 'event_id' AS col,
+                   CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+                   COUNT(*) AS n FROM events
+            UNION ALL
+            SELECT 'ts', CAST(COUNT(*) - COUNT(ts) AS BIGINT), COUNT(*)
+            FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+                   COUNT(*) FROM events
+            UNION ALL
+            SELECT 'event_type',
+                   CAST(COUNT(*) - COUNT(event_type) AS BIGINT), COUNT(*)
+            FROM events
+            UNION ALL
+            SELECT 'value', CAST(COUNT(*) - COUNT(value) AS BIGINT),
+                   COUNT(*) FROM events
+            UNION ALL
+            SELECT 'props', CAST(COUNT(*) - COUNT(props) AS BIGINT),
+                   COUNT(*) FROM events
+        )
+    """,
+)
+def q_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null audit — the ingest data-quality gate a training
+    pipeline runs BEFORE operators that assume non-null inputs
+    (event-time windows, as-of joins, vector ops; see NULLS.md for why
+    each declares its null contract).  One row per column: null count
+    and null rate in exact ppm.
+
+    Scale: ONE scan, one global aggregate of 2*|cols| partial counts
+    (map-side combined to a single row — bytes cross the shuffle, not
+    rows), then a driver-trivial stack() of the single aggregate row
+    into per-column rows.  At 100 TB this is the cheapest full-table
+    statement possible: no per-column passes, no shuffle of data."""
+    ev = load_table(spark, sf_dir, "events")
+    cols = _NULL_AUDIT_COLS
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.count(c).alias(f"__c_{c}") for c in cols],
+    )
+    stack = ", ".join(f"'{c}', __n - __c_{c}" for c in cols)
+    return agg.select(
+        F.expr(f"stack({len(cols)}, {stack}) AS (col, n_null)"),
+        "__n",
+    ).select(
+        "col",
+        F.col("n_null").cast("long").alias("n_null"),
+        # truncation == floor: both operands provably non-negative
+        (F.col("n_null") * 1000000 / F.col("__n"))
+        .cast("long")
+        .alias("null_ppm"),
+    )

@@ -57,6 +57,7 @@ NULL_SENSITIVE = [
     "q_multimodal_resample",
     "q_multimodal_wav",
     "q_ngrams",
+    "q_null_audit",  # the audit op itself must count injected nulls
     "q_python_udtf",
     "q_qcut",
     "q_rank_global",

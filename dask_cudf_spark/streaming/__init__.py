@@ -9,6 +9,7 @@ the DuckDB oracle checks; the stream twin is smoke-tested with the
 file source + availableNow trigger (tests/test_streaming.py).
 """
 
+from .kafka_source import drain_available_now, register_kafka_source
 from .jobs import (
     event_type_dims,
     classify_documents,
@@ -53,4 +54,6 @@ __all__ = [
     "sliding_counts",
     "session_agg",
     "stream_dedup",
+    "register_kafka_source",
+    "drain_available_now",
 ]

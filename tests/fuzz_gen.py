@@ -171,8 +171,28 @@ def _int_expr(rng: random.Random, env, depth: int = 0) -> Ex:
     if depth >= 2:
         return base
     roll = rng.random()
-    if roll < 0.26:
+    if roll < 0.18:
         return base
+    if roll < 0.26:  # r9: conditional + null-generating constructs —
+        # CASE / NULLIF / COALESCE are exact on integers and share one
+        # SQL surface in both dialects; NULLIF manufactures nulls deep
+        # inside expressions so downstream aggregates/joins/windows get
+        # fuzzed against three-valued logic even on clean tables
+        a = _int_expr(rng, env, depth + 1)
+        b = _int_expr(rng, env, depth + 1)
+        if rng.random() < 0.5:
+            p = _pred(rng, env, depth=2)
+            return Ex(
+                f"(CASE WHEN {p.s} THEN {a.s} ELSE {b.s} END)",
+                f"(CASE WHEN {p.d} THEN {a.d} ELSE {b.d} END)",
+                "int",
+            )
+        k = rng.choice([0, 1, 2])
+        return Ex(
+            f"COALESCE(NULLIF(({a.s} % 3), {k}), {b.s})",
+            f"COALESCE(NULLIF(({a.d} % 3), {k}), {b.d})",
+            "int",
+        )
     if roll < 0.44:  # small modulus -> bounded group-key-able value
         k = rng.choice([3, 5, 7, 11, 13])
         a = _int_expr(rng, env, depth + 1)
@@ -315,11 +335,24 @@ def _pred(rng: random.Random, env, depth: int = 0) -> Ex:
         a = _pred(rng, env, depth + 1)
         return Ex(f"(NOT {a.s})", f"(NOT {a.d})", "bool")
     leaf = rng.random()
-    if leaf < 0.30:  # numeric comparison on an int expression
+    if leaf < 0.22:  # numeric comparison on an int expression
         a = _int_expr(rng, env, 1)
         op = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
         k = rng.randint(0, 12)
         return Ex(f"({a.s} {op} {k})", f"({a.d} {op} {k})", "bool")
+    if leaf < 0.30:  # r9: BETWEEN / int IN-list (same surface in both)
+        a = _int_expr(rng, env, 1)
+        if rng.random() < 0.5:
+            lo = rng.randint(0, 6)
+            hi = lo + rng.randint(0, 8)
+            return Ex(
+                f"({a.s} BETWEEN {lo} AND {hi})",
+                f"({a.d} BETWEEN {lo} AND {hi})",
+                "bool",
+            )
+        vals = sorted(rng.sample(range(0, 13), k=rng.randint(1, 4)))
+        lst = ", ".join(str(v) for v in vals)
+        return Ex(f"({a.s} IN ({lst}))", f"({a.d} IN ({lst}))", "bool")
     if leaf < 0.50:  # double comparison against a grid constant
         dc = rng.choice(env["double"])
         op = rng.choice(["<", ">", "<=", ">="])

@@ -411,10 +411,23 @@ def _group_key(rng: random.Random, env) -> Ex:
     roll = rng.random()
     if roll < 0.40:
         return _str_expr(rng, env)
-    if roll < 0.65:  # bounded int key
+    if roll < 0.58:  # bounded int key
         a = _int_expr(rng, env, 1)
         k = rng.choice([3, 5, 7])
         return Ex(f"({a.s} % {k})", f"({a.d} % {k})", "int")
+    if roll < 0.65:  # r9: NULL-GENERATING bounded key — a genuine null
+        # group must flow through groupBy/ROLLUP/CUBE identically in
+        # both engines (the classic grouping-sets ambiguity surface:
+        # subtotal rows also carry NULL keys; the multiset compare must
+        # still agree exactly)
+        a = _int_expr(rng, env, 1)
+        k = rng.choice([3, 5, 7])
+        z = rng.randint(0, k - 1)
+        return Ex(
+            f"NULLIF(({a.s} % {k}), {z})",
+            f"NULLIF(({a.d} % {k}), {z})",
+            "int",
+        )
     if roll < 0.78:
         ts = rng.choice(env["ts"])
         part = rng.choice(["year", "quarter", "month"])

@@ -825,3 +825,63 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("revenue_c"),
     )
+
+
+@register(
+    "q_join_null_keys",
+    family="join",
+    oracle="""
+        -- null-join-key semantics, stated as an oracle fact: an
+        -- equi-join NEVER matches a NULL key (NULL = NULL is UNKNOWN),
+        -- so null-keyed left rows survive a LEFT join as unmatched and
+        -- vanish from an INNER join — identically in both engines
+        WITH e AS (
+            SELECT event_id,
+                   NULLIF(event_id % 1000, 0) + 1 AS k
+            FROM events WHERE event_id < 5000
+        )
+        SELECT
+            CASE WHEN e.k IS NULL THEN 'null_key'
+                 WHEN o.o_orderkey IS NULL THEN 'unmatched'
+                 ELSE 'matched' END AS match_class,
+            CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_joined
+        FROM e LEFT JOIN orders o ON e.k = o.o_orderkey
+        GROUP BY 1
+    """,
+)
+def q_join_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null join keys, pinned as engine semantics (round-9 NULLS.md
+    companion): the driving side NULLIFs a fraction of its keys; the
+    LEFT join must carry every null-keyed row through as unmatched
+    (never matching, never dropping) and the match-class rollup proves
+    the exact three-way split against the oracle.  The INNER-join twin
+    (dropping null keys) is this result restricted to 'matched' —
+    checked by the same hash.
+
+    Scale: one broadcast/shuffle equi-join exactly like any other; a
+    null-keyed row costs nothing (it short-circuits the probe)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 5000)
+        .select(
+            "event_id",
+            (F.nullif(F.col("event_id") % 1000, F.lit(0)) + 1).alias("k"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    j = ev.join(F.broadcast(o), ev["k"] == o["o_orderkey"], "left")
+    return (
+        j.select(
+            F.when(F.col("k").isNull(), "null_key")
+            .when(F.col("o_orderkey").isNull(), "unmatched")
+            .otherwise("matched")
+            .alias("match_class"),
+            "o_orderkey",
+        )
+        .groupBy("match_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count("o_orderkey").cast("long").alias("n_joined"),
+        )
+    )

@@ -592,7 +592,11 @@ def pq_topk(
     ties and the oracle hash are exact.
     """
     sub = dim // n_subspaces
-    corpus = corpus.filter(F.col(vec_col).isNotNull())  # round-9 null guard
+    # round-9 null guards — BOTH sides: a null corpus vector poisons
+    # the codebook collect, and a null query vector emits rows of null
+    # ADC distances (caught by the 30% injection run)
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     seeds = (
         corpus.filter((F.col(id_col) % seed_stride) == 0)
         .orderBy(id_col)

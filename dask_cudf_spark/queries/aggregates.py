@@ -1550,7 +1550,11 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROW_NUMBER() OVER (
                        PARTITION BY segment ORDER BY v, segment
                    ) AS i
-            FROM per_cust
+            -- a customer whose every order price is NULL has no
+            -- revenue OBSERVATION: excluded from the inequality curve
+            -- (round-9 30-percent null leg: a null v otherwise takes a
+            -- rank and shifts every real customer's i)
+            FROM per_cust WHERE v IS NOT NULL
         )
         SELECT segment,
                COUNT(*) AS n,
@@ -1594,7 +1598,8 @@ def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cents").alias("v"))
     )
     w = Window.partitionBy("segment").orderBy("v", "segment")
-    ranked = per_cust.select(
+    # unknown revenue is not an observation (see the oracle comment)
+    ranked = per_cust.filter(F.col("v").isNotNull()).select(
         "segment", "v", F.row_number().over(w).cast("long").alias("i")
     )
     agg = ranked.groupBy("segment").agg(
@@ -1703,7 +1708,9 @@ def q_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
                    NTILE(10) OVER (
                        PARTITION BY segment ORDER BY v, segment
                    ) AS decile
-            FROM per_cust
+            -- unknown revenue is not an observation (round-9 null leg,
+            -- same rule as q_gini_coefficient)
+            FROM per_cust WHERE v IS NOT NULL
         ),
         dec AS (
             SELECT segment, decile,
@@ -1752,7 +1759,8 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wt = Window.partitionBy("segment").orderBy("v", "segment")
     dec = (
-        per_cust.select(
+        per_cust.filter(F.col("v").isNotNull())  # see the oracle comment
+        .select(
             "segment", "v", F.ntile(10).over(wt).alias("decile")
         )
         .groupBy("segment", "decile")

@@ -38,8 +38,13 @@ _NORM_B = (
                     ORDER BY ROUND({_DOT} / ({_NORM_A} * {_NORM_B}), 6) DESC,
                              b.vec_id
                 ) AS rank
-            FROM embeddings a
-            JOIN embeddings b ON b.vec_id <> a.vec_id
+            -- NULL vectors have no geometry: neither query nor
+            -- neighbor (round-9 null leg; caught by the 30-percent
+            -- density run — the 3-percent mask never nulled a
+            -- vec_id < 10 query)
+            FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) a
+            JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) b
+              ON b.vec_id <> a.vec_id
             WHERE a.vec_id < 10
         ) WHERE rank <= 5
     """,

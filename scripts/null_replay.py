@@ -38,7 +38,10 @@ SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/nulls_sf0.01"
 ONLY = sys.argv[3:]
 
-NULL_FRACTION = 0.03
+# 0.03 is the standard leg; NULL_FRACTION=0.3 (env) runs the
+# high-density variant whose point is ALL-NULL groups, frames, and
+# windows — shapes a 3% mask cannot produce at sf0.01 group sizes
+NULL_FRACTION = float(os.environ.get("NULL_FRACTION", "0.03"))
 
 #: nullable non-key columns per table.  region/nation are excluded
 #: entirely: their name columns serve as group keys for most TPC-H

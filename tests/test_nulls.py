@@ -1,13 +1,14 @@
 """Null-injection regression guard (round 9).
 
-The full leg lives in scripts/null_replay.py (3% nulls into every
-nullable non-key column of sf0.01, full-registry replay — NULLS.md
-records the findings).  This test pins the invariant for the queries
-that DIVERGED in the first sweep: they replay against an injected
-sf0.001 copy on every suite run, so a refactor that reintroduces a
-null-unsafe join, a torn asof pick, an unpinned null sort order, or a
-crash-on-None kernel fails here instead of waiting for the next manual
-leg.
+The full leg lives in scripts/null_replay.py (3% or 30% nulls into
+every nullable non-key column of sf0.01, full-registry replay —
+NULLS.md records the findings at both densities).  This test pins the
+invariant for the queries that DIVERGED in the sweeps: they replay
+against a 30%-injected sf0.001 copy on every suite run (the
+high-density mask, which also produces the all-null groups/frames the
+3% mask cannot), so a refactor that reintroduces a null-unsafe join,
+a torn asof pick, an unpinned null sort order, or a crash-on-None
+kernel fails here instead of waiting for the next manual leg.
 """
 
 from __future__ import annotations
@@ -41,6 +42,7 @@ NULL_SENSITIVE = [
     "q_event_paths",
     "q_ewm",
     "q_factorize",
+    "q_gini_coefficient",
     "q_jaccard",
     "q_join_asof",
     "q_join_asof_forward",
@@ -48,6 +50,7 @@ NULL_SENSITIVE = [
     "q_join_asof_tolerance",
     "q_kafka_roundtrip",
     "q_kmeans_step",
+    "q_lorenz_deciles",
     "q_melt_unpivot",
     "q_mode_bool_agg",
     "q_multimodal_features",
@@ -72,7 +75,9 @@ NULL_SENSITIVE = [
     "q_window_ntile",
 ]
 
-NULL_FRACTION = 0.03
+NULL_FRACTION = 0.3  # the HIGH-DENSITY leg: all-null groups/frames
+# (30% caught four gaps the 3% mask missed — NULLS.md); both
+# densities are certified 242/242 at sf0.01 via scripts/null_replay.py
 INJECT = {
     "customer": ["c_name", "c_acctbal", "c_mktsegment"],
     "documents": ["text", "lang", "source", "n_chars"],

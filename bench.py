@@ -124,7 +124,10 @@ EXTRA_ANCHORS = {
     "q_semdedup": 1.4238,
     "q_bm25_topk": 0.5608,
     "q_nearest_centroid_classify": 1.2235,
-    "q_pagerank_items": 2.0499,
+    # re-frozen r10 from the driver's BENCH_r09 quiet run (1.6885; the
+    # r9 limit-then-rank fix is a permanent plan improvement — a
+    # regression back to the catalog-wide window must flag)
+    "q_pagerank_items": 1.6885,
     "q_bloom_decontaminate": 1.3757,
     "q_tpch_q21": 0.9426,
     "q_ppjoin_neardup": 1.6344,
@@ -133,12 +136,17 @@ EXTRA_ANCHORS = {
     "q_matview_incremental": 2.0934,
     "q_join_bucketed": 1.1057,
     "q_multimodal_mjpeg": 0.378,
-    # r7b additions, frozen from the best of three same-day protocol
-    # runs under measured host steal (BENCH_DIAG steal_ms 80-290/sample
-    # that day) — conservative-high anchors; tighten when a clean run
-    # records lower
-    "q_txlog_change_feed": 2.1003,
-    "q_matview_cdc": 2.9324,
+    # r10 additions: these two joined EXTRA in r7 but never had anchors
+    # (drifts were invisible to the BENCH_DIAG flag); frozen from the
+    # driver's BENCH_r09 quiet run
+    "q_qcut": 0.8909,
+    "q_rank_global": 0.2119,
+    # r7b pair RE-FROZEN in r10 (r9 VERDICT item 6) from the driver's
+    # BENCH_r09 quiet run (1.8488 / 2.3944) — the old same-day anchors
+    # (2.1003 / 2.9324) were taken under measured host steal and sat
+    # ABOVE every subsequent reading, making the 1.4x flag ~2x loose
+    "q_txlog_change_feed": 1.8488,
+    "q_matview_cdc": 2.3944,
 }
 
 
@@ -170,15 +178,35 @@ def main() -> None:
         app_name="bench",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    # FATAL, not ERROR: local-mode teardown has a known benign race —
+    # ERROR with ONE message filtered (r9 ADVICE item 4; replaces the
+    # r8 blanket FATAL): local-mode teardown has a known benign race —
     # tasks of a query that localCheckpoint()s (matview/CDC paths)
     # can report accumulator updates after the ContextCleaner already
     # dropped the accumulator, logging "DAGScheduler: Failed to update
     # accumulator N ... non-existent accumulator" at ERROR level into
     # the committed bench artifact's stderr tail (r8 VERDICT item 9).
-    # rc and all timings are unaffected; the line is noise, so the
-    # bench session logs FATAL only.
-    spark.sparkContext.setLogLevel("FATAL")
+    # rc and all timings are unaffected, so ONLY that message is denied
+    # via a log4j2 StringMatchFilter on the root logger; every other
+    # ERROR (real executor/task failures) still reaches the artifact.
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        jvm = spark._jvm
+        result = jvm.org.apache.logging.log4j.core.Filter.Result
+        flt = (
+            jvm.org.apache.logging.log4j.core.filter.StringMatchFilter
+            .newBuilder()
+            .setMatchString("Failed to update accumulator")
+            .setOnMatch(result.DENY)
+            .setOnMismatch(result.NEUTRAL)
+            .build()
+        )
+        ctx = jvm.org.apache.logging.log4j.LogManager.getContext(False)
+        ctx.getConfiguration().getRootLogger().addFilter(flt)
+        ctx.updateLoggers()
+    except Exception:
+        # log4j internals moved: fall back to the old blanket FATAL
+        # rather than let the benign race dirty the committed artifact
+        spark.sparkContext.setLogLevel("FATAL")
     queries = all_queries()
 
     # Warm up JVM / parquet footers once (excluded from timing).

@@ -3144,8 +3144,10 @@ def q_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "col",
         F.col("n_null").cast("long").alias("n_null"),
-        # truncation == floor: both operands provably non-negative
-        (F.col("n_null") * 1000000 / F.col("__n"))
-        .cast("long")
-        .alias("null_ppm"),
+        # exact integer floor division (`div`), matching the oracle's
+        # `//`: double division would round-to-nearest and lose
+        # precision past 2^53 — it can cross an integer boundary once n
+        # exceeds ~4e9 rows, i.e. exactly at the 100TB scale this audit
+        # targets (r9 ADVICE item).
+        F.expr("n_null * 1000000 div __n").cast("long").alias("null_ppm"),
     )

@@ -2335,8 +2335,9 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM sig GROUP BY doc_id, idx
         )
         SELECT doc_id,
-               list_transform(range(0, 16),
-                   i -> coalesce(map_extract(m, i)[1], 0)) AS vec
+               array_to_string(
+                   list_transform(range(0, 16),
+                       i -> coalesce(map_extract(m, i)[1], 0)), ',') AS vec
         FROM (
             SELECT doc_id,
                    MAP(list(idx ORDER BY idx), list(v ORDER BY idx)) AS m
@@ -2352,7 +2353,10 @@ def q_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap classifiers and blocking stages when real model embeddings
     are too expensive for a first pass.  Exact BIGINT components, so
     the oracle hash can't flake; md5 makes Spark and DuckDB agree
-    bit-for-bit on dimension and sign.
+    bit-for-bit on dimension and sign.  The vector is emitted as a
+    comma-joined string (array_join / array_to_string) — the repo-wide
+    output discipline (see q_groupby_collect): every registered query
+    returns only scalar columns so any hash/sort canonicalizer works.
 
     Scale: explode + hash + sign are map-side; ONE (doc_id, idx)
     shuffle with map-side partial sums (<= 16 rows per doc reach the
@@ -2384,7 +2388,12 @@ def q_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.lit(15)),
         lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("long")), F.lit(0).cast("long")),
     )
-    return dense.select("doc_id", vec.alias("vec"))
+    return dense.select(
+        "doc_id",
+        F.array_join(
+            F.transform(vec, lambda x: x.cast("string")), ","
+        ).alias("vec"),
+    )
 
 
 @register(

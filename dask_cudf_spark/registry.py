@@ -520,8 +520,59 @@ _ROTATIONS: list[tuple[list[str], list[str]]] = [
             "q_pii_redact",
         ],
     ),
+    (
+        # round 10 (r9 VERDICT item 2): the FINAL rotation.  The
+        # ever-driver-green union stands at 229 of 242; the remaining 13
+        # all enter the window — the 12 never-scored (deferred by the r9
+        # rotation; all judge-replayed MATCH in the r9 session) plus
+        # q_feature_hash_embed, which STAYS in the window (its r9 row is
+        # red: the ArrayType output broke the driver canonicalizer — now
+        # emitted as an array_join'd string, r9 VERDICT item 1).  Twelve
+        # r9-green residents cede.  A green r10 run closes the union at
+        # 242/242 and retires this machinery: no rotation can ever be
+        # needed again.
+        [
+            # aggregate
+            "q_null_audit",
+            # join
+            "q_join_null_keys",
+            # window
+            "q_interpolate_linear",
+            "q_interval_arith",
+            "q_rank_methods",
+            "q_sessionize_gaps",
+            # text
+            "q_doc_packing",
+            "q_edit_distance",
+            "q_subword_tokens",
+            "q_train_test_split",
+            "q_weighted_resample",
+            "q_winsorized_stats",
+        ],
+        [
+            "q_approx_nunique",
+            "q_approx_quantile",
+            "q_tpch_q12",
+            "q_tpch_q13",
+            "q_tpch_q14",
+            "q_tpch_q15",
+            "q_resample",
+            "q_group_zscore",
+            "q_pct_change",
+            "q_quality_score",
+            "q_ngrams",
+            "q_lang_id",
+        ],
+    ),
 ]
 _WINDOW = 50
+# The driver round whose rotation defined the CURRENT window.  The
+# window-maximality test (tests/test_oracle.py) only counts CORRECTNESS
+# artifacts from rounds BEFORE this one: the window is maximal with
+# respect to the evidence that existed when it was designed, so the
+# current round's own driver run can't flip the suite red between
+# driver-run and next-rotation (r9 VERDICT item 3).
+_WINDOW_ROUND = 10
 
 
 def _rotate_window(specs: list[QuerySpec]) -> list[QuerySpec]:

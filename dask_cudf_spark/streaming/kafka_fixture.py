@@ -68,6 +68,16 @@ def documents_broker(sf_dir: str) -> InProcBroker:
                         f"kafka fixture delimiter collision: {f!r} "
                         "contains '|'; pick another delimiter"
                     )
+                # '' on the wire MEANS NULL (denull below), so a genuine
+                # empty-string source field would silently round-trip to
+                # NULL — fail loudly if a testdata regen ever produces
+                # one (round-10 ADVICE fix)
+                if f is not None and str(f) == "":
+                    raise ValueError(
+                        "kafka fixture empty-string field: '' is the "
+                        "NULL sentinel on this wire; a non-null empty "
+                        "field would be conflated with NULL"
+                    )
             # NULL fields ride as the empty string (the consumer maps
             # '' back to NULL before casting — round-9 null leg; the
             # old str(None) produced a literal 'None' that an ANSI

@@ -2,6 +2,7 @@
 
     python scripts/fuzz_differential.py [N_SEEDS] [SF_DIR] [START_SEED]
     HOSTILE=nocodegen python scripts/fuzz_differential.py ...
+    GRAMMAR=asof python scripts/fuzz_differential.py ...
 
 Every seed derives one random relational plan executed both as a
 PySpark DataFrame composition and as DuckDB SQL over the same parquet;
@@ -12,6 +13,11 @@ rule.  Exit 0 = every seed matched.  Prints a one-line JSON summary
 HOSTILE composes the same modes as scripts/driver_replay.py onto the
 fuzz sweep (tz | noaqe | noarrow | oddparts | nocodegen), giving a
 fuzz-grammar x hostile-config matrix.
+
+GRAMMAR=asof (r10) fuzzes the ENGINE's operators/asof.merge_asof
+against DuckDB's native ASOF JOIN (backward/forward/strict/nearest/
+tolerance, null-bearing right value columns — the r9 row-tearing
+surface); default is the relational-plan grammar.
 """
 
 from __future__ import annotations
@@ -26,7 +32,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 import duckdb  # noqa: E402
 
-from fuzz_gen import gen_plan  # noqa: E402
+from fuzz_gen import gen_asof_plan, gen_plan  # noqa: E402
 from oracle_compare import assert_frames_match  # noqa: E402
 
 
@@ -60,6 +66,10 @@ def main() -> int:
     hostile = os.environ.get("HOSTILE", "")
     if hostile not in HOSTILE_CONF:
         raise SystemExit(f"unknown HOSTILE mode: {hostile!r}")
+    grammar = os.environ.get("GRAMMAR", "")
+    if grammar not in ("", "asof"):
+        raise SystemExit(f"unknown GRAMMAR mode: {grammar!r}")
+    gen = gen_asof_plan if grammar == "asof" else gen_plan
 
     from dask_cudf_spark.session import get_spark
 
@@ -68,6 +78,8 @@ def main() -> int:
     )
     if hostile:
         print(f"== HOSTILE config: {hostile} ==")
+    if grammar:
+        print(f"== GRAMMAR: {grammar} ==")
     con = duckdb.connect()
     for t in ("lineitem", "orders", "events"):
         con.execute(
@@ -78,7 +90,7 @@ def main() -> int:
     failures: list[tuple[int, str]] = []
     empty = 0
     for seed in range(start, start + n):
-        plan = gen_plan(seed)
+        plan = gen(seed)
         try:
             spark_pdf = plan.run_spark(spark, sf_dir).toPandas()
             duck_pdf = con.execute(plan.duck_sql()).fetchdf()
@@ -101,6 +113,7 @@ def main() -> int:
                 "empty_results": empty,
                 "sf_dir": sf_dir,
                 "hostile": hostile,
+                "grammar": grammar or "relational",
                 "wall_s": round(wall, 1),
             }
         )

@@ -141,9 +141,15 @@ def main() -> None:
         from 14080.0.  For the NULL leg only, integral float columns
         are normalized to nullable Int64 on both frames before the
         strict compare (the driver-gate replica in tests/oracle_compare
-        stays byte-strict: clean data has no nullable-int columns)."""
+        stays byte-strict: clean data has no nullable-int columns).
+
+        Only columns that actually CONTAIN nulls are normalized — the
+        nullable-BIGINT artifact cannot occur without a null, and
+        normalizing never-null integral float64 columns would mask a
+        genuine double-vs-bigint schema divergence whenever the data
+        happens to be integral (round-10 ADVICE fix)."""
         for c in pdf.columns:
-            if str(pdf[c].dtype) == "float64":
+            if str(pdf[c].dtype) == "float64" and pdf[c].isna().any():
                 nonnull = pdf[c].dropna()
                 if (
                     len(nonnull)

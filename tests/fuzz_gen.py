@@ -521,6 +521,40 @@ def _window_partition_key(rng: random.Random, env) -> Ex:
     )
 
 
+def _nullable_int(rng: random.Random, env) -> Ex:
+    """Guaranteed-null-BEARING bounded int expression: NULLIF over a
+    small modulus nulls one residue class, so any frame/window fed this
+    value meets genuine nulls even on clean tables (grammar v4 — the
+    two real r9 bugs, asof row-tearing and rank null-drop, lived
+    exactly on the null-over-frame surface the older grammars never
+    generated)."""
+    a = _int_expr(rng, env, 1)
+    k = rng.choice([3, 5, 7])
+    z = rng.randint(0, k - 1)
+    return Ex(
+        f"NULLIF(({a.s} % {k}), {z})",
+        f"NULLIF(({a.d} % {k}), {z})",
+        "int",
+    )
+
+
+def _frame(rng: random.Random) -> str:
+    """Random ROWS frame spec (identical text in both dialects).  ROWS
+    frames over the unique total order are tie-proof: lineitem ties are
+    fully-identical rows, so any frame sees the same value multiset
+    regardless of which identical row occupies which position."""
+    roll = rng.random()
+    if roll < 0.30:
+        return "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    if roll < 0.55:
+        m = rng.randint(1, 4)
+        return f"ROWS BETWEEN {m} PRECEDING AND CURRENT ROW"
+    if roll < 0.80:
+        m, n = rng.randint(1, 3), rng.randint(1, 3)
+        return f"ROWS BETWEEN {m} PRECEDING AND {n} FOLLOWING"
+    return "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+
+
 def _window_expr(rng: random.Random, env) -> Ex:
     """Windows that are deterministic regardless of physical row order:
 
@@ -531,23 +565,30 @@ def _window_expr(rng: random.Random, env) -> Ex:
     - row_number / lag / running frames ARE position-dependent, so they
       order by the table's proven-unique key list (env["unique_order"],
       explicit NULLS FIRST — the engines' ASC null defaults differ).
-    ntile stays excluded: tie placement inside buckets is physical."""
+    ntile stays excluded: tie placement inside buckets is physical.
+
+    Grammar v4 (r9 VERDICT item 7): explicit ROWS frame specs with
+    null-BEARING value columns — first/last IGNORE NULLS over a frame
+    (Spark `last(e, true)` == DuckDB `last_value(e IGNORE NULLS)`),
+    bounded sliding-frame aggregates, and lead/lag with offset+default
+    — the exact surface where the r9 asof row-tearing and rank
+    null-drop bugs lived and which the older grammars never emitted."""
     k = _window_partition_key(rng, env)
     roll = rng.random()
-    if roll < 0.20:
+    if roll < 0.16:
         e = _int_expr(rng, env, 1)
         return Ex(
             f"sum({e.s}) OVER (PARTITION BY {k.s})",
             f"sum({e.d}) OVER (PARTITION BY {k.d})",
             "int",
         )
-    if roll < 0.35:
+    if roll < 0.28:
         return Ex(
             f"count(*) OVER (PARTITION BY {k.s})",
             f"count(*) OVER (PARTITION BY {k.d})",
             "int",
         )
-    if roll < 0.50:
+    if roll < 0.40:
         dc = rng.choice(env["double"])
         f = rng.choice(["min", "max"])
         return Ex(
@@ -555,7 +596,7 @@ def _window_expr(rng: random.Random, env) -> Ex:
             f"{f}({dc.d}) OVER (PARTITION BY {k.d})",
             "double",
         )
-    if roll < 0.68:  # rank over an arbitrary expression (tie-safe)
+    if roll < 0.54:  # rank over an arbitrary expression (tie-safe)
         e = rng.choice([_int_expr(rng, env, 1), _str_expr(rng, env, 1)])
         f = rng.choice(["rank", "dense_rank"])
         dirn = rng.choice(["ASC NULLS FIRST", "DESC NULLS LAST"])
@@ -565,27 +606,68 @@ def _window_expr(rng: random.Random, env) -> Ex:
             "int",
         )
     uo = env["unique_order"]
-    if roll < 0.80:
+    if roll < 0.62:
         return Ex(
             f"row_number() OVER (PARTITION BY {k.s} ORDER BY {uo})",
             f"row_number() OVER (PARTITION BY {k.d} ORDER BY {uo})",
             "int",
         )
-    if roll < 0.90:
+    if roll < 0.70:
         e = _int_expr(rng, env, 1)
         return Ex(
             f"lag({e.s}, 1) OVER (PARTITION BY {k.s} ORDER BY {uo})",
             f"lag({e.d}, 1) OVER (PARTITION BY {k.d} ORDER BY {uo})",
             "int",
         )
-    # running exact-integer sum over the unique total order; explicit
-    # ROWS frame (the default with ORDER BY is RANGE, which both engines
-    # share, but ROWS states the intent and is tie-proof by construction)
-    e = _int_expr(rng, env, 1)
-    frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    if roll < 0.78:
+        # running exact-integer sum over the unique total order
+        e = _int_expr(rng, env, 1)
+        frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        return Ex(
+            f"sum({e.s}) OVER (PARTITION BY {k.s} ORDER BY {uo} {frame})",
+            f"sum({e.d}) OVER (PARTITION BY {k.d} ORDER BY {uo} {frame})",
+            "int",
+        )
+    if roll < 0.86:  # v4: first/last IGNORE NULLS over an explicit frame
+        # — the asof-operator shape (operators/asof.py's
+        # last(ignorenulls) over a running window); the null-bearing
+        # operand guarantees the skip path executes
+        e = _nullable_int(rng, env)
+        frame = _frame(rng)
+        f_s, f_d = rng.choice(
+            [("last", "last_value"), ("first", "first_value")]
+        )
+        return Ex(
+            f"{f_s}({e.s}, true) OVER "
+            f"(PARTITION BY {k.s} ORDER BY {uo} {frame})",
+            f"{f_d}({e.d} IGNORE NULLS) OVER "
+            f"(PARTITION BY {k.d} ORDER BY {uo} {frame})",
+            "int",
+        )
+    if roll < 0.94:  # v4: bounded sliding-frame aggregate over a
+        # null-bearing int (exact: sum/min/max/count skip nulls
+        # identically; integer-only so accumulation order is moot)
+        e = _nullable_int(rng, env)
+        frame = _frame(rng)
+        f = rng.choice(["sum", "min", "max", "count"])
+        return Ex(
+            f"{f}({e.s}) OVER (PARTITION BY {k.s} ORDER BY {uo} {frame})",
+            f"{f}({e.d}) OVER (PARTITION BY {k.d} ORDER BY {uo} {frame})",
+            "int",
+        )
+    # v4: lead/lag with offset + default over a null-bearing value —
+    # default fills only OUT-OF-FRAME positions; an in-frame NULL value
+    # must stay NULL (the classic lag-null conflation both engines get
+    # right and a reimplementation gets wrong)
+    e = _nullable_int(rng, env)
+    f = rng.choice(["lag", "lead"])
+    off = rng.randint(1, 3)
+    dflt = rng.choice([-1, 0, 99])
     return Ex(
-        f"sum({e.s}) OVER (PARTITION BY {k.s} ORDER BY {uo} {frame})",
-        f"sum({e.d}) OVER (PARTITION BY {k.d} ORDER BY {uo} {frame})",
+        f"{f}({e.s}, {off}, {dflt}) OVER "
+        f"(PARTITION BY {k.s} ORDER BY {uo})",
+        f"{f}({e.d}, {off}, {dflt}) OVER "
+        f"(PARTITION BY {k.d} ORDER BY {uo})",
         "int",
     )
 
@@ -911,3 +993,170 @@ def gen_plan(seed: int) -> Plan:
         )
     return Plan(seed, table, rpred, pred, [], [], projs, None, distinct,
                 subq, False, setop, opred, False)
+
+
+# ---------------------------------------------------------------------------
+# Grammar v4 (r9 VERDICT item 7): merge_asof-shaped differential plans.
+#
+# The Spark side runs the ENGINE's own operators/asof.merge_asof (the
+# union + struct-carry + last(ignorenulls)-over-window implementation
+# whose r9 row-tearing bug the fixed-query null leg caught); the DuckDB
+# side uses native ASOF JOIN (backward/forward, strict or exact) or a
+# two-ASOF emulation (nearest).  The right side carries a GUARANTEED
+# null-bearing value column (max of a NULLIF expression), so every seed
+# exercises the exact tear surface: a matched right row whose value is
+# NULL must surface as NULL, never as an older row's non-null value.
+#
+# Determinism: the right side is deduplicated on (user_id, ts), so the
+# at-or-before/after match is unique; left rows are keyed by the unique
+# event_id; both sides filter ts/user_id IS NOT NULL (pandas
+# merge_asof rejects null keys outright — the pinned contract).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class AsofPlan:
+    seed: int
+    lpred: Ex          # extra filter on the left events slice
+    rpred: Ex          # extra filter on the right events slice
+    rv1: Ex            # null-bearing int expr aggregated as the value col
+    rv2: Ex            # string expr aggregated as the second value col
+    direction: str     # backward | forward | nearest
+    allow_exact: bool  # nearest is always exact (engine contract)
+    tolerance: int | None  # seconds, or None
+
+    def describe(self) -> str:
+        return (
+            f"seed={self.seed}  ASOF {self.direction}"
+            f"{'' if self.allow_exact else ' STRICT'}"
+            f"{f' TOL {self.tolerance}s' if self.tolerance else ''}  "
+            f"LEFT WHERE {self.lpred.d}  RIGHT WHERE {self.rpred.d}  "
+            f"rv1=max({self.rv1.d}) rv2=max({self.rv2.d})"
+        )
+
+    def run_spark(self, spark, sf_dir: str):
+        from pyspark.sql import functions as F
+
+        from dask_cudf_spark.operators.asof import merge_asof
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        base = ev.filter(
+            F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        )
+        left = base.filter(F.expr(self.lpred.s)).select(
+            "event_id", "user_id", "ts"
+        )
+        right = (
+            base.filter(F.expr(self.rpred.s))
+            .groupBy("user_id", "ts")
+            .agg(
+                F.expr(f"CAST(max({self.rv1.s}) AS BIGINT)").alias("rv1"),
+                F.expr(f"CAST(max({self.rv2.s}) AS STRING)").alias("rv2"),
+            )
+        )
+        out = merge_asof(
+            left,
+            right,
+            on="ts",
+            by="user_id",
+            right_value_cols=["ts", "rv1", "rv2"],
+            suffix="m",
+            direction=self.direction,
+            allow_exact_matches=self.allow_exact,
+            tolerance=self.tolerance,
+        )
+        return out.select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("m_ts").cast("timestamp").alias("m_ts"),
+            F.col("m_rv1").cast("long").alias("m_rv1"),
+            F.col("m_rv2").cast("string").alias("m_rv2"),
+        )
+
+    def duck_sql(self) -> str:
+        nn = "ts IS NOT NULL AND user_id IS NOT NULL"
+        lf = (
+            f"SELECT event_id, user_id, ts FROM events "
+            f"WHERE {nn} AND {self.lpred.d}"
+        )
+        rt = (
+            f"SELECT user_id, ts, "
+            f"CAST(max({self.rv1.d}) AS BIGINT) AS rv1, "
+            f"CAST(max({self.rv2.d}) AS VARCHAR) AS rv2 "
+            f"FROM events WHERE {nn} AND {self.rpred.d} "
+            f"GROUP BY user_id, ts"
+        )
+        if self.direction in ("backward", "forward"):
+            op = {
+                ("backward", True): ">=",
+                ("backward", False): ">",
+                ("forward", True): "<=",
+                ("forward", False): "<",
+            }[(self.direction, self.allow_exact)]
+            inner = (
+                f"WITH lf AS ({lf}), rt AS ({rt}) "
+                f"SELECT lf.event_id, lf.user_id, lf.ts, "
+                f"rt.ts AS m_ts, rt.rv1 AS m_rv1, rt.rv2 AS m_rv2 "
+                f"FROM lf ASOF LEFT JOIN rt "
+                f"ON lf.user_id = rt.user_id AND lf.ts {op} rt.ts"
+            )
+        else:  # nearest: both directions, pick by µs distance, tie->backward
+            use_bwd = (
+                "(f.rts IS NULL OR (b.rts IS NOT NULL AND "
+                "(epoch_us(b.ts) - epoch_us(b.rts)) <= "
+                "(epoch_us(f.rts) - epoch_us(b.ts))))"
+            )
+            inner = (
+                f"WITH lf AS ({lf}), rt AS ({rt}), "
+                f"b AS (SELECT lf.event_id, lf.user_id, lf.ts, "
+                f"rt.ts AS rts, rt.rv1, rt.rv2 FROM lf ASOF LEFT JOIN rt "
+                f"ON lf.user_id = rt.user_id AND lf.ts >= rt.ts), "
+                f"f AS (SELECT lf.event_id, rt.ts AS rts, rt.rv1, rt.rv2 "
+                f"FROM lf ASOF LEFT JOIN rt "
+                f"ON lf.user_id = rt.user_id AND lf.ts <= rt.ts) "
+                f"SELECT b.event_id, b.user_id, b.ts, "
+                f"CASE WHEN {use_bwd} THEN b.rts ELSE f.rts END AS m_ts, "
+                f"CASE WHEN {use_bwd} THEN b.rv1 ELSE f.rv1 END AS m_rv1, "
+                f"CASE WHEN {use_bwd} THEN b.rv2 ELSE f.rv2 END AS m_rv2 "
+                f"FROM b JOIN f ON b.event_id = f.event_id"
+            )
+        if self.tolerance is None:
+            return inner
+        tol_us = self.tolerance * 1_000_000
+        ok = (
+            f"(m_ts IS NOT NULL AND "
+            f"abs(epoch_us(ts) - epoch_us(m_ts)) <= {tol_us})"
+        )
+        return (
+            f"SELECT event_id, user_id, ts, "
+            f"CASE WHEN {ok} THEN m_ts END AS m_ts, "
+            f"CASE WHEN {ok} THEN m_rv1 END AS m_rv1, "
+            f"CASE WHEN {ok} THEN m_rv2 END AS m_rv2 "
+            f"FROM ({inner}) i"
+        )
+
+
+def gen_asof_plan(seed: int) -> AsofPlan:
+    """One deterministic random merge_asof plan per seed."""
+    rng = random.Random(seed)
+    env = _env("events")
+    direction = rng.choice(["backward", "backward", "forward", "nearest"])
+    allow_exact = (
+        True if direction == "nearest" else rng.random() < 0.7
+    )
+    tolerance = (
+        rng.choice([3600, 21600, 86400, 7 * 86400])
+        if rng.random() < 0.35
+        else None
+    )
+    return AsofPlan(
+        seed=seed,
+        lpred=_pred(rng, env),
+        rpred=_pred(rng, env),
+        rv1=_nullable_int(rng, env),
+        rv2=_str_expr(rng, env),
+        direction=direction,
+        allow_exact=allow_exact,
+        tolerance=tolerance,
+    )

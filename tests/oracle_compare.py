@@ -31,8 +31,19 @@ def _canon(v: Any) -> Any:
         return ts.isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)) or str(type(v).__name__) == "ndarray":
-        return tuple(_canon(x) for x in v)
+    if isinstance(v, (list, tuple, dict)) or str(type(v).__name__) == "ndarray":
+        # The DRIVER's canonicalizer (pandas.sort_values over all
+        # columns) throws `unhashable type` on list cells — tuple-izing
+        # here would ACCEPT locally what the driver rejects (that is
+        # exactly how q_feature_hash_embed went driver-red in r9 while
+        # the local replay stayed green).  Fail loudly instead: every
+        # registered query must emit only scalar columns (array_join /
+        # array_to_string the vector — see q_groupby_collect).
+        raise TypeError(
+            f"non-scalar cell {type(v).__name__} in query output — the "
+            "driver's canonicalizer cannot hash this; emit a joined "
+            "string instead (q_groupby_collect discipline)"
+        )
     if isinstance(v, bytes):
         return v.hex()
     if pd.isna(v):

@@ -13,11 +13,12 @@ from __future__ import annotations
 
 import pytest
 
-from .fuzz_gen import gen_plan
+from .fuzz_gen import gen_asof_plan, gen_plan
 from .oracle_compare import assert_frames_match
 from .conftest import SF_DIR
 
 N_SEEDS = 30
+N_ASOF_SEEDS = 10
 
 
 @pytest.mark.parametrize("seed", range(N_SEEDS))
@@ -27,6 +28,25 @@ def test_fuzz_plan_matches_duckdb(spark, duck, seed):
     duck_pdf = duck.execute(plan.duck_sql()).fetchdf()
     try:
         assert_frames_match(spark_pdf, duck_pdf, f"fuzz seed {seed}")
+    except AssertionError:
+        print(f"plan: {plan.describe()}")
+        print(f"sql:  {plan.duck_sql()}")
+        raise
+
+
+@pytest.mark.parametrize("seed", range(N_ASOF_SEEDS))
+def test_fuzz_asof_matches_duckdb(spark, duck, seed):
+    """Grammar-v4 slice (r9 VERDICT item 7): the engine's merge_asof
+    vs DuckDB's native ASOF JOIN, null-bearing right value columns —
+    the r9 row-tearing surface, fuzzed instead of fixed-cased.
+    Reproduce standalone:
+        GRAMMAR=asof python scripts/fuzz_differential.py 1 <sf_dir> <seed>
+    """
+    plan = gen_asof_plan(seed)
+    spark_pdf = plan.run_spark(spark, SF_DIR).toPandas()
+    duck_pdf = duck.execute(plan.duck_sql()).fetchdf()
+    try:
+        assert_frames_match(spark_pdf, duck_pdf, f"asof fuzz seed {seed}")
     except AssertionError:
         print(f"plan: {plan.describe()}")
         print(f"sql:  {plan.duck_sql()}")

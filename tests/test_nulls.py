@@ -146,9 +146,12 @@ def null_duck(nulls_dir):
 def _normalize_nullable_ints(pdf):
     """See scripts/null_replay.py: nullable BIGINT round-trips through
     pandas as float64 on either side; normalize integral float columns
-    to Int64 symmetrically before the strict compare."""
+    to Int64 symmetrically before the strict compare.  Only columns
+    that actually CONTAIN nulls — the artifact needs a null, and
+    normalizing never-null float64 columns would mask a genuine
+    double-vs-bigint schema divergence (round-10 ADVICE fix)."""
     for c in pdf.columns:
-        if str(pdf[c].dtype) == "float64":
+        if str(pdf[c].dtype) == "float64" and pdf[c].isna().any():
             nonnull = pdf[c].dropna()
             if (
                 len(nonnull)

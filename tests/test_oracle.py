@@ -43,17 +43,26 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()).issubset(set(e.queries()))
 
 
-def _ever_driver_green() -> set[str]:
+def _ever_driver_green(before_round: int | None = None) -> set[str]:
     """Names with a full-green row (rows+schema+hash, no err) in any
-    committed CORRECTNESS_r*.json driver artifact."""
+    committed CORRECTNESS_r*.json driver artifact.  With before_round=N,
+    only artifacts from rounds < N count — the evidence that existed
+    when round N's window was designed (r9 VERDICT item 3: the
+    maximality test must not flip red the moment the current window's
+    own driver run lands)."""
     import glob
     import json
     import os
+    import re
 
     green: set[str] = set()
     for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
         if not os.path.exists(path):
             continue
+        if before_round is not None:
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+            if m and int(m.group(1)) >= before_round:
+                continue
         rows = json.load(open(path))
         for name, row in rows.items():
             if (
@@ -94,11 +103,17 @@ def test_driver_scoring_window_maximizes_never_green():
     hold a never-driver-green query while any remain outside the
     window (the whole point of rotating is growing the ever-green
     union; an already-green name occupying a slot while a never-green
-    name waits outside is a wasted round)."""
-    from dask_cudf_spark.registry import ordered_specs
+    name waits outside is a wasted round).
+
+    Green is evaluated against the artifacts that existed when the
+    current window was DESIGNED (rounds < _WINDOW_ROUND): the r9 suite
+    went red by construction the moment the driver's own r9 run landed
+    — a tripwire that fires after every successful run is a process
+    bug, not a signal (r9 VERDICT item 3)."""
+    from dask_cudf_spark.registry import _WINDOW_ROUND, ordered_specs
 
     specs = ordered_specs()
-    green = _ever_driver_green()
+    green = _ever_driver_green(before_round=_WINDOW_ROUND)
     window = specs[:50]
     outside_never_green = [
         s.name for s in specs[50:] if s.name not in green and s.oracle
@@ -129,33 +144,37 @@ def test_driver_scoring_window_maximizes_never_green():
 # update this list ONLY deliberately, together with a local
 # driver_replay of the new window.
 _PINNED_WINDOW = [
-    # round-9 rotation (r8 VERDICT item 1): ALL 45 non-pinned slots
-    # cede to never-driver-green queries — the 55 stragglers span only
-    # aggregate/text/tpch/window, so the per-family window invariant is
-    # now historical (see test above).  Five pins unchanged (exhausted
-    # families' reps + driver-environment canaries).  Window: all 14
-    # remaining aggregate (incl. q_approx_nunique / q_approx_quantile,
-    # rows-only in r01 per the judge's correction), all 6 TPC-H, 9 of
-    # 13 window, 16 of 22 text.  Ever-driver-scored union target:
-    # 185 -> 230 of 240; round 10 closes the deferred 10 (8 of which
-    # are judge-replay MATCH already).
+    # round-10 rotation (r9 VERDICT item 2): the FINAL one.  The 12
+    # never-driver-scored queries enter (all judge-replayed MATCH in
+    # the r9 session) and q_feature_hash_embed KEEPS its slot — its r9
+    # row was red (ArrayType output broke the driver canonicalizer;
+    # now emitted as an array_join'd string per r9 VERDICT item 1).
+    # Twelve r9-green residents cede.  Five pins unchanged (exhausted
+    # families' reps + driver-environment canaries).  A green r10 run
+    # closes the ever-driver-green union at 242/242 and retires the
+    # rotation machinery for good.
     "q_udaf_grouped", "q_scan_parquet", "q_scalar_pack_str2",
     "q_except", "q_group_head",
-    "q_approx_nunique", "q_approx_quantile", "q_mad_outliers",
+    "q_mad_outliers",
     "q_drift_chi2", "q_trend_slope", "q_hhi_concentration",
     "q_gini_coefficient", "q_abtest_ztest", "q_lorenz_deciles",
     "q_cohort_ltv", "q_pareto_coverage", "q_hll_sketch",
     "q_dow_seasonality", "q_benford_digits",
-    "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
     "q_tpch_q16", "q_tpch_q19",
-    "q_resample", "q_group_zscore", "q_pct_change", "q_cumprod",
+    "q_cumprod",
     "q_event_paths", "q_max_drawdown", "q_funnel_latency",
     "q_markov_transitions", "q_seasonal_anomaly",
-    "q_quality_score", "q_ngrams", "q_lang_id", "q_token_filter",
+    "q_token_filter",
     "q_rolling_fingerprint", "q_vocab_topk", "q_repetition_ngrams",
     "q_domain_mix_weights", "q_split_leakage", "q_text_normalize",
     "q_chunk_documents", "q_token_rarity", "q_feature_hash_embed",
     "q_lexical_diversity", "q_vocab_growth", "q_tokenizer_fertility",
+    # round-10 promotions (rotate_in order)
+    "q_null_audit", "q_join_null_keys",
+    "q_interpolate_linear", "q_interval_arith", "q_rank_methods",
+    "q_sessionize_gaps",
+    "q_doc_packing", "q_edit_distance", "q_subword_tokens",
+    "q_train_test_split", "q_weighted_resample", "q_winsorized_stats",
 ]
 
 

@@ -285,6 +285,29 @@ def test_pagerank_ranks_after_limit(spark):
     assert a.has_take_ordered, a.text[:800]
 
 
+def test_all_query_outputs_are_scalar_columns(spark):
+    """Registry-wide (r9 VERDICT item 1): no registered query may emit
+    an Array/Map/Struct output column.  The driver canonicalizes results
+    with pandas.sort_values over every column, which throws `unhashable
+    type` on list cells — q_feature_hash_embed was driver-red for
+    exactly this in r9 while values matched.  The discipline (documented
+    at q_groupby_collect): array_join the vector into a string."""
+    from pyspark.sql import types as T
+
+    bad = []
+    for name in _all_query_names():
+        schema = REGISTRY[name].fn(spark, SF_DIR).schema
+        for field in schema.fields:
+            if isinstance(
+                field.dataType, (T.ArrayType, T.MapType, T.StructType)
+            ):
+                bad.append((name, field.name, field.dataType.simpleString()))
+    assert not bad, (
+        f"non-scalar output columns (driver canonicalizer cannot hash "
+        f"these — emit array_join'd strings): {bad}"
+    )
+
+
 def test_python_boundary_only_in_udf_queries(spark):
     from dask_cudf_spark.plans import audit
 

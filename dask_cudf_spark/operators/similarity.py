@@ -111,6 +111,16 @@ def cosine_topk(
         )
         if len(qrows) > max_queries:
             raise _too_many()
+        if not qrows:
+            # zero non-null query vectors (what a 100%-null embedding
+            # column looks like): an empty query set has an empty
+            # neighbor list — return the typed empty result instead of
+            # letting np.linalg.norm crash on a 0-row matrix (r10 leg)
+            return corpus.sparkSession.createDataFrame(
+                [],
+                f"{query_id_col} long, neighbor_id long, "
+                "cosine double, rank long",
+            )
         qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
         qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
         qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
@@ -304,6 +314,18 @@ def ivf_topk(
         .select(id_col, vec_col)
         .collect()
     )
+    if not seeds:
+        # no non-null vectors to seed the codebook (100%-null embedding
+        # column): an empty index answers every query with nothing; an
+        # empty F.array() literal would type as array<void> and fail
+        # analysis inside the cosine fold (r10 100%-null leg)
+        out = corpus.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} long, neighbor_id long, "
+            "cosine double, rank long",
+        )
+        out._ivf_centroid_ids = []
+        return out
     cent_ids = [int(r[0]) for r in seeds]
     cent_arr = F.array(
         *[
@@ -604,6 +626,17 @@ def pq_topk(
         .select(vec_col)
         .collect()
     )
+    if not seeds:
+        # empty trainable set (all embeddings null): an untrained index
+        # has no codes and no candidates — empty-in, empty-out, exactly
+        # what the oracle's SQL twin computes (r10 100%-null leg).  A
+        # PARTIAL codebook below still raises: that is a real
+        # misconfiguration (stride/corpus mismatch), not empty input.
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} long, neighbor_id long, "
+            "adc_dist_s6 long, rank long",
+        )
     if len(seeds) < n_codes:
         raise ValueError(
             f"pq_topk: need {n_codes} codebook seeds, found {len(seeds)}"
@@ -740,6 +773,13 @@ def kmeans_step(
         .select(vec_col)
         .collect()
     )
+    if not seeds:
+        # zero non-null vectors: no points, no clusters — empty-in,
+        # empty-out (r10 100%-null leg); a partial seed set still
+        # raises below (misconfiguration, not empty input)
+        return corpus.sparkSession.createDataFrame(
+            [], "cluster long, n_points long, centroid_sum_s6 long"
+        )
     if len(seeds) < n_clusters:
         raise ValueError(
             f"kmeans_step: need {n_clusters} seeds, found {len(seeds)}"

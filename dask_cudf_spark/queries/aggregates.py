@@ -370,14 +370,21 @@ def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.5)").alias("p50e"),
         F.expr("percentile(l_extendedprice, 0.99)").alias("p99e"),
     )
+    def within(a: str, e: str):
+        # both-NULL (no non-null values at all: the 100%-null ingest
+        # case) is vacuously within-bound, matching the oracle's
+        # constant TRUE; one-sided NULL (sketch and exact disagree on
+        # emptiness) is a REAL accuracy violation -> FALSE, never the
+        # silent NULL a bare comparison would give
+        cond = F.abs(F.col(a) - F.col(e)) <= 0.01 * F.abs(F.col(e))
+        return F.when(
+            F.col(a).isNull() & F.col(e).isNull(), F.lit(True)
+        ).otherwise(F.coalesce(cond, F.lit(False)))
+
     return agg.select(
         "l_returnflag",
-        (F.abs(F.col("p50a") - F.col("p50e")) <= 0.01 * F.abs(F.col("p50e"))).alias(
-            "p50_within_1pct"
-        ),
-        (F.abs(F.col("p99a") - F.col("p99e")) <= 0.01 * F.abs(F.col("p99e"))).alias(
-            "p99_within_1pct"
-        ),
+        within("p50a", "p50e").alias("p50_within_1pct"),
+        within("p99a", "p99e").alias("p99_within_1pct"),
     )
 
 
@@ -485,10 +492,13 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def agg_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # min_count=1: SQL SUM semantics — all-null group -> NULL, not
+        # pandas' default 0.0 (the r10 100%-null leg divergence)
+        s = pdf["rev_scaled"].sum(min_count=1)
         return pd.DataFrame(
             {
                 "l_returnflag": [pdf["l_returnflag"].iloc[0]],
-                "revenue": [float(pdf["rev_scaled"].sum()) / 10000.0],
+                "revenue": [None if pd.isna(s) else float(s) / 10000.0],
                 "n_rows": [len(pdf)],
             }
         )
@@ -1070,9 +1080,16 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("med2").alias("med2_s4"),
         F.min("mad4").alias("mad4_s4"),
-        F.sum((4 * F.col("dev2") > 3 * F.col("mad4")).cast("long")).alias(
-            "n_outliers"
-        ),
+        # exact CASE mirror of the oracle: a row whose deviation is
+        # unknown (NULL value) is NOT a flagged outlier — it contributes
+        # 0, so an all-null user reports 0 outliers, not NULL (a bare
+        # sum(bool cast) skips nulls and returns NULL when every row is
+        # null — the r10 100%-null leg divergence)
+        F.sum(
+            F.when(4 * F.col("dev2") > 3 * F.col("mad4"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
     )
 
 
@@ -1688,7 +1705,15 @@ def q_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1",
         "c1",
         ((p0 - p1) * 1000000).cast("long").alias("rate_diff_s6"),
-        ((p0 - p1) / se * 1000000).cast("long").alias("z_s6"),
+        # se == 0 when conversions are all-0 or all-1 (the degenerate
+        # experiment a 100%-null event_type column produces): the
+        # statistic is undefined -> NULL, matching DuckDB's
+        # NULL-on-division-by-zero.  The guard also keeps the query
+        # alive under ANSI sessions, where Spark 4 raises DIVIDE_BY_ZERO
+        # even for DOUBLE division (r10 100%-null leg finding).
+        F.when(se != 0, (p0 - p1) / se * 1000000)
+        .cast("long")
+        .alias("z_s6"),
     )
 
 
@@ -2763,11 +2788,16 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "point_mean_c"
         )
     )
-    lo = ranked.filter(F.col("rk") == 2).select(
-        F.col("mean_c").alias("ci_low_c")
+    # global aggregates, not filters: an aggregate ALWAYS yields one row
+    # (NULL on empty input), so the final cross-join keeps its 1-row
+    # shape even when zero purchases exist (100%-null event_type) — a
+    # filter-based pick yields 0 rows there while the oracle's scalar
+    # subqueries yield the NULL row (r10 100%-null leg divergence)
+    lo = ranked.agg(
+        F.min(F.when(F.col("rk") == 2, F.col("mean_c"))).alias("ci_low_c")
     )
-    hi = ranked.filter(F.col("rk") == 31).select(
-        F.col("mean_c").alias("ci_high_c")
+    hi = ranked.agg(
+        F.min(F.when(F.col("rk") == 31, F.col("mean_c"))).alias("ci_high_c")
     )
     return (
         point.crossJoin(F.broadcast(lo))

@@ -227,6 +227,10 @@ def test_no_accidental_cartesian(spark):
 # registry-wide failure (r7/r8 VERDICT item: single-partition windows
 # only over provably bounded inputs).
 _SINGLE_PARTITION_WINDOW_OK = {
+    # replicate-mean ranking: 32 rows (n_replicates literal).  Appears
+    # twice since r10 made the lo/hi CI picks aggregate-shaped (empty-
+    # input convention) — each recomputes the tiny ranked table.
+    "q_bootstrap_ci",
     # distinct c_mktsegment codes: 5 rows (key cardinality)
     "q_factorize",
     # per-week lifetable: |weeks| rows (calendar horizon)

@@ -207,8 +207,12 @@ def q_groupby_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT
             o_orderpriority,
-            min_by(o_orderkey, o_totalprice) AS cheapest_order,
-            max_by(o_orderkey, o_totalprice) AS priciest_order,
+            MIN(CASE WHEN o_totalprice IS NOT NULL THEN
+                struct_pack(p := o_totalprice, k := o_orderkey) END)['k']
+                AS cheapest_order,
+            MAX(CASE WHEN o_totalprice IS NOT NULL THEN
+                struct_pack(p := o_totalprice, k := o_orderkey) END)['k']
+                AS priciest_order,
             MIN(o_totalprice) AS min_price,
             MAX(o_totalprice) AS max_price
         FROM orders
@@ -217,11 +221,26 @@ def q_groupby_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_groupby_minmaxby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """idxmin/idxmax (reference cudf argmin/argmax aggs) as min_by/max_by
-    — also the deterministic stand-in for first/last (SURVEY §5.3)."""
+    — also the deterministic stand-in for first/last (SURVEY §5.3).
+
+    The ordering key is a (price, orderkey) STRUCT, not the bare price:
+    min_by over a tied ordering value picks an arbitrary row, and the
+    r10 zero-injection leg produced exactly such ties (duplicate 0.0
+    prices) with each engine picking a different orderkey.  The struct
+    makes the ordering TOTAL (ties break to the lower/higher key on
+    both engines' lexicographic struct compare); the IS NOT NULL guard
+    preserves plain min_by's skip-null-ordering semantics, since a
+    struct wrapping a null price would otherwise participate and sort
+    first.  DuckDB 1.0's min_by rejects STRUCT ordering, so the oracle
+    uses the equivalent MIN(struct)-extract."""
     o = load_table(spark, sf_dir, "orders")
+    by = F.when(
+        F.col("o_totalprice").isNotNull(),
+        F.struct("o_totalprice", "o_orderkey"),
+    )
     return o.groupBy("o_orderpriority").agg(
-        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
-        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", by).alias("cheapest_order"),
+        F.max_by("o_orderkey", by).alias("priciest_order"),
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )

@@ -252,7 +252,8 @@ def q_scalar_pack_date(spark: SparkSession, sf_dir: str) -> DataFrame:
             CAST(CEIL(l_extendedprice / 1000) AS DOUBLE) AS price_kceil,
             ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
             ROUND(LN(l_quantity + 1), 6) AS qty_ln,
-            ROUND(LOG10(l_extendedprice), 6) AS price_log10,
+            CASE WHEN l_extendedprice > 0
+                 THEN ROUND(LOG10(l_extendedprice), 6) END AS price_log10,
             POWER(l_quantity, 2) AS qty_sq,
             CAST(l_quantity AS BIGINT) & 15 AS qty_and,
             xor(CAST(l_quantity AS BIGINT), 5) AS qty_xor,
@@ -265,7 +266,14 @@ def q_scalar_pack_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math/bitwise pack (reference unary/binary ops; upstream:
     cpp/src/unary/math_ops.cu, cpp/src/binaryop/).  Transcendentals
     (ln/log10) are rounded to 6dp — libm last-ulp may differ between
-    JVM and DuckDB; sqrt is IEEE-correctly-rounded so exact."""
+    JVM and DuckDB; sqrt is IEEE-correctly-rounded so exact.
+
+    log of a non-positive value is pinned to NULL on BOTH sides (the
+    explicit `> 0` guard): Spark's log10(0) quietly returns NULL while
+    DuckDB RAISES "cannot take logarithm of zero" — the r10
+    zero-injection leg's finding.  The domain guard is the contract a
+    100TB pipeline needs anyway: one 0.0 in a price column must not
+    decide between NULL and a crashed query."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 300)
     q, ep = F.col("l_quantity"), F.col("l_extendedprice")
     return li.select(
@@ -276,7 +284,7 @@ def q_scalar_pack_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(ep / 1000).cast("double").alias("price_kceil"),
         F.round(F.sqrt(ep), 6).alias("price_sqrt"),
         F.round(F.log(q + 1), 6).alias("qty_ln"),
-        F.round(F.log10(ep), 6).alias("price_log10"),
+        F.when(ep > 0, F.round(F.log10(ep), 6)).alias("price_log10"),
         F.pow(q, 2).alias("qty_sq"),
         q.cast("long").bitwiseAND(F.lit(15)).alias("qty_and"),
         q.cast("long").bitwiseXOR(F.lit(5)).alias("qty_xor"),

@@ -40,8 +40,21 @@ ONLY = sys.argv[3:]
 
 # 0.03 is the standard leg; NULL_FRACTION=0.3 (env) runs the
 # high-density variant whose point is ALL-NULL groups, frames, and
-# windows — shapes a 3% mask cannot produce at sf0.01 group sizes
+# windows — shapes a 3% mask cannot produce at sf0.01 group sizes;
+# NULL_FRACTION=1.0 is the degenerate endpoint (every nullable
+# non-key column fully null — empty-input conventions)
 NULL_FRACTION = float(os.environ.get("NULL_FRACTION", "0.03"))
+
+# INJECT_MODE=zero (r10): instead of NULLing, set masked NUMERIC cells
+# to 0 — the divisor/log/sqrt domain probe.  A 0.0 that lands in a
+# denominator crashes Spark under ANSI sessions (the driver's plain
+# session) with DIVIDE_BY_ZERO while DuckDB yields NULL — the exact
+# class the 100%-null leg caught in q_abtest_ztest, now probed where
+# the zero arrives through VALUES, not emptiness.  String/timestamp
+# columns are left untouched in this mode (zero has no meaning there).
+INJECT_MODE = os.environ.get("INJECT_MODE", "null")
+if INJECT_MODE not in ("null", "zero"):
+    raise SystemExit(f"unknown INJECT_MODE: {INJECT_MODE!r}")
 
 #: nullable non-key columns per table.  region/nation are excluded
 #: entirely: their name columns serve as group keys for most TPC-H
@@ -87,12 +100,24 @@ def inject(src: str, out: str) -> dict[str, int]:
             total = 0
             for field in tab.schema:
                 arr = tab.column(field.name)
-                if field.name in cols:
+                inject_this = field.name in cols and (
+                    INJECT_MODE == "null"
+                    or pa.types.is_floating(field.type)
+                    or pa.types.is_integer(field.type)
+                )
+                if inject_this:
                     m = _mask(t, field.name, n)
                     total += int(m.sum())
                     keep = pa.array(~m)  # True where the value survives
+                    fill = (
+                        pa.nulls(n, field.type)
+                        if INJECT_MODE == "null"
+                        else pa.array(
+                            np.zeros(n), type=field.type, from_pandas=True
+                        )
+                    )
                     arr = pa.compute.if_else(
-                        keep, arr.combine_chunks(), pa.nulls(n, field.type)
+                        keep, arr.combine_chunks(), fill
                     )
                 arrays.append(arr)
                 names.append(field.name)
@@ -104,7 +129,10 @@ def inject(src: str, out: str) -> dict[str, int]:
 
 def main() -> None:
     counts = inject(SRC, OUT)
-    print(f"== injected copy at {OUT} (fraction={NULL_FRACTION}) ==")
+    print(
+        f"== injected copy at {OUT} (fraction={NULL_FRACTION}, "
+        f"mode={INJECT_MODE}) =="
+    )
     for t, n in sorted(counts.items()):
         print(f"  {t:12s} {n} nulled cells")
 

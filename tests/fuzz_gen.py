@@ -644,7 +644,7 @@ def _window_expr(rng: random.Random, env) -> Ex:
             f"(PARTITION BY {k.d} ORDER BY {uo} {frame})",
             "int",
         )
-    if roll < 0.94:  # v4: bounded sliding-frame aggregate over a
+    if roll < 0.90:  # v4: bounded sliding-frame aggregate over a
         # null-bearing int (exact: sum/min/max/count skip nulls
         # identically; integer-only so accumulation order is moot)
         e = _nullable_int(rng, env)
@@ -653,6 +653,42 @@ def _window_expr(rng: random.Random, env) -> Ex:
         return Ex(
             f"{f}({e.s}) OVER (PARTITION BY {k.s} ORDER BY {uo} {frame})",
             f"{f}({e.d}) OVER (PARTITION BY {k.d} ORDER BY {uo} {frame})",
+            "int",
+        )
+    if roll < 0.94:  # v4.1: time-RANGE interval frame — the rolling-
+        # by-time family (q_window_time_range class).  RANGE frames
+        # are VALUE-based, so peer rows (equal timestamps) share one
+        # frame and physical tie order is irrelevant: any aggregate
+        # here is order-free by construction — no unique-order crutch
+        # needed, just a raw timestamp sort key.
+        ts = rng.choice(env["ts"])
+        e = _nullable_int(rng, env)
+        n, unit = rng.choice(
+            [(1, "HOUR"), (6, "HOUR"), (1, "DAY"), (7, "DAY"),
+             (30, "MINUTE")]
+        )
+        shape = rng.random()
+        if shape < 0.45:
+            frame = (
+                f"RANGE BETWEEN INTERVAL {n} {unit} PRECEDING "
+                "AND CURRENT ROW"
+            )
+        elif shape < 0.75:
+            frame = (
+                f"RANGE BETWEEN CURRENT ROW AND INTERVAL {n} {unit} "
+                "FOLLOWING"
+            )
+        else:
+            frame = (
+                f"RANGE BETWEEN INTERVAL {n} {unit} PRECEDING "
+                f"AND INTERVAL {n} {unit} FOLLOWING"
+            )
+        f = rng.choice(["sum", "min", "max", "count"])
+        order = f"{ts.s} ASC NULLS FIRST"
+        order_d = f"{ts.d} ASC NULLS FIRST"
+        return Ex(
+            f"{f}({e.s}) OVER (PARTITION BY {k.s} ORDER BY {order} {frame})",
+            f"{f}({e.d}) OVER (PARTITION BY {k.d} ORDER BY {order_d} {frame})",
             "int",
         )
     # v4: lead/lag with offset + default over a null-bearing value —
@@ -1023,32 +1059,42 @@ class AsofPlan:
     rv2: Ex            # string expr aggregated as the second value col
     direction: str     # backward | forward | nearest
     allow_exact: bool  # nearest is always exact (engine contract)
-    tolerance: int | None  # seconds, or None
+    tolerance: float | None  # seconds (ts on) / raw units (numeric on)
+    # v4.1: as-of over a NUMERIC ordering column (`value`) instead of
+    # event time — merge_asof's non-timestamp `on` path (raw-unit
+    # distances and tolerance, no µs conversion)
+    on_numeric: bool = False
 
     def describe(self) -> str:
         return (
             f"seed={self.seed}  ASOF {self.direction}"
+            f"{' NUMERIC-ON' if self.on_numeric else ''}"
             f"{'' if self.allow_exact else ' STRICT'}"
-            f"{f' TOL {self.tolerance}s' if self.tolerance else ''}  "
+            f"{f' TOL {self.tolerance}' if self.tolerance else ''}  "
             f"LEFT WHERE {self.lpred.d}  RIGHT WHERE {self.rpred.d}  "
             f"rv1=max({self.rv1.d}) rv2=max({self.rv2.d})"
         )
+
+    @property
+    def _on(self) -> str:
+        return "value" if self.on_numeric else "ts"
 
     def run_spark(self, spark, sf_dir: str):
         from pyspark.sql import functions as F
 
         from dask_cudf_spark.operators.asof import merge_asof
 
+        on = self._on
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         base = ev.filter(
-            F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+            F.col(on).isNotNull() & F.col("user_id").isNotNull()
         )
         left = base.filter(F.expr(self.lpred.s)).select(
-            "event_id", "user_id", "ts"
+            "event_id", "user_id", on
         )
         right = (
             base.filter(F.expr(self.rpred.s))
-            .groupBy("user_id", "ts")
+            .groupBy("user_id", on)
             .agg(
                 F.expr(f"CAST(max({self.rv1.s}) AS BIGINT)").alias("rv1"),
                 F.expr(f"CAST(max({self.rv2.s}) AS STRING)").alias("rv2"),
@@ -1057,35 +1103,44 @@ class AsofPlan:
         out = merge_asof(
             left,
             right,
-            on="ts",
+            on=on,
             by="user_id",
-            right_value_cols=["ts", "rv1", "rv2"],
+            right_value_cols=[on, "rv1", "rv2"],
             suffix="m",
             direction=self.direction,
             allow_exact_matches=self.allow_exact,
             tolerance=self.tolerance,
         )
+        on_t = "double" if self.on_numeric else "timestamp"
         return out.select(
             F.col("event_id").cast("long").alias("event_id"),
             F.col("user_id").cast("long").alias("user_id"),
-            F.col("ts").cast("timestamp").alias("ts"),
-            F.col("m_ts").cast("timestamp").alias("m_ts"),
+            F.col(on).cast(on_t).alias(on),
+            F.col(f"m_{on}").cast(on_t).alias(f"m_{on}"),
             F.col("m_rv1").cast("long").alias("m_rv1"),
             F.col("m_rv2").cast("string").alias("m_rv2"),
         )
 
     def duck_sql(self) -> str:
-        nn = "ts IS NOT NULL AND user_id IS NOT NULL"
+        on = self._on
+
+        def dist(a: str, b: str) -> str:
+            # µs for timestamps, raw units for the numeric on-column
+            if self.on_numeric:
+                return f"({a} - {b})"
+            return f"(epoch_us({a}) - epoch_us({b}))"
+
+        nn = f"{on} IS NOT NULL AND user_id IS NOT NULL"
         lf = (
-            f"SELECT event_id, user_id, ts FROM events "
+            f"SELECT event_id, user_id, {on} FROM events "
             f"WHERE {nn} AND {self.lpred.d}"
         )
         rt = (
-            f"SELECT user_id, ts, "
+            f"SELECT user_id, {on}, "
             f"CAST(max({self.rv1.d}) AS BIGINT) AS rv1, "
             f"CAST(max({self.rv2.d}) AS VARCHAR) AS rv2 "
             f"FROM events WHERE {nn} AND {self.rpred.d} "
-            f"GROUP BY user_id, ts"
+            f"GROUP BY user_id, {on}"
         )
         if self.direction in ("backward", "forward"):
             op = {
@@ -1096,41 +1151,45 @@ class AsofPlan:
             }[(self.direction, self.allow_exact)]
             inner = (
                 f"WITH lf AS ({lf}), rt AS ({rt}) "
-                f"SELECT lf.event_id, lf.user_id, lf.ts, "
-                f"rt.ts AS m_ts, rt.rv1 AS m_rv1, rt.rv2 AS m_rv2 "
+                f"SELECT lf.event_id, lf.user_id, lf.{on}, "
+                f"rt.{on} AS m_{on}, rt.rv1 AS m_rv1, rt.rv2 AS m_rv2 "
                 f"FROM lf ASOF LEFT JOIN rt "
-                f"ON lf.user_id = rt.user_id AND lf.ts {op} rt.ts"
+                f"ON lf.user_id = rt.user_id AND lf.{on} {op} rt.{on}"
             )
-        else:  # nearest: both directions, pick by µs distance, tie->backward
+        else:  # nearest: both directions, pick by distance, tie->backward
             use_bwd = (
-                "(f.rts IS NULL OR (b.rts IS NOT NULL AND "
-                "(epoch_us(b.ts) - epoch_us(b.rts)) <= "
-                "(epoch_us(f.rts) - epoch_us(b.ts))))"
+                f"(f.rts IS NULL OR (b.rts IS NOT NULL AND "
+                f"{dist(f'b.{on}', 'b.rts')} <= "
+                f"{dist('f.rts', f'b.{on}')}))"
             )
             inner = (
                 f"WITH lf AS ({lf}), rt AS ({rt}), "
-                f"b AS (SELECT lf.event_id, lf.user_id, lf.ts, "
-                f"rt.ts AS rts, rt.rv1, rt.rv2 FROM lf ASOF LEFT JOIN rt "
-                f"ON lf.user_id = rt.user_id AND lf.ts >= rt.ts), "
-                f"f AS (SELECT lf.event_id, rt.ts AS rts, rt.rv1, rt.rv2 "
+                f"b AS (SELECT lf.event_id, lf.user_id, lf.{on}, "
+                f"rt.{on} AS rts, rt.rv1, rt.rv2 FROM lf ASOF LEFT JOIN rt "
+                f"ON lf.user_id = rt.user_id AND lf.{on} >= rt.{on}), "
+                f"f AS (SELECT lf.event_id, rt.{on} AS rts, rt.rv1, rt.rv2 "
                 f"FROM lf ASOF LEFT JOIN rt "
-                f"ON lf.user_id = rt.user_id AND lf.ts <= rt.ts) "
-                f"SELECT b.event_id, b.user_id, b.ts, "
-                f"CASE WHEN {use_bwd} THEN b.rts ELSE f.rts END AS m_ts, "
+                f"ON lf.user_id = rt.user_id AND lf.{on} <= rt.{on}) "
+                f"SELECT b.event_id, b.user_id, b.{on}, "
+                f"CASE WHEN {use_bwd} THEN b.rts ELSE f.rts END AS m_{on}, "
                 f"CASE WHEN {use_bwd} THEN b.rv1 ELSE f.rv1 END AS m_rv1, "
                 f"CASE WHEN {use_bwd} THEN b.rv2 ELSE f.rv2 END AS m_rv2 "
                 f"FROM b JOIN f ON b.event_id = f.event_id"
             )
         if self.tolerance is None:
             return inner
-        tol_us = self.tolerance * 1_000_000
+        tol = (
+            self.tolerance
+            if self.on_numeric
+            else int(self.tolerance * 1_000_000)
+        )
         ok = (
-            f"(m_ts IS NOT NULL AND "
-            f"abs(epoch_us(ts) - epoch_us(m_ts)) <= {tol_us})"
+            f"(m_{on} IS NOT NULL AND "
+            f"abs({dist(on, f'm_{on}')}) <= {tol})"
         )
         return (
-            f"SELECT event_id, user_id, ts, "
-            f"CASE WHEN {ok} THEN m_ts END AS m_ts, "
+            f"SELECT event_id, user_id, {on}, "
+            f"CASE WHEN {ok} THEN m_{on} END AS m_{on}, "
             f"CASE WHEN {ok} THEN m_rv1 END AS m_rv1, "
             f"CASE WHEN {ok} THEN m_rv2 END AS m_rv2 "
             f"FROM ({inner}) i"
@@ -1145,11 +1204,15 @@ def gen_asof_plan(seed: int) -> AsofPlan:
     allow_exact = (
         True if direction == "nearest" else rng.random() < 0.7
     )
-    tolerance = (
-        rng.choice([3600, 21600, 86400, 7 * 86400])
-        if rng.random() < 0.35
-        else None
-    )
+    on_numeric = rng.random() < 0.25
+    if rng.random() < 0.35:
+        tolerance = (
+            rng.choice([5.0, 25.0, 100.0])
+            if on_numeric
+            else rng.choice([3600, 21600, 86400, 7 * 86400])
+        )
+    else:
+        tolerance = None
     return AsofPlan(
         seed=seed,
         lpred=_pred(rng, env),
@@ -1159,4 +1222,5 @@ def gen_asof_plan(seed: int) -> AsofPlan:
         direction=direction,
         allow_exact=allow_exact,
         tolerance=tolerance,
+        on_numeric=on_numeric,
     )

@@ -137,8 +137,15 @@ def bpe_encode_expr(
             merges,
             spaced,
         )
-        # interior boundaries are exactly two spaces -> collapse to one
-        return F.replace(F.trim(folded), F.lit("  "), F.lit(" "))
+        # interior boundaries are exactly two spaces -> collapse to one.
+        # The empty WORD ('' document — r10 empty leg) is pinned to ''
+        # explicitly on both sides: unguarded, Spark's sequence(1, 0)
+        # descends into phantom chars while DuckDB's
+        # array_to_string([], ..) goes NULL and poisons the whole doc.
+        return F.when(
+            F.length(word) > 0,
+            F.replace(F.trim(folded), F.lit("  "), F.lit(" ")),
+        ).otherwise(F.lit(""))
 
     c = F.col(col) if isinstance(col, str) else col
     return F.array_join(F.transform(F.split(c, " "), encode_word), " ")
@@ -157,9 +164,13 @@ def bpe_encode_sql(
     folded = spaced
     for a, b in merges:
         folded = f"replace({folded}, ' {a}  {b} ', ' {a}{b} ')"
+    # CASE pin, matching bpe_encode_expr: '' word -> '' (DuckDB's
+    # array_to_string over the empty char list is NULL, which would
+    # otherwise poison the whole document — r10 empty-string leg)
     return (
         f"array_to_string(list_transform(string_split({expr}, ' '), "
-        f"w -> replace(trim({folded}), '  ', ' ')), ' ')"
+        f"w -> CASE WHEN len(w) > 0 "
+        f"THEN replace(trim({folded}), '  ', ' ') ELSE '' END), ' ')"
     )
 
 

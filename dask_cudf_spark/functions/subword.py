@@ -105,10 +105,15 @@ def subword_oracle_sql(words_cte: str) -> str:
                        % {VOCAB_HASH_BUCKETS} AS pid
             FROM done
         )
-        SELECT doc_id,
-               COUNT(*) AS n_pieces,
-               COUNT(DISTINCT piece) AS n_distinct_pieces,
-               CAST(SUM(pid) AS BIGINT) AS id_sum
-        FROM ids
-        GROUP BY doc_id
+        -- LEFT JOIN from the doc list: a doc whose every word segments
+        -- to zero pieces (empty text — r10 empty-string leg) must
+        -- still report (0, 0, 0), exactly like the engine's per-doc
+        -- stats row; aggregating `ids` alone silently DROPS such docs
+        SELECT w.doc_id,
+               COUNT(i.piece) AS n_pieces,
+               COUNT(DISTINCT i.piece) AS n_distinct_pieces,
+               CAST(COALESCE(SUM(i.pid), 0) AS BIGINT) AS id_sum
+        FROM (SELECT DISTINCT doc_id FROM words) w
+        LEFT JOIN ids i USING (doc_id)
+        GROUP BY w.doc_id
     """

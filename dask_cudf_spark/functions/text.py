@@ -44,12 +44,26 @@ def word_ngrams(col: Column | str, n: int = 2, sep: str = " ") -> Column:
 
 
 def char_ngrams(col: Column | str, n: int = 5) -> Column:
-    """nvtext.character_ngrams: character shingles as array<string>."""
+    """nvtext.character_ngrams: character shingles as array<string>.
+
+    Text shorter than `n` chars (including '') has NO shingles — an
+    explicit empty array, NOT the phantom shingles the old
+    greatest(len-(n-1), 0) bound produced: Spark's sequence(1, 0)
+    DESCENDS to [1, 0], so a too-short text yielded two truncated
+    substrings and a nonzero simhash/minhash signature where the
+    DuckDB twin (range over max(len-(n-1), 0)) correctly yields []
+    (r10 empty-string leg; latent for any short doc, invisible on the
+    long-doc testdata).  NULL text also lands in the empty branch —
+    identical fingerprints to before (votes of [] and of [NULL, NULL]
+    both resolve every bit to 0), now by construction."""
     s = _c(col)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(s) - F.lit(n - 1), F.lit(0))),
-        lambda i: F.substring(s, i, n),
-    )
+    return F.when(
+        F.length(s) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - F.lit(n - 1)),
+            lambda i: F.substring(s, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 _MERSENNE_P = (1 << 31) - 1  # permutation modulus (fits all arithmetic in long)

@@ -134,11 +134,19 @@ def extract_features(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "n_bytes": [a.size for a in arrs],
+                    # stats of NOTHING are NULL, not 0 (r10
+                    # empty-payload convention, NULLS.md) — the count
+                    # is 0, the mean/min/max of zero bytes undefined
                     "byte_mean": [
-                        round(float(a.mean()), 6) if a.size else 0.0 for a in arrs
+                        round(float(a.mean()), 6) if a.size else None
+                        for a in arrs
                     ],
-                    "byte_min": [int(a.min()) if a.size else 0 for a in arrs],
-                    "byte_max": [int(a.max()) if a.size else 0 for a in arrs],
+                    "byte_min": [
+                        int(a.min()) if a.size else None for a in arrs
+                    ],
+                    "byte_max": [
+                        int(a.max()) if a.size else None for a in arrs
+                    ],
                     # rolling-hash of the first 16 bytes (content fingerprint)
                     "head_hash": [
                         int(
@@ -340,15 +348,18 @@ def build_wav_codec():
             raise ValueError(f"unsupported bits_per_sample {bits}")
         n = len(centered)
         sq = sum(v * v for v in centered)
-        rms = (sq / n) ** 0.5 if n else 0.0
+        # stats of NOTHING are NULL, not 0 (the r10 empty-payload
+        # convention, NULLS.md): an empty-but-valid container has a
+        # well-defined sample COUNT (0) and duration (0), but its RMS
+        # and peak are undefined — exactly what the SQL twin computes
         return {
             "n_channels": channels,
             "sample_rate": rate,
             "bits_per_sample": bits,
             "n_samples": n_samples,
             "duration_us": n_samples * 1_000_000 // rate if rate else 0,
-            "rms_s4": int(rms * 10000 + 0.5),
-            "peak": max((abs(v) for v in centered), default=0),
+            "rms_s4": int((sq / n) ** 0.5 * 10000 + 0.5) if n else None,
+            "peak": max(abs(v) for v in centered) if n else None,
         }
 
     return encode_wav, decode_wav_meta
@@ -510,14 +521,18 @@ def build_png_codec():
                     raise ValueError(f"bad filter byte {ft}")
             out += row
             prev = bytes(row)
+        # stats of NOTHING are NULL, not 0 (r10 empty-payload
+        # convention, NULLS.md): a zero-pixel image has a defined pixel
+        # COUNT (0) but no sum/min/max — matching the SQL twin's
+        # aggregates-over-empty-list behavior
         return {
             "height": height,
             "width": width,
             "channels": channels,
             "n_pixels": width * height,
-            "sum_pix": sum(out),
-            "min_pix": min(out) if out else 0,
-            "max_pix": max(out) if out else 0,
+            "sum_pix": sum(out) if out else None,
+            "min_pix": min(out) if out else None,
+            "max_pix": max(out) if out else None,
         }
 
     return encode_png, decode_png_meta
@@ -628,9 +643,10 @@ def build_avi_codec():
             "n_frames": n_frames,
             "fps": fps,
             "duration_us": n_frames * 1_000_000 // fps if fps else 0,
-            "sum_pix": sum(allpix),
-            "min_pix": min(allpix) if allpix else 0,
-            "max_pix": max(allpix) if allpix else 0,
+            # same empty-payload convention as the PNG/WAV decoders
+            "sum_pix": sum(allpix) if allpix else None,
+            "min_pix": min(allpix) if allpix else None,
+            "max_pix": max(allpix) if allpix else None,
         }
 
     return encode_avi, decode_avi_meta

@@ -1340,7 +1340,7 @@ def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH baskets AS (
             SELECT DISTINCT user_id,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+                   CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS item
             FROM events
         ),
         freq AS (
@@ -2198,7 +2198,7 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH baskets AS (
             SELECT DISTINCT user_id,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+                   CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS item
             FROM events
         ),
         freq AS (
@@ -2577,7 +2577,7 @@ def _als_oracle() -> str:
     return f"""
         WITH r AS (
             SELECT user_id,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+                   CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS item,
                    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
                         AS BIGINT) AS cents
             FROM events WHERE event_type = 'purchase'

@@ -438,7 +438,11 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = []
             for i, t in zip(pdf["doc_id"], pdf["text"]):
-                vals = [ord(ch) for ch in t[:4]]
+                # pad to 4 tile levels with 0 — missing bytes are black
+                # tiles, matching the oracle's ascii(substr(..)) = 0 on
+                # out-of-range positions (texts shorter than 4 chars
+                # crashed the worker on vals[k] — r10 empty-string leg)
+                vals = ([ord(ch) for ch in t[:4]] + [0] * 4)[:4]
                 img = np.zeros((16, 16), dtype=np.uint8)
                 img[:8, :8] = vals[0]
                 img[:8, 8:] = vals[1]

@@ -15,8 +15,8 @@ from ..sources import load_table
     oracle="""
         SELECT
             event_id,
-            json_extract_string(props, '$.k') AS k_str,
-            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+            CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS k_str,
+            CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k_int
         FROM events
     """,
 )
@@ -184,9 +184,9 @@ def q_explode_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT
             event_id,
-            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-            CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
-            CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+            CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
+            CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) % 10 AS k_mod,
+            CASE WHEN CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) > 50
                  THEN 'high' ELSE 'low' END AS k_band
         FROM events
         WHERE event_id < 300

@@ -307,9 +307,11 @@ def q_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fields = F.split(F.col("value").cast("string"), r"\|")
 
-    def denull(i):  # '' encodes NULL on the wire (kafka_fixture)
+    def denull(i):  # '\N' encodes NULL on the wire (kafka_fixture,
+        # r10: was '' — which conflated genuine empty-string fields
+        # with NULL; the empty-string injection leg found it)
         f = fields.getItem(i)
-        return F.when(f != "", f)
+        return F.when(f != "\\N", f)
 
     return (
         raw.select(

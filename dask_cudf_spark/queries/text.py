@@ -106,9 +106,15 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
             / n_tok
         ).alias("mean_token_len"),
-        (
-            F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
-            / F.length("text")
+        # zero-length text -> NULL ratio (matches DuckDB's
+        # NULL-on-division-by-zero; unguarded, an ANSI session raises
+        # DIVIDE_BY_ZERO on the first empty document — r10 empty leg)
+        F.when(
+            F.length("text") > 0,
+            F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast(
+                "double"
+            )
+            / F.length("text"),
         ).alias("alpha_ratio"),
         (
             F.size(
@@ -249,10 +255,16 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ngrams",
     family="text",
     oracle="""
+        -- CASE + COALESCE pin (r10 empty leg): DuckDB's
+        -- array_to_string([], ',') is NULL where Spark's
+        -- array_join([]) is '' — a no-bigram doc must read '' on both
+        -- sides, while NULL text stays NULL
         SELECT
             doc_id,
-            array_to_string(list_transform(range(1, GREATEST(len(string_split(text, ' ')) - 1, 0) + 1),
-                i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i + 1]), ',') AS bigrams
+            CASE WHEN text IS NULL THEN NULL ELSE COALESCE(
+                array_to_string(list_transform(range(1, GREATEST(len(string_split(text, ' ')) - 1, 0) + 1),
+                    i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i + 1]), ','),
+                '') END AS bigrams
         FROM documents
         WHERE doc_id < 50
     """,
@@ -266,14 +278,19 @@ def q_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         # NULL text -> NULL bigrams (SQL convention, matches the
         # oracle; unguarded, size(NULL) = -1 fed sequence(1, 0) which
-        # emitted a DESCENDING [1, 0] and a phantom "," — round-9 leg)
-        F.when(
-            F.col("text").isNotNull(),
+        # emitted a DESCENDING [1, 0] and a phantom "," — round-9 leg).
+        # Single-token docs ('' splits to ['']) -> '' (no bigrams): the
+        # same sequence(1, 0) DESCENDS for them too, and under an ANSI
+        # session element_at(toks, 2) then throws INVALID_ARRAY_INDEX —
+        # the r10 empty-string leg's finding.  Spark's sequence(a, b)
+        # with b < a counts DOWN, it never yields [] — every
+        # sequence-over-array-positions needs an explicit length guard.
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        .when(F.size(toks) < 2, F.lit(""))
+        .otherwise(
             F.array_join(
                 F.transform(
-                    F.sequence(
-                        F.lit(1), F.greatest(F.size(toks) - F.lit(1), F.lit(0))
-                    ),
+                    F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
                     lambda i: F.concat_ws(
                         "_", F.element_at(toks, i), F.element_at(toks, i + 1)
                     ),
@@ -2010,11 +2027,22 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # referenced element
     grams = (
         d.select(toks.alias("l"))
+        # length guard (r10 empty-string leg): a single-token doc makes
+        # sequence(1, 0) DESCEND and l[1] throws under ANSI sessions;
+        # docs with < 2 tokens contribute no bigrams by definition.
+        # The guard lives BOTH as a filter (row reduction) and inside
+        # the expression (CASE): Catalyst may evaluate a combined
+        # predicate's expression arm before the size conjunct (the
+        # q_ppjoin_neardup finding), so only an in-expression
+        # conditional is a sequencing guarantee.
+        .filter(F.size("l") >= 2)
         .select(
             F.explode(
                 F.expr(
+                    "CASE WHEN size(l) >= 2 THEN "
                     "transform(sequence(1, size(l) - 1), "
-                    "i -> struct(l[i - 1] AS w1, l[i] AS w2))"
+                    "i -> struct(l[i - 1] AS w1, l[i] AS w2)) "
+                    "ELSE array() END"
                 )
             ).alias("g")
         )
@@ -3498,10 +3526,21 @@ def q_ppjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("w") >= 3)
         .select(
             "doc_id",
+            # the >= 3 guard must ALSO live inside the expression (the
+            # CASE): Catalyst combines downstream filters that
+            # reference this transform with the size filter above into
+            # one predicate and may evaluate the indexing arm on a
+            # too-short row first — under an ANSI session w[i+2] then
+            # throws INVALID_ARRAY_INDEX on the first empty document
+            # (r10 empty-string leg).  A guard in a separate .filter()
+            # is NOT a sequencing guarantee; only a conditional inside
+            # the expression is.
             F.array_distinct(
                 F.expr(
+                    "CASE WHEN size(w) >= 3 THEN "
                     "transform(sequence(0, size(w) - 3),"
-                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2])) "
+                    "ELSE array() END"
                 )
             ).alias("toks"),
         )

@@ -68,22 +68,24 @@ def documents_broker(sf_dir: str) -> InProcBroker:
                         f"kafka fixture delimiter collision: {f!r} "
                         "contains '|'; pick another delimiter"
                     )
-                # '' on the wire MEANS NULL (denull below), so a genuine
-                # empty-string source field would silently round-trip to
-                # NULL — fail loudly if a testdata regen ever produces
-                # one (round-10 ADVICE fix)
-                if f is not None and str(f) == "":
+                # r10: NULL rides as the \\N sentinel (the classic
+                # text-format convention), NOT as '' — a genuine
+                # empty-string field now round-trips as '' instead of
+                # being conflated with NULL (found by the r10
+                # empty-string injection leg; the r9 ADVICE suggested
+                # exactly this sentinel).  A literal '\\N' VALUE would
+                # collide with the sentinel — fail loudly.
+                if f is not None and str(f) == "\\N":
                     raise ValueError(
-                        "kafka fixture empty-string field: '' is the "
-                        "NULL sentinel on this wire; a non-null empty "
-                        "field would be conflated with NULL"
+                        "kafka fixture sentinel collision: a field "
+                        "VALUE equals the \\N NULL sentinel"
                     )
-            # NULL fields ride as the empty string (the consumer maps
-            # '' back to NULL before casting — round-9 null leg; the
-            # old str(None) produced a literal 'None' that an ANSI
-            # cast-to-bigint rejects); doc_id is the key, never null
+            # NULL fields ride as \\N (the consumer maps '\\N' back to
+            # NULL before casting — the old str(None) produced a
+            # literal 'None' that an ANSI cast-to-bigint rejects);
+            # doc_id is the key, never null
             payload = "|".join(
-                "" if v is None else str(v)
+                "\\N" if v is None else str(v)
                 for v in (doc_id, source, n_chars)
             )
             buckets.setdefault(int(doc_id) % NUM_PARTITIONS, []).append(

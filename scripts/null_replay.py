@@ -52,8 +52,17 @@ NULL_FRACTION = float(os.environ.get("NULL_FRACTION", "0.03"))
 # class the 100%-null leg caught in q_abtest_ztest, now probed where
 # the zero arrives through VALUES, not emptiness.  String/timestamp
 # columns are left untouched in this mode (zero has no meaning there).
+#
+# INJECT_MODE=empty (r10): set masked STRING cells to '' — the
+# degenerate-text probe (split/regex/tokenizer/length paths) for what
+# web data actually contains: empty documents, empty language tags,
+# empty event types (and '' props = malformed JSON).  Numeric/
+# timestamp columns untouched.  First run found 18 divergences across
+# six classes (descending sequence() walks, DuckDB NULL-on-empty-join,
+# tokenizer '' conventions, malformed-JSON leniency, empty-payload
+# decoder stats, the Kafka '' NULL-sentinel conflation) — NULLS.md.
 INJECT_MODE = os.environ.get("INJECT_MODE", "null")
-if INJECT_MODE not in ("null", "zero"):
+if INJECT_MODE not in ("null", "zero", "empty"):
     raise SystemExit(f"unknown INJECT_MODE: {INJECT_MODE!r}")
 
 #: nullable non-key columns per table.  region/nation are excluded
@@ -100,22 +109,30 @@ def inject(src: str, out: str) -> dict[str, int]:
             total = 0
             for field in tab.schema:
                 arr = tab.column(field.name)
-                inject_this = field.name in cols and (
-                    INJECT_MODE == "null"
-                    or pa.types.is_floating(field.type)
-                    or pa.types.is_integer(field.type)
-                )
+                if INJECT_MODE == "null":
+                    inject_this = field.name in cols
+                elif INJECT_MODE == "zero":
+                    inject_this = field.name in cols and (
+                        pa.types.is_floating(field.type)
+                        or pa.types.is_integer(field.type)
+                    )
+                else:  # empty
+                    inject_this = field.name in cols and (
+                        pa.types.is_string(field.type)
+                        or pa.types.is_large_string(field.type)
+                    )
                 if inject_this:
                     m = _mask(t, field.name, n)
                     total += int(m.sum())
                     keep = pa.array(~m)  # True where the value survives
-                    fill = (
-                        pa.nulls(n, field.type)
-                        if INJECT_MODE == "null"
-                        else pa.array(
+                    if INJECT_MODE == "null":
+                        fill = pa.nulls(n, field.type)
+                    elif INJECT_MODE == "zero":
+                        fill = pa.array(
                             np.zeros(n), type=field.type, from_pandas=True
                         )
-                    )
+                    else:
+                        fill = pa.array([""] * n, type=field.type)
                     arr = pa.compute.if_else(
                         keep, arr.combine_chunks(), fill
                     )

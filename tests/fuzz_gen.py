@@ -120,7 +120,7 @@ def _env(table: str) -> dict[str, list]:
         cols["int"].append(
             Ex(
                 "CAST(get_json_object(props, '$.k') AS BIGINT)",
-                "CAST(json_extract_string(props, '$.k') AS BIGINT)",
+                "CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT)",
                 "int",
             )
         )

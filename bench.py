@@ -205,7 +205,17 @@ def main() -> None:
         ctx.updateLoggers()
     except Exception:
         # log4j internals moved: fall back to the old blanket FATAL
-        # rather than let the benign race dirty the committed artifact
+        # rather than let the benign race dirty the committed artifact.
+        # Announce it on stderr (r10 ADVICE item 4) so a quiet stderr
+        # tail is distinguishable from a filtered one — under FATAL,
+        # real executor ERRORs are hidden from the artifact.
+        import sys as _sys
+
+        print(
+            "bench: log4j StringMatchFilter unavailable; falling back "
+            "to blanket FATAL log level (real ERRORs suppressed)",
+            file=_sys.stderr,
+        )
         spark.sparkContext.setLogLevel("FATAL")
     queries = all_queries()
 

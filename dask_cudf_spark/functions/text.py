@@ -46,6 +46,19 @@ def word_ngrams(col: Column | str, n: int = 2, sep: str = " ") -> Column:
 def char_ngrams(col: Column | str, n: int = 5) -> Column:
     """nvtext.character_ngrams: character shingles as array<string>.
 
+    PUBLIC CONTRACT — NULL text returns [] (empty array), NOT NULL.
+    This deliberately diverges from nvtext.character_ngrams (which
+    keeps null rows null): every fingerprint built on top
+    (minhash_signature / simhash64 / jaccard / the md5 oracle twins)
+    folds the shingle list from a fixed init, so [] and NULL must
+    resolve to the SAME signature for the Spark/DuckDB differential
+    oracles to agree under null injection — the DuckDB twins
+    coalesce(list_min(...), p) both cases to the init already.  A
+    consumer that needs NULL-in/NULL-out should wrap:
+    when(col.isNull(), lit(None)).otherwise(char_ngrams(col)).
+    (r10 ADVICE item 1: the conflation is a visible contract, not an
+    accident.)
+
     Text shorter than `n` chars (including '') has NO shingles — an
     explicit empty array, NOT the phantom shingles the old
     greatest(len-(n-1), 0) bound produced: Spark's sequence(1, 0)

@@ -309,9 +309,15 @@ def q_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def denull(i):  # '\N' encodes NULL on the wire (kafka_fixture,
         # r10: was '' — which conflated genuine empty-string fields
-        # with NULL; the empty-string injection leg found it)
+        # with NULL; the empty-string injection leg found it).  r11:
+        # genuine backslashes ride doubled (\ -> \\) so a literal-\N
+        # value survives as \\N — test the sentinel FIRST, then
+        # undouble (order matters: undoubling first would turn the
+        # escaped \\N back into the sentinel)
         f = fields.getItem(i)
-        return F.when(f != "\\N", f)
+        return F.when(
+            f != "\\N", F.replace(f, F.lit("\\\\"), F.lit("\\"))
+        )
 
     return (
         raw.select(

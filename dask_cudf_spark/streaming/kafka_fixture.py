@@ -18,8 +18,9 @@ Determinism contract the oracle relies on:
   - value bytes are "doc_id|source|n_chars" (the produce loop ASSERTS
     each field is delimiter-free, so a testdata regen that introduces
     '|' into source fails loudly instead of silently corrupting the
-    split; NULL fields are encoded as the empty string and mapped back
-    to NULL by the consumer), timestamps a fixed constant.
+    split; NULL fields ride as the \\N sentinel with genuine
+    backslashes doubled, undone by the consumer), timestamps a fixed
+    constant.
 """
 
 from __future__ import annotations
@@ -68,24 +69,18 @@ def documents_broker(sf_dir: str) -> InProcBroker:
                         f"kafka fixture delimiter collision: {f!r} "
                         "contains '|'; pick another delimiter"
                     )
-                # r10: NULL rides as the \\N sentinel (the classic
-                # text-format convention), NOT as '' — a genuine
-                # empty-string field now round-trips as '' instead of
-                # being conflated with NULL (found by the r10
-                # empty-string injection leg; the r9 ADVICE suggested
-                # exactly this sentinel).  A literal '\\N' VALUE would
-                # collide with the sentinel — fail loudly.
-                if f is not None and str(f) == "\\N":
-                    raise ValueError(
-                        "kafka fixture sentinel collision: a field "
-                        "VALUE equals the \\N NULL sentinel"
-                    )
-            # NULL fields ride as \\N (the consumer maps '\\N' back to
-            # NULL before casting — the old str(None) produced a
-            # literal 'None' that an ANSI cast-to-bigint rejects);
-            # doc_id is the key, never null
+            # NULL fields ride as \N (the classic text-format sentinel,
+            # r10: was '' — which conflated genuine empty strings with
+            # NULL; the empty-string injection leg found it).  r11
+            # (r10 ADVICE item 3): genuine backslashes are ESCAPED
+            # (\ -> \\) instead of a literal-\N value killing the whole
+            # fixture with a raise — after doubling, a genuine field can
+            # never equal the bare \N sentinel, so the wire stays
+            # unambiguous and the consumer undoubles after the sentinel
+            # test (queries/streaming.py denull).  doc_id is the key,
+            # never null.
             payload = "|".join(
-                "\\N" if v is None else str(v)
+                "\\N" if v is None else str(v).replace("\\", "\\\\")
                 for v in (doc_id, source, n_chars)
             )
             buckets.setdefault(int(doc_id) % NUM_PARTITIONS, []).append(

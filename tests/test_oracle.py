@@ -76,6 +76,76 @@ def _ever_driver_green(before_round: int | None = None) -> set[str]:
     return green
 
 
+def _steady_state_violations(specs, green):
+    """Names violating the steady-state invariant: an oracle-backed
+    query that has NO ever-driver-green row and is NOT inside the
+    current 50-slot scored window can never earn a CORRECTNESS row —
+    the never-green class the ten-round rotation program existed to
+    eliminate.  Factored out so the probe test below can evaluate a
+    doctored registry."""
+    window_names = {s.name for s in specs[:50]}
+    return [
+        s.name
+        for s in specs
+        if s.oracle is not None
+        and s.name not in green
+        and s.name not in window_names
+    ]
+
+
+def test_steady_state_every_query_ever_green_or_in_window():
+    """HEADLINE invariant (r10 VERDICT item 3) — the rotation
+    machinery's steady-state successor now that the ever-driver-green
+    union is closed at 242/242: every oracle-backed query must either
+    carry an ever-driver-green CORRECTNESS row (any round) or sit
+    inside the current scored window.  A new query registered without
+    being deliberately rotated in trips this (or, if the interleave
+    lands it inside the first-50, trips the pinned-window test) — the
+    suite cannot go green again until the window is re-derived in the
+    round the query lands."""
+    from dask_cudf_spark.registry import ordered_specs
+
+    specs = ordered_specs()
+    green = _ever_driver_green()
+    violations = _steady_state_violations(specs, green)
+    assert not violations, (
+        f"{len(violations)} queries can never earn a driver CORRECTNESS "
+        f"row (not ever-green, not in the scored window): {violations} — "
+        "rotate them into the window THIS round and update "
+        "_PINNED_WINDOW, or they recreate the never-green class"
+    )
+
+
+def test_new_query_without_rotation_trips_invariant():
+    """Probe for the steady-state invariant's teeth (r10 VERDICT item 3
+    'done' criterion): register a dummy oracle-backed spec in a
+    populous family (lands deep in the interleave tail, outside the
+    window) and assert the invariant computation flags exactly it."""
+    from dask_cudf_spark import registry
+    from dask_cudf_spark.registry import ordered_specs, register
+
+    name = "q_probe_steady_state_dummy"
+    try:
+
+        @register(name, oracle="SELECT 1 AS one", family="text")
+        def _probe(spark, sf_dir):  # pragma: no cover - never executed
+            raise NotImplementedError
+
+        specs = ordered_specs()
+        green = _ever_driver_green()
+        assert name not in green
+        window_names = [s.name for s in specs[:50]]
+        assert name not in window_names, (
+            "probe landed inside the window — pick a more populous "
+            "family so the probe exercises the steady-state branch"
+        )
+        assert _steady_state_violations(specs, green) == [name]
+    finally:
+        registry.REGISTRY.pop(name, None)
+    # registry restored: the real invariant must hold again
+    assert _steady_state_violations(ordered_specs(), _ever_driver_green()) == []
+
+
 def test_driver_scoring_window_covers_every_family():
     """The driver records CORRECTNESS rows for only the FIRST 50
     queries() entries (round-1 VERDICT finding).  Through round 8 the

@@ -1499,11 +1499,20 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dup_cluster_sizes",
     family="dedup",
     oracle="""
+        -- coalesce(text, '') mirrors Spark concat_ws's null-as-empty,
+        -- the SAME convention q_dedup_keep_best pinned in round 9.
+        -- Without it the two engines agree on every SINGLE-axis dirty
+        -- leg (all-null: both produce one extra cluster of equal size;
+        -- all-'': both hash md5('')) and split only when NULL and ''
+        -- texts COEXIST — DuckDB keeps a separate NULL-key cluster
+        -- where Spark merges it into md5('') (r11 mixed-injection leg,
+        -- the composition bug class that leg exists to catch).
         SELECT cluster_size, COUNT(*) AS n_clusters
         FROM (
             SELECT COUNT(*) AS cluster_size
             FROM documents
-            GROUP BY md5(array_to_string(string_split(text, ' ')[1:2], ' '))
+            GROUP BY md5(array_to_string(
+                string_split(coalesce(text, ''), ' ')[1:2], ' '))
         )
         GROUP BY cluster_size
     """,

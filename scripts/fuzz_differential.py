@@ -18,6 +18,13 @@ GRAMMAR=asof (r10) fuzzes the ENGINE's operators/asof.merge_asof
 against DuckDB's native ASOF JOIN (backward/forward/strict/nearest/
 tolerance, null-bearing right value columns — the r9 row-tearing
 surface); default is the relational-plan grammar.
+
+GRAMMAR=txlog (r11) fuzzes the txlog/matview/CDC layer with random
+commit sequences (append/MERGE/overwrite/OPTIMIZE/VACUUM) checked
+against a pure-python model: snapshot equality after every commit,
+time travel vs frozen snapshots, change_feed composition, matview ==
+recompute with the expected refresh mode, stats-pruned reads.  No
+DuckDB twin — the model is the oracle (tests/fuzz_gen.py TxlogPlan).
 """
 
 from __future__ import annotations
@@ -32,7 +39,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 import duckdb  # noqa: E402
 
-from fuzz_gen import gen_asof_plan, gen_plan  # noqa: E402
+from fuzz_gen import gen_asof_plan, gen_plan, gen_txlog_plan  # noqa: E402
 from oracle_compare import assert_frames_match  # noqa: E402
 
 
@@ -67,15 +74,26 @@ def main() -> int:
     if hostile not in HOSTILE_CONF:
         raise SystemExit(f"unknown HOSTILE mode: {hostile!r}")
     grammar = os.environ.get("GRAMMAR", "")
-    if grammar not in ("", "asof"):
+    if grammar not in ("", "asof", "txlog"):
         raise SystemExit(f"unknown GRAMMAR mode: {grammar!r}")
-    gen = gen_asof_plan if grammar == "asof" else gen_plan
+    gen = {
+        "asof": gen_asof_plan,
+        "txlog": gen_txlog_plan,
+    }.get(grammar, gen_plan)
 
     from dask_cudf_spark.session import get_spark
 
-    spark = get_spark(
-        app_name="fuzz-differential", extra_conf=HOSTILE_CONF[hostile]
-    )
+    conf = dict(HOSTILE_CONF[hostile])
+    if grammar == "txlog":
+        # txlog plans shuffle a handful of rows per job; 32 shuffle
+        # partitions would write 32 near-empty files per matview commit
+        # and dominate wall time with task overhead.  2 (not 1) keeps
+        # the multi-partition merge/exchange paths exercised.  The
+        # memory cap lets many workers share the box when the sweep is
+        # parallelized across seed ranges (data is a few dozen rows).
+        conf.setdefault("spark.sql.shuffle.partitions", "2")
+        conf.setdefault("spark.driver.memory", "6g")
+    spark = get_spark(app_name="fuzz-differential", extra_conf=conf)
     if hostile:
         print(f"== HOSTILE config: {hostile} ==")
     if grammar:
@@ -89,9 +107,19 @@ def main() -> int:
     t0 = time.time()
     failures: list[tuple[int, str]] = []
     empty = 0
+    scratch = f"/tmp/txfuzz-{os.getpid()}"
     for seed in range(start, start + n):
         plan = gen(seed)
         try:
+            if grammar == "txlog":
+                # model-based: the plan runs the whole commit sequence
+                # + its five check families against a scratch table
+                res = plan.execute(spark, f"{scratch}/s{seed}")
+                print(
+                    f"  seed {seed:5d}  MATCH ({res['commits']} commits,"
+                    f" {res['checks']} checks)"
+                )
+                continue
             spark_pdf = plan.run_spark(spark, sf_dir).toPandas()
             duck_pdf = con.execute(plan.duck_sql()).fetchdf()
             if len(duck_pdf) == 0:
@@ -102,7 +130,8 @@ def main() -> int:
             failures.append((seed, str(e)[:500]))
             print(f"  seed {seed:5d}  FAIL: {e}")
             print(f"    plan: {plan.describe()}")
-            print(f"    sql:  {plan.duck_sql()}")
+            if grammar != "txlog":
+                print(f"    sql:  {plan.duck_sql()}")
     wall = time.time() - t0
     print(
         json.dumps(

@@ -61,8 +61,17 @@ NULL_FRACTION = float(os.environ.get("NULL_FRACTION", "0.03"))
 # six classes (descending sequence() walks, DuckDB NULL-on-empty-join,
 # tokenizer '' conventions, malformed-JSON leniency, empty-payload
 # decoder stats, the Kafka '' NULL-sentinel conflation) — NULLS.md.
+# INJECT_MODE=mixed (r11, r10 VERDICT item 4): the single-axis legs
+# above each mutate ONE failure mode; real corrupt data composes them.
+# Per cell, an independent uniform draw picks null (< f), the
+# type-appropriate degenerate value — 0 for numerics, '' for strings —
+# (f..2f), or valid (rest), so one TABLE simultaneously carries nulls,
+# zeros, and empty strings through every query.  This is where
+# guard-ORDERING bugs show (a zero-guard evaluated before a null-guard
+# passes each single-axis leg and fails here).  Seeded separately from
+# the single legs so the masks are not correlated.
 INJECT_MODE = os.environ.get("INJECT_MODE", "null")
-if INJECT_MODE not in ("null", "zero", "empty"):
+if INJECT_MODE not in ("null", "zero", "empty", "mixed"):
     raise SystemExit(f"unknown INJECT_MODE: {INJECT_MODE!r}")
 
 #: nullable non-key columns per table.  region/nation are excluded
@@ -97,6 +106,14 @@ def _mask(table: str, col: str, n: int) -> np.ndarray:
     return np.random.default_rng(seed).random(n) < NULL_FRACTION
 
 
+def _uniform(table: str, col: str, n: int) -> np.ndarray:
+    """Per-cell uniform draw for the mixed leg (own seed namespace)."""
+    seed = int.from_bytes(
+        hashlib.md5(f"mixed|{table}|{col}".encode()).digest()[:4], "big"
+    )
+    return np.random.default_rng(seed).random(n)
+
+
 def inject(src: str, out: str) -> dict[str, int]:
     os.makedirs(out, exist_ok=True)
     injected: dict[str, int] = {}
@@ -109,19 +126,41 @@ def inject(src: str, out: str) -> dict[str, int]:
             total = 0
             for field in tab.schema:
                 arr = tab.column(field.name)
-                if INJECT_MODE == "null":
+                is_num = pa.types.is_floating(field.type) or pa.types.is_integer(
+                    field.type
+                )
+                is_str = pa.types.is_string(field.type) or pa.types.is_large_string(
+                    field.type
+                )
+                if INJECT_MODE == "null" or INJECT_MODE == "mixed":
                     inject_this = field.name in cols
                 elif INJECT_MODE == "zero":
-                    inject_this = field.name in cols and (
-                        pa.types.is_floating(field.type)
-                        or pa.types.is_integer(field.type)
-                    )
+                    inject_this = field.name in cols and is_num
                 else:  # empty
-                    inject_this = field.name in cols and (
-                        pa.types.is_string(field.type)
-                        or pa.types.is_large_string(field.type)
+                    inject_this = field.name in cols and is_str
+                if inject_this and INJECT_MODE == "mixed":
+                    # null at < f, the type-appropriate degenerate value
+                    # at f..2f, valid elsewhere — all three failure modes
+                    # live in the same column at once
+                    u = _uniform(t, field.name, n)
+                    null_m = u < NULL_FRACTION
+                    alt_m = (u >= NULL_FRACTION) & (u < 2 * NULL_FRACTION)
+                    arr = pa.compute.if_else(
+                        pa.array(~null_m),
+                        arr.combine_chunks(),
+                        pa.nulls(n, field.type),
                     )
-                if inject_this:
+                    total += int(null_m.sum())
+                    if is_num:
+                        fill = pa.array(np.zeros(n), type=field.type, from_pandas=True)
+                    elif is_str:
+                        fill = pa.array([""] * n, type=field.type)
+                    else:
+                        fill = None  # timestamps etc.: null is the only mode
+                    if fill is not None:
+                        arr = pa.compute.if_else(pa.array(~alt_m), arr, fill)
+                        total += int(alt_m.sum())
+                elif inject_this:
                     m = _mask(t, field.name, n)
                     total += int(m.sum())
                     keep = pa.array(~m)  # True where the value survives

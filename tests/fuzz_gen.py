@@ -1224,3 +1224,330 @@ def gen_asof_plan(seed: int) -> AsofPlan:
         tolerance=tolerance,
         on_numeric=on_numeric,
     )
+
+
+# ---------------------------------------------------------------------------
+# Grammar v5 (r11, r10 VERDICT item 2): txlog / matview / CDC layer.
+#
+# The two most expensive bench queries' correctness surface
+# (sources/txlog.py, sources/matview.py) was pinned only by fixed cases
+# — this grammar fuzzes it with MODEL-BASED differential testing: every
+# seed derives a random commit sequence (append / MERGE / overwrite /
+# OPTIMIZE / VACUUM over small key/value frames) executed against the
+# real txlog on a scratch dir, while a pure-python dict mirrors the
+# table's logical state.  The oracle is the model (plus the engine's
+# own frozen snapshots), so no DuckDB twin exists or is needed.
+#
+# Checks per seed:
+#   (1) after every commit, read_snapshot(latest) == model;
+#   (2) time travel: read_snapshot(v) == the python snapshot frozen
+#       when v committed, for every still-readable v (vacuum advances
+#       the readable horizon — versions older than the last vacuum's
+#       keep-window are deliberately dropped from the check, matching
+#       the documented retention contract);
+#   (3) change_feed COMPOSES: applying feed(v_i, v_j) to frozen[v_i]
+#       reproduces frozen[v_j] exactly — preimages must match the
+#       frozen rows they claim to delete, and feed(v, v) is empty;
+#   (4) the matview (group-by-g count/sum view, key='k') equals a
+#       pure-python recompute after every refresh, AND each refresh
+#       takes exactly the expected mode (full on first build, noop on
+#       no-advance, incremental for append-only deltas, cdc when a
+#       merge/overwrite/compaction intervened) — a silent fall-through
+#       to 'full' would pass an equality-only check while never
+#       exercising the CDC path;
+#   (5) stats-pruned reads (prune=('k', lo, hi)) + the row filter
+#       equal the model filtered — data skipping must never skip a
+#       matching row (dirs without stats are conservatively kept).
+#
+# Retention discipline: a matview refresh is forced BEFORE every
+# vacuum, because change_feed from a version older than the vacuum
+# horizon reads retired dirs that no longer exist — the same
+# CDC-consumers-must-stay-within-retention contract Delta's CDF
+# documents.  The fuzzer encodes the contract instead of tripping it.
+# ---------------------------------------------------------------------------
+
+#: key space; small enough that merges hit existing keys constantly,
+#: large enough that appends rarely exhaust fresh keys
+_TX_KEYSPACE = 40
+_TX_GROUPS = 3
+
+
+@dataclass
+class TxlogPlan:
+    seed: int
+    kinds: list  # op kinds in order; kinds[0] is always 'append'
+    refresh_after: list  # bool per op: refresh+check the matview after it
+
+    def describe(self) -> str:
+        steps = [
+            k + ("+mv" if r else "")
+            for k, r in zip(self.kinds, self.refresh_after)
+        ]
+        return f"seed={self.seed}  txlog[{' -> '.join(steps)}]"
+
+    # -- model helpers ------------------------------------------------
+
+    @staticmethod
+    def _model_rows(model: dict) -> list:
+        return sorted(
+            ((k, g, v) for k, (g, v) in model.items()),
+            key=lambda t: (t[0],),
+        )
+
+    @staticmethod
+    def _model_view(model: dict) -> list:
+        by_g: dict = {}
+        for _k, (g, v) in model.items():
+            n, s, any_v = by_g.get(g, (0, 0, False))
+            by_g[g] = (
+                n + 1,
+                s + (v or 0),
+                any_v or v is not None,
+            )
+        return sorted(
+            (g, n, s if any_v else None)
+            for g, (n, s, any_v) in by_g.items()
+        )
+
+    # -- execution ----------------------------------------------------
+
+    def execute(self, spark, workdir: str) -> dict:
+        """Run the sequence + all five checks; raises AssertionError on
+        any divergence.  Returns {'commits': N, 'checks': M}."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from dask_cudf_spark.sources import matview as mv
+        from dask_cudf_spark.sources import txlog
+
+        rng = random.Random(self.seed * 7919 + 13)
+        shutil.rmtree(workdir, ignore_errors=True)
+        src = f"{workdir}/t"
+        dst = f"{workdir}/view"
+        schema = "k bigint, g bigint, v bigint"
+        aggs = {"n": ("count", "k"), "s": ("sum", "v")}
+
+        model: dict = {}  # k -> (g, v)
+        frozen: dict = {}  # version -> model copy
+        entries: list = []  # (version, 'append'|'overwrite')
+        min_readable = 0
+        last_refresh = [None]  # src version of last matview refresh
+        checks = 0
+
+        def df_of(rows):
+            # SQL VALUES -> LocalRelation: writes in ONE task.  A list
+            # createDataFrame parallelizes into defaultParallelism
+            # slices (32 scheduled tasks to write 6 rows — measured 6x
+            # slower) and coalesce(1) defeats the fast path entirely.
+            if not rows:
+                return spark.createDataFrame([], schema=schema)
+            vals = ", ".join(
+                f"({k}, {g}, {'NULL' if v is None else v})"
+                for k, (g, v) in rows
+            )
+            return spark.sql(
+                "SELECT CAST(col1 AS BIGINT) AS k, CAST(col2 AS BIGINT)"
+                " AS g, CAST(col3 AS BIGINT) AS v"
+                f" FROM VALUES {vals}"
+            )
+
+        def rand_val():
+            return None if rng.random() < 0.15 else rng.randrange(-99, 100)
+
+        def rand_rows(keys):
+            return [
+                (k, (k % _TX_GROUPS, rand_val())) for k in keys
+            ]
+
+        def snap_rows(version=None):
+            df = txlog.read_snapshot(spark, src, version)
+            return sorted(
+                ((r["k"], r["g"], r["v"]) for r in df.collect()),
+                key=lambda t: (t[0],),
+            )
+
+        def record(version, logical_op):
+            entries.append((version, logical_op))
+            frozen[version] = dict(model)
+            got, want = snap_rows(None), self._model_rows(model)
+            assert got == want, (
+                f"seed {self.seed}: snapshot v{version} != model:\n"
+                f"  engine {got}\n  model  {want}"
+            )
+
+        def refresh_and_check():
+            nonlocal checks
+            res = mv.refresh_matview(
+                spark, src, dst, ["g"], aggs, key="k"
+            )
+            if last_refresh[0] is None:
+                exp = "full"
+            elif res["src_version"] == last_refresh[0]:
+                exp = "noop"
+            else:
+                delta = [
+                    op for (ver, op) in entries if ver > last_refresh[0]
+                ]
+                exp = (
+                    "incremental"
+                    if all(o == "append" for o in delta)
+                    else "cdc"
+                )
+            assert res["mode"] == exp, (
+                f"seed {self.seed}: refresh mode {res['mode']!r} != "
+                f"expected {exp!r} at src v{res['src_version']}"
+            )
+            last_refresh[0] = res["src_version"]
+            got = sorted(
+                ((r["g"], r["n"], r["s"]) for r in
+                 mv.read_matview(spark, dst).collect()),
+                key=lambda t: (t[0],),
+            )
+            want = self._model_view(model)
+            assert got == want, (
+                f"seed {self.seed}: matview != model recompute "
+                f"(mode {res['mode']}):\n  engine {got}\n  model  {want}"
+            )
+            checks += 1
+
+        for kind, do_refresh in zip(self.kinds, self.refresh_after):
+            live = set(model)
+            free = sorted(set(range(_TX_KEYSPACE)) - live)
+            if kind == "append" and not free:
+                kind = "merge"  # keyspace exhausted: append would dup
+            if kind in ("merge", "optimize", "vacuum") and not entries:
+                kind = "append"  # table must exist first
+
+            if kind == "append":
+                n = rng.randint(1, min(6, len(free)))
+                rows = rand_rows(rng.sample(free, n))
+                ver = txlog.commit(
+                    df_of(rows), src, op="append", stats_cols=["k"]
+                )
+                model.update(dict(rows))
+                record(ver, "append")
+            elif kind == "merge":
+                n_upd = rng.randint(0, min(4, len(live)))
+                n_ins = rng.randint(0 if n_upd else 1, 3)
+                keys = rng.sample(sorted(live), n_upd) + (
+                    rng.sample(free, min(n_ins, len(free)))
+                )
+                rows = rand_rows(keys)
+                ver = txlog.merge_by_key(df_of(rows), src, key="k")
+                model.update(dict(rows))
+                record(ver, "overwrite")
+            elif kind == "overwrite":
+                # occasionally overwrite to EMPTY (the degenerate
+                # snapshot every reader path must survive)
+                n = 0 if rng.random() < 0.12 else rng.randint(1, 8)
+                rows = rand_rows(rng.sample(range(_TX_KEYSPACE), n))
+                ver = txlog.commit(
+                    df_of(rows), src, op="overwrite", stats_cols=["k"]
+                )
+                model.clear()
+                model.update(dict(rows))
+                record(ver, "overwrite")
+            elif kind == "optimize":
+                ver = txlog.optimize(
+                    spark, src, target_partitions=rng.randint(1, 2)
+                )
+                record(ver, "overwrite")  # model unchanged by design
+            else:  # vacuum
+                # CDC retention contract: catch the view up FIRST
+                refresh_and_check()
+                keep = rng.randint(1, 3)
+                txlog.vacuum(spark, src, keep_versions=keep,
+                             min_age_seconds=0.0)
+                horizon = entries[-1][0] - keep + 1
+                min_readable = max(min_readable, horizon)
+                got, want = snap_rows(None), self._model_rows(model)
+                assert got == want, (
+                    f"seed {self.seed}: post-vacuum snapshot != model"
+                )
+            if do_refresh:
+                refresh_and_check()
+        refresh_and_check()  # final state always checked
+
+        # (2) time travel against every still-readable frozen snapshot
+        readable = sorted(v for v in frozen if v >= min_readable)
+        for v in readable:
+            got = snap_rows(v)
+            want = self._model_rows(frozen[v])
+            assert got == want, (
+                f"seed {self.seed}: time travel v{v} != frozen:\n"
+                f"  engine {got}\n  model  {want}"
+            )
+            checks += 1
+
+        # (3) change_feed composition over random readable pairs
+        pairs = {(readable[0], readable[-1])}
+        while len(pairs) < min(4, len(readable) * 2) and len(readable) > 1:
+            a, b = sorted(rng.sample(readable, 2))
+            pairs.add((a, b))
+        for a, b in sorted(pairs):
+            feed = txlog.change_feed(spark, src, "k", a, b).collect()
+            state = dict(frozen[a])
+            posts = []
+            for r in feed:
+                if r["change_type"] in ("delete", "update_preimage"):
+                    assert state.get(r["k"]) == (r["g"], r["v"]), (
+                        f"seed {self.seed}: feed({a},{b}) preimage for "
+                        f"k={r['k']} is {(r['g'], r['v'])}, frozen has "
+                        f"{state.get(r['k'])}"
+                    )
+                    del state[r["k"]]
+                else:
+                    posts.append(r)
+            for r in posts:
+                assert r["k"] not in state, (
+                    f"seed {self.seed}: feed({a},{b}) inserts existing "
+                    f"key {r['k']}"
+                )
+                state[r["k"]] = (r["g"], r["v"])
+            assert state == frozen[b], (
+                f"seed {self.seed}: feed({a},{b}) does not compose:\n"
+                f"  applied {sorted(state.items())}\n"
+                f"  frozen  {sorted(frozen[b].items())}"
+            )
+            checks += 1
+        a = readable[-1]
+        assert txlog.change_feed(spark, src, "k", a, a).count() == 0, (
+            f"seed {self.seed}: feed(v, v) not empty"
+        )
+        checks += 1
+
+        # (5) stats-pruned read == model filtered
+        lo, hi = sorted(
+            (rng.randrange(_TX_KEYSPACE), rng.randrange(_TX_KEYSPACE))
+        )
+        got = sorted(
+            ((r["k"], r["g"], r["v"]) for r in
+             txlog.read_snapshot(spark, src, None, prune=("k", lo, hi))
+             .filter(F.col("k").between(lo, hi)).collect()),
+            key=lambda t: (t[0],),
+        )
+        want = [t for t in self._model_rows(model) if lo <= t[0] <= hi]
+        assert got == want, (
+            f"seed {self.seed}: pruned read k in [{lo},{hi}] != model:\n"
+            f"  engine {got}\n  model  {want}"
+        )
+        checks += 1
+
+        shutil.rmtree(workdir, ignore_errors=True)
+        return {"commits": len(entries), "checks": checks}
+
+
+def gen_txlog_plan(seed: int) -> TxlogPlan:
+    """One deterministic random commit-sequence plan per seed."""
+    rng = random.Random(seed)
+    n_ops = rng.randint(4, 9)
+    kinds = ["append"] + [
+        rng.choices(
+            ["append", "merge", "overwrite", "optimize", "vacuum"],
+            weights=[30, 30, 15, 15, 10],
+        )[0]
+        for _ in range(n_ops - 1)
+    ]
+    refresh_after = [rng.random() < 0.55 for _ in range(n_ops)]
+    return TxlogPlan(seed=seed, kinds=kinds, refresh_after=refresh_after)

@@ -96,6 +96,23 @@ _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 _NROWS = "__nrows"
 
 
+def _nn(out: str) -> str:
+    """Hidden non-null-measure counter for a ``sum`` output column.
+
+    Signed-delta algebra alone cannot distinguish "the sum is 0" from
+    "no non-null measures remain": delete the last non-null row of a
+    group and stored_sum + (-v) lands on exactly 0, while a recompute
+    (SQL sum over the surviving all-NULL rows) is NULL.  The counter
+    carries how many live rows have a non-null measure; every refresh
+    normalizes the VISIBLE sum to NULL when it hits zero.  (Found by
+    the r11 txlog model fuzzer — seeds 132300/132302/...; invisible to
+    every fixed case because it needs churn that NULLs out a group's
+    last non-null value.)  The raw-0 and NULL representations merge
+    identically under F.sum (nulls ignored), so normalizing at write
+    keeps the incremental algebra exact."""
+    return f"__nn_{out}"
+
+
 def _check_spec(aggs: dict) -> None:
     for out, (fn, _col) in aggs.items():
         if fn not in _DECOMPOSABLE:
@@ -113,6 +130,7 @@ def _partial(df: DataFrame, group_cols: list[str], aggs: dict) -> DataFrame:
             exprs.append(F.count(F.lit(1)).cast("long").alias(out))
         elif fn == "sum":
             exprs.append(F.sum(col).alias(out))
+            exprs.append(F.count(col).cast("long").alias(_nn(out)))
         else:
             exprs.append(getattr(F, fn)(col).alias(out))
     exprs.append(F.count(F.lit(1)).cast("long").alias(_NROWS))
@@ -137,16 +155,34 @@ def _signed_partial(
             exprs.append(
                 F.sum(F.col(col) * sign).alias(out)
             )
+            exprs.append(
+                F.sum(
+                    F.when(F.col(col).isNotNull(), sign).otherwise(F.lit(0))
+                ).cast("long").alias(_nn(out))
+            )
     exprs.append(F.sum(sign).cast("long").alias(_NROWS))
     return feed.groupBy(*group_cols).agg(*exprs)
 
 
 def _merge(df: DataFrame, group_cols: list[str], aggs: dict) -> DataFrame:
-    exprs = [
-        _MERGE[fn](out).alias(out) for out, (fn, _c) in aggs.items()
-    ]
+    exprs = []
+    for out, (fn, _c) in aggs.items():
+        exprs.append(_MERGE[fn](out).alias(out))
+        if fn == "sum":
+            exprs.append(F.sum(_nn(out)).cast("long").alias(_nn(out)))
     exprs.append(F.sum(_NROWS).cast("long").alias(_NROWS))
-    return df.groupBy(*group_cols).agg(*exprs)
+    merged = df.groupBy(*group_cols).agg(*exprs)
+    # normalize at write: a group with zero non-null measures presents
+    # its sum as NULL (recompute semantics), never the algebraic 0;
+    # NULL and 0 merge identically under F.sum, so future deltas are
+    # unaffected (see _nn)
+    for out, (fn, _c) in aggs.items():
+        if fn == "sum":
+            merged = merged.withColumn(
+                out,
+                F.when(F.col(_nn(out)) > 0, F.col(out)),
+            )
+    return merged
 
 
 def _last_refresh(spark: SparkSession, dst: str) -> int | None:
@@ -196,9 +232,14 @@ def refresh_matview(
         else None
     )
     stored = read_snapshot(spark, dst) if last is not None else None
-    # a view written before __nrows existed cannot be maintained (its
-    # group row counts are unknown) — rebuild once, full, to upgrade it
-    maintainable = stored is not None and _NROWS in stored.columns
+    # a view written before __nrows (or the per-sum __nn counters)
+    # existed cannot be maintained — rebuild once, full, to upgrade it
+    hidden_needed = [_NROWS] + [
+        _nn(out) for out, (fn, _c) in aggs.items() if fn == "sum"
+    ]
+    maintainable = stored is not None and all(
+        c in stored.columns for c in hidden_needed
+    )
     incremental = (
         delta_entries is not None
         and maintainable
@@ -251,9 +292,13 @@ def refresh_matview(
 
 def read_matview(spark: SparkSession, dst: str) -> DataFrame:
     """The view's current contents (latest refresh); the internal
-    ``__nrows`` maintenance column is dropped."""
+    maintenance columns (``__nrows``, per-sum ``__nn_*``) are
+    dropped."""
     df = read_snapshot(spark, dst)
-    return df.drop(_NROWS) if _NROWS in df.columns else df
+    hidden = [
+        c for c in df.columns if c == _NROWS or c.startswith("__nn_")
+    ]
+    return df.drop(*hidden) if hidden else df
 
 
 def matview_is_fresh(spark: SparkSession, src: str, dst: str) -> bool:

@@ -32,9 +32,24 @@ path list, keeping partition pruning and pushdown intact.
 from __future__ import annotations
 
 import json
+import random
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _race_backoff(attempt: int) -> None:
+    """Sleep briefly after a lost commit race, with jitter growing per
+    attempt.  Without it the retry loop re-reads the log and re-creates
+    within ~100 ms — a writer racing a fast opponent (e.g. a zombie
+    foreachBatch overlapping a restarted streaming query, the r11 soak
+    finding) can lose every attempt back-to-back and exhaust
+    max_retries even though each individual race is fair.  Jittered
+    backoff is the standard thundering-herd fix (same shape as Delta's
+    commit retry); integrity never depended on it — the exclusive
+    create already guarantees losers fail cleanly."""
+    time.sleep(random.uniform(0.02, 0.05 * (attempt + 1)))
 
 
 class CommitConflict(Exception):
@@ -167,7 +182,7 @@ def commit(
 
     jvm, fs, _ = _jfs(spark, path)
     last_err: Exception | None = None
-    for _ in range(max_retries):
+    for attempt in range(max_retries):
         log = _read_log(spark, path)
         if batch_id is not None:
             done = [e for e in log if e.get("batch_id") == batch_id]
@@ -191,6 +206,7 @@ def commit(
             out = fs.create(vpath, False)  # overwrite=False: exclusive
         except Exception as e:  # FileAlreadyExistsException et al.
             last_err = e
+            _race_backoff(attempt)
             continue  # lost the race: recompute version, retry
         try:
             out.write(record)
@@ -455,7 +471,7 @@ def merge_by_key(
 
     jvm, fs, _ = _jfs(spark, path)
     last_err: Exception | None = None
-    for _ in range(max_retries):
+    for attempt in range(max_retries):
         log = _read_log(spark, path)
         if _live_dirs(log, None) != live:
             # A concurrent writer committed since our snapshot: the
@@ -481,6 +497,7 @@ def merge_by_key(
             out = fs.create(vpath, False)
         except Exception as e:
             last_err = e
+            _race_backoff(attempt)
             continue
         try:
             out.write(record)
@@ -518,7 +535,7 @@ def optimize(
     )
     jvm, fs, _ = _jfs(spark, path)
     last_err: Exception | None = None
-    for _ in range(max_retries):
+    for attempt in range(max_retries):
         log = _read_log(spark, path)
         if _live_dirs(log, None) != live:
             # Same detect-and-abort as merge_by_key: a concurrent
@@ -540,6 +557,7 @@ def optimize(
             out = fs.create(vpath, False)
         except Exception as e:
             last_err = e
+            _race_backoff(attempt)
             continue
         try:
             out.write(record)

@@ -1480,9 +1480,16 @@ class TxlogPlan:
             )
             checks += 1
 
-        # (3) change_feed composition over random readable pairs
+        # (3) change_feed composition over random readable pairs.
+        # Cap the target at the number of DISTINCT pairs that exist
+        # (C(n, 2)) — after a keep_versions=1 vacuum only 1-2 versions
+        # may be readable, and asking for 4 pairs would spin forever
+        # (the r11 sweep's own first bug: 24 workers pegged at 100%
+        # python CPU drawing the same single pair).
+        n_readable = len(readable)
         pairs = {(readable[0], readable[-1])}
-        while len(pairs) < min(4, len(readable) * 2) and len(readable) > 1:
+        want = min(4, n_readable * (n_readable - 1) // 2)
+        while len(pairs) < want:
             a, b = sorted(rng.sample(readable, 2))
             pairs.add((a, b))
         for a, b in sorted(pairs):

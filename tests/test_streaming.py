@@ -796,6 +796,8 @@ def test_kafka_txlog_matview_soak_exactly_once(spark, tmp_path):
         produced += n
 
     def write_and_maybe_refresh(batch_df, batch_id):
+        from dask_cudf_spark.sources.txlog import CommitConflict
+
         sp = batch_df.sparkSession
         fields = F.split(F.col("value").cast("string"), r"\|")
         rows = batch_df.select(
@@ -803,7 +805,20 @@ def test_kafka_txlog_matview_soak_exactly_once(spark, tmp_path):
             fields.getItem(1).cast("bigint").alias("g"),
             fields.getItem(2).cast("bigint").alias("v"),
         )
-        tx_commit(rows, src, "append", batch_id=int(batch_id))
+        # supervised retry: a stop/restart overlap can leave the OLD
+        # query's foreachBatch committing concurrently with this one
+        # for a moment; the txlog loser fails CLEANLY (exclusive
+        # create + in-commit jittered backoff) and re-calling commit
+        # is safe — batch_id idempotence de-dups whoever won.  This
+        # outer loop is the supervision a production pipeline wraps
+        # around any optimistic-concurrency sink.
+        for outer in range(3):
+            try:
+                tx_commit(rows, src, "append", batch_id=int(batch_id))
+                break
+            except CommitConflict:
+                if outer == 2:
+                    raise
         if int(batch_id) % 5 == 0:
             refresh_matview(sp, src, dst, ["g"], aggs, key="k")
 

@@ -83,7 +83,15 @@ def _read_log(spark: SparkSession, path: str) -> list[dict]:
     """All commit records in version order (empty list for a new
     table).  Reads through spark.read.json so it works on any Hadoop
     filesystem, with an explicit schema (a one-record JSON file per
-    commit)."""
+    commit).
+
+    Records with a null version/op/dirs are DROPPED: a writer killed
+    between the exclusive create and the record write (r11 soak: a
+    streaming query stopped mid-foreachBatch) leaves an empty or torn
+    version file whose commit never happened — the slot reads as a
+    GAP, its data dir stays unreferenced (vacuum reclaims it by
+    age+reachability), and version numbering skips it via
+    _max_version_on_disk."""
     jvm, fs, ld = _jfs(spark, _log_dir(path))
     if not fs.exists(ld):
         return []
@@ -104,9 +112,35 @@ def _read_log(spark: SparkSession, path: str) -> list[dict]:
             "stats": json.loads(r["stats"]) if r["stats"] else {},
         }
         for r in rows
+        if r["version"] is not None
+        and r["op"] is not None
+        and r["dirs"] is not None
     ]
     entries.sort(key=lambda e: e["version"])
     return entries
+
+
+def _max_version_on_disk(jvm, fs, path: str) -> int:
+    """Highest version NUMBER present as a _txlog filename, -1 when
+    none — including orphaned empty/torn files from crashed writers,
+    which _read_log's parsed view cannot see.  Writers allocate
+    max(parsed latest, on-disk max) + 1: without the on-disk term, an
+    orphan at version V wedges the table forever (every retry
+    recomputes V from the parsed log and loses to the orphan's file —
+    the r11 soak deadlock, 'lost 5 commit races' on the same
+    filename)."""
+    ld = jvm.org.apache.hadoop.fs.Path(_log_dir(path))
+    if not fs.exists(ld):
+        return -1
+    mx = -1
+    for st in fs.listStatus(ld):
+        name = st.getPath().getName()
+        if name.endswith(".json"):
+            try:
+                mx = max(mx, int(name[: -len(".json")]))
+            except ValueError:
+                pass  # foreign file in the log dir: not a version slot
+    return mx
 
 
 def _live_dirs(entries: list[dict], version: int | None) -> list[str]:
@@ -188,7 +222,10 @@ def commit(
             done = [e for e in log if e.get("batch_id") == batch_id]
             if done:  # raced replay of the same batch: someone else won
                 return done[0]["version"]
-        version = log[-1]["version"] + 1 if log else 0
+        version = max(
+            log[-1]["version"] if log else -1,
+            _max_version_on_disk(jvm, fs, path),
+        ) + 1
         record = json.dumps(
             {
                 "version": version,
@@ -482,7 +519,10 @@ def merge_by_key(
                 "live set changed since the merge snapshot — re-run "
                 "the merge against the current table state"
             )
-        version = log[-1]["version"] + 1 if log else 0
+        version = max(
+            log[-1]["version"] if log else -1,
+            _max_version_on_disk(jvm, fs, path),
+        ) + 1
         record = json.dumps(
             {
                 "version": version,
@@ -546,7 +586,10 @@ def optimize(
                 "live set changed since the compaction snapshot — "
                 "re-run optimize against the current table state"
             )
-        version = log[-1]["version"] + 1 if log else 0
+        version = max(
+            log[-1]["version"] if log else -1,
+            _max_version_on_disk(jvm, fs, path),
+        ) + 1
         record = json.dumps(
             {"version": version, "op": "overwrite", "dirs": [new_dir]}
         ).encode()

@@ -1047,3 +1047,52 @@ def test_matview_cdc_declines_float_sum_measures(spark, tmp_path):
     assert got.keys() == truth.keys()
     for g in truth:
         assert abs(got[g] - truth[g]) < 1e-9
+
+
+def test_txlog_orphaned_version_file_does_not_wedge_table(spark, tmp_path):
+    """Crash consistency, the OTHER half (r11 soak deadlock): a writer
+    killed between the exclusive CREATE and the record WRITE leaves an
+    empty (or torn) version FILE.  The parsed log cannot see it, so a
+    version allocator that only consults the parsed log recomputes the
+    orphan's number forever and loses every retry to the orphan's file
+    — the table is wedged.  Allocation now takes
+    max(parsed, on-disk filename) + 1: the orphan reads as a permanent
+    GAP, readers skip it, writers skip past it, batch-id idempotence
+    still holds for the replayed batch."""
+    from dask_cudf_spark.sources.txlog import (
+        commit,
+        read_snapshot,
+        table_history,
+    )
+
+    path = str(tmp_path / "txwedge")
+    commit(spark.range(0, 5).withColumnRenamed("id", "k"), path, "append",
+           batch_id=0)
+    commit(spark.range(5, 8).withColumnRenamed("id", "k"), path, "append",
+           batch_id=1)
+    # simulate the killed writer: version file 2 exists, zero bytes
+    open(f"{path}/_txlog/{2:012d}.json", "wb").close()
+    # and a TORN record at 3: create succeeded, write cut mid-JSON
+    with open(f"{path}/_txlog/{3:012d}.json", "w") as f:
+        f.write('{"version": 3, "op": "appe')
+
+    # readers: both slots are invisible gaps
+    got = sorted(r["k"] for r in read_snapshot(spark, path).collect())
+    assert got == list(range(8))
+    assert [e["version"] for e in table_history(spark, path)] == [0, 1]
+
+    # writers: the next commit (a streaming REPLAY of the torn batch)
+    # skips past both orphans instead of wedging
+    v = commit(
+        spark.range(8, 10).withColumnRenamed("id", "k"), path, "append",
+        batch_id=2,
+    )
+    assert v == 4, f"expected allocation past the orphans, got {v}"
+    got = sorted(r["k"] for r in read_snapshot(spark, path).collect())
+    assert got == list(range(10))
+    # the replayed batch id committed exactly once
+    assert commit(
+        spark.range(8, 10).withColumnRenamed("id", "k"), path, "append",
+        batch_id=2,
+    ) == 4
+    assert [e["version"] for e in table_history(spark, path)] == [0, 1, 4]

@@ -10,6 +10,27 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..sources import load_table
 
+_HEXDIG = "0123456789ABCDEF"
+
+
+def _bytes_from_hex(hx: str, rng: str | None = None) -> str:
+    """DuckDB list<int> of the payload's UTF-8 bytes, given ``hx`` =
+    ``hex(encode(text))`` bound in an enclosing CTE.
+
+    The original oracles read byte i as ``ascii(substr(text, i, 1))``,
+    which equals the byte only on pure-ASCII corpora (true of the real
+    testdata, and documented as an assumption).  The r11 corpus fuzzer
+    feeds CJK/emoji documents where chars != UTF-8 bytes, so byte
+    extraction now walks the hex dump instead — exact for ANY unicode
+    text, keeping >127 payload bytes inside the differential-tested
+    surface."""
+    r = rng or f"range(length({hx}) // 2)"
+    return (
+        f"list_transform({r}, i -> "
+        f"16 * (strpos('{_HEXDIG}', substring({hx}, 2*i + 1, 1)) - 1) + "
+        f"strpos('{_HEXDIG}', substring({hx}, 2*i + 2, 1)) - 1)"
+    )
+
 
 @register(
     "q_multimodal_meta",
@@ -89,27 +110,32 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_multimodal_features",
     family="multimodal",
-    oracle="""
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, hex(encode(text)) AS hx
+            FROM documents
+            WHERE doc_id < 100 AND text IS NOT NULL
+        ),
+        b AS (
+            SELECT doc_id, length(hx) // 2 AS n,
+                   {_bytes_from_hex("hx")} AS px
+            FROM h
+        )
         SELECT
             doc_id,
-            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-            ROUND(list_sum(list_transform(range(1, length(text) + 1),
-                    i -> ascii(substring(text, i, 1)))) * 1.0
-                  / length(text), 6) AS byte_mean,
-            CAST(list_min(list_transform(range(1, length(text) + 1),
-                    i -> ascii(substring(text, i, 1)))) AS BIGINT) AS byte_min,
-            CAST(list_max(list_transform(range(1, length(text) + 1),
-                    i -> ascii(substring(text, i, 1)))) AS BIGINT) AS byte_max
-        FROM documents
-        WHERE doc_id < 100 AND text IS NOT NULL
+            CAST(n AS BIGINT) AS n_bytes,
+            ROUND(list_sum(px) * 1.0 / n, 6) AS byte_mean,
+            CAST(list_min(px) AS BIGINT) AS byte_min,
+            CAST(list_max(px) AS BIGINT) AS byte_max
+        FROM b
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction (operators/multimodal.
     extract_features): the mapInPandas decode stand-in. Oracle checks
-    the byte statistics exactly (documents text is ASCII, so
-    char codes == UTF-8 bytes); head_hash is engine-specific and
-    excluded from the compared columns."""
+    the byte statistics exactly over the true UTF-8 bytes (hex-dump
+    expansion — exact for any unicode text, r11); head_hash is
+    engine-specific and excluded from the compared columns."""
     from ..operators.multimodal import attach_payload, extract_features
 
     docs = attach_payload(
@@ -125,21 +151,24 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_multimodal_resample",
     family="multimodal",
-    oracle="""
+    oracle=f"""
         WITH t AS (
-            SELECT doc_id, text, length(text) AS n
+            SELECT doc_id, hex(encode(text)) AS hx
             FROM documents
             WHERE doc_id < 150 AND text IS NOT NULL
         ),
-        b AS (
-            SELECT doc_id, n // 8 AS n_blocks,
-                   list_transform(
-                       range(n // 8),
-                       b -> 1250 * list_sum(list_transform(
-                                range(8),
-                                i -> ascii(substring(text, b*8 + i + 1, 1))))
-                   ) AS s4
+        p AS (
+            SELECT doc_id, length(hx) // 2 // 8 AS n_blocks,
+                   {_bytes_from_hex("hx")} AS px
             FROM t
+        ),
+        b AS (
+            SELECT doc_id, n_blocks,
+                   list_transform(
+                       range(n_blocks),
+                       b -> 1250 * list_sum(px[b*8 + 1 : b*8 + 8])
+                   ) AS s4
+            FROM p
         )
         SELECT doc_id,
                CAST(n_blocks AS BIGINT) AS n_blocks,
@@ -155,9 +184,9 @@ def q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.resample_signal): the audio-resample /
     image-downscale plumbing as Arrow-batched mapInPandas — numpy
     reshape+sum per payload, factor 8.  The oracle replays the pooling
-    closed-form over the same bytes (documents text is ASCII, so char
-    codes == payload bytes); scaled-int block means make the comparison
-    exact.  Zero shuffles: pure partition-parallel map work."""
+    closed-form over the same UTF-8 bytes (hex-dump expansion — exact
+    for any unicode text, r11); scaled-int block means make the
+    comparison exact.  Zero shuffles: pure partition-parallel map work."""
     from ..operators.multimodal import attach_payload, resample_signal
 
     docs = attach_payload(
@@ -171,15 +200,17 @@ def q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_multimodal_wav",
     family="multimodal",
-    oracle="""
-        WITH b AS (
-            SELECT doc_id,
-                   octet_length(encode(text)) AS n,
-                   list_transform(
-                       range(octet_length(encode(text))),
-                       i -> ascii(substr(text, i + 1, 1)) - 128
-                   ) AS centered
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, hex(encode(text)) AS hx
             FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+        ),
+        b AS (
+            SELECT doc_id,
+                   length(hx) // 2 AS n,
+                   list_transform({_bytes_from_hex("hx")}, v -> v - 128)
+                       AS centered
+            FROM h
         )
         SELECT doc_id,
                1 AS n_channels,
@@ -202,7 +233,7 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct only, closing the 'decode is stubbed' gap for the audio
     modality (image/video still need PIL/libav and stay gated).  One
     Arrow-batched mapInPandas stage; the DuckDB oracle recomputes every
-    stat from the same bytes (ASCII corpus: byte i = ascii(char i))."""
+    stat from the same UTF-8 bytes (hex-dump expansion, r11)."""
     from ..operators.multimodal import build_wav_codec
 
     d = (
@@ -240,17 +271,17 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_multimodal_png",
     family="multimodal",
-    oracle="""
-        WITH b AS (
-            SELECT doc_id,
-                   octet_length(encode(text)) AS n,
-                   CAST(CEIL(octet_length(encode(text)) / 16.0) AS BIGINT)
-                       AS h,
-                   list_transform(
-                       range(octet_length(encode(text))),
-                       i -> ascii(substr(text, i + 1, 1))
-                   ) AS px
+    oracle=f"""
+        WITH hh AS (
+            SELECT doc_id, hex(encode(text)) AS hx
             FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+        ),
+        b AS (
+            SELECT doc_id,
+                   length(hx) // 2 AS n,
+                   CAST(CEIL(length(hx) // 2 / 16.0) AS BIGINT) AS h,
+                   {_bytes_from_hex("hx")} AS px
+            FROM hh
         )
         SELECT doc_id,
                h AS height,
@@ -315,17 +346,19 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_multimodal_avi",
     family="multimodal",
-    oracle="""
-        WITH b AS (
-            SELECT doc_id,
-                   octet_length(encode(text)) AS n,
-                   octet_length(encode(text)) // 64 AS nf,
-                   list_transform(
-                       range((octet_length(encode(text)) // 64) * 64),
-                       i -> ascii(substr(text, i + 1, 1))
-                   ) AS px
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, hex(encode(text)) AS hx
             FROM documents WHERE doc_id < 200 AND text IS NOT NULL
               AND octet_length(encode(text)) >= 64
+        ),
+        b AS (
+            SELECT doc_id,
+                   length(hx) // 2 AS n,
+                   length(hx) // 2 // 64 AS nf,
+                   {_bytes_from_hex("hx", "range((length(hx) // 2 // 64) * 64)")}
+                       AS px
+            FROM h
         )
         SELECT doc_id,
                CAST(8 AS BIGINT) AS width,
@@ -390,11 +423,13 @@ def q_multimodal_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     family="multimodal",
     oracle="""
         WITH v AS (
+            -- gray level = codepoint mod 256 (pinned r11: non-ASCII
+            -- chars must not overflow the uint8 tile on the engine side)
             SELECT doc_id,
-                   ascii(substr(text, 1, 1)) AS a,
-                   ascii(substr(text, 2, 1)) AS b,
-                   ascii(substr(text, 3, 1)) AS c,
-                   ascii(substr(text, 4, 1)) AS d
+                   ascii(substr(text, 1, 1)) % 256 AS a,
+                   ascii(substr(text, 2, 1)) % 256 AS b,
+                   ascii(substr(text, 3, 1)) % 256 AS c,
+                   ascii(substr(text, 4, 1)) % 256 AS d
             FROM documents WHERE doc_id < 200 AND text IS NOT NULL
         )
         SELECT doc_id,
@@ -441,8 +476,11 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # pad to 4 tile levels with 0 — missing bytes are black
                 # tiles, matching the oracle's ascii(substr(..)) = 0 on
                 # out-of-range positions (texts shorter than 4 chars
-                # crashed the worker on vals[k] — r10 empty-string leg)
-                vals = ([ord(ch) for ch in t[:4]] + [0] * 4)[:4]
+                # crashed the worker on vals[k] — r10 empty-string leg).
+                # Gray level = codepoint mod 256: non-ASCII chars would
+                # otherwise overflow the uint8 assignment (r11 corpus
+                # fuzz; numpy >= 2 raises instead of wrapping)
+                vals = ([ord(ch) % 256 for ch in t[:4]] + [0] * 4)[:4]
                 img = np.zeros((16, 16), dtype=np.uint8)
                 img[:8, :8] = vals[0]
                 img[:8, 8:] = vals[1]
@@ -480,9 +518,11 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     family="multimodal",
     oracle="""
         WITH v AS (
+            -- gray level = codepoint mod 256 (pinned r11, same contract
+            -- as q_multimodal_jpeg)
             SELECT doc_id,
                    list_transform(
-                       range(6), i -> ascii(substr(text, i + 1, 1))
+                       range(6), i -> ascii(substr(text, i + 1, 1)) % 256
                    ) AS px
             FROM documents
             WHERE doc_id < 150 AND length(text) >= 6
@@ -531,8 +571,10 @@ def q_multimodal_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = []
             for i, t in zip(pdf["doc_id"], pdf["text"]):
+                # codepoint mod 256: numpy >= 2 raises on uint8 overflow
+                # for non-ASCII chars (r11 corpus fuzz contract)
                 frames = [
-                    np.full((8, 8), ord(ch), dtype=np.uint8)
+                    np.full((8, 8), ord(ch) % 256, dtype=np.uint8)
                     for ch in t[:6]
                 ]
                 m = decode_meta(encode_mjpeg(frames, fps=25))

@@ -677,7 +677,10 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                    LENGTH(regexp_replace(text, '[^éèêàçùôî]', '', 'g')) AS fr,
                    LENGTH(regexp_replace(text, '[^ñáíóúü¿¡]', '', 'g')) AS es,
                    LENGTH(regexp_replace(text, '[^äöüß]', '', 'g')) AS de,
-                   len(list_filter(string_split(lower(text), ' '),
+                   -- [ \\t\\n\\v\\f\\r]+ spelled out = Java's \\s exactly;
+                   -- RE2's \\s misses \\x0b, and a literal-space split
+                   -- missed tab-separated stopwords (r11 corpus fuzz)
+                   len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\v\\f\\r]+'),
                        t -> list_contains({_EN_STOP_SQL}, t))) AS stop_hits
             FROM documents
         )
@@ -2209,6 +2212,97 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_toks",
             F.expr("rarity_sum div n_toks").alias("mean_rarity"),
         )
+    )
+
+
+@register(
+    "q_bigram_lm_score",
+    family="text",
+    oracle="""
+        WITH sp AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents
+        ),
+        pairs AS (
+            SELECT doc_id, u.bg.prev AS prev, u.bg.cur AS cur
+            FROM sp,
+                 unnest(CASE WHEN toks IS NULL OR len(toks) < 2 THEN []
+                             ELSE list_transform(range(len(toks) - 1),
+                                  i -> struct_pack(prev := toks[i + 1],
+                                                   cur := toks[i + 2]))
+                        END) AS u(bg)
+        ),
+        bc AS (SELECT prev, cur, COUNT(*) AS c_bg FROM pairs GROUP BY prev, cur),
+        pc AS (SELECT prev, COUNT(*) AS c_prev FROM pairs GROUP BY prev),
+        scored AS (
+            SELECT p.doc_id,
+                   CAST(FLOOR((1000000.0 * bc.c_bg) / pc.c_prev) AS BIGINT)
+                       AS p_s6
+            FROM pairs p JOIN bc USING (prev, cur) JOIN pc USING (prev)
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(p_s6) AS BIGINT) AS fluency_sum_s6,
+               CAST(SUM(p_s6) // COUNT(*) AS BIGINT) AS fluency_mean_s6
+        FROM scored
+        GROUP BY doc_id
+    """,
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency score (r11): per document, the
+    mean scaled conditional bigram probability
+    floor(1e6 * c(prev,cur) / c(prev,*)) over the doc's own corpus-
+    trained bigram LM — the CCNet/KenLM-style fluency filter next to
+    q_token_rarity's unigram rarity: scrambled or boilerplate-stitched
+    text scores low even when every individual token is common,
+    because the CONTEXT transition is rare.  Log-free by design: the
+    score is a scaled rational of two exact counts (one IEEE multiply
+    + one correctly-rounded divide + floor per row, bit-identical in
+    both engines), so the oracle hash cannot flake the way summed
+    log-doubles would.
+
+    NULL / '' / one-token documents have no bigrams and drop out —
+    the guard is an explicit size branch on BOTH sides (Spark
+    sequence(1,0) DESCENDS; the r10 char_ngrams lesson).
+
+    Scale: one map-side bigram explode, two vocabulary aggregations
+    (bigram + prefix counts, each one shuffle keyed exactly like the
+    tf-idf shape), joined BACK to the bigram stream on its own keys —
+    co-partitioned by Catalyst since the aggregation output partitioning
+    matches the join keys — then a doc_id rollup.  No broadcast of the
+    bigram table (it is O(vocab^2) and must stay distributed); the
+    per-doc mean is integer division, exact at any SF."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("prev"),
+                F.element_at(toks, i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    pairs = d.select("doc_id", F.explode(bigrams).alias("bg")).select(
+        "doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
+    )
+    bc = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c_bg"))
+    pc = pairs.groupBy("prev").agg(F.count("*").alias("c_prev"))
+    scored = (
+        pairs.join(bc, ["prev", "cur"])
+        .join(pc, ["prev"])
+        .select(
+            "doc_id",
+            F.floor((F.lit(1000000.0) * F.col("c_bg")) / F.col("c_prev"))
+            .cast("long")
+            .alias("p_s6"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("p_s6").alias("fluency_sum_s6"),
+        F.expr("sum(p_s6) div count(*)").alias("fluency_mean_s6"),
     )
 
 

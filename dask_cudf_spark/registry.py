@@ -582,6 +582,17 @@ _ROTATIONS: list[tuple[list[str], list[str]]] = [
             "q_lang_id",
         ],
     ),
+    (
+        # round 11: the steady-state case the retired machinery was
+        # kept for — ONE genuinely new query (q_bigram_lm_score, the
+        # bigram-LM fluency filter beside q_token_rarity's unigram
+        # proxy) enters the window in the round it lands, per the
+        # headline invariant (a new query must be scorable immediately
+        # or it recreates the never-green class).  One ever-green
+        # resident cedes its slot.
+        ["q_bigram_lm_score"],
+        ["q_winsorized_stats"],
+    ),
 ]
 _WINDOW = 50
 # The driver round whose rotation defined the CURRENT window.  The
@@ -590,7 +601,7 @@ _WINDOW = 50
 # respect to the evidence that existed when it was designed, so the
 # current round's own driver run can't flip the suite red between
 # driver-run and next-rotation (r9 VERDICT item 3).
-_WINDOW_ROUND = 10
+_WINDOW_ROUND = 11
 
 
 def _rotate_window(specs: list[QuerySpec]) -> list[QuerySpec]:

@@ -28,6 +28,14 @@ _DEFAULTS = {
     # ANSI off: match the reference's permissive pandas-like arithmetic
     # (overflow wraps, bad casts -> null) rather than erroring mid-pipeline.
     "spark.sql.ansi.enabled": "false",
+    # ...but keep size(NULL) = NULL even with ANSI off.  ansi=false flips
+    # legacy.sizeOfNull back to true (size(NULL) = -1), silently diverging
+    # from BOTH the driver's plain ANSI session and DuckDB's NULL-in/
+    # NULL-out len() — the r11 corpus fuzzer caught q_doc_packing packing
+    # NULL-text docs into pack floor((sum+1)/2048) under this session
+    # while the same query was green under the driver's.  Every query
+    # must behave identically under either session flavor.
+    "spark.sql.legacy.sizeOfNull": "false",
     "spark.ui.enabled": "false",
     # local[32] runs 32 concurrent tasks in ONE JVM; interpreted HOF
     # stages are allocation-heavy, so give the collector headroom

@@ -217,31 +217,7 @@ def main() -> None:
         )
     sys.path.insert(0, "/root/repo/tests")
     from oracle_compare import assert_frames_match
-
-    def _normalize_nullable_ints(pdf):
-        """Nullable-BIGINT artifact: a NULL in an integer column makes
-        BOTH duckdb.fetchdf and Spark.toPandas deliver float64, but not
-        always on the same side — 14080 then canonicalizes differently
-        from 14080.0.  For the NULL leg only, integral float columns
-        are normalized to nullable Int64 on both frames before the
-        strict compare (the driver-gate replica in tests/oracle_compare
-        stays byte-strict: clean data has no nullable-int columns).
-
-        Only columns that actually CONTAIN nulls are normalized — the
-        nullable-BIGINT artifact cannot occur without a null, and
-        normalizing never-null integral float64 columns would mask a
-        genuine double-vs-bigint schema divergence whenever the data
-        happens to be integral (round-10 ADVICE fix)."""
-        for c in pdf.columns:
-            if str(pdf[c].dtype) == "float64" and pdf[c].isna().any():
-                nonnull = pdf[c].dropna()
-                if (
-                    len(nonnull)
-                    and (nonnull % 1 == 0).all()
-                    and nonnull.abs().max() < 2**62
-                ):
-                    pdf[c] = pdf[c].astype("Int64")
-        return pdf
+    from oracle_compare import normalize_nullable_ints as _normalize_nullable_ints
 
     results: dict[str, str] = {}
     for name, fn in sorted(qs.items()):

@@ -1,0 +1,213 @@
+"""Adversarial corpus generator for the registry corpus-fuzz leg
+(round 11; extends the injection-replay program of scripts/null_replay.py).
+
+The five injection legs mutate CELLS of the real testdata; this
+generator replaces the text/embedding DISTRIBUTIONS wholesale: every
+seed derives a fresh ``documents`` + ``embeddings`` parquet pair whose
+contents are deliberately hostile — unicode across planes (CJK, emoji,
+combining marks), regex metacharacters, quotes/backslashes/control
+bytes, whitespace pathologies, sub-shingle-length and 5,000-char
+repeated-run texts, empty and NULL cells, PLANTED duplicate/near-dup
+clusters (so dedup/minhash/jaccard queries see real match structure,
+not just noise), skewed source distributions, zero/duplicate/constant
+embedding vectors.  Both engines then read the SAME parquet, so any
+query-vs-oracle mismatch is an engine-semantics divergence (no SQL
+literal escaping is ever involved).
+
+Determinism: everything derives from numpy's PCG64 seeded with the
+plan seed, so any failure replays bit-for-bit from its seed number.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+# the real testdata vocabulary (TESTDATA.md documents table) — kept so
+# stopword / lang-id / vocab-growth queries fire on realistic tokens
+VOCAB = (
+    "a agg batch big column customer data dup fast filter group hash "
+    "join key line merge order part query row scan slow small sort "
+    "spark stream table the value vector window"
+).split()
+
+#: stopwords several registered queries filter on (q_token_filter)
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+
+CJK = list("一二三四五中文语言模型数据流处理引擎分布式")
+EMOJI = list("😀🔥🚀🌍💡🤖🎉🧪📦🔑")
+COMBINING = ["é", "à", "ö", "ñ"]  # é à ö ñ (decomposed)
+GREEK_CYR = list("αβγδεζабвгде")
+METACHARS = list(".*+?()[]{}|^$\\/'\"`%_")
+CONTROL = ["\t", "\n", "\r", "\x0b", "\x0c"]
+#: non-ASCII spaces: NBSP + ideographic space — NOT matched by \s in
+#: either engine's regex (Java and RE2 both default \s to ASCII), so a
+#: "blank-looking" doc that tokenizes as ONE token
+ODD_SPACE = [" ", "　"]
+
+LANGS = ["en", "fr", "es", "zh", "de"]
+
+
+def _word_salad(rng: np.random.Generator, lo: int = 1, hi: int = 120) -> str:
+    n = int(rng.integers(lo, hi + 1))
+    return " ".join(rng.choice(VOCAB) for _ in range(n))
+
+
+def _unicode_soup(rng: np.random.Generator) -> str:
+    pools = [CJK, EMOJI, COMBINING, GREEK_CYR, VOCAB, METACHARS, ODD_SPACE]
+    n = int(rng.integers(3, 60))
+    parts = []
+    for _ in range(n):
+        pool = pools[int(rng.integers(0, len(pools)))]
+        parts.append(str(rng.choice(pool)))
+        if rng.random() < 0.5:
+            parts.append(" ")
+    return "".join(parts)
+
+
+def _hostile_punct(rng: np.random.Generator) -> str:
+    # quotes, backslash sequences (incl. the literal \N Kafka sentinel),
+    # SQL-comment lookalikes, embedded control chars between real words
+    frags = [
+        "it's", 'say "hi"', "\\N", "back\\slash", "-- not a comment",
+        "100% off", "a_b", "x%y", "' OR '1'='1", "{json: maybe}",
+    ]
+    n = int(rng.integers(2, 8))
+    parts = []
+    for _ in range(n):
+        parts.append(str(rng.choice(frags + VOCAB)))
+        parts.append(str(rng.choice(CONTROL)) if rng.random() < 0.3 else " ")
+    return "".join(parts).strip()
+
+
+def _degenerate(rng: np.random.Generator) -> str | None:
+    kind = int(rng.integers(0, 8))
+    if kind == 0:
+        return None
+    if kind == 1:
+        return ""
+    if kind == 2:  # whitespace-only (ASCII): tokenizes to zero tokens
+        return "".join(rng.choice(CONTROL + [" "]) for _ in range(int(rng.integers(1, 6))))
+    if kind == 3:  # odd-space only: looks blank, is ONE token
+        return str(rng.choice(ODD_SPACE)) * int(rng.integers(1, 4))
+    if kind == 4:  # shorter than every shingle width in use (2..6)
+        return str(rng.choice(list("axz一😀")))
+    if kind == 5:  # long repeated run: every char-shingle identical
+        return str(rng.choice(list("ab一"))) * int(rng.integers(1000, 5000))
+    if kind == 6:  # one giant token (no whitespace at all)
+        return "".join(rng.choice(list("abcdefgh"))
+                       for _ in range(int(rng.integers(200, 800))))
+    # multi-space runs + leading/trailing whitespace
+    return "  " + "   ".join(rng.choice(VOCAB) for _ in range(5)) + " \t"
+
+
+def _mutate(rng: np.random.Generator, text: str) -> str:
+    """Small edit for near-dup planting: delete/insert/substitute one
+    char, or swap two adjacent words."""
+    if not text:
+        return text + "x"
+    op = int(rng.integers(0, 4))
+    i = int(rng.integers(0, len(text)))
+    if op == 0:
+        return text[:i] + text[i + 1:]
+    if op == 1:
+        return text[:i] + str(rng.choice(VOCAB))[0] + text[i:]
+    if op == 2:
+        return text[:i] + "z" + text[i + 1:]
+    words = text.split(" ")
+    if len(words) >= 2:
+        j = int(rng.integers(0, len(words) - 1))
+        words[j], words[j + 1] = words[j + 1], words[j]
+        return " ".join(words)
+    return text + " z"
+
+
+def gen_documents(seed: int) -> pa.Table:
+    """One deterministic hostile documents table per seed."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(40, 260))
+    # skewed sources: a couple dominate (dup_rate_by_source structure)
+    n_src = int(rng.integers(2, 8))
+    src_weights = rng.dirichlet(np.ones(n_src) * 0.6)
+    texts: list[str | None] = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.10 and texts:  # exact-dup cluster member
+            texts.append(texts[int(rng.integers(0, len(texts)))])
+        elif r < 0.22 and texts:  # near-dup: 1-3 small edits
+            base = texts[int(rng.integers(0, len(texts)))]
+            t = base if base is not None else _word_salad(rng)
+            for _ in range(int(rng.integers(1, 4))):
+                t = _mutate(rng, t)
+            texts.append(t)
+        elif r < 0.40:
+            texts.append(_degenerate(rng))
+        elif r < 0.55:
+            texts.append(_unicode_soup(rng))
+        elif r < 0.68:
+            texts.append(_hostile_punct(rng))
+        else:
+            texts.append(_word_salad(rng))
+    langs = [
+        None if rng.random() < 0.05
+        else "" if rng.random() < 0.05
+        else str(rng.choice(LANGS))
+        for _ in range(n)
+    ]
+    sources = [
+        None if rng.random() < 0.05
+        else f"src{int(rng.choice(n_src, p=src_weights))}"
+        for _ in range(n)
+    ]
+    n_chars = [None if t is None else len(t) for t in texts]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(langs, type=pa.string()),
+            "source": pa.array(sources, type=pa.string()),
+            "n_chars": pa.array(n_chars, type=pa.int64()),
+        }
+    )
+
+
+def gen_embeddings(seed: int, dim: int = 64, ragged: bool = False) -> pa.Table:
+    """One deterministic hostile embeddings table per seed: normal
+    vectors plus zero vectors (cosine-denominator probe), exact
+    duplicates (top-k tie probe), constant vectors, tiny-magnitude
+    vectors, NULL embeddings/labels.  ``ragged=True`` additionally
+    emits empty and wrong-length vectors (a second-phase probe —
+    queries may pin an explicit contract for those)."""
+    rng = np.random.default_rng(seed ^ 0x5EED)
+    n = int(rng.integers(30, 200))
+    vecs: list[list[float] | None] = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.04:
+            vecs.append(None)
+        elif r < 0.10:
+            vecs.append([0.0] * dim)  # zero vector: ||v|| = 0
+        elif r < 0.16 and any(v is not None for v in vecs):
+            cands = [v for v in vecs if v is not None]
+            vecs.append(list(cands[int(rng.integers(0, len(cands)))]))
+        elif r < 0.20:
+            vecs.append([float(np.float32(rng.normal() * 1e-20))] * dim)
+        elif ragged and r < 0.24:
+            vecs.append([])  # empty vector
+        elif ragged and r < 0.27:
+            vecs.append([1.0] * int(rng.integers(1, dim)))  # short vector
+        else:
+            vecs.append(
+                [float(np.float32(x)) for x in rng.normal(size=dim)]
+            )
+    labels = [
+        None if rng.random() < 0.05 else int(rng.integers(0, 10))
+        for _ in range(n)
+    ]
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            "label": pa.array(labels, type=pa.int32()),
+        }
+    )

@@ -244,7 +244,11 @@ _PINNED_WINDOW = [
     "q_interpolate_linear", "q_interval_arith", "q_rank_methods",
     "q_sessionize_gaps",
     "q_doc_packing", "q_edit_distance", "q_subword_tokens",
-    "q_train_test_split", "q_weighted_resample", "q_winsorized_stats",
+    "q_train_test_split", "q_weighted_resample",
+    # round-11 rotation: the steady-state single-entry case — the new
+    # bigram-LM fluency query enters in the round it lands (headline
+    # invariant); q_winsorized_stats (ever-green) cedes its slot.
+    "q_bigram_lm_score",
 ]
 
 

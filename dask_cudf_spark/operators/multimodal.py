@@ -473,6 +473,7 @@ def build_png_codec():
         pos = 8
         ihdr = None
         idat = bytearray()
+        saw_iend = False
         while pos + 8 <= len(buf):
             (n,) = struct.unpack_from(">I", buf, pos)
             ctype = buf[pos + 4 : pos + 8]
@@ -486,9 +487,16 @@ def build_png_codec():
             elif ctype == b"IDAT":
                 idat += data
             elif ctype == b"IEND":
+                saw_iend = True
                 break
         if ihdr is None:
             raise ValueError("missing IHDR")
+        if not saw_iend:
+            # a stream cut between chunks passes every per-chunk CRC —
+            # only the IEND terminator proves the container is whole
+            # (r11 codec fuzz: decode must be exact-or-raise, never
+            # stats from a partial stream)
+            raise ValueError("truncated PNG (missing IEND)")
         width, height, depth, colortype, _, _, interlace = ihdr
         if depth != 8 or interlace != 0:
             raise ValueError("only 8-bit non-interlaced PNG supported")

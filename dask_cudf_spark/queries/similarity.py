@@ -23,6 +23,31 @@ _NORM_B = (
 )
 
 
+def _geom_sql(e: str = "embedding") -> str:
+    """DuckDB predicate for the directional-geometry input contract."""
+    return f"{e} IS NOT NULL AND len(list_filter({e}, x -> x <> 0)) > 0"
+
+
+#: Directional-geometry input contract (r11 corpus fuzz): a ZERO-NORM
+#: vector has no direction — normalizing it is 0/0 = NaN, which poisons
+#: cosine ranking, IVF/SemDeDup centroid assignment, and LSH signs with
+#: engine-dependent NaN ordering (numpy argmin propagates NaN where SQL
+#: ORDER BY sorts it last).  Zero vectors are excluded from DIRECTIONAL
+#: queries exactly like NULLs (the round-9 "no geometry" contract);
+#: magnitude-based ops (norms, quantization, L2 k-means/PQ, centroids,
+#: JL projection) keep them — zero is a perfectly good POINT, just not
+#: a direction.
+_GEOM_WHERE = _geom_sql()
+
+
+def _geom(em: DataFrame) -> DataFrame:
+    """Spark twin of _GEOM_WHERE (see contract note above)."""
+    return em.filter(
+        F.col("embedding").isNotNull()
+        & F.exists("embedding", lambda x: x != F.lit(0.0))
+    )
+
+
 @register(
     "q_cosine_sim",
     family="similarity",
@@ -42,8 +67,8 @@ _NORM_B = (
             -- neighbor (round-9 null leg; caught by the 30-percent
             -- density run — the 3-percent mask never nulled a
             -- vec_id < 10 query)
-            FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) a
-            JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) b
+            FROM (SELECT * FROM embeddings WHERE {_GEOM_WHERE}) a
+            JOIN (SELECT * FROM embeddings WHERE {_GEOM_WHERE}) b
               ON b.vec_id <> a.vec_id
             WHERE a.vec_id < 10
         ) WHERE rank <= 5
@@ -56,7 +81,7 @@ def q_cosine_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure JVM SQL — no Python in the loop."""
     from ..operators.similarity import cosine_topk
 
-    em = load_table(spark, sf_dir, "embeddings")
+    em = _geom(load_table(spark, sf_dir, "embeddings"))
     queries = em.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -128,7 +153,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals, so bucketing AND re-rank replay exactly in DuckDB."""
     from ..operators.similarity import lsh_bucket_topk
 
-    em = load_table(spark, sf_dir, "embeddings")
+    em = _geom(load_table(spark, sf_dir, "embeddings"))
     queries = em.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -153,7 +178,8 @@ def _install_lsh_oracle() -> None:
             FROM embeddings q
             JOIN embeddings c
               ON {sig_q} = {sig_c} AND c.vec_id <> q.vec_id
-            WHERE q.vec_id < 10
+                 AND {_geom_sql("c.embedding")}
+            WHERE q.vec_id < 10 AND {_geom_sql("q.embedding")}
         ) WHERE rank <= 5
     """
 
@@ -179,9 +205,9 @@ def _duck_cos(x: str, y: str) -> str:
     family="similarity",
     oracle=f"""
         WITH embeddings AS (
-            -- engine semantics: NULL vectors have no geometry and are
-            -- excluded from codebooks, corpus, and queries alike
-            SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+            -- engine semantics: NULL and ZERO-NORM vectors have no
+            -- direction and are excluded (r9 null / r11 zero legs)
+            SELECT * FROM main.embeddings WHERE {_GEOM_WHERE}
         ),
         seeds AS (
             SELECT cid, cvec, ROW_NUMBER() OVER (ORDER BY cid) - 1 AS cidx
@@ -234,7 +260,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL), unlike the rows-only LSH path."""
     from ..operators.similarity import ivf_topk
 
-    em = load_table(spark, sf_dir, "embeddings")
+    em = _geom(load_table(spark, sf_dir, "embeddings"))
     queries = em.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -293,7 +319,9 @@ def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings a
             JOIN embeddings b
               ON a.label = b.label AND b.vec_id > a.vec_id
+                 AND {_geom_sql("b.embedding")}
             WHERE a.vec_id < 300 AND b.vec_id < 300
+              AND {_geom_sql("a.embedding")}
         ) WHERE rank <= 3
     """,
 )
@@ -307,7 +335,7 @@ def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import scale_out
 
     em = (
-        scale_out(load_table(spark, sf_dir, "embeddings"))
+        scale_out(_geom(load_table(spark, sf_dir, "embeddings")))
         .filter(F.col("vec_id") < 300)
         .select(
             "label",
@@ -353,7 +381,12 @@ _install_lsh_oracle()
     family="similarity",
     oracle="""
         SELECT vec_id,
-               ROUND(127.0 / maxabs, 6) AS q_scale,
+               -- RAW division, deliberately un-ROUNDed: one IEEE divide
+               -- of identical operands is bit-identical in both engines,
+               -- while ROUND(x, 6) at huge magnitudes (scale ~1e21 for a
+               -- 1e-20-magnitude vector) perturbs the ulp differently in
+               -- DuckDB than Spark's BigDecimal rounding (r11 corpus fuzz)
+               127.0 / maxabs AS q_scale,
                array_to_string(list_transform(range(1, 65),
                    i -> CAST(CAST(floor(CAST(embedding[i] AS DOUBLE)
                                         * (127.0 / maxabs) + 0.5) AS INTEGER)
@@ -390,7 +423,9 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return with_scale.select(
         "vec_id",
-        F.round(F.col("scale"), 6).alias("q_scale"),
+        # raw division (no ROUND): see the oracle comment — rounding a
+        # ~1e21 scale diverges at the ulp between engines
+        F.col("scale").alias("q_scale"),
         F.array_join(q, ",").alias("q_vals"),
     )
 
@@ -400,9 +435,9 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     family="dedup",
     oracle=f"""
         WITH embeddings AS (
-            -- engine semantics: NULL vectors have no geometry and are
-            -- excluded from codebooks, corpus, and queries alike
-            SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+            -- engine semantics: NULL and ZERO-NORM vectors have no
+            -- direction and are excluded (r9 null / r11 zero legs)
+            SELECT * FROM main.embeddings WHERE {_GEOM_WHERE}
         ),
         k AS (
             SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)) AS kk
@@ -509,7 +544,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.similarity import semdedup
 
-    em = load_table(spark, sf_dir, "embeddings")
+    em = _geom(load_table(spark, sf_dir, "embeddings"))
     k = max(16, math.ceil(em.count() / 64))
     return semdedup(em, threshold=0.9, n_centroids=k, centroid_stride=13)
 
@@ -701,9 +736,9 @@ def _ann_recall_oracle() -> str:
     q_ann_ivf oracles verbatim) joined into per-query recall@5."""
     return f"""
         WITH embeddings AS (
-            -- engine semantics: NULL vectors have no geometry and are
-            -- excluded from codebooks, corpus, and queries alike
-            SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+            -- engine semantics: NULL and ZERO-NORM vectors have no
+            -- direction and are excluded (r9 null / r11 zero legs)
+            SELECT * FROM main.embeddings WHERE {_GEOM_WHERE}
         ),
         brute AS (
             SELECT query_id, neighbor_id FROM (
@@ -795,7 +830,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     each, no quadratic blow-up."""
     from ..operators.similarity import cosine_topk, ivf_topk
 
-    em = load_table(spark, sf_dir, "embeddings")
+    em = _geom(load_table(spark, sf_dir, "embeddings"))
     queries = em.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -859,8 +894,11 @@ def _mrl_oracle() -> str:
                                         DESC,
                                     b.vec_id
                        ) AS rank
-                FROM embeddings a
-                JOIN embeddings b ON b.vec_id <> a.vec_id
+                -- directional contract: NULL and zero-norm excluded
+                -- on both sides (r11; see _GEOM_WHERE)
+                FROM (SELECT * FROM embeddings WHERE {_GEOM_WHERE}) a
+                JOIN (SELECT * FROM embeddings WHERE {_GEOM_WHERE}) b
+                  ON b.vec_id <> a.vec_id
                 WHERE a.vec_id < 10
             ) WHERE rank <= 5
         )"""
@@ -902,7 +940,7 @@ def q_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold, so the marginal cost of extra budgets is one fold, not one
     scan each); per-(budget, query) top-5 windows and a set-intersect
     rollup follow."""
-    em = load_table(spark, sf_dir, "embeddings")
+    em = _geom(load_table(spark, sf_dir, "embeddings"))
     q = em.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )

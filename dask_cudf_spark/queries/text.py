@@ -156,7 +156,12 @@ def q_hash_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
             SELECT doc_id, lang, source,
                    ROW_NUMBER() OVER (
-                       PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                       -- trim(x, ' '): explicit space-only char set.
+                       -- DuckDB's bare trim() strips UNICODE whitespace
+                       -- (NBSP, U+3000) that Spark's trim keeps — an
+                       -- all-NBSP doc must NOT collapse into the ''
+                       -- dedup group (r11 corpus fuzz)
+                       PARTITION BY md5(lower(trim(regexp_replace(text, '[ \\t\\n\\v\\f\\r]+', ' ', 'g'), ' ')))
                        ORDER BY doc_id) AS rn
             FROM documents
         ) WHERE rn = 1
@@ -228,7 +233,10 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT
             a.doc_id AS id_a,
             b.doc_id AS id_b,
-            levenshtein(SUBSTRING(a.text, 1, 100), SUBSTRING(b.text, 1, 100)) AS edit_dist
+            levenshtein(
+                SUBSTRING(regexp_replace(a.text, '[^\\x00-\\x7F]', '', 'g'), 1, 100),
+                SUBSTRING(regexp_replace(b.text, '[^\\x00-\\x7F]', '', 'g'), 1, 100)
+            ) AS edit_dist
         FROM documents a
         JOIN documents b ON b.doc_id = a.doc_id + 1
         WHERE a.doc_id < 150
@@ -236,8 +244,18 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein distance (nvtext.edit_distance) on 100-char prefixes
-    of adjacent docs — bounded O(100^2) per pair."""
+    of adjacent docs — bounded O(100^2) per pair.
+
+    Cross-engine contract (r11 corpus fuzz): the distance is computed
+    over the ASCII PROJECTION of each text (non-ASCII chars stripped
+    identically on both sides, THEN the 100-char prefix).  Spark's
+    levenshtein counts codepoint edits while DuckDB's counts BYTE edits
+    — a 100-char CJK prefix measured 300 in the oracle — so the
+    differential contract pins the subset where the two metrics
+    coincide; on the all-ASCII testdata the projection is a no-op.
+    The engine's public F.levenshtein stays codepoint-exact for users."""
     d = load_table(spark, sf_dir, "documents")
+    ascii_only = lambda c: F.regexp_replace(c, r"[^\x00-\x7F]", "")  # noqa: E731
     a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")).filter(
         F.col("id_a") < 150
     )
@@ -246,7 +264,8 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a",
         "id_b",
         F.levenshtein(
-            F.substring("text_a", 1, 100), F.substring("text_b", 1, 100)
+            F.substring(ascii_only("text_a"), 1, 100),
+            F.substring(ascii_only("text_b"), 1, 100),
         ).cast("long").alias("edit_dist"),
     )
 
@@ -711,15 +730,15 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT
             doc_id,
-            len(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '))
+            len(string_split(regexp_replace(text, '[ \\t\\n\\v\\f\\r]+', ' ', 'g'), ' '))
                 AS n_tokens,
             len(list_filter(
-                string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '),
+                string_split(regexp_replace(text, '[ \\t\\n\\v\\f\\r]+', ' ', 'g'), ' '),
                 t -> NOT list_contains({_EN_STOP_SQL}, t)))
                 AS n_kept,
             array_to_string(
                 list_filter(
-                    string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '),
+                    string_split(regexp_replace(text, '[ \\t\\n\\v\\f\\r]+', ' ', 'g'), ' '),
                     t -> NOT list_contains({_EN_STOP_SQL}, t))[1:5],
                 ' ') AS kept_head
         FROM documents

@@ -70,9 +70,8 @@ def main() -> None:
         bad = m[
             (m["_merge"] != "both")
             | (
-                m[scols].fillna("<N>").astype(str).values
-                != m[[c[:-2] + "_d" for c in scols]]
-                .fillna("<N>").astype(str).values
+                m[scols].astype(str).values
+                != m[[c[:-2] + "_d" for c in scols]].astype(str).values
             ).any(axis=1)
         ]
         print(bad.head(12).to_string())

@@ -179,7 +179,13 @@ def gen_embeddings(seed: int, dim: int = 64, ragged: bool = False) -> pa.Table:
     emits empty and wrong-length vectors (a second-phase probe —
     queries may pin an explicit contract for those)."""
     rng = np.random.default_rng(seed ^ 0x5EED)
-    n = int(rng.integers(30, 200))
+    # floor 180: the stride-sampled codebooks need enough seed
+    # candidates (kmeans stride 19 x 8 clusters needs ids through 133;
+    # PQ stride 13 x 8 codes through 91) to survive the ~10% null/zero
+    # exclusions — "need N seeds, found M" is the operators' documented
+    # misconfiguration contract, not a robustness finding.  Tiny/empty
+    # corpora are covered by tests/test_empty_inputs.py.
+    n = int(rng.integers(180, 400))
     vecs: list[list[float] | None] = []
     for _ in range(n):
         r = rng.random()

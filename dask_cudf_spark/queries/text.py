@@ -736,11 +736,17 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                 string_split(regexp_replace(text, '[ \\t\\n\\v\\f\\r]+', ' ', 'g'), ' '),
                 t -> NOT list_contains({_EN_STOP_SQL}, t)))
                 AS n_kept,
-            array_to_string(
-                list_filter(
-                    string_split(regexp_replace(text, '[ \\t\\n\\v\\f\\r]+', ' ', 'g'), ' '),
-                    t -> NOT list_contains({_EN_STOP_SQL}, t))[1:5],
-                ' ') AS kept_head
+            -- duck array_to_string([]) is NULL where Spark's
+            -- array_join([]) is '' — an ALL-stopword doc must read ''
+            -- on both sides, while a NULL doc stays NULL on both (r11
+            -- corpus fuzz; the r10 '' leg could not produce an
+            -- all-stopword doc: '' splits to [''], not a stopword)
+            CASE WHEN text IS NULL THEN NULL
+                 ELSE COALESCE(array_to_string(
+                     list_filter(
+                         string_split(regexp_replace(text, '[ \\t\\n\\v\\f\\r]+', ' ', 'g'), ' '),
+                         t -> NOT list_contains({_EN_STOP_SQL}, t))[1:5],
+                     ' '), '') END AS kept_head
         FROM documents
         WHERE doc_id < 200
     """,

@@ -69,3 +69,59 @@ def test_fuzz_txlog_matches_model(spark, seed, tmp_path):
     except AssertionError:
         print(f"plan: {plan.describe()}")
         raise
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_corpus_fuzz_smoke(spark, seed, tmp_path):
+    """Adversarial-corpus slice (r11): two seeds x four fixed queries
+    over hostile generated documents/embeddings, Spark vs oracle on
+    the SAME parquet — keeps the generator and the replay harness
+    honest on every suite run.  Full sweeps:
+        python scripts/corpus_fuzz.py 100 <start_seed> 20
+    """
+    import shutil
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from dask_cudf_spark.registry import ordered_specs
+
+    from .corpus_gen import gen_documents, gen_embeddings
+    from .oracle_compare import normalize_nullable_ints
+
+    sf = str(tmp_path / f"corpus{seed}")
+    import os
+
+    os.makedirs(sf)
+    for t in (
+        "region nation customer supplier part orders lineitem events"
+    ).split():
+        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{sf}/{t}.parquet")
+    pq.write_table(gen_documents(seed), f"{sf}/documents.parquet")
+    pq.write_table(gen_embeddings(seed), f"{sf}/embeddings.parquet")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    by_name = {s.name: s for s in ordered_specs()}
+    # one rep per hardened class: tokenization, byte-oracle multimodal,
+    # directional geometry, dedup normalization
+    for qname in (
+        "q_token_filter",
+        "q_multimodal_features",
+        "q_cosine_sim",
+        "q_exact_dedup_rows",
+    ):
+        spec = by_name[qname]
+        spdf = spec.fn(spark, sf).toPandas()
+        ddf = con.execute(spec.oracle).fetchdf()
+        assert_frames_match(
+            normalize_nullable_ints(spdf),
+            normalize_nullable_ints(ddf),
+            f"corpus seed {seed}/{qname}",
+        )
+    con.close()

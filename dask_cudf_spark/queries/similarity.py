@@ -1160,3 +1160,75 @@ _REG_JL = __import__(
     "dask_cudf_spark.registry", fromlist=["REGISTRY"]
 ).REGISTRY
 _REG_JL["q_jl_projection"].oracle = _jl_oracle()
+
+
+@register(
+    "q_embedding_audit",
+    family="similarity",
+    oracle="""
+        SELECT
+            COUNT(*) AS n_rows,
+            CAST(SUM(CASE WHEN embedding IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+            CAST(SUM(CASE WHEN embedding IS NOT NULL
+                          AND len(embedding) <> 64
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+            CAST(SUM(CASE WHEN embedding IS NOT NULL
+                          AND len(list_filter(embedding,
+                                  x -> isnan(x) OR NOT isfinite(x))) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+            CAST(SUM(CASE WHEN embedding IS NOT NULL
+                          AND len(list_filter(embedding,
+                                  x -> isnan(x) OR NOT isfinite(x))) = 0
+                          AND len(list_filter(embedding, x -> x <> 0)) = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+            CAST(SUM(CASE WHEN embedding IS NOT NULL
+                          AND len(embedding) = 64
+                          AND len(list_filter(embedding,
+                                  x -> isnan(x) OR NOT isfinite(x))) = 0
+                          AND len(list_filter(embedding, x -> x <> 0)) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_geometry_ready
+        FROM embeddings
+    """,
+)
+def q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding ingest gate (r11) — the vector-column counterpart of
+    q_null_audit's "gate, don't guess" stance: ONE metadata-light scan
+    profiles every way a vector can violate the geometry contract the
+    directional operators declare — NULL, wrong dimension (the table
+    invariant is 64), non-finite elements (NaN/Inf poison every
+    distance kernel), zero norm (no direction) — plus the count that
+    remains geometry-ready.  The RAGGED corpus-fuzz probe
+    (RAGGED=1 scripts/corpus_fuzz.py) deliberately produces all four
+    defect classes; geometry queries are NOT required to accept them —
+    this audit is the pipeline step that keeps such rows out, exactly
+    as a production ingest job would before building an ANN index.
+
+    Scale: one map-side pass, conditional aggregates only — no
+    shuffle beyond the single global rollup; linear at any corpus
+    size."""
+    em = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    nonfinite = F.exists(
+        e, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    nonzero = F.exists(e, lambda x: x != F.lit(0.0))
+    return em.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(e.isNull(), 1).otherwise(0)).alias("n_null"),
+        F.sum(
+            F.when(e.isNotNull() & (F.size(e) != 64), 1).otherwise(0)
+        ).alias("n_wrong_dim"),
+        F.sum(F.when(e.isNotNull() & nonfinite, 1).otherwise(0)).alias(
+            "n_nonfinite"
+        ),
+        F.sum(
+            F.when(e.isNotNull() & ~nonfinite & ~nonzero, 1).otherwise(0)
+        ).alias("n_zero_norm"),
+        F.sum(
+            F.when(
+                e.isNotNull() & (F.size(e) == 64) & ~nonfinite & nonzero,
+                1,
+            ).otherwise(0)
+        ).alias("n_geometry_ready"),
+    )

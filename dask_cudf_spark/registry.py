@@ -584,14 +584,15 @@ _ROTATIONS: list[tuple[list[str], list[str]]] = [
     ),
     (
         # round 11: the steady-state case the retired machinery was
-        # kept for — ONE genuinely new query (q_bigram_lm_score, the
-        # bigram-LM fluency filter beside q_token_rarity's unigram
-        # proxy) enters the window in the round it lands, per the
-        # headline invariant (a new query must be scorable immediately
-        # or it recreates the never-green class).  One ever-green
-        # resident cedes its slot.
-        ["q_bigram_lm_score"],
-        ["q_winsorized_stats"],
+        # kept for — TWO genuinely new queries enter the window in the
+        # round they land, per the headline invariant (a new query must
+        # be scorable immediately or it recreates the never-green
+        # class): q_bigram_lm_score (bigram-LM fluency filter beside
+        # q_token_rarity's unigram proxy) and q_embedding_audit (the
+        # vector-column ingest gate the ragged corpus-fuzz probe
+        # motivated).  Two ever-green residents cede their slots.
+        ["q_bigram_lm_score", "q_embedding_audit"],
+        ["q_winsorized_stats", "q_train_test_split"],
     ),
 ]
 _WINDOW = 50

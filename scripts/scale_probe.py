@@ -89,6 +89,11 @@ PROBES = [
     # matview) signed-delta refresh against row volume
     "q_txlog_change_feed",
     "q_matview_cdc",
+    # r11 additions: the bigram-LM fluency filter (two vocabulary-count
+    # shuffles joined back to the bigram stream — the query family whose
+    # cost is join-volume-bound) and the one-scan embedding ingest gate
+    "q_bigram_lm_score",
+    "q_embedding_audit",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -166,11 +166,16 @@ def bpe_encode_sql(
         folded = f"replace({folded}, ' {a}  {b} ', ' {a}{b} ')"
     # CASE pin, matching bpe_encode_expr: '' word -> '' (DuckDB's
     # array_to_string over the empty char list is NULL, which would
-    # otherwise poison the whole document — r10 empty-string leg)
+    # otherwise poison the whole document — r10 empty-string leg).
+    # trim(x, ' '): explicit space-only char set — DuckDB's bare trim()
+    # strips UNICODE whitespace, so a word made of NBSP/U+3000 chars
+    # trimmed to NOTHING here while Spark's ASCII trim kept it
+    # (r11 corpus fuzz via q_tokenizer_fertility; same pin as the
+    # exact-dedup fingerprint oracle)
     return (
         f"array_to_string(list_transform(string_split({expr}, ' '), "
         f"w -> CASE WHEN len(w) > 0 "
-        f"THEN replace(trim({folded}), '  ', ' ') ELSE '' END), ' ')"
+        f"THEN replace(trim({folded}, ' '), '  ', ' ') ELSE '' END), ' ')"
     )
 
 

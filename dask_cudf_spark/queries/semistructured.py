@@ -182,14 +182,24 @@ def q_explode_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_full_parse",
     family="semistructured",
     oracle="""
-        SELECT
-            event_id,
-            CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
-            CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) % 10 AS k_mod,
-            CASE WHEN CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) > 50
-                 THEN 'high' ELSE 'low' END AS k_band
-        FROM events
-        WHERE event_id < 300
+        WITH p AS (
+            SELECT event_id,
+                   -- typed-parse gate (r11 events-corpus fuzz): Spark's
+                   -- from_json with a BIGINT schema accepts only
+                   -- integer-TYPED JSON numbers — a quoted "18", a 1.9,
+                   -- or a true all parse to NULL, they are never
+                   -- coerced.  json_type replicates that gate; the
+                   -- plain extract-and-CAST the oracle used before
+                   -- coerces strings and diverges.
+                   CAST(CASE WHEN json_valid(props)
+                             AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                        THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+            FROM events
+            WHERE event_id < 300
+        )
+        SELECT event_id, k, k % 10 AS k_mod,
+               CASE WHEN k > 50 THEN 'high' ELSE 'low' END AS k_band
+        FROM p
     """,
 )
 def q_json_full_parse(spark: SparkSession, sf_dir: str) -> DataFrame:

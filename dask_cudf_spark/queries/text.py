@@ -1763,11 +1763,14 @@ def q_ngram_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     family="text",
     oracle="""
         SELECT e.event_id,
+               -- trim(x, ' '): space-only, matching Spark's ASCII trim
+               -- (duck's bare trim strips unicode whitespace — the r11
+               -- corpus-fuzz pin applied everywhere a twin trims)
                trim(regexp_replace(
                    regexp_replace(
                        lower(e.props || ' ' || o.o_orderpriority),
                        '([{}":,;.!?()\\[\\]-])', ' \\1 ', 'g'),
-                   ' +', ' ', 'g')) AS norm
+                   ' +', ' ', 'g'), ' ') AS norm
         FROM events e
         JOIN orders o ON o.o_orderkey = e.event_id % 1000 + 1
         WHERE e.event_id < 2000

@@ -50,7 +50,7 @@ import duckdb  # noqa: E402
 import numpy as np  # noqa: E402
 import pyarrow.parquet as pq  # noqa: E402
 
-from corpus_gen import gen_documents, gen_embeddings  # noqa: E402
+from corpus_gen import gen_documents, gen_embeddings, gen_events  # noqa: E402
 from oracle_compare import assert_frames_match, normalize_nullable_ints  # noqa: E402
 
 BASE_SF = "/root/testdata/sf0.001"
@@ -65,23 +65,20 @@ TABLES = (
 EXCLUDE: dict[str, str] = {}
 
 
-def eligible_specs():
+def eligible_specs(fuzzed: tuple[str, ...]):
+    """Oracle-backed specs whose SQL references at least one FUZZED
+    table.  Non-fuzzed tables stay real copies, so a query may join
+    them freely; a query touching no fuzzed input would just replay
+    clean data and waste the sweep's wall time."""
     from dask_cudf_spark.registry import ordered_specs
 
-    others = [
-        "lineitem", "orders", "customer", "supplier", "part ", "nation",
-        "region", " events",
+    return [
+        s
+        for s in ordered_specs()
+        if s.oracle is not None
+        and s.name not in EXCLUDE
+        and any(t in s.oracle for t in fuzzed)
     ]
-    out = []
-    for s in ordered_specs():
-        if s.oracle is None or s.name in EXCLUDE:
-            continue
-        o = s.oracle
-        if ("documents" in o or "embeddings" in o) and not any(
-            t in o for t in others
-        ):
-            out.append(s)
-    return out
 
 
 def main() -> int:
@@ -103,7 +100,9 @@ def main() -> int:
     spark = get_spark(app_name="corpus-fuzz", extra_conf=conf)
     if hostile:
         print(f"== HOSTILE config: {hostile} ==")
-    specs = eligible_specs()
+    events_mode = os.environ.get("EVENTS", "") == "1"
+    fuzzed = ("documents", "embeddings") + (("events",) if events_mode else ())
+    specs = eligible_specs(fuzzed)
     if only:
         specs = [s for s in specs if only in s.name or only == s.family]
     names = [s.name for s in specs]
@@ -123,12 +122,14 @@ def main() -> int:
         shutil.rmtree(sf_dir, ignore_errors=True)
         os.makedirs(sf_dir)
         for t in TABLES:
-            if t not in ("documents", "embeddings"):
+            if t not in fuzzed:
                 shutil.copy(f"{BASE_SF}/{t}.parquet", f"{sf_dir}/{t}.parquet")
         docs = gen_documents(seed)
         embs = gen_embeddings(seed, ragged=ragged)
         pq.write_table(docs, f"{sf_dir}/documents.parquet")
         pq.write_table(embs, f"{sf_dir}/embeddings.parquet")
+        if events_mode:
+            pq.write_table(gen_events(seed), f"{sf_dir}/events.parquet")
 
         con = duckdb.connect()
         for t in TABLES:
@@ -167,7 +168,7 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "grammar": "corpus" + ("-ragged" if ragged else ""),
+                "grammar": "corpus" + ("-ragged" if ragged else "") + ("-events" if events_mode else ""),
                 "hostile": hostile,
                 "seeds": n_seeds,
                 "start_seed": start,

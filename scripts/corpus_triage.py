@@ -20,7 +20,7 @@ import duckdb  # noqa: E402
 import pandas as pd  # noqa: E402
 import pyarrow.parquet as pq  # noqa: E402
 
-from corpus_gen import gen_documents, gen_embeddings  # noqa: E402
+from corpus_gen import gen_documents, gen_embeddings, gen_events  # noqa: E402
 from oracle_compare import canonical_rows, normalize_nullable_ints  # noqa: E402
 
 TABLES = (
@@ -43,6 +43,8 @@ def main() -> None:
             )
     pq.write_table(gen_documents(seed), f"{sf}/documents.parquet")
     pq.write_table(gen_embeddings(seed, ragged=ragged), f"{sf}/embeddings.parquet")
+    if os.environ.get("EVENTS", "") == "1":
+        pq.write_table(gen_events(seed), f"{sf}/events.parquet")
 
     from dask_cudf_spark.registry import ordered_specs
     from dask_cudf_spark.session import get_spark
@@ -60,8 +62,8 @@ def main() -> None:
     sp = normalize_nullable_ints(spec.fn(spark, sf).toPandas())
     dk = normalize_nullable_ints(con.execute(spec.oracle).fetchdf())
     print(f"rows: spark={len(sp)} duck={len(dk)}")
-    key = sys.argv[3] if len(sys.argv) > 3 else (
-        "doc_id" if "doc_id" in sp.columns else None
+    key = sys.argv[3] if len(sys.argv) > 3 else next(
+        (k for k in ("doc_id", "event_id", "vec_id") if k in sp.columns), None
     )
     if key and len(sp) and key in dk.columns:
         m = pd.merge(sp, dk, on=key, suffixes=("_s", "_d"), how="outer",
@@ -75,12 +77,18 @@ def main() -> None:
             ).any(axis=1)
         ]
         print(bad.head(12).to_string())
-        docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
         if key == "doc_id":
+            docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
             for i in bad[key].dropna().head(6):
                 row = docs[docs.doc_id == i]
                 if len(row):
                     print(i, repr(row[["text", "lang", "source"]].iloc[0].to_dict())[:400])
+        elif key == "event_id":
+            ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+            for i in bad[key].dropna().head(8):
+                row = ev[ev.event_id == i]
+                if len(row):
+                    print(i, repr(row[["event_type", "props"]].iloc[0].to_dict())[:300])
     else:
         s_rows, d_rows = canonical_rows(sp), canonical_rows(dk)
         only_s = [r for r in s_rows if r not in d_rows][:8]

@@ -223,3 +223,116 @@ def gen_embeddings(seed: int, dim: int = 64, ragged: bool = False) -> pa.Table:
             "label": pa.array(labels, type=pa.int32()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Events / JSON corpus (r11 second axis): hostile event streams whose
+# props column probes the JSON-parsing divergence space — malformed
+# payloads, duplicate keys, unicode escapes, extreme numbers, deep
+# nesting, root-level scalars — while event_id/ts keep the declared
+# ingest contracts (unique ids, non-null event time).
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def _json_hostile(rng: np.random.Generator) -> str | None:
+    kind = int(rng.integers(0, 14))
+    k = int(rng.integers(0, 100))
+    if kind == 0:
+        return None
+    if kind == 1:
+        return ""
+    if kind == 2:  # plain valid (the common case)
+        return f'{{"k": {k}}}'
+    if kind == 3:  # extra fields, unicode key + value, escapes
+        return (
+            f'{{"k": {k}, "devïce": "iøs\\u00e9", "emoji": "😀", '
+            f'"q": "say \\"hi\\""}}'
+        )
+    if kind == 4:  # k as a JSON string, not a number
+        return f'{{"k": "{k}"}}'
+    if kind == 5:  # wide array payload beside k
+        arr = ", ".join(str(int(rng.integers(0, 9))) for _ in range(40))
+        return f'{{"k": {k}, "arr": [{arr}]}}'
+    if kind == 6:  # nested: k at the top, payload deep
+        inner = '{"x": 1}'
+        for _ in range(int(rng.integers(3, 20))):
+            inner = f'{{"n": {inner}}}'
+        return f'{{"k": {k}, "deep": {inner}}}'
+    if kind == 7:  # extreme numbers
+        n = rng.choice(["9223372036854775807", "18446744073709551616",
+                        "1e308", "-0.0", "0.30000000000000004", "1E+2"])
+        return f'{{"k": {k}, "big": {n}}}'
+    if kind == 8:  # malformed: truncated mid-object
+        return f'{{"k": {k}, "dev'
+    if kind == 9:  # malformed where BOTH engines agree on rejection.
+        # Deliberately absent: trailing commas (DuckDB/yyjson accepts,
+        # Spark/Jackson rejects), single-quoted strings (Spark accepts,
+        # DuckDB rejects), duplicate keys (Spark's OWN get_json_object
+        # takes the first, from_json the last) — those acceptance-
+        # profile divergences are definitional engine semantics, pinned
+        # as fixed expectations in tests/test_json_leniency.py, not
+        # differential-fuzzed (no oracle can follow Jackson's profile).
+        return str(rng.choice([
+            '{k: 1}', '{', 'not json at all', '[1, 2,', 'NaN', 'Infinity',
+            '{"k": 05}',
+        ]))
+    if kind == 10:  # root-level scalar / array (valid JSON, no object)
+        return str(rng.choice([f"{k}", "true", "null", '"just a string"',
+                               f'[{k}, {k + 1}]']))
+    if kind == 11:  # k absent entirely
+        return '{"other": "field"}'
+    if kind == 12:  # k null
+        return '{"k": null}'
+    # whitespace-padded valid JSON (leading/trailing)
+    return f'  {{"k": {k}}}  '
+
+
+def gen_events(seed: int) -> pa.Table:
+    """One deterministic hostile events table per seed.  Contracts
+    kept: event_id unique, ts non-null (order-key ingest contract,
+    NULLS.md) with heavy ties and bursts; value stays in a sane
+    magnitude range (extreme-magnitude float sums are a DIFFERENT
+    leg — they break every engine's scaled-int discipline equally)."""
+    rng = np.random.default_rng(seed ^ 0xE7E27)
+    n = int(rng.integers(300, 1500))
+    n_users = int(rng.integers(3, 30))
+    base = 1_700_000_000_000_000  # 2023-11 in us
+    ts, t = [], base
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.15:
+            pass  # exact tie with the previous event
+        elif r < 0.3:
+            t += int(rng.integers(1, 1000))  # sub-ms burst
+        else:
+            t += int(rng.integers(1_000_000, 3_600_000_000))
+        ts.append(t)
+    types = [
+        None if rng.random() < 0.04
+        else "" if rng.random() < 0.04
+        else str(rng.choice(EVENT_TYPES + ["类型", "tüp", "a b"]))
+        for _ in range(n)
+    ]
+    values = [
+        None if rng.random() < 0.05
+        else float(np.float64(rng.choice(
+            [0.0, 0.01, -5.5, 185.22, 1e-8, 99999.99]
+        )) * (1 + rng.random()))
+        for _ in range(n)
+    ]
+    props = [_json_hostile(rng) for _ in range(n)]
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "user_id": pa.array(
+                [int(rng.integers(0, n_users)) for _ in range(n)],
+                type=pa.int64(),
+            ),
+            "event_type": pa.array(types, type=pa.string()),
+            "value": pa.array(values, type=pa.float64()),
+            "props": pa.array(props, type=pa.string()),
+        }
+    )

@@ -227,9 +227,12 @@ def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
                 time_bucket(INTERVAL '1 day', ts) AS window_start,
                 event_type,
                 COUNT(*) AS n_events,
+                -- NULLS LAST pinned both sides (r11 events corpus:
+                -- a NULL type TIED with a real type split the engines
+                -- — Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST)
                 ROW_NUMBER() OVER (
                     PARTITION BY time_bucket(INTERVAL '1 day', ts)
-                    ORDER BY COUNT(*) DESC, event_type
+                    ORDER BY COUNT(*) DESC, event_type NULLS LAST
                 ) AS rnk
             FROM events
             GROUP BY 1, 2
@@ -252,7 +255,9 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"))
     )
-    w = W.partitionBy("w").orderBy(F.desc("n_events"), F.asc("event_type"))
+    w = W.partitionBy("w").orderBy(
+        F.desc("n_events"), F.asc_nulls_last("event_type")
+    )
     return (
         counts.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)

@@ -247,7 +247,7 @@ def q_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     family="window",
     oracle="""
         WITH marked AS (
-            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
                    CASE WHEN CAST(ts AS TIMESTAMP)
                           - LAG(CAST(ts AS TIMESTAMP)) OVER (
                                 PARTITION BY user_id ORDER BY ts, event_id)
@@ -259,9 +259,13 @@ def q_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         ),
         sessions AS (
+            -- running sum over the SAME total order the gap flag was
+            -- computed on (ts, event_id) — ordering by ts alone makes
+            -- session attribution among tied timestamps
+            -- engine-arbitrary (r11 events corpus: exact-tie bursts)
             SELECT user_id, ts,
                    SUM(new_session) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS session_id
             FROM marked
         )
@@ -284,14 +288,23 @@ def q_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # same total order as the gap flag: tied timestamps otherwise get
+    # engine-arbitrary session attribution (r11 events corpus)
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_lag)
+    # gap in MICROSECONDS: cast-to-long is epoch SECONDS and truncates,
+    # so a 30m00.13s gap read as exactly 30m and failed to open a new
+    # session while the full-precision oracle opened one (r11 events
+    # corpus — a real sub-second-precision sessionization bug)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w_lag)
     marked = ev.select(
         "user_id",
         "ts",
-        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("new_session"),
+        "event_id",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
     )
     sess = marked.withColumn(
         "session_id", F.sum("new_session").over(w_run).cast("long")

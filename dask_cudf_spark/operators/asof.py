@@ -47,6 +47,14 @@ def merge_asof(
     `tolerance` (a number for numeric `on`, or seconds for timestamp
     `on`) nulls out matches farther than the given distance, mirroring
     pandas; it is applied after the window pass so it adds no shuffle.
+
+    PRECONDITION (r11 events-corpus finding): right rows must be
+    UNIQUE per (by, on) — with duplicates, which right row's values
+    carry is engine-arbitrary (pandas resolves such ties by input
+    order, which has no distributed analog; DuckDB's native ASOF JOIN
+    is equally unspecified).  Dedupe the point-in-time side first
+    (e.g. groupBy(by, on).agg(max(value))), the standard feature-store
+    discipline — see queries/joins._asof_inputs.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(

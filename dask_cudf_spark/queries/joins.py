@@ -273,7 +273,8 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.event_id, e.user_id, e.ts, p.ts AS last_purchase_ts,
                p.value AS last_purchase_value
         FROM (SELECT * FROM events WHERE event_type = 'click') e
-        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS value FROM events
+              WHERE event_type = 'purchase' GROUP BY user_id, ts) p
           ON e.user_id = p.user_id AND e.ts >= p.ts
     """,
 )
@@ -284,13 +285,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: DuckDB native ASOF JOIN."""
     from ..operators.asof import merge_asof
 
-    ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
-    )
+    clicks, purchases = _asof_inputs(spark, sf_dir)
     out = merge_asof(
         clicks,
         purchases,
@@ -309,12 +304,25 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _asof_inputs(spark: SparkSession, sf_dir: str):
+    """Click/purchase sides for the four asof queries.
+
+    The purchase side is DEDUPED to one row per (user_id, ts) keeping
+    MAX(value) — the r11 events corpus (15% exact-tie timestamps)
+    showed that merge_asof's pick among right rows TIED on the match
+    key is engine-arbitrary (pandas resolves such ties by input order,
+    which has no distributed analog), and DuckDB's native ASOF JOIN is
+    equally unspecified there.  Deduping the point-in-time side before
+    an as-of join is the production feature-store discipline; the
+    identical GROUP BY rides in every oracle.  merge_asof itself
+    documents the precondition."""
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
     )
     return clicks, purchases
 
@@ -326,7 +334,8 @@ def _asof_inputs(spark: SparkSession, sf_dir: str):
         SELECT e.event_id, e.user_id, e.ts, p.ts AS next_purchase_ts,
                p.value AS next_purchase_value
         FROM (SELECT * FROM events WHERE event_type = 'click') e
-        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS value FROM events
+              WHERE event_type = 'purchase' GROUP BY user_id, ts) p
           ON e.user_id = p.user_id AND e.ts <= p.ts
     """,
 )
@@ -365,9 +374,10 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
                p.value AS near_purchase_value
         FROM (SELECT * FROM events WHERE event_type = 'click') e
         LEFT JOIN LATERAL (
-            SELECT ts, value FROM events p
+            SELECT ts, MAX(value) AS value FROM events p
             WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
-            ORDER BY abs(epoch_us(p.ts) - epoch_us(e.ts)), p.ts
+            GROUP BY ts
+            ORDER BY abs(epoch_us(ts) - epoch_us(e.ts)), ts
             LIMIT 1
         ) p ON true
     """,
@@ -416,7 +426,8 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
                    p.ts AS p_ts, p.value AS p_value
             FROM (SELECT * FROM events WHERE event_type = 'click') e
             ASOF LEFT JOIN
-                 (SELECT * FROM events WHERE event_type = 'purchase') p
+                 (SELECT user_id, ts, MAX(value) AS value FROM events
+              WHERE event_type = 'purchase' GROUP BY user_id, ts) p
               ON e.user_id = p.user_id AND e.ts >= p.ts
         )
     """,

@@ -86,7 +86,7 @@ def test_corpus_fuzz_smoke(spark, seed, tmp_path):
 
     from dask_cudf_spark.registry import ordered_specs
 
-    from .corpus_gen import gen_documents, gen_embeddings
+    from .corpus_gen import gen_documents, gen_embeddings, gen_events
     from .oracle_compare import normalize_nullable_ints
 
     sf = str(tmp_path / f"corpus{seed}")
@@ -94,11 +94,12 @@ def test_corpus_fuzz_smoke(spark, seed, tmp_path):
 
     os.makedirs(sf)
     for t in (
-        "region nation customer supplier part orders lineitem events"
+        "region nation customer supplier part orders lineitem"
     ).split():
         shutil.copy(f"{SF_DIR}/{t}.parquet", f"{sf}/{t}.parquet")
     pq.write_table(gen_documents(seed), f"{sf}/documents.parquet")
     pq.write_table(gen_embeddings(seed), f"{sf}/embeddings.parquet")
+    pq.write_table(gen_events(seed), f"{sf}/events.parquet")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
@@ -109,12 +110,15 @@ def test_corpus_fuzz_smoke(spark, seed, tmp_path):
         )
     by_name = {s.name: s for s in ordered_specs()}
     # one rep per hardened class: tokenization, byte-oracle multimodal,
-    # directional geometry, dedup normalization
+    # directional geometry, dedup normalization, JSON typed-parse,
+    # sub-second sessionization
     for qname in (
         "q_token_filter",
         "q_multimodal_features",
         "q_cosine_sim",
         "q_exact_dedup_rows",
+        "q_json_full_parse",
+        "q_sessionize_gaps",
     ):
         spec = by_name[qname]
         spdf = spec.fn(spark, sf).toPandas()

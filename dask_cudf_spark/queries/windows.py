@@ -1114,10 +1114,17 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY l.lag
         )
         SELECT CAST(lag AS BIGINT) AS lag, n,
+               -- explicit DOUBLE casts, never DECIMAL literals: duck
+               -- parses 1000000.0 as DECIMAL, and its DECIMAL->DOUBLE
+               -- conversion is not correctly rounded — a perfectly
+               -- correlated n=2 pair computed 999999.9999999999 where
+               -- Spark's pure-double pipeline hits 1000000.0 exactly
+               -- (r11 events corpus, seed 7030)
                CAST(TRUNC(
-                   1000000.0 * (n * sxy - sx * sy)
-                   / sqrt(1.0 * (n * sxx - sx * sx)
-                          * (n * syy - sy * sy))
+                   CAST(1000000 AS DOUBLE)
+                   * CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE))
                ) AS BIGINT) AS acf_ppm
         FROM lagged
         ORDER BY lag

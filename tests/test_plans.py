@@ -383,7 +383,14 @@ def test_tpch_q5_region_pruned_below_fact_joins(spark):
 
 
 def test_asof_variants_single_shuffle(spark):
-    # nearest evaluates BOTH directions over the same exchange: still 1
+    # The merge_asof OPERATOR itself is one exchange (nearest evaluates
+    # BOTH directions over that same exchange).  The registered queries
+    # carry exactly one more: the right-side (user_id, ts) dedupe
+    # aggregation — the uniqueness PRECONDITION the r11 events corpus
+    # forced (operators/asof.py docstring).  That shuffle is map-side-
+    # combinable and touches only the (smaller) point-in-time side, so
+    # the 100 TB cost story is unchanged; pin the count at exactly 2 so
+    # any third exchange (a lost reuse, an accidental join) still flags.
     from dask_cudf_spark.plans import audit
 
     for name in [
@@ -393,7 +400,7 @@ def test_asof_variants_single_shuffle(spark):
         "q_join_asof_tolerance",
     ]:
         a = audit(REGISTRY[name].fn(spark, SF_DIR))
-        assert a.n_shuffles == 1, (name, a.n_shuffles)
+        assert a.n_shuffles == 2, (name, a.n_shuffles)
         assert not a.python_nodes, name
         # event_type filters must reach the parquet scan
         assert any("event_type" in f for f in a.pushed_filters), name

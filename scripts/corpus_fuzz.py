@@ -30,9 +30,11 @@ coverage spreads across seeds), run Spark query vs DuckDB oracle with
 the driver-replica compare.  Exit 0 = every (seed, query) matched.
 Prints the one-line JSON summary the FUZZ_r*.json artifacts record.
 
-Eligibility: oracle-backed specs whose SQL references only the
-documents/embeddings tables (the fuzzed inputs).  EXCLUDED entries are
-listed with reasons — exclusions must stay empty or documented.
+Eligibility: oracle-backed specs whose SQL references at least one
+FUZZED table (documents/embeddings; plus events under EVENTS=1 —
+non-fuzzed tables stay real copies, so mixed-table queries join them
+freely).  EXCLUDED entries are listed with reasons — exclusions must
+stay empty or documented.
 """
 
 from __future__ import annotations

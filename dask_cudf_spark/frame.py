@@ -650,6 +650,36 @@ class Frame:
         keys = [by] if isinstance(by, str) else list(by)
         return GroupBy(self._sdf, keys)
 
+    def rollup(self, by: str | Sequence[str]) -> "GroupBy":
+        """OLAP ROLLUP: hierarchical subtotals over a key prefix chain
+        plus the grand total (SURVEY §2.4 grouping-sets row).  Spark
+        plans ONE Expand node feeding the same partial->final
+        HashAggregate as a plain groupby — the k+1 grouping sets cost
+        one shuffle, not k+1 scans.  Rolled-up key cells surface as
+        NULL; use ``agg(..., grouping_flags=True)`` to emit the
+        GROUPING() indicator columns that distinguish a subtotal NULL
+        from a NULL data key (the classic trap — see NULLS.md)."""
+        keys = [by] if isinstance(by, str) else list(by)
+        return GroupBy(self._sdf, keys, mode="rollup")
+
+    def cube(self, by: str | Sequence[str]) -> "GroupBy":
+        """OLAP CUBE: aggregates over ALL 2^k key subsets in one Expand
+        + one shuffle.  Same NULL/GROUPING() contract as rollup."""
+        keys = [by] if isinstance(by, str) else list(by)
+        return GroupBy(self._sdf, keys, mode="cube")
+
+    def grouping_sets(
+        self, sets: Sequence[Sequence[str]], by: str | Sequence[str]
+    ) -> "GroupBy":
+        """Explicit GROUPING SETS: aggregate over exactly the given key
+        subsets (each a subset of ``by``).  ``[]`` inside ``sets`` is
+        the grand-total set.  Same NULL/GROUPING() contract as rollup."""
+        keys = [by] if isinstance(by, str) else list(by)
+        return GroupBy(
+            self._sdf, keys, mode="grouping_sets",
+            sets=[list(s) for s in sets],
+        )
+
     # -- dedup / distinct ------------------------------------------------------
     def drop_duplicates(
         self, subset: Sequence[str] | None = None, keep: str = "any"
@@ -1044,14 +1074,51 @@ class GroupBy:
 
     agg() accepts the reference's dict form {col: fn | [fns]}; every agg
     plans as Spark partial->final HashAggregate (the same
-    chunk/combine/aggregate tree the reference hand-builds)."""
+    chunk/combine/aggregate tree the reference hand-builds).
 
-    def __init__(self, sdf: DataFrame, keys: list[str]):
+    ``mode`` selects the grouping flavor: 'groupby' (default),
+    'rollup' / 'cube' / 'grouping_sets' (one Expand node + the same
+    single shuffle — Spark multiplies rows map-side per grouping set,
+    it never rescans)."""
+
+    def __init__(
+        self,
+        sdf: DataFrame,
+        keys: list[str],
+        mode: str = "groupby",
+        sets: list[list[str]] | None = None,
+    ):
         self._sdf = sdf
         self._keys = keys
+        self._mode = mode
+        self._sets = sets
 
-    def agg(self, spec: Mapping[str, str | Sequence[str]]) -> Frame:
-        return Frame(self._sdf.groupBy(*self._keys).agg(*_build_aggs(spec)))
+    def _grouped(self):
+        if self._mode == "rollup":
+            return self._sdf.rollup(*self._keys)
+        if self._mode == "cube":
+            return self._sdf.cube(*self._keys)
+        if self._mode == "grouping_sets":
+            return self._sdf.groupingSets(
+                [list(s) for s in (self._sets or [])], *self._keys
+            )
+        return self._sdf.groupBy(*self._keys)
+
+    def agg(
+        self,
+        spec: Mapping[str, str | Sequence[str]],
+        grouping_flags: bool = False,
+    ) -> Frame:
+        """``grouping_flags=True`` prepends an INT ``g_<key>`` GROUPING()
+        indicator per key (1 = this key was rolled up in this row,
+        0 = it's a real data value — possibly a NULL data value).
+        Only meaningful for rollup/cube/grouping_sets modes."""
+        aggs = list(_build_aggs(spec))
+        if grouping_flags:
+            aggs = [
+                F.grouping(k).cast("int").alias(f"g_{k}") for k in self._keys
+            ] + aggs
+        return Frame(self._grouped().agg(*aggs))
 
     aggregate = agg
 
@@ -1083,17 +1150,13 @@ class GroupBy:
         return self._simple("var", cols)
 
     def count(self) -> Frame:
-        return Frame(
-            self._sdf.groupBy(*self._keys).agg(F.count("*").alias("count"))
-        )
+        return Frame(self._grouped().agg(F.count("*").alias("count")))
 
     size = count
 
     def nunique(self, col: str) -> Frame:
         return Frame(
-            self._sdf.groupBy(*self._keys).agg(
-                F.countDistinct(col).alias(f"{col}_nunique")
-            )
+            self._grouped().agg(F.countDistinct(col).alias(f"{col}_nunique"))
         )
 
     def median(self, col: str) -> Frame:
@@ -1107,7 +1170,7 @@ class GroupBy:
         column stays addressable without backticks."""
         default = f"{col}_q{q}".replace(".", "_")
         return Frame(
-            self._sdf.groupBy(*self._keys).agg(
+            self._grouped().agg(
                 F.expr(f"percentile({col}, {q})").alias(name or default)
             )
         )

@@ -3200,3 +3200,124 @@ def q_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # targets (r9 ADVICE item).
         F.expr("n_null * 1000000 div __n").cast("long").alias("null_ppm"),
     )
+
+
+@register(
+    "q_rollup_revenue",
+    family="aggregate",
+    oracle="""
+        -- ROLLUP(lang, source): per-(lang,source) totals + per-lang
+        -- subtotals + grand total, one statement.  GROUPING() flags are
+        -- part of the public contract: g_*=1 marks a rolled-up
+        -- (subtotal) cell, so a NULL key with g_*=0 is a real NULL data
+        -- value, never ambiguous (NULLS.md "grouping-NULL vs data-NULL").
+        SELECT CAST(GROUPING(lang) AS INTEGER) AS g_lang,
+               CAST(GROUPING(source) AS INTEGER) AS g_source,
+               lang, source,
+               COUNT(n_chars) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY ROLLUP(lang, source)
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals over the corpus: chars per (lang, source), per
+    lang, and grand total — the SURVEY §2.4 grouping-sets row, exercised
+    through the Frame facade (Frame.rollup -> GroupBy(mode='rollup')).
+
+    NULL contract: a rolled-up key prints as NULL with its GROUPING()
+    flag = 1; a NULL *data* key (fuzz corpora null out lang/source)
+    prints as NULL with flag = 0 and aggregates as its own group on
+    both engines.  The flags make the two cases disjoint, which is the
+    whole reason they are in the output schema.
+
+    Scale: Spark plans ONE Expand node (k+1 = 3 replicas emitted
+    map-side) into the usual partial->final HashAggregate — a single
+    shuffle whose key space is |lang|x|source| + |lang| + 1, i.e. the
+    subtotal rows cost no extra pass over the 100-TB fact table."""
+    from ..frame import Frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = Frame(docs).rollup(["lang", "source"]).agg(
+        {"n_chars": ["sum", "count"]}, grouping_flags=True
+    )
+    return f.spark.select(
+        "g_lang",
+        "g_source",
+        "lang",
+        "source",
+        F.col("n_chars_count").alias("n_docs"),
+        F.col("n_chars_sum").cast("long").alias("total_chars"),
+    )
+
+
+@register(
+    "q_cube_orders",
+    family="aggregate",
+    oracle=f"""
+        SELECT CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+               o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               {sql_scaled_sum("o_totalprice", 100)} AS total_price
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four marginal combinations in
+    one statement (SURVEY §2.4 grouping-sets row, CUBE flavor).
+
+    Money discipline: scaled-integer cents sum (functions/det.py) so
+    the 2^k overlapping totals are bit-identical to the oracle's —
+    cube rows re-aggregate the SAME input rows along different margins,
+    which makes float-order drift k times more likely than in a plain
+    groupby.
+
+    Scale: one Expand (2^k=4 map-side replicas) -> one shuffle; never
+    2^k scans.  k here is 2; the Expand multiplier caps the cost, so
+    wide cubes (k>4) should prefer explicit grouping_sets of the
+    margins actually consumed (16x map output is real at 100 TB)."""
+    od = load_table(spark, sf_dir, "orders")
+    return od.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        scaled_sum("o_totalprice", 100).alias("total_price"),
+    )
+
+
+@register(
+    "q_grouping_sets_lineitem",
+    family="aggregate",
+    oracle="""
+        SELECT CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+               l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_linestatus), ())
+    """,
+)
+def q_grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube lower to:
+    exactly the margins asked for ((flag,status), (status), grand
+    total), nothing else.  Uses the native DataFrame.groupingSets API
+    (Spark 4) that Frame.grouping_sets wraps.
+
+    Scale: the Expand multiplier is |sets| = 3, independent of key
+    cardinality — for a 100-TB fact table this is the knob that keeps
+    multi-margin reporting one-pass without paying CUBE's 2^k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

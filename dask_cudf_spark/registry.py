@@ -93,11 +93,14 @@ def ordered_specs() -> list[QuerySpec]:
     return _rotate_window(with_oracle) + rows_only
 
 
-# FROZEN HISTORY — the rotation program is COMPLETE (r10: the
-# ever-driver-green union closed at 242/242; no rotation can ever be
-# needed again).  _ROTATIONS below is kept verbatim as the data that
-# deterministically reproduces the current first-50 window from
-# registration order; do NOT append to it.
+# FROZEN HISTORY + STEADY-STATE LOG — the r4-r10 rotation PROGRAM is
+# complete (the ever-driver-green union closed at 242/242 in r10; no
+# backlog rotation can ever be needed again).  Entries r5-r10 are kept
+# verbatim as the data that deterministically reproduces the window
+# from registration order; do NOT edit them.  From r11 on, the ONLY
+# sanctioned append is the steady-state case: a round that registers
+# NEW queries appends one pair swapping them into the window (and bumps
+# _WINDOW_ROUND) so they are driver-scorable in the round they land.
 #
 # The machinery's steady-state successor is ONE invariant, asserted as
 # the headline test (tests/test_oracle.py::
@@ -594,6 +597,16 @@ _ROTATIONS: list[tuple[list[str], list[str]]] = [
         ["q_bigram_lm_score", "q_embedding_audit"],
         ["q_winsorized_stats", "q_train_test_split"],
     ),
+    (
+        # round 12: the grouping-sets family lands (r11 VERDICT item 2
+        # — the last SURVEY §2 surface without an oracle-backed query):
+        # q_rollup_revenue / q_cube_orders / q_grouping_sets_lineitem
+        # enter the window per the headline invariant.  Three ever-green
+        # text residents cede (text keeps 15 window reps, the largest
+        # family block by far).
+        ["q_rollup_revenue", "q_cube_orders", "q_grouping_sets_lineitem"],
+        ["q_vocab_growth", "q_feature_hash_embed", "q_rolling_fingerprint"],
+    ),
 ]
 _WINDOW = 50
 # The driver round whose rotation defined the CURRENT window.  The
@@ -602,7 +615,7 @@ _WINDOW = 50
 # respect to the evidence that existed when it was designed, so the
 # current round's own driver run can't flip the suite red between
 # driver-run and next-rotation (r9 VERDICT item 3).
-_WINDOW_ROUND = 11
+_WINDOW_ROUND = 12
 
 
 def _rotate_window(specs: list[QuerySpec]) -> list[QuerySpec]:

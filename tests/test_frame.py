@@ -497,3 +497,55 @@ def test_partition_stats_counts_every_row(spark):
     assert (stats["n_rows"] > 0).all()
     # round-robin repartition: no pathological skew
     assert stats["n_rows"].max() <= 4 * stats["n_rows"].min()
+
+
+def test_rollup_grouping_null_vs_data_null(spark):
+    """The NULLS.md grouping-NULL vs data-NULL contract: a NULL data key
+    aggregates as its own group (GROUPING()=0) and stays disjoint from
+    the rolled-up subtotal row (GROUPING()=1) that also prints NULL."""
+    from dask_cudf_spark.frame import from_dict
+
+    f = from_dict(
+        spark,
+        {
+            "lang": ["en", "en", None, None, "de"],
+            "source": ["a", "b", "a", "a", "a"],
+            "n": [1, 2, 4, 8, 16],
+        },
+    )
+    out = (
+        f.rollup(["lang", "source"])
+        .agg({"n": "sum"}, grouping_flags=True)
+        .spark.toPandas()
+        .sort_values(["g_lang", "g_source", "lang", "source"], na_position="first")
+    )
+    # NULL data-lang group: g_lang=0, lang NULL, subtotal over source
+    data_null = out[(out.g_lang == 0) & (out.g_source == 1) & (out.lang.isna())]
+    assert data_null.n.tolist() == [12]
+    # rolled-up grand total: g_lang=1, also prints NULL lang
+    grand = out[(out.g_lang == 1) & (out.g_source == 1)]
+    assert grand.n.tolist() == [31]
+    # the flags keep the two NULL-printing rows disjoint
+    assert len(out) == 4 + 3 + 1  # leaf groups + lang subtotals + grand
+
+
+def test_cube_and_grouping_sets_surface(spark):
+    from dask_cudf_spark.frame import from_dict
+
+    f = from_dict(
+        spark,
+        {"k1": ["x", "x", "y"], "k2": ["p", "q", "p"], "v": [1, 2, 4]},
+    )
+    cube = f.cube(["k1", "k2"]).count().spark.toPandas()
+    # 3 present leaf combos + 2 k1 margins + 2 k2 margins + grand total
+    assert len(cube) == 3 + 2 + 2 + 1
+    gs = (
+        f.grouping_sets([["k1"], []], ["k1", "k2"])
+        .agg({"v": "sum"}, grouping_flags=True)
+        .spark.toPandas()
+    )
+    # exactly the asked-for margins: 2 k1 groups + 1 grand total
+    assert len(gs) == 3
+    assert sorted(gs.v.tolist()) == [3, 4, 7]
+    # k2 is rolled up in every emitted set
+    assert set(gs.g_k2.tolist()) == {1}

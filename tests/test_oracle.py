@@ -235,10 +235,10 @@ _PINNED_WINDOW = [
     "q_event_paths", "q_max_drawdown", "q_funnel_latency",
     "q_markov_transitions", "q_seasonal_anomaly",
     "q_token_filter",
-    "q_rolling_fingerprint", "q_vocab_topk", "q_repetition_ngrams",
+    "q_vocab_topk", "q_repetition_ngrams",
     "q_domain_mix_weights", "q_split_leakage", "q_text_normalize",
-    "q_chunk_documents", "q_token_rarity", "q_feature_hash_embed",
-    "q_lexical_diversity", "q_vocab_growth", "q_tokenizer_fertility",
+    "q_chunk_documents", "q_token_rarity",
+    "q_lexical_diversity", "q_tokenizer_fertility",
     # round-10 promotions (rotate_in order)
     "q_null_audit", "q_join_null_keys",
     "q_interpolate_linear", "q_interval_arith", "q_rank_methods",
@@ -250,6 +250,12 @@ _PINNED_WINDOW = [
     # fluency filter and the embedding ingest-audit gate;
     # q_winsorized_stats and q_train_test_split (both ever-green) cede.
     "q_bigram_lm_score", "q_embedding_audit",
+    # round-12 rotation (r11 VERDICT item 2): the grouping-sets family
+    # — the last SURVEY §2 surface without an oracle-backed query —
+    # enters in the round it lands; three ever-green text residents
+    # cede (q_rolling_fingerprint, q_feature_hash_embed,
+    # q_vocab_growth; text keeps 15 window reps).
+    "q_rollup_revenue", "q_cube_orders", "q_grouping_sets_lineitem",
 ]
 
 

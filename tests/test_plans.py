@@ -743,3 +743,18 @@ def test_r4_second_wave_shuffle_budgets(spark):
         a = audit(REGISTRY[name].fn(spark, SF_DIR))
         assert a.n_shuffles <= budget, (name, a.n_shuffles, budget)
         assert a.n_cartesian == 0, name
+
+
+def test_grouping_sets_one_expand_one_shuffle(spark):
+    """ROLLUP/CUBE/GROUPING SETS must plan as ONE Expand feeding the
+    usual partial->final HashAggregate over ONE exchange — the subtotal
+    rows are map-side replicas, never extra scans of the fact table
+    (r11 VERDICT item 2)."""
+    for name in ("q_rollup_revenue", "q_cube_orders",
+                 "q_grouping_sets_lineitem"):
+        p = plan(spark, name, mode="simple")
+        assert p.count("Expand") == 1, name
+        assert p.count("Exchange") == 1, name
+        assert p.count("HashAggregate") == 2, name
+        # one scan of the input table, not one per grouping set
+        assert p.count("Scan parquet") == 1, name

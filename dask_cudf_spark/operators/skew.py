@@ -81,13 +81,21 @@ def salted_count_distinct(
     """Skew-safe exact distinct count: salt BY THE VALUE (same value ->
     same salt, so cross-salt double counting is impossible), distinct
     within (keys, salt), count partials, sum.  The hot key's distinct
-    set is split across n_salts tasks."""
+    set is split across n_salts tasks.
+
+    NULL values are excluded, matching COUNT(DISTINCT x) / Spark's own
+    countDistinct (r12 relational corpus, seed 9000: a nullable value
+    column previously counted NULL as one extra distinct value — the
+    salted rewrite must be result-identical to the aggregate it
+    replaces).  Counting count(value_col) rather than filtering keeps
+    groups whose values are ALL null in the output with n=0, exactly
+    as GROUP BY does; NULL GROUP KEYS aggregate as their own group."""
     partial = (
         df.withColumn("__salt", F.pmod(F.xxhash64(value_col), F.lit(n_salts)))
         .select(*keys, "__salt", value_col)
         .distinct()
         .groupBy(*keys, "__salt")
-        .agg(F.count("*").alias("__n"))
+        .agg(F.count(value_col).alias("__n"))
     )
     return partial.groupBy(*keys).agg(
         F.sum("__n").alias(f"n_distinct_{value_col}")

@@ -641,10 +641,10 @@ def q_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN (
-            SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+            SELECT l_orderkey, SUM(CAST(TRUNC(l_quantity) AS BIGINT)) AS total_qty
             FROM lineitem
             GROUP BY l_orderkey
-            HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
+            HAVING SUM(CAST(TRUNC(l_quantity) AS BIGINT)) > 150
         ) big ON o_orderkey = big.l_orderkey
     """,
 )

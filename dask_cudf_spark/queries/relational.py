@@ -44,7 +44,11 @@ def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             l_extendedprice * (1 - l_discount) AS disc_price,
             l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
             l_quantity * 2 + 1 AS qty_adj,
-            CAST(l_quantity AS BIGINT) % 7 AS qty_mod
+            -- TRUNC before the cast (r12 relational corpus, seed 9001):
+            -- Spark cast(double AS long) TRUNCATES while DuckDB CAST
+            -- rounds-half-even — invisible on the integral clean-data
+            -- quantities, divergent on fractional/negative ones
+            CAST(TRUNC(l_quantity) AS BIGINT) % 7 AS qty_mod
         FROM lineitem
         WHERE l_orderkey <= 1000
     """,
@@ -250,13 +254,19 @@ def q_scalar_pack_date(spark: SparkSession, sf_dir: str) -> DataFrame:
             ABS(l_extendedprice - 50000.0) AS price_dev,
             FLOOR(l_quantity / 7) AS qty_div7,
             CAST(CEIL(l_extendedprice / 1000) AS DOUBLE) AS price_kceil,
-            ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
-            ROUND(LN(l_quantity + 1), 6) AS qty_ln,
+            -- domain guards on BOTH sides (r12 relational corpus, seed
+            -- 9000): DuckDB RAISES on sqrt(negative) / ln(<=0) where
+            -- Spark returns NaN / NULL — same contract class as the
+            -- price_log10 guard below
+            CASE WHEN l_extendedprice >= 0
+                 THEN ROUND(SQRT(l_extendedprice), 6) END AS price_sqrt,
+            CASE WHEN l_quantity + 1 > 0
+                 THEN ROUND(LN(l_quantity + 1), 6) END AS qty_ln,
             CASE WHEN l_extendedprice > 0
                  THEN ROUND(LOG10(l_extendedprice), 6) END AS price_log10,
             POWER(l_quantity, 2) AS qty_sq,
-            CAST(l_quantity AS BIGINT) & 15 AS qty_and,
-            xor(CAST(l_quantity AS BIGINT), 5) AS qty_xor,
+            CAST(TRUNC(l_quantity) AS BIGINT) & 15 AS qty_and,
+            xor(CAST(TRUNC(l_quantity) AS BIGINT), 5) AS qty_xor,
             CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
         FROM lineitem
         WHERE l_orderkey <= 300
@@ -282,8 +292,10 @@ def q_scalar_pack_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(ep - 50000.0).alias("price_dev"),
         F.floor(q / 7).cast("double").alias("qty_div7"),
         F.ceil(ep / 1000).cast("double").alias("price_kceil"),
-        F.round(F.sqrt(ep), 6).alias("price_sqrt"),
-        F.round(F.log(q + 1), 6).alias("qty_ln"),
+        # sqrt(negative) is NaN in Spark but RAISES in DuckDB — the
+        # guard pins NULL on both sides (r12 relational corpus)
+        F.when(ep >= 0, F.round(F.sqrt(ep), 6)).alias("price_sqrt"),
+        F.when(q + 1 > 0, F.round(F.log(q + 1), 6)).alias("qty_ln"),
         F.when(ep > 0, F.round(F.log10(ep), 6)).alias("price_log10"),
         F.pow(q, 2).alias("qty_sq"),
         q.cast("long").bitwiseAND(F.lit(15)).alias("qty_and"),
@@ -334,8 +346,9 @@ def q_dropna_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_orderkey, l_linenumber, l_quantity
         FROM lineitem
-        WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
-                         || CAST(l_linenumber AS VARCHAR)), 1, 1) IN ('0', '1')
+        WHERE substr(md5(COALESCE(CAST(l_orderkey AS VARCHAR), '-') || ':'
+                         || COALESCE(CAST(l_linenumber AS VARCHAR), '-')), 1, 1)
+                  IN ('0', '1')
     """,
 )
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,8 +360,15 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     since Spark's seed is per-partition-index).  `DataFrame.sample` is
     still exposed on the frame facade for the API-parity path."""
     li = load_table(spark, sf_dir, "lineitem")
+    # COALESCE sentinel, not bare concat_ws (r12 relational corpus,
+    # seed 9000): concat_ws SKIPS null components AND their separators,
+    # so (NULL, 212) and (212, NULL) both hash as '212' — while the
+    # oracle's || nullifies and drops the row entirely.  The sentinel
+    # makes the bucket key total and identical on both engines.
     key = F.concat_ws(
-        ":", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+        ":",
+        F.coalesce(F.col("l_orderkey").cast("string"), F.lit("-")),
+        F.coalesce(F.col("l_linenumber").cast("string"), F.lit("-")),
     )
     return li.filter(
         F.substring(F.md5(key), 1, 1).isin("0", "1")
@@ -362,11 +382,15 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
         FROM lineitem
         WHERE CASE WHEN l_returnflag = 'N'
-                   THEN substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
-                               || CAST(l_linenumber AS VARCHAR)), 1, 1)
+                   THEN substr(md5(COALESCE(CAST(l_orderkey AS VARCHAR), '-')
+                               || ':'
+                               || COALESCE(CAST(l_linenumber AS VARCHAR), '-')
+                               ), 1, 1)
                         IN ('0', '1')
-                   ELSE substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
-                               || CAST(l_linenumber AS VARCHAR)), 1, 1)
+                   ELSE substr(md5(COALESCE(CAST(l_orderkey AS VARCHAR), '-')
+                               || ':'
+                               || COALESCE(CAST(l_linenumber AS VARCHAR), '-')
+                               ), 1, 1)
                         IN ('0', '1', '2', '3', '4', '5', '6', '7')
               END
     """,
@@ -386,8 +410,8 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.concat_ws(
                 ":",
-                F.col("l_orderkey").cast("string"),
-                F.col("l_linenumber").cast("string"),
+                F.coalesce(F.col("l_orderkey").cast("string"), F.lit("-")),
+                F.coalesce(F.col("l_linenumber").cast("string"), F.lit("-")),
             )
         ),
         1,

@@ -111,7 +111,7 @@ def q_group_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_suppkey,
                COUNT(*) AS n_rows,
-               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty
+               CAST(SUM(CAST(TRUNC(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY l_suppkey
     """,

@@ -38,7 +38,7 @@ from ..sources import load_table
         SELECT
             l_returnflag,
             l_linestatus,
-            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+            CAST(SUM(CAST(TRUNC(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
             CAST(SUM({sql_scaled_int("l_extendedprice", 100)}) AS BIGINT)
                 AS sum_base_price_c,
             CAST(SUM({sql_scaled_int("l_extendedprice * (1 - l_discount)", 10000)})
@@ -46,7 +46,7 @@ from ..sources import load_table
             CAST(SUM({sql_scaled_int(
                 "l_extendedprice * (1 - l_discount) * (1 + l_tax)", 1000000)})
                  AS BIGINT) AS sum_charge_s6,
-            (SUM(CAST(l_quantity AS BIGINT)) * 1.0) / COUNT(*) AS avg_qty,
+            (SUM(CAST(TRUNC(l_quantity) AS BIGINT)) * 1.0) / COUNT(*) AS avg_qty,
             ({sql_scaled_sum("l_extendedprice", 100)}) / COUNT(*) AS avg_price,
             ({sql_scaled_sum("l_discount", 100)}) / COUNT(*) AS avg_disc,
             COUNT(*) AS count_order
@@ -324,7 +324,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT p_partkey FROM part WHERE p_brand = 'Brand#7'
         ),
         avg_qty AS (
-            SELECT l_partkey, (SUM(CAST(l_quantity AS BIGINT)) * 1.0)
+            SELECT l_partkey, (SUM(CAST(TRUNC(l_quantity) AS BIGINT)) * 1.0)
                        / COUNT(*) AS aq
             FROM lineitem JOIN target ON l_partkey = p_partkey
             GROUP BY l_partkey
@@ -838,7 +838,7 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate <  TIMESTAMP '1998-01-01'
             GROUP BY l_suppkey, l_partkey
-            HAVING SUM(CAST(l_quantity AS BIGINT)) > 60
+            HAVING SUM(CAST(TRUNC(l_quantity) AS BIGINT)) > 60
         )
         SELECT s_suppkey, s_name, n_name
         FROM supplier

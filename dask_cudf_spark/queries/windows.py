@@ -325,12 +325,12 @@ def q_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
             SELECT l_orderkey, l_linenumber, l_suppkey,
                    CAST(l_quantity AS DOUBLE) AS q,
-                   CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w AS DOUBLE)
+                   CAST(CAST(SUM(CAST(TRUNC(l_quantity) AS BIGINT)) OVER w AS DOUBLE)
                         / COUNT(*) OVER w AS DOUBLE) AS mean_q,
-                   sqrt((CAST(SUM(CAST(l_quantity AS BIGINT)
-                                  * CAST(l_quantity AS BIGINT)) OVER w AS DOUBLE)
-                         - CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w AS DOUBLE)
-                           * CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w AS DOUBLE)
+                   sqrt((CAST(SUM(CAST(TRUNC(l_quantity) AS BIGINT)
+                                  * CAST(TRUNC(l_quantity) AS BIGINT)) OVER w AS DOUBLE)
+                         - CAST(SUM(CAST(TRUNC(l_quantity) AS BIGINT)) OVER w AS DOUBLE)
+                           * CAST(SUM(CAST(TRUNC(l_quantity) AS BIGINT)) OVER w AS DOUBLE)
                            / COUNT(*) OVER w)
                         / (COUNT(*) OVER w - 1)) AS std_q
             FROM lineitem
@@ -604,15 +604,30 @@ def q_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- null handling pinned (round-9 leg): Spark's product aggregate
         -- SKIPS null inputs, so a NULL discount multiplies by 1 here;
         -- NULLS LAST pins the nullable l_quantity tiebreak
+        -- LEAST(..., 2^53): saturation contract (r12 relational corpus,
+        -- seed 9001) — hostile discounts (factor up to 2.5) on a
+        -- dup-key-storm order overflow the scaled product past int64,
+        -- where DuckDB's CAST raises and Spark's saturates; past 2^53
+        -- the double product has no integer precision anyway, so BOTH
+        -- sides pin the cap there (both folds are the identical
+        -- left-to-right multiply, so the compared doubles agree)
         SELECT l_orderkey, l_linenumber,
-               CAST(FLOOR(list_reduce(list(
+               -- every sort key pinned NULLS LAST (r12 relational
+               -- corpus: ALL of these are nullable there, and Spark's
+               -- bare asc defaults NULLS FIRST while DuckDB's defaults
+               -- NULLS LAST); l_discount closes the order — rows still
+               -- tied after it carry EQUAL factors, so the output
+               -- multiset is deterministic even for full-dup rows
+               CAST(FLOOR(LEAST(list_reduce(list(
                    CASE WHEN l_discount IS NULL THEN 1
                         ELSE 1 + l_discount END) OVER (
                    PARTITION BY l_orderkey
-                   ORDER BY l_linenumber, l_partkey, l_suppkey,
-                            l_quantity NULLS LAST
+                   ORDER BY l_linenumber NULLS LAST, l_partkey NULLS LAST,
+                            l_suppkey NULLS LAST, l_quantity NULLS LAST,
+                            l_discount NULLS LAST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ), (a, b) -> a * b) * 1000000 + 0.5) AS BIGINT) AS cum_factor_s6
+               ), (a, b) -> a * b) * 1000000 + 0.5,
+               9007199254740992.0)) AS BIGINT) AS cum_factor_s6
         FROM lineitem
     """,
 )
@@ -631,11 +646,16 @@ def q_cumprod(spark: SparkSession, sf_dir: str) -> DataFrame:
     # l_linenumber is NOT unique within an order in this data; ties in
     # a cumulative frame make the running value engine-dependent, so the
     # order is made total with the remaining line attributes.
+    # NULLS LAST on every key + l_discount as the closing key: see the
+    # oracle twin's comment (r12 relational corpus findings)
     w = (
         Window.partitionBy("l_orderkey")
         .orderBy(
-            "l_linenumber", "l_partkey", "l_suppkey",
+            F.asc_nulls_last("l_linenumber"),
+            F.asc_nulls_last("l_partkey"),
+            F.asc_nulls_last("l_suppkey"),
             F.asc_nulls_last("l_quantity"),
+            F.asc_nulls_last("l_discount"),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -645,10 +665,18 @@ def q_cumprod(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = F.coalesce(
         F.product(1 + F.col("l_discount")).over(w), F.lit(1.0)
     )
+    # saturation contract at 2^53 (r12 relational corpus): overflowing
+    # scaled products raise in DuckDB and saturate in Spark; past 2^53
+    # the double has no integer precision, so the cap is pinned there
+    # on both sides (see the oracle's LEAST twin)
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.floor(cum * 1000000 + 0.5).cast("long").alias("cum_factor_s6"),
+        F.floor(
+            F.least(cum * 1000000 + 0.5, F.lit(9007199254740992.0))
+        )
+        .cast("long")
+        .alias("cum_factor_s6"),
     )
 
 
@@ -1615,7 +1643,7 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- take NULL ranks and consume no rank position (NULLS LAST
         -- keeps non-null ranks unaffected; CASE masks the null rows)
         SELECT l_orderkey, l_linenumber,
-               CAST(l_quantity AS BIGINT) AS qty,
+               CAST(TRUNC(l_quantity) AS BIGINT) AS qty,
                CASE WHEN l_quantity IS NULL THEN NULL ELSE
                    CAST(RANK() OVER w AS BIGINT) END AS rank_min,
                CASE WHEN l_quantity IS NULL THEN NULL ELSE
@@ -1627,8 +1655,8 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN l_quantity IS NULL THEN NULL ELSE
                    CAST(DENSE_RANK() OVER w AS BIGINT) END AS rank_dense
         FROM lineitem
-        WINDOW w AS (ORDER BY CAST(l_quantity AS BIGINT) NULLS LAST),
-               t AS (PARTITION BY CAST(l_quantity AS BIGINT))
+        WINDOW w AS (ORDER BY CAST(TRUNC(l_quantity) AS BIGINT) NULLS LAST),
+               t AS (PARTITION BY CAST(TRUNC(l_quantity) AS BIGINT))
     """,
 )
 def q_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -14,6 +14,8 @@ cases and single-axis injections only, no randomized-data leg.
 Usage:
     python scripts/corpus_fuzz.py [N_SEEDS] [START_SEED] [Q_PER_SEED]
     RAGGED=1 python scripts/corpus_fuzz.py ...   # phase-2 ragged vectors
+    RELATIONAL=1 ...                             # r12: hostile lineitem/orders/customer
+    EVENTS=1 ...                                 # r11: hostile events/JSON
     ONLY=<substr> ...                            # name/family filter
     HOSTILE=tz|noaqe|noarrow|oddparts|nocodegen  # session-config cell
 
@@ -31,9 +33,12 @@ the driver-replica compare.  Exit 0 = every (seed, query) matched.
 Prints the one-line JSON summary the FUZZ_r*.json artifacts record.
 
 Eligibility: oracle-backed specs whose SQL references at least one
-FUZZED table (documents/embeddings; plus events under EVENTS=1 —
-non-fuzzed tables stay real copies, so mixed-table queries join them
-freely).  EXCLUDED entries are listed with reasons — exclusions must
+FUZZED table.  One axis = one generator (r12): the default axis fuzzes
+documents/embeddings, EVENTS=1 fuzzes events, RELATIONAL=1 fuzzes
+lineitem/orders/customer — non-fuzzed tables stay real copies, so
+mixed-table queries join them freely and a divergence implicates
+exactly one generator.  (r11's recorded events legs predate this and
+fuzzed documents alongside events.)  Set multiple env vars to compose.  EXCLUDED entries are listed with reasons — exclusions must
 stay empty or documented.
 """
 
@@ -52,7 +57,12 @@ import duckdb  # noqa: E402
 import numpy as np  # noqa: E402
 import pyarrow.parquet as pq  # noqa: E402
 
-from corpus_gen import gen_documents, gen_embeddings, gen_events  # noqa: E402
+from corpus_gen import (  # noqa: E402
+    gen_documents,
+    gen_embeddings,
+    gen_events,
+    gen_relational,
+)
 from oracle_compare import assert_frames_match, normalize_nullable_ints  # noqa: E402
 
 BASE_SF = "/root/testdata/sf0.001"
@@ -103,7 +113,22 @@ def main() -> int:
     if hostile:
         print(f"== HOSTILE config: {hostile} ==")
     events_mode = os.environ.get("EVENTS", "") == "1"
-    fuzzed = ("documents", "embeddings") + (("events",) if events_mode else ())
+    # RELATIONAL=1 (r12 third axis): hostile lineitem/orders/customer
+    # (dup-key storms on the FK side, negative/zero/boundary amounts,
+    # epoch-edge and leap-day dates with tie storms, unicode +
+    # whitespace-pathological dim attributes, per-seed skew modes up
+    # to 100%-one-key) — see corpus_gen.gen_relational for the kept
+    # ingest contracts (unique non-null PKs, bounded magnitudes).
+    rel_mode = os.environ.get("RELATIONAL", "") == "1"
+    # each axis fuzzes ONLY its own tables (the others stay real
+    # copies) so eligibility targets the axis's query families and
+    # a divergence implicates exactly one generator; set both env
+    # vars to compose axes.
+    fuzzed = (
+        (("documents", "embeddings") if not (rel_mode or events_mode) else ())
+        + (("events",) if events_mode else ())
+        + (("lineitem", "orders", "customer") if rel_mode else ())
+    )
     specs = eligible_specs(fuzzed)
     if only:
         specs = [s for s in specs if only in s.name or only == s.family]
@@ -126,12 +151,18 @@ def main() -> int:
         for t in TABLES:
             if t not in fuzzed:
                 shutil.copy(f"{BASE_SF}/{t}.parquet", f"{sf_dir}/{t}.parquet")
-        docs = gen_documents(seed)
-        embs = gen_embeddings(seed, ragged=ragged)
-        pq.write_table(docs, f"{sf_dir}/documents.parquet")
-        pq.write_table(embs, f"{sf_dir}/embeddings.parquet")
+        if "documents" in fuzzed:
+            docs = gen_documents(seed)
+            embs = gen_embeddings(seed, ragged=ragged)
+            pq.write_table(docs, f"{sf_dir}/documents.parquet")
+            pq.write_table(embs, f"{sf_dir}/embeddings.parquet")
+        else:
+            docs = embs = None
         if events_mode:
             pq.write_table(gen_events(seed), f"{sf_dir}/events.parquet")
+        if rel_mode:
+            for t, tbl in gen_relational(seed).items():
+                pq.write_table(tbl, f"{sf_dir}/{t}.parquet")
 
         con = duckdb.connect()
         for t in TABLES:
@@ -159,9 +190,14 @@ def main() -> int:
                 failures.append((seed, qname, str(e)[:400]))
                 seed_fail += 1
                 print(f"  seed {seed:5d}  {qname}  FAIL: {str(e)[:200]}")
+        size_note = (
+            f"docs={docs.num_rows}, vecs={embs.num_rows}"
+            if docs is not None
+            else "relational/events axis"
+        )
         print(
             f"  seed {seed:5d}  {len(picked) - seed_fail}/{len(picked)} MATCH"
-            f"  (docs={docs.num_rows}, vecs={embs.num_rows})"
+            f"  ({size_note})"
         )
         con.close()
         shutil.rmtree(sf_dir, ignore_errors=True)
@@ -170,7 +206,10 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "grammar": "corpus" + ("-ragged" if ragged else "") + ("-events" if events_mode else ""),
+                "grammar": "corpus"
+                + ("-ragged" if ragged else "")
+                + ("-events" if events_mode else "")
+                + ("-relational" if rel_mode else ""),
                 "hostile": hostile,
                 "seeds": n_seeds,
                 "start_seed": start,

@@ -20,7 +20,12 @@ import duckdb  # noqa: E402
 import pandas as pd  # noqa: E402
 import pyarrow.parquet as pq  # noqa: E402
 
-from corpus_gen import gen_documents, gen_embeddings, gen_events  # noqa: E402
+from corpus_gen import (  # noqa: E402
+    gen_documents,
+    gen_embeddings,
+    gen_events,
+    gen_relational,
+)
 from oracle_compare import canonical_rows, normalize_nullable_ints  # noqa: E402
 
 TABLES = (
@@ -36,15 +41,25 @@ def main() -> None:
     sf = f"/tmp/cfz/s{seed}" + ("r" if ragged else "")
     shutil.rmtree(sf, ignore_errors=True)
     os.makedirs(sf)
+    # axis selection must MATCH corpus_fuzz.py exactly (one axis = one
+    # generator; documents/embeddings are fuzzed only in the default
+    # axis) or the repro reads different bytes than the failure did
+    events_mode = os.environ.get("EVENTS", "") == "1"
+    rel_mode = os.environ.get("RELATIONAL", "") == "1"
     for t in TABLES:
-        if t not in ("documents", "embeddings"):
-            shutil.copy(
-                f"/root/testdata/sf0.001/{t}.parquet", f"{sf}/{t}.parquet"
-            )
-    pq.write_table(gen_documents(seed), f"{sf}/documents.parquet")
-    pq.write_table(gen_embeddings(seed, ragged=ragged), f"{sf}/embeddings.parquet")
-    if os.environ.get("EVENTS", "") == "1":
+        shutil.copy(
+            f"/root/testdata/sf0.001/{t}.parquet", f"{sf}/{t}.parquet"
+        )
+    if not (events_mode or rel_mode):
+        pq.write_table(gen_documents(seed), f"{sf}/documents.parquet")
+        pq.write_table(
+            gen_embeddings(seed, ragged=ragged), f"{sf}/embeddings.parquet"
+        )
+    if events_mode:
         pq.write_table(gen_events(seed), f"{sf}/events.parquet")
+    if rel_mode:
+        for t, tbl in gen_relational(seed).items():
+            pq.write_table(tbl, f"{sf}/{t}.parquet")
 
     from dask_cudf_spark.registry import ordered_specs
     from dask_cudf_spark.session import get_spark

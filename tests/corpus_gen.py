@@ -336,3 +336,288 @@ def gen_events(seed: int) -> pa.Table:
             "props": pa.array(props, type=pa.string()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational corpus (r12 third axis, r11 VERDICT item 5): hostile
+# lineitem/orders/customer distributions for the ~80 relational/window/
+# join queries whose oracles read those tables.  The documents/events
+# axes caught ~15 divergence classes in r11; the relational family had
+# only clean-data grammar fuzz + single-cell injections.
+#
+# Contracts KEPT (the same ingest-contract discipline as gen_events):
+# - o_orderkey / c_custkey are UNIQUE and NON-NULL (primary keys: the
+#   txlog merge_by_key path and every keyed-upsert query declare key
+#   uniqueness; a dup PK is an ingest error, not a robustness finding).
+# - dup-key STORMS therefore live on the FK/group side, where they are
+#   legal data: one hot order owning up to ~half of lineitem, one hot
+#   customer owning up to 100% of orders, group counts far past the
+#   natural sf0.001 cardinalities.
+# - amounts stay within |x| <= ~1e6: extreme-magnitude float sums break
+#   every engine's scaled-int discipline equally (same bound gen_events
+#   uses for value).
+# - dates stay within [1900, 2199]: past pandas' datetime64[ns] range
+#   the COMPARE harness (not either engine) becomes the thing under
+#   test.  Epoch edges, pre-epoch, leap days, century non-leaps,
+#   end-of-year microsecond boundaries, and exact-tie storms are all in.
+# ---------------------------------------------------------------------------
+
+MKTSEGMENTS = ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+#: hostile replacements for dim/attribute strings: unicode, whitespace
+#: pathologies, metacharacters, emptiness — the same pools the
+#: documents axis uses, aimed at group keys and filter predicates
+_HOSTILE_ATTRS = [
+    "", " ", "  BUILDING ", "BUIL DING", "build-ing", "ビルディング",
+    "мебель", "BÂTIMENT", "😀SEG", "a\tb", "x\ny", "100%", "_", "%",
+    "O'Brien", 'say "hi"', "\\N", "ALL",
+]
+
+_HOSTILE_DATES_US = [
+    # (Y, M, D, h, m, s, us)
+    (1970, 1, 1, 0, 0, 0, 0),          # epoch zero
+    (1969, 12, 31, 23, 59, 59, 999999),  # one us pre-epoch (negative)
+    (1950, 6, 15, 12, 0, 0, 0),        # deep pre-epoch
+    (1996, 2, 29, 0, 0, 0, 0),         # leap day
+    (2000, 2, 29, 23, 59, 59, 0),      # century leap day (400 rule)
+    (1900, 2, 28, 0, 0, 0, 0),         # century NON-leap boundary
+    (1999, 12, 31, 23, 59, 59, 999999),  # end-of-year us boundary
+    (2038, 1, 19, 3, 14, 7, 0),        # 32-bit time_t edge
+    (2199, 12, 31, 0, 0, 0, 0),        # far future (inside ns range)
+]
+
+
+def _hostile_date_us(rng: np.random.Generator) -> int:
+    """Microseconds since epoch for one hostile timestamp."""
+    import datetime as dt
+
+    y, mo, d, h, mi, s, us = _HOSTILE_DATES_US[
+        int(rng.integers(0, len(_HOSTILE_DATES_US)))
+    ]
+    t = dt.datetime(y, mo, d, h, mi, s, us, tzinfo=dt.timezone.utc)
+    return int(t.timestamp() * 1_000_000)
+
+
+def _normal_date_us(rng: np.random.Generator) -> int:
+    # the TPC-H-ish range the real testdata uses (1995-2001)
+    base = 788_918_400_000_000  # 1995-01-01 UTC in us
+    return base + int(rng.integers(0, 6 * 365)) * 86_400_000_000 + int(
+        rng.integers(0, 86_400)
+    ) * 1_000_000
+
+
+def _amount(rng: np.random.Generator, null_p: float = 0.04) -> float | None:
+    """Money-ish value: sane magnitudes plus zero/negative/boundary."""
+    r = rng.random()
+    if r < null_p:
+        return None
+    if r < null_p + 0.06:
+        return 0.0
+    if r < null_p + 0.12:  # negative (credit/chargeback shapes)
+        return -float(np.round(rng.uniform(0.01, 9_999.99), 2))
+    if r < null_p + 0.16:  # sub-cent residue (rounding discipline probe)
+        return float(np.round(rng.uniform(0, 1), 4))
+    if r < null_p + 0.18:
+        return 999_999.99
+    return float(np.round(rng.uniform(0.01, 99_999.99), 2))
+
+
+def _attr(rng: np.random.Generator, normal_pool: list[str],
+          null_p: float = 0.04, hostile_p: float = 0.25) -> str | None:
+    r = rng.random()
+    if r < null_p:
+        return None
+    if r < null_p + hostile_p:
+        return str(rng.choice(_HOSTILE_ATTRS))
+    return str(rng.choice(normal_pool))
+
+
+def gen_relational(seed: int) -> dict[str, pa.Table]:
+    """One deterministic hostile (customer, orders, lineitem) triple per
+    seed.  Skew mode varies by seed: uniform / Zipfian / 100%-one-key."""
+    rng = np.random.default_rng(seed ^ 0x7E1A7)
+    n_cust = int(rng.integers(15, 180))
+    n_orders = int(rng.integers(80, 1200))
+    skew_mode = int(rng.integers(0, 3))  # 0 uniform, 1 zipf, 2 one-key
+
+    # ---- customer ----------------------------------------------------
+    cust_nation = [
+        None if rng.random() < 0.03
+        else int(rng.integers(25, 99)) if rng.random() < 0.04  # dangling
+        else int(rng.integers(0, 25))
+        for _ in range(n_cust)
+    ]
+    customer = pa.table(
+        {
+            "c_custkey": pa.array(range(n_cust), type=pa.int64()),
+            "c_name": pa.array(
+                [_attr(rng, [f"Customer#{i:09d}" for i in range(3)])
+                 for _ in range(n_cust)],
+                type=pa.string(),
+            ),
+            "c_nationkey": pa.array(cust_nation, type=pa.int32()),
+            "c_acctbal": pa.array(
+                [_amount(rng) for _ in range(n_cust)], type=pa.float64()
+            ),
+            "c_mktsegment": pa.array(
+                [_attr(rng, MKTSEGMENTS) for _ in range(n_cust)],
+                type=pa.string(),
+            ),
+        }
+    )
+
+    # ---- orders ------------------------------------------------------
+    if skew_mode == 2:
+        hot = int(rng.integers(0, n_cust))
+        custkeys = [hot] * n_orders  # 100%-one-key storm
+    elif skew_mode == 1:
+        z = rng.zipf(1.7, size=n_orders)
+        custkeys = [int(v - 1) % n_cust for v in z]
+    else:
+        custkeys = [int(rng.integers(0, n_cust)) for _ in range(n_orders)]
+    o_custkey = [
+        None if rng.random() < 0.03
+        else k + n_cust * 10 if rng.random() < 0.03  # dangling FK
+        else k
+        for k in custkeys
+    ]
+    # tie storms: runs of identical order timestamps (window tiebreaks)
+    odates: list[int | None] = []
+    t: int | None = None
+    for _ in range(n_orders):
+        r = rng.random()
+        if r < 0.03:
+            odates.append(None)
+            continue
+        if r < 0.18 and t is not None:
+            odates.append(t)  # exact tie with a previous row
+            continue
+        t = (
+            _hostile_date_us(rng)
+            if rng.random() < 0.25
+            else _normal_date_us(rng)
+        )
+        odates.append(t)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(range(n_orders), type=pa.int64()),
+            "o_custkey": pa.array(o_custkey, type=pa.int64()),
+            "o_orderstatus": pa.array(
+                [_attr(rng, ["O", "F", "P"]) for _ in range(n_orders)],
+                type=pa.string(),
+            ),
+            "o_totalprice": pa.array(
+                [_amount(rng) for _ in range(n_orders)], type=pa.float64()
+            ),
+            "o_orderdate": pa.array(odates, type=pa.timestamp("us")),
+            "o_orderpriority": pa.array(
+                [_attr(rng, PRIORITIES) for _ in range(n_orders)],
+                type=pa.string(),
+            ),
+        }
+    )
+
+    # ---- lineitem ----------------------------------------------------
+    n_li = int(n_orders * rng.uniform(1.5, 5.0))
+    if skew_mode == 2:
+        hot_o = int(rng.integers(0, n_orders))
+        li_orders = [
+            hot_o if rng.random() < 0.5 else int(rng.integers(0, n_orders))
+            for _ in range(n_li)
+        ]  # one order owns ~half of lineitem
+    else:
+        li_orders = [int(rng.integers(0, n_orders)) for _ in range(n_li)]
+    l_orderkey = [
+        None if rng.random() < 0.02
+        else k + n_orders * 10 if rng.random() < 0.02  # dangling FK
+        else k
+        for k in li_orders
+    ]
+
+    def _qty(r: float) -> float | None:
+        if r < 0.04:
+            return None
+        if r < 0.08:
+            return 0.0
+        if r < 0.12:
+            return -float(np.round(rng.uniform(1, 50), 0))
+        if r < 0.16:
+            return float(np.round(rng.uniform(0.1, 0.9), 2))  # fractional
+        return float(int(rng.integers(1, 51)))
+
+    def _rate(r: float) -> float | None:
+        # discount/tax: legal [0, 0.1] plus 0, 1, negative, >1
+        if r < 0.04:
+            return None
+        if r < 0.08:
+            return 0.0
+        if r < 0.11:
+            return 1.0
+        if r < 0.14:
+            return -0.05
+        if r < 0.16:
+            return 1.5
+        return float(np.round(rng.uniform(0.0, 0.10), 2))
+
+    ldates: list[int | None] = []
+    lt: int | None = None
+    for _ in range(n_li):
+        r = rng.random()
+        if r < 0.03:
+            ldates.append(None)
+            continue
+        if r < 0.20 and lt is not None:
+            ldates.append(lt)
+            continue
+        lt = (
+            _hostile_date_us(rng)
+            if rng.random() < 0.25
+            else _normal_date_us(rng)
+        )
+        ldates.append(lt)
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(l_orderkey, type=pa.int64()),
+            "l_partkey": pa.array(
+                [None if rng.random() < 0.03 else int(rng.integers(0, 200))
+                 for _ in range(n_li)],
+                type=pa.int64(),
+            ),
+            "l_suppkey": pa.array(
+                [None if rng.random() < 0.03 else int(rng.integers(0, 10))
+                 for _ in range(n_li)],
+                type=pa.int64(),
+            ),
+            "l_linenumber": pa.array(
+                [None if rng.random() < 0.02
+                 else int(rng.integers(-1, 8))
+                 for _ in range(n_li)],
+                type=pa.int32(),
+            ),
+            "l_quantity": pa.array(
+                [_qty(rng.random()) for _ in range(n_li)], type=pa.float64()
+            ),
+            "l_extendedprice": pa.array(
+                [_amount(rng) for _ in range(n_li)], type=pa.float64()
+            ),
+            "l_discount": pa.array(
+                [_rate(rng.random()) for _ in range(n_li)],
+                type=pa.float64(),
+            ),
+            "l_tax": pa.array(
+                [_rate(rng.random()) for _ in range(n_li)],
+                type=pa.float64(),
+            ),
+            "l_returnflag": pa.array(
+                [_attr(rng, ["A", "N", "R"]) for _ in range(n_li)],
+                type=pa.string(),
+            ),
+            "l_linestatus": pa.array(
+                [_attr(rng, ["O", "F"]) for _ in range(n_li)],
+                type=pa.string(),
+            ),
+            "l_shipdate": pa.array(ldates, type=pa.timestamp("us")),
+        }
+    )
+    return {"customer": customer, "orders": orders, "lineitem": lineitem}

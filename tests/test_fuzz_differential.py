@@ -129,3 +129,63 @@ def test_corpus_fuzz_smoke(spark, seed, tmp_path):
             f"corpus seed {seed}/{qname}",
         )
     con.close()
+
+
+@pytest.mark.parametrize("seed", [9000, 9001])
+def test_relational_corpus_fuzz_smoke(spark, seed, tmp_path):
+    """Relational-corpus slice (r12): the two finder seeds x one fixed
+    query per hardened contract class over hostile generated
+    lineitem/orders/customer (documents/events stay real), Spark vs
+    oracle on the SAME parquet.  Full sweeps:
+        RELATIONAL=1 python scripts/corpus_fuzz.py 100 <start_seed> 25
+    """
+    import os
+    import shutil
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from dask_cudf_spark.registry import ordered_specs
+
+    from .corpus_gen import gen_relational
+    from .oracle_compare import normalize_nullable_ints
+
+    sf = str(tmp_path / f"rel{seed}")
+    os.makedirs(sf)
+    for t in (
+        "region nation supplier part events documents embeddings"
+    ).split():
+        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{sf}/{t}.parquet")
+    for t, tbl in gen_relational(seed).items():
+        pq.write_table(tbl, f"{sf}/{t}.parquet")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    by_name = {s.name: s for s in ordered_specs()}
+    # one rep per r12-hardened class: cast-rounding twin, salted
+    # nunique NULL fix, cogroup LEFT-join contract, percentile rank
+    # contract, cumprod saturation + NULLS LAST, concat_ws sentinel,
+    # collect_list null twin, sqrt/ln domain guards
+    for qname in (
+        "q_project_arith",
+        "q_skew_salted_nunique",
+        "q_cogroup_udf",
+        "q_approx_quantile",
+        "q_cumprod",
+        "q_sample",
+        "q_groupby_collect",
+        "q_scalar_pack_math",
+    ):
+        spec = by_name[qname]
+        spdf = spec.fn(spark, sf).toPandas()
+        ddf = con.execute(spec.oracle).fetchdf()
+        assert_frames_match(
+            normalize_nullable_ints(spdf),
+            normalize_nullable_ints(ddf),
+            f"relational corpus seed {seed}/{qname}",
+        )

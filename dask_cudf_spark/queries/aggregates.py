@@ -462,11 +462,17 @@ def q_approx_nunique(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_n"),
         F.countDistinct("l_partkey").alias("exact_n"),
     )
+    # max(5% relative, 2 absolute): rsd is a STANDARD DEVIATION, not a
+    # hard bound, and at tiny cardinalities one in-sketch hash
+    # collision is an off-by-one that no relative band survives
+    # (r12 relational corpus, seed 9128: approx 16 vs exact 17 in a
+    # 17-distinct hostile group -> 1 > 0.85).  Groups with 0 distinct
+    # values (all-null) pass vacuously: |0 - 0| <= 2.
     return agg.select(
         "l_returnflag",
         (
             F.abs(F.col("approx_n") - F.col("exact_n"))
-            <= 0.05 * F.col("exact_n")
+            <= F.greatest(0.05 * F.col("exact_n"), F.lit(2.0))
         ).alias("approx_within_5pct"),
     )
 

@@ -105,6 +105,11 @@ PROBES = [
     # cost is join-volume-bound) and the one-scan embedding ingest gate
     "q_bigram_lm_score",
     "q_embedding_audit",
+    # r12 additions: the grouping-sets family — the Expand multiplier
+    # (k+1 rollup replicas / |sets| explicit) must scale linearly with
+    # rows, never as extra scans
+    "q_grouping_sets_lineitem",
+    "q_cube_orders",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -164,7 +164,11 @@ def q_when_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
             SUBSTRING(p_name, 1, 5) AS name_head,
             CONCAT_WS('|', p_brand, p_type) AS brand_type,
             REPLACE(p_type, ' ', '_') AS type_snake,
-            TRIM(p_name) AS name_trim,
+            -- trim(x, ' ') never bare TRIM (the r11 rule, newly hit
+            -- here by the r12 dims corpus): DuckDB's bare TRIM strips
+            -- unicode whitespace (NBSP, ideographic space) that
+            -- Spark's ASCII-space-only trim keeps
+            TRIM(p_name, ' ') AS name_trim,
             LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
             CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS is_promo,
             CASE WHEN regexp_matches(p_name, '^[a-z]+ ') THEN 1 ELSE 0 END AS starts_word,
@@ -174,7 +178,13 @@ def q_when_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
             -- convention — pin NULL explicitly (round-9 null leg)
             CASE WHEN p_type IS NULL THEN NULL
                  ELSE split_part(p_type, ' ', 1) END AS type_first_word,
-            REVERSE(p_brand) AS brand_rev,
+            -- codepoint-wise reverse twin (r12 dims corpus, seeds
+            -- 9750-9752): DuckDB's reverse() keeps grapheme clusters
+            -- (base + combining mark) together while Spark's reverses
+            -- raw codepoints — split-to-codepoints + list_reverse
+            -- replays Spark's exact semantics
+            array_to_string(list_reverse(string_split(p_brand, '')), '')
+                AS brand_rev,
             REPEAT('-', 3) AS dashes
         FROM part
     """,

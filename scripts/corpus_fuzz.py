@@ -58,6 +58,7 @@ import numpy as np  # noqa: E402
 import pyarrow.parquet as pq  # noqa: E402
 
 from corpus_gen import (  # noqa: E402
+    gen_dims,
     gen_documents,
     gen_embeddings,
     gen_events,
@@ -89,7 +90,10 @@ def eligible_specs(fuzzed: tuple[str, ...]):
         for s in ordered_specs()
         if s.oracle is not None
         and s.name not in EXCLUDE
-        and any(t in s.oracle for t in fuzzed)
+        # word-boundary match: 'part' must not fire on 'PARTITION BY'
+        and any(
+            __import__("re").search(rf"\b{t}\b", s.oracle) for t in fuzzed
+        )
     ]
 
 
@@ -120,14 +124,22 @@ def main() -> int:
     # to 100%-one-key) — see corpus_gen.gen_relational for the kept
     # ingest contracts (unique non-null PKs, bounded magnitudes).
     rel_mode = os.environ.get("RELATIONAL", "") == "1"
+    # DIMS=1 (r12 fourth axis): hostile part/supplier attribute tables
+    # — reaches the five dim-only queries and the string-pack twins
+    dims_mode = os.environ.get("DIMS", "") == "1"
     # each axis fuzzes ONLY its own tables (the others stay real
     # copies) so eligibility targets the axis's query families and
     # a divergence implicates exactly one generator; set both env
     # vars to compose axes.
     fuzzed = (
-        (("documents", "embeddings") if not (rel_mode or events_mode) else ())
+        (
+            ("documents", "embeddings")
+            if not (rel_mode or events_mode or dims_mode)
+            else ()
+        )
         + (("events",) if events_mode else ())
         + (("lineitem", "orders", "customer") if rel_mode else ())
+        + (("part", "supplier") if dims_mode else ())
     )
     specs = eligible_specs(fuzzed)
     if only:
@@ -163,6 +175,9 @@ def main() -> int:
         if rel_mode:
             for t, tbl in gen_relational(seed).items():
                 pq.write_table(tbl, f"{sf_dir}/{t}.parquet")
+        if dims_mode:
+            for t, tbl in gen_dims(seed).items():
+                pq.write_table(tbl, f"{sf_dir}/{t}.parquet")
 
         con = duckdb.connect()
         for t in TABLES:
@@ -193,7 +208,7 @@ def main() -> int:
         size_note = (
             f"docs={docs.num_rows}, vecs={embs.num_rows}"
             if docs is not None
-            else "relational/events axis"
+            else "generated-axis tables"
         )
         print(
             f"  seed {seed:5d}  {len(picked) - seed_fail}/{len(picked)} MATCH"
@@ -209,7 +224,8 @@ def main() -> int:
                 "grammar": "corpus"
                 + ("-ragged" if ragged else "")
                 + ("-events" if events_mode else "")
-                + ("-relational" if rel_mode else ""),
+                + ("-relational" if rel_mode else "")
+                + ("-dims" if dims_mode else ""),
                 "hostile": hostile,
                 "seeds": n_seeds,
                 "start_seed": start,

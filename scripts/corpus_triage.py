@@ -25,6 +25,7 @@ from corpus_gen import (  # noqa: E402
     gen_embeddings,
     gen_events,
     gen_relational,
+    gen_dims,
 )
 from oracle_compare import canonical_rows, normalize_nullable_ints  # noqa: E402
 
@@ -46,11 +47,12 @@ def main() -> None:
     # axis) or the repro reads different bytes than the failure did
     events_mode = os.environ.get("EVENTS", "") == "1"
     rel_mode = os.environ.get("RELATIONAL", "") == "1"
+    dims_mode = os.environ.get("DIMS", "") == "1"
     for t in TABLES:
         shutil.copy(
             f"/root/testdata/sf0.001/{t}.parquet", f"{sf}/{t}.parquet"
         )
-    if not (events_mode or rel_mode):
+    if not (events_mode or rel_mode or dims_mode):
         pq.write_table(gen_documents(seed), f"{sf}/documents.parquet")
         pq.write_table(
             gen_embeddings(seed, ragged=ragged), f"{sf}/embeddings.parquet"
@@ -59,6 +61,9 @@ def main() -> None:
         pq.write_table(gen_events(seed), f"{sf}/events.parquet")
     if rel_mode:
         for t, tbl in gen_relational(seed).items():
+            pq.write_table(tbl, f"{sf}/{t}.parquet")
+    if dims_mode:
+        for t, tbl in gen_dims(seed).items():
             pq.write_table(tbl, f"{sf}/{t}.parquet")
 
     from dask_cudf_spark.registry import ordered_specs

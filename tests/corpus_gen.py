@@ -621,3 +621,91 @@ def gen_relational(seed: int) -> dict[str, pa.Table]:
         }
     )
     return {"customer": customer, "orders": orders, "lineitem": lineitem}
+
+
+# ---------------------------------------------------------------------------
+# Dim corpus (r12 fourth axis): hostile part/supplier attribute tables.
+# Closes the five queries no other axis reaches (q_scalar_pack_str,
+# q_sql_query, q_join_cross, q_sequence_zip, q_entity_match_blocked —
+# they read only dim tables) and stresses the string-function oracle
+# twins (trim/regex/split_part/lpad on unicode) where most historical
+# divergences lived.  nation/region stay REAL: they are tiny fixed
+# enumerations whose names are filter literals across the registry.
+# Contracts kept: p_partkey/s_suppkey unique non-null, SAME key ranges
+# as the real sf0.001 tables (0-199 / 0-9) so the real lineitem's FKs
+# keep resolving; s_nationkey mostly valid with NULL/dangling tails.
+# ---------------------------------------------------------------------------
+
+_PART_TYPES = [
+    "PROMO BURNISHED COPPER", "LARGE BRUSHED BRASS", "STANDARD POLISHED TIN",
+    "SMALL PLATED NICKEL", "ECONOMY ANODIZED STEEL", "MEDIUM BURNISHED SILVER",
+    "PROMO WRAPPED ZINC",
+]
+
+
+def gen_dims(seed: int) -> dict[str, pa.Table]:
+    """One deterministic hostile (part, supplier) pair per seed."""
+    rng = np.random.default_rng(seed ^ 0xD1A5)
+    n_part, n_supp = 200, 10  # pinned to the real key ranges
+
+    def name(normal: str) -> str | None:
+        r = rng.random()
+        if r < 0.05:
+            return None
+        if r < 0.10:
+            return ""
+        if r < 0.30:
+            return str(rng.choice(_HOSTILE_ATTRS))
+        if r < 0.45:
+            return _unicode_soup(rng)[:60]
+        if r < 0.55:
+            return "  " + normal + " \t"  # whitespace-wrapped normal
+        return normal
+
+    part = pa.table(
+        {
+            "p_partkey": pa.array(range(n_part), type=pa.int64()),
+            "p_name": pa.array(
+                [name(f"lavender {i} metallic blue") for i in range(n_part)],
+                type=pa.string(),
+            ),
+            "p_brand": pa.array(
+                [name(f"Brand#{int(rng.integers(11, 56))}")
+                 for _ in range(n_part)],
+                type=pa.string(),
+            ),
+            "p_type": pa.array(
+                [name(str(rng.choice(_PART_TYPES))) for _ in range(n_part)],
+                type=pa.string(),
+            ),
+            "p_size": pa.array(
+                [None if rng.random() < 0.05
+                 else int(rng.integers(-3, 51))
+                 for _ in range(n_part)],
+                type=pa.int32(),
+            ),
+            "p_retailprice": pa.array(
+                [_amount(rng) for _ in range(n_part)], type=pa.float64()
+            ),
+        }
+    )
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array(range(n_supp), type=pa.int64()),
+            "s_name": pa.array(
+                [name(f"Supplier#{i:09d}") for i in range(n_supp)],
+                type=pa.string(),
+            ),
+            "s_nationkey": pa.array(
+                [None if rng.random() < 0.1
+                 else int(rng.integers(25, 99)) if rng.random() < 0.1
+                 else int(rng.integers(0, 25))
+                 for _ in range(n_supp)],
+                type=pa.int32(),
+            ),
+            "s_acctbal": pa.array(
+                [_amount(rng) for _ in range(n_supp)], type=pa.float64()
+            ),
+        }
+    )
+    return {"part": part, "supplier": supplier}

@@ -3375,3 +3375,163 @@ def q_grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "q_fk_integrity_audit",
+    family="aggregate",
+    oracle="""
+        -- relational ingest gate: one row per constraint check.
+        -- NOT EXISTS (never NOT IN) for the dangling-FK probes: NOT IN
+        -- over a column containing NULLs is three-valued-logic empty.
+        SELECT 'lineitem_null_fk' AS chk,
+               CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_bad,
+               COUNT(*) AS n FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_dangling_fk',
+               CAST(SUM(CASE WHEN l_orderkey IS NOT NULL
+                             AND NOT EXISTS (SELECT 1 FROM orders o
+                                             WHERE o.o_orderkey = l.l_orderkey)
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(l_orderkey) AS BIGINT) FROM lineitem l
+        UNION ALL
+        SELECT 'orders_dangling_custkey',
+               CAST(SUM(CASE WHEN o_custkey IS NOT NULL
+                             AND NOT EXISTS (SELECT 1 FROM customer c
+                                             WHERE c.c_custkey = o.o_custkey)
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(o_custkey) AS BIGINT) FROM orders o
+        UNION ALL
+        SELECT 'orders_dup_pk',
+               CAST(COALESCE(SUM(cnt), 0) AS BIGINT),
+               (SELECT COUNT(*) FROM orders)
+        FROM (SELECT COUNT(*) AS cnt FROM orders
+              WHERE o_orderkey IS NOT NULL
+              GROUP BY o_orderkey HAVING COUNT(*) > 1)
+        UNION ALL
+        SELECT 'lineitem_negative_qty',
+               CAST(SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(l_quantity) AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_rate_domain',
+               CAST(SUM(CASE WHEN (l_discount IS NOT NULL
+                                   AND (l_discount < 0 OR l_discount > 1))
+                              OR (l_tax IS NOT NULL
+                                  AND (l_tax < 0 OR l_tax > 1))
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(*) FROM lineitem
+        UNION ALL
+        SELECT 'orders_negative_total',
+               CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(o_totalprice) AS BIGINT) FROM orders
+    """,
+)
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational ingest gate — the fact-table companion to
+    q_null_audit (per-column nulls) and q_embedding_audit (vector
+    geometry): one row per referential/domain constraint with its
+    violation count and denominator.  The r12 adversarial-relational
+    corpus is exactly the data this gate exists for (NULL and dangling
+    FKs, dup-key storms, negative quantities/totals, rates outside
+    [0,1]) — every operator whose contract assumes clean keys
+    (merge_by_key, as-of joins, windowed folds) should run behind it.
+
+    Checks: NULL FK, dangling lineitem->orders FK, dangling
+    orders->customer FK, duplicated orders PK (rows involved),
+    negative quantity, discount/tax outside [0,1], negative total.
+
+    Scale: the domain checks are conditional aggregates fused into ONE
+    scan per table (map-side combined to single rows); each dangling-FK
+    probe is one LEFT ANTI join on the key — shuffle-on-key, no
+    fan-out, counts-only across the exchange; the dup-PK check is one
+    keyed groupBy.  Nothing collects; output is |checks| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+
+    li_domain = li.agg(
+        F.count(F.lit(1)).alias("__n_all"),
+        F.count("l_orderkey").alias("__n_fk"),
+        F.count("l_quantity").alias("__n_qty"),
+        F.sum(F.when(F.col("l_quantity") < 0, 1).otherwise(0))
+        .cast("long").alias("__neg_qty"),
+        F.sum(
+            F.when(
+                (F.col("l_discount").isNotNull()
+                 & ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)))
+                | (F.col("l_tax").isNotNull()
+                   & ((F.col("l_tax") < 0) | (F.col("l_tax") > 1))),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("__bad_rate"),
+    )
+    od_domain = od.agg(
+        F.count(F.lit(1)).alias("__n_all"),
+        F.count("o_custkey").alias("__n_fk"),
+        F.count("o_totalprice").alias("__n_tp"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0))
+        .cast("long").alias("__neg_tp"),
+    )
+    dangling_li = (
+        li.select("l_orderkey")
+        .filter(F.col("l_orderkey").isNotNull())
+        .join(od.select("o_orderkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bad"))
+    )
+    dangling_od = (
+        od.select("o_custkey")
+        .filter(F.col("o_custkey").isNotNull())
+        .join(cu.select("c_custkey"),
+              F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bad"))
+    )
+    dup_pk = (
+        od.filter(F.col("o_orderkey").isNotNull())
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_bad"))
+    )
+
+    rows = [
+        li_domain.select(
+            F.lit("lineitem_null_fk").alias("chk"),
+            (F.col("__n_all") - F.col("__n_fk")).cast("long").alias("n_bad"),
+            F.col("__n_all").alias("n"),
+        ),
+        dangling_li.crossJoin(li_domain.select("__n_fk")).select(
+            F.lit("lineitem_dangling_fk").alias("chk"),
+            "n_bad",
+            F.col("__n_fk").alias("n"),
+        ),
+        dangling_od.crossJoin(od_domain.select("__n_fk")).select(
+            F.lit("orders_dangling_custkey").alias("chk"),
+            "n_bad",
+            F.col("__n_fk").alias("n"),
+        ),
+        dup_pk.crossJoin(od_domain.select("__n_all")).select(
+            F.lit("orders_dup_pk").alias("chk"),
+            "n_bad",
+            F.col("__n_all").alias("n"),
+        ),
+        li_domain.select(
+            F.lit("lineitem_negative_qty").alias("chk"),
+            F.col("__neg_qty").alias("n_bad"),
+            F.col("__n_qty").alias("n"),
+        ),
+        li_domain.select(
+            F.lit("lineitem_rate_domain").alias("chk"),
+            F.col("__bad_rate").alias("n_bad"),
+            F.col("__n_all").alias("n"),
+        ),
+        od_domain.select(
+            F.lit("orders_negative_total").alias("chk"),
+            F.col("__neg_tp").alias("n_bad"),
+            F.col("__n_tp").alias("n"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -607,6 +607,14 @@ _ROTATIONS: list[tuple[list[str], list[str]]] = [
         ["q_rollup_revenue", "q_cube_orders", "q_grouping_sets_lineitem"],
         ["q_vocab_growth", "q_feature_hash_embed", "q_rolling_fingerprint"],
     ),
+    (
+        # round 12, wave 2: q_fk_integrity_audit — the relational ingest
+        # gate the adversarial-relational corpus motivated (the exact
+        # analog of r11's RAGGED probe motivating q_embedding_audit).
+        # One ever-green text resident cedes (text keeps 14 reps).
+        ["q_fk_integrity_audit"],
+        ["q_domain_mix_weights"],
+    ),
 ]
 _WINDOW = 50
 # The driver round whose rotation defined the CURRENT window.  The

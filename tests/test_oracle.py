@@ -236,7 +236,7 @@ _PINNED_WINDOW = [
     "q_markov_transitions", "q_seasonal_anomaly",
     "q_token_filter",
     "q_vocab_topk", "q_repetition_ngrams",
-    "q_domain_mix_weights", "q_split_leakage", "q_text_normalize",
+    "q_split_leakage", "q_text_normalize",
     "q_chunk_documents", "q_token_rarity",
     "q_lexical_diversity", "q_tokenizer_fertility",
     # round-10 promotions (rotate_in order)
@@ -256,6 +256,10 @@ _PINNED_WINDOW = [
     # cede (q_rolling_fingerprint, q_feature_hash_embed,
     # q_vocab_growth; text keeps 15 window reps).
     "q_rollup_revenue", "q_cube_orders", "q_grouping_sets_lineitem",
+    # round-12 wave-2 rotation: the relational ingest gate the
+    # adversarial-relational corpus motivated enters;
+    # q_domain_mix_weights (ever-green) cedes.
+    "q_fk_integrity_audit",
 ]
 
 

@@ -821,3 +821,18 @@ def test_plan_digest_invariant_to_metadata_truncation():
         "[isnotnull(c_custkey#1400L), ("
     )
     assert _plan_digest(FakeDF(cat_a)) == _plan_digest(FakeDF(cat_b))
+
+
+def test_fk_integrity_audit_shuffle_budget(spark):
+    """The relational ingest gate must stay counts-only across its
+    exchanges: two anti joins + one dup-PK groupBy + fused per-table
+    domain aggregates; no cartesian blow-up beyond the 1-row count
+    cross-joins, no Python."""
+    from dask_cudf_spark.plans import audit
+
+    a = audit(REGISTRY["q_fk_integrity_audit"].fn(spark, SF_DIR))
+    assert a.python_nodes == []
+    assert a.n_cartesian == 0 or "BroadcastNestedLoopJoin" in a.text
+    # exactly the two dangling-FK anti joins (formatted explain prints
+    # each node in tree + details, so 2 joins appear 4 times)
+    assert a.text.count("LeftAnti") in (2, 4)

@@ -1175,20 +1175,38 @@ class GroupBy:
             )
         )
 
+    def _require_groupby(self, op: str) -> None:
+        """Window/apply-shaped group ops have no rollup/cube semantics —
+        Spark's Expand node multiplies rows per grouping set, and an
+        applyInPandas or window frame over that multiplied stream is
+        not what any caller means.  Silent fallback to a plain groupBy
+        (the pre-r13 behavior) returned plausible-but-wrong results;
+        raise instead (r12 ADVICE item 2)."""
+        if self._mode != "groupby":
+            raise NotImplementedError(
+                f"GroupBy.{op}() is only defined for plain groupby(); "
+                f"this GroupBy was built with mode={self._mode!r} "
+                "(rollup/cube/grouping_sets only support agg())"
+            )
+
     def apply(self, fn: Callable[[pd.DataFrame], pd.DataFrame], schema: str) -> Frame:
         """≙ groupby.apply: whole group as pandas -> pandas (applyInPandas)."""
+        self._require_groupby("apply")
         return Frame(self._sdf.groupBy(*self._keys).applyInPandas(fn, schema))
 
     def rolling(self, window: int, order_by: str) -> "RollingGroupBy":
+        self._require_groupby("rolling")
         return RollingGroupBy(self._sdf, self._keys, window, order_by)
 
     def shift(self, col: str, periods: int = 1, order_by: str | None = None) -> Frame:
+        self._require_groupby("shift")
         w = Window.partitionBy(*self._keys).orderBy(order_by or self._keys[-1])
         return Frame(
             self._sdf.withColumn(f"{col}_shift", F.lag(col, periods).over(w))
         )
 
     def cumsum(self, col: str, order_by: str) -> Frame:
+        self._require_groupby("cumsum")
         w = (
             Window.partitionBy(*self._keys)
             .orderBy(order_by)
@@ -1197,6 +1215,7 @@ class GroupBy:
         return Frame(self._sdf.withColumn(f"{col}_cumsum", F.sum(col).over(w)))
 
     def _cum_grp(self, col: str, order_by: str, agg, name: str) -> Frame:
+        self._require_groupby("cum-aggregate")
         w = (
             Window.partitionBy(*self._keys)
             .orderBy(order_by)
@@ -1213,6 +1232,7 @@ class GroupBy:
     def cumcount(self, order_by: str, name: str = "cumcount") -> Frame:
         """pandas groupby.cumcount: 0-based running row index within
         each group along the explicit order."""
+        self._require_groupby("cumcount")
         w = Window.partitionBy(*self._keys).orderBy(order_by)
         return Frame(
             self._sdf.withColumn(name, F.row_number().over(w) - F.lit(1))

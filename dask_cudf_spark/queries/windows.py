@@ -618,7 +618,13 @@ def q_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- NULLS LAST); l_discount closes the order — rows still
                -- tied after it carry EQUAL factors, so the output
                -- multiset is deterministic even for full-dup rows
-               CAST(FLOOR(LEAST(list_reduce(list(
+               -- clamp is SYMMETRIC (r12 ADVICE): a discount < -1
+               -- (negative factor) makes the running product negative
+               -- and growing, where DuckDB's CAST raises at -2^63 while
+               -- Spark saturates at Long.MIN — same divergence class as
+               -- the positive side, pinned at -2^53 for the same
+               -- double-precision reason
+               CAST(FLOOR(GREATEST(LEAST(list_reduce(list(
                    CASE WHEN l_discount IS NULL THEN 1
                         ELSE 1 + l_discount END) OVER (
                    PARTITION BY l_orderkey
@@ -627,7 +633,8 @@ def q_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
                             l_discount NULLS LAST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ), (a, b) -> a * b) * 1000000 + 0.5,
-               9007199254740992.0)) AS BIGINT) AS cum_factor_s6
+               9007199254740992.0), -9007199254740992.0)) AS BIGINT)
+               AS cum_factor_s6
         FROM lineitem
     """,
 )
@@ -665,15 +672,21 @@ def q_cumprod(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = F.coalesce(
         F.product(1 + F.col("l_discount")).over(w), F.lit(1.0)
     )
-    # saturation contract at 2^53 (r12 relational corpus): overflowing
-    # scaled products raise in DuckDB and saturate in Spark; past 2^53
-    # the double has no integer precision, so the cap is pinned there
-    # on both sides (see the oracle's LEAST twin)
+    # saturation contract at +/-2^53 (r12 relational corpus + r12
+    # ADVICE): overflowing scaled products raise in DuckDB and saturate
+    # in Spark; past 2^53 the double has no integer precision, so the
+    # cap is pinned there on both sides.  The clamp is SYMMETRIC: a
+    # discount < -1 flips the factor negative and the running product
+    # grows toward -inf — the same divergence class on the other sign
+    # (see the oracle's GREATEST(LEAST(...)) twin).
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.floor(
-            F.least(cum * 1000000 + 0.5, F.lit(9007199254740992.0))
+            F.greatest(
+                F.least(cum * 1000000 + 0.5, F.lit(9007199254740992.0)),
+                F.lit(-9007199254740992.0),
+            )
         )
         .cast("long")
         .alias("cum_factor_s6"),

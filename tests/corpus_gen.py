@@ -547,7 +547,10 @@ def gen_relational(seed: int) -> dict[str, pa.Table]:
         return float(int(rng.integers(1, 51)))
 
     def _rate(r: float) -> float | None:
-        # discount/tax: legal [0, 0.1] plus 0, 1, negative, >1
+        # discount/tax: legal [0, 0.1] plus 0, 1, negative, >1, and
+        # < -1 (r13, r12 ADVICE item 1: a factor 1+d < 0 flips cumprod
+        # negative-and-growing, exercising the NEGATIVE side of the
+        # +/-2^53 saturation pin — previously an unexercised clamp)
         if r < 0.04:
             return None
         if r < 0.08:
@@ -558,6 +561,8 @@ def gen_relational(seed: int) -> dict[str, pa.Table]:
             return -0.05
         if r < 0.16:
             return 1.5
+        if r < 0.18:
+            return -2.5
         return float(np.round(rng.uniform(0.0, 0.10), 2))
 
     ldates: list[int | None] = []

@@ -551,6 +551,36 @@ def test_cube_and_grouping_sets_surface(spark):
     assert set(gs.g_k2.tolist()) == {1}
 
 
+def test_grouping_modes_reject_window_shaped_ops(spark):
+    """r12 ADVICE item 2: GroupBy.apply/rolling/shift/cumsum/cumcount
+    hardcode a plain groupBy (or a plain window partitioning), so a
+    rollup/cube/grouping_sets GroupBy must REFUSE them instead of
+    silently executing plain-groupby semantics.  agg() keeps working."""
+    import pytest as _pytest
+
+    from dask_cudf_spark.frame import from_dict
+
+    f = from_dict(
+        spark,
+        {"k1": ["x", "x", "y"], "k2": ["p", "q", "p"], "v": [1, 2, 4]},
+    )
+    for gb in (f.rollup(["k1", "k2"]), f.cube(["k1", "k2"]),
+               f.grouping_sets([["k1"], []], ["k1", "k2"])):
+        for op, args in (
+            ("apply", (lambda pdf: pdf, "k1 string, k2 string, v bigint")),
+            ("rolling", (2, "v")),
+            ("shift", ("v",)),
+            ("cumsum", ("v", "v")),
+            ("cumcount", ("v",)),
+        ):
+            with _pytest.raises(NotImplementedError, match="plain groupby"):
+                getattr(gb, op)(*args)
+        # agg stays the supported surface
+        assert gb.agg({"v": "sum"}).spark.count() > 0
+    # plain groupby is unaffected
+    assert f.groupby(["k1"]).cumsum("v", "v").spark.count() == 3
+
+
 def test_levenshtein_counts_codepoints_not_bytes(spark):
     """Fixed-expectation pin (r11 ADVICE item 3): q_edit_distance's
     registered differential projects to ASCII because DuckDB's

@@ -821,6 +821,37 @@ def test_plan_digest_invariant_to_metadata_truncation():
         "[isnotnull(c_custkey#1400L), ("
     )
     assert _plan_digest(FakeDF(cat_a)) == _plan_digest(FakeDF(cat_b))
+    # r12 ADVICE item 3: the normalizer must NOT be blind to a lost
+    # filter pushdown — PushedFilters (which carry no expression ids)
+    # are retained as a normalized token, so a scan that stops pushing
+    # its predicate flips the digest even though the metadata tail is
+    # otherwise stripped.
+    with_pf = (
+        "*(2) Filter (l_quantity#3 > 10.0)\n"
+        "+- FileScan parquet [l_quantity#3,l_shipdate#4] Batched: true, "
+        "DataFilters: [isnotnull(l_quantity#3)], Format: Parquet, "
+        "PushedFilters: [IsNotNull(l_quantity), "
+        "GreaterThan(l_quantity,10.0)], ReadSchema: struct<l_quantity"
+    )
+    lost_pf = (
+        "*(2) Filter (l_quantity#3 > 10.0)\n"
+        "+- FileScan parquet [l_quantity#3,l_shipdate#4] Batched: true, "
+        "DataFilters: [isnotnull(l_quantity#3)], Format: Parquet, "
+        "PushedFilters: [], ReadSchema: struct<l_quantity"
+    )
+    assert _plan_digest(FakeDF(with_pf)) != _plan_digest(FakeDF(lost_pf))
+    # same PushedFilters with different expression-id widths upstream
+    # (digit stripping) and a '...'-abbreviated trailing token (dropped)
+    # must digest identically — truncation drift stays invisible
+    pf_trunc_a = with_pf.replace(
+        "GreaterThan(l_quantity,10.0)], ReadSchema",
+        "GreaterThan(l_quantity,10.0), LessThan(l_ship...", 1,
+    )
+    pf_trunc_b = with_pf.replace(
+        "GreaterThan(l_quantity,10.0)], ReadSchema",
+        "GreaterThan(l_quantity,10.0), LessTha...", 1,
+    )
+    assert _plan_digest(FakeDF(pf_trunc_a)) == _plan_digest(FakeDF(pf_trunc_b))
 
 
 def test_fk_integrity_audit_shuffle_budget(spark):
@@ -832,7 +863,14 @@ def test_fk_integrity_audit_shuffle_budget(spark):
 
     a = audit(REGISTRY["q_fk_integrity_audit"].fn(spark, SF_DIR))
     assert a.python_nodes == []
-    assert a.n_cartesian == 0 or "BroadcastNestedLoopJoin" in a.text
+    # r12 ADVICE item 4: the old disjunction (`n_cartesian == 0 or BNLJ
+    # in text`) was near-vacuous — Spark prints 1-row count cross-joins
+    # AS BNLJ, satisfying the second arm by construction.  Bound them
+    # instead: NO CartesianProduct ever, and at most the three 1-row
+    # count cross-joins (formatted explain prints each node twice:
+    # tree + details, so <= 6 BNLJ mentions).
+    assert a.n_cartesian == 0
+    assert a.n_nested_loop_joins <= 6
     # exactly the two dangling-FK anti joins (formatted explain prints
     # each node in tree + details, so 2 joins appear 4 times)
     assert a.text.count("LeftAnti") in (2, 4)

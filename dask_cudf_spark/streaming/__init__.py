@@ -22,6 +22,7 @@ from .jobs import (
     train_centroids,
     materialize_rollup,
     events_stream,
+    events_files_stream,
     purchase_click_attribution,
     sessionize_stateful,
     stateful_user_totals,
@@ -35,6 +36,7 @@ from .jobs import (
 
 __all__ = [
     "events_stream",
+    "events_files_stream",
     "classify_documents",
     "cusum_stateful",
     "documents_stream",

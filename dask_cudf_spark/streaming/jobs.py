@@ -98,7 +98,34 @@ def events_stream(
         ).load()
         return parse_kafka_events(raw)
 
-    path = f"{sf_dir}/events.parquet"
+    return events_files_stream(
+        spark,
+        sf_dir,
+        max_files_per_trigger=max_files_per_trigger,
+        path_glob="events.parquet",
+    )
+
+
+def events_files_stream(
+    spark: SparkSession,
+    directory: str,
+    max_files_per_trigger: int | None = None,
+    path_glob: str | None = None,
+) -> DataFrame:
+    """Events file-source stream over a DIRECTORY of parquet files with
+    the events schema — `events_stream`'s replay path, factored out so
+    a MULTI-file directory can drive genuinely multi-micro-batch
+    replays (maxFilesPerTrigger=1 -> one micro-batch per file).  The
+    r13 streaming-corpus fuzz leg feeds per-seed hostile event chunks
+    through this; production-wise it is the classic landing-zone
+    ingest (new files appear, each becomes a micro-batch).
+
+    Cross-batch ordering note: the file source orders batches by file
+    modification time (then path); callers that rely on per-user
+    event-time order across micro-batches (sessionize_stateful) must
+    write chunk files in event-time order with non-decreasing mtimes.
+    """
+    probe = f"{directory}/{path_glob}" if path_glob else directory
     # the NTZ->TIMESTAMP cast below interprets naive micros in the
     # SESSION timezone — pin UTC for the session's LIFETIME, the same
     # deliberate session-wide contract as sources.tables.load_table.
@@ -111,19 +138,19 @@ def events_stream(
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
-        schema = spark.read.parquet(path).schema
+        schema = spark.read.parquet(probe).schema
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    # the file source wants a directory; glob-filter to just the events file
-    reader = spark.readStream.schema(schema).option(
-        "pathGlobFilter", "events.parquet"
-    )
+    reader = spark.readStream.schema(schema)
+    if path_glob:
+        # the file source wants a directory; glob-filter to the file
+        reader = reader.option("pathGlobFilter", path_glob)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(sf_dir)
+    stream = reader.parquet(directory)
     if stream.schema["ts"].dataType.simpleString() == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     elif stream.schema["ts"].dataType.simpleString() == "timestamp_ntz":
@@ -229,9 +256,17 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
             n += len(pdf)
             # floor(x*s + 0.5): half-UP, mirroring scaled_int exactly —
             # pandas .round() is half-to-even and would diverge from the
-            # batch path on exact-.5 scaled values
+            # batch path on exact-.5 scaled values.
+            # dropna BEFORE the int64 cast (r13 streaming-corpus leg,
+            # seed 10000): the batch twin's F.sum SKIPS null values
+            # while F.count("*") counts the row; without the mask a
+            # NULL rides as NaN, the int64 cast silently yields
+            # ~Long.MIN garbage, and a second null-bearing batch
+            # overflows the int64 STATE column and kills the stream.
             total_scaled += int(
-                np.floor(pdf["value"].to_numpy() * 10000 + 0.5).astype("int64").sum()
+                np.floor(
+                    pdf["value"].dropna().to_numpy() * 10000 + 0.5
+                ).astype("int64").sum()
             )
         state.update((n, total_scaled))
         import pandas as pd
@@ -309,9 +344,10 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
             for pdf in rows:
                 n += len(pdf)
                 # floor(x*s + 0.5): half-UP, mirroring scaled_int (see
-                # stateful_user_totals)
+                # stateful_user_totals); dropna before the int64 cast
+                # for the same NULL-value contract (r13 corpus leg)
                 total_scaled += int(
-                    np.floor(pdf["value"].to_numpy() * 10000 + 0.5)
+                    np.floor(pdf["value"].dropna().to_numpy() * 10000 + 0.5)
                     .astype("int64")
                     .sum()
                 )
@@ -790,7 +826,14 @@ def cusum_stateful(events: DataFrame, k: int, threshold: int) -> DataFrame:
             for _, r in (
                 pdf.sort_values(["ts_long", "event_id"]).iterrows()
             ):
-                pfx += int(r["cents"]) - k
+                # NULL cents (a purchase with NULL value) mirrors the
+                # batch twin exactly (r13 streaming-corpus leg): the
+                # window's SUM(cents - k) SKIPS the null term — prefix
+                # unchanged, including the -k — but the row still gets
+                # a cusum evaluated at that prefix and counts in n_obs
+                # and the alert CASE.  int(NaN) would raise here.
+                if not pd.isna(r["cents"]):
+                    pfx += int(r["cents"]) - k
                 mn = min(mn, pfx)
                 s = pfx - min(0, mn)
                 n += 1

@@ -3,6 +3,17 @@
     python scripts/fuzz_differential.py [N_SEEDS] [SF_DIR] [START_SEED]
     HOSTILE=nocodegen python scripts/fuzz_differential.py ...
     GRAMMAR=asof python scripts/fuzz_differential.py ...
+    CORPUS=relational python scripts/fuzz_differential.py ...
+
+CORPUS=relational|events|both (r13, r12 VERDICT next-round item 3)
+composes the plan grammar with the ADVERSARIAL data generators: every
+CORPUS_EVERY plan seeds (default 25) the lineitem/orders/events parquet
+under test is REGENERATED from tests/corpus_gen (dup-key storms,
+NULL/dangling FKs, epoch-edge dates, NULL-heavy numeric columns,
+hostile event types) with data_seed = plan_seed // CORPUS_EVERY, so one
+sweep walks the plan-space x dirty-data quadrant — random plans had
+only ever run over clean testdata, hostile data only under fixed
+registry queries.  SF_DIR still supplies the non-fuzzed base tables.
 
 Every seed derives one random relational plan executed both as a
 PySpark DataFrame composition and as DuckDB SQL over the same parquet;
@@ -98,17 +109,58 @@ def main() -> int:
         print(f"== HOSTILE config: {hostile} ==")
     if grammar:
         print(f"== GRAMMAR: {grammar} ==")
+    corpus = os.environ.get("CORPUS", "")
+    if corpus not in ("", "relational", "events", "both"):
+        raise SystemExit(f"unknown CORPUS mode: {corpus!r}")
+    corpus_every = int(os.environ.get("CORPUS_EVERY", "25"))
+    scratch = f"/tmp/txfuzz-{os.getpid()}"
+
     con = duckdb.connect()
-    for t in ("lineitem", "orders", "events"):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+
+    def bind_views(d: str) -> None:
+        for t in ("lineitem", "orders", "events"):
+            con.execute(f"DROP VIEW IF EXISTS {t}")
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+            )
+
+    def corpus_dir(data_seed: int) -> str:
+        """Regenerate the fuzzed tables for this data seed; non-fuzzed
+        tables stay the clean SF_DIR copies (one-axis discipline)."""
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from corpus_gen import gen_events, gen_relational
+
+        d = f"{scratch}/corpus{data_seed}"
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        for t in ("lineitem", "orders", "events"):
+            shutil.copy(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+        if corpus in ("relational", "both"):
+            for t, tbl in gen_relational(data_seed).items():
+                if t in ("lineitem", "orders"):
+                    pq.write_table(tbl, f"{d}/{t}.parquet")
+        if corpus in ("events", "both"):
+            pq.write_table(gen_events(data_seed), f"{d}/events.parquet")
+        return d
+
+    data_dir = sf_dir
+    if not corpus:
+        bind_views(sf_dir)
 
     t0 = time.time()
     failures: list[tuple[int, str]] = []
     empty = 0
-    scratch = f"/tmp/txfuzz-{os.getpid()}"
+    cur_data_seed = None
     for seed in range(start, start + n):
+        if corpus:
+            ds = seed // corpus_every
+            if ds != cur_data_seed:
+                cur_data_seed = ds
+                data_dir = corpus_dir(ds)
+                bind_views(data_dir)
         plan = gen(seed)
         try:
             if grammar == "txlog":
@@ -120,7 +172,7 @@ def main() -> int:
                     f" {res['checks']} checks)"
                 )
                 continue
-            spark_pdf = plan.run_spark(spark, sf_dir).toPandas()
+            spark_pdf = plan.run_spark(spark, data_dir).toPandas()
             duck_pdf = con.execute(plan.duck_sql()).fetchdf()
             if len(duck_pdf) == 0:
                 empty += 1
@@ -143,10 +195,15 @@ def main() -> int:
                 "sf_dir": sf_dir,
                 "hostile": hostile,
                 "grammar": grammar or "relational",
+                "corpus": corpus,
+                "corpus_every": corpus_every if corpus else None,
                 "wall_s": round(wall, 1),
             }
         )
     )
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
     return 1 if failures else 0
 
 

@@ -35,11 +35,24 @@ def token_count(col: Column | str, pattern: str = r"\s+") -> Column:
 
 
 def word_ngrams(col: Column | str, n: int = 2, sep: str = " ") -> Column:
-    """nvtext.ngrams_tokenize: word n-grams as an array<string>."""
-    toks = tokenize(col)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), sep),
+    """nvtext.ngrams_tokenize: word n-grams as an array<string>.
+
+    The token array is LET-BOUND via the 1-element-array transform
+    trick (same as minhash_signature below): referenced inline, the
+    tokenize(col) expression would re-evaluate per gram position inside
+    the lambda — O(len^2) per document (the r13 longdoc finding)."""
+    return F.element_at(
+        F.transform(
+            F.array(tokenize(col)),
+            lambda toks: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)),
+                ),
+                lambda i: F.array_join(F.slice(toks, i, n), sep),
+            ),
+        ),
+        1,
     )
 
 
@@ -70,11 +83,26 @@ def char_ngrams(col: Column | str, n: int = 5) -> Column:
     identical fingerprints to before (votes of [] and of [NULL, NULL]
     both resolve every bit to 0), now by construction."""
     s = _c(col)
+    # O(len * n), not O(len^2): the old substring(s, i, n) per position
+    # paid UTF8String's O(i) codepoint seek per shingle — measured 87 s
+    # for 12M shingles of ~18KB docs vs 11 s for this form (r13 longdoc
+    # probe).  The text is split ONCE into a let-bound codepoint array
+    # (Java regex advances by code points, so a zero-width split never
+    # lands inside a surrogate pair — astral chars stay whole, verified
+    # against the old expression on the hostile corpus) and each
+    # shingle is an O(n) slice+join.  split's limit=-1 appends one
+    # trailing '' element; position i <= len-(n-1) never reaches it.
     return F.when(
         F.length(s) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.length(s) - F.lit(n - 1)),
-            lambda i: F.substring(s, i, n),
+        F.element_at(
+            F.transform(
+                F.array(F.split(s, "")),
+                lambda cs: F.transform(
+                    F.sequence(F.lit(1), F.length(s) - F.lit(n - 1)),
+                    lambda i: F.array_join(F.slice(cs, i, n), ""),
+                ),
+            ),
+            1,
         ),
     ).otherwise(F.array().cast("array<string>"))
 

@@ -292,7 +292,11 @@ def q_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word bigrams (nvtext.ngrams_tokenize) as a joined string for a
     stable hash representation."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    toks = F.split("text", " ")
+    # toks bound as a column, not an inline split: expressions inside a
+    # HOF lambda re-evaluate per element (O(len^2) — the r13 longdoc
+    # probe finding, see q_bigram_lm_score)
+    d = d.select("doc_id", "text", F.split("text", " ").alias("toks"))
+    toks = F.col("toks")
     return d.select(
         "doc_id",
         # NULL text -> NULL bigrams (SQL convention, matches the
@@ -1731,13 +1735,16 @@ def q_ngram_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     once.  At 100 TB you'd hash grams to 8-byte xxhash64 keys to shrink
     the shuffle (noted, not done here: the oracle replays raw grams)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # toks bound as a column: an inline split re-evaluates per lambda
+    # element — O(len^2) per doc (r13 longdoc finding, q_bigram_lm_score)
+    staged = d.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = F.col("toks")
     grams_arr = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 8),
         lambda i: F.array_join(F.slice(toks, i + 1, 8), " "),
     )
     g = (
-        d.filter(F.size(toks) >= 8)
+        staged.filter(F.size(toks) >= 8)
         .select("doc_id", F.explode(grams_arr).alias("gram"))
     )
     dup = (
@@ -1877,7 +1884,10 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles, scales linearly at 100 TB.  The final short chunk is
     kept (standard behavior: the tail would otherwise be dropped)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # toks bound as a column: an inline split re-evaluates per lambda
+    # element — O(len^2) per doc (r13 longdoc finding, q_bigram_lm_score)
+    d = d.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = F.col("toks")
     chunk_size, stride = 32, 24
     chunks = F.transform(
         F.sequence(
@@ -2321,7 +2331,15 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller round-11 probe but is strictly larger at every join
     stage) and the cut grows with document length."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # MATERIALIZE the token array before the lambda (r13 longdoc probe):
+    # an expression referenced inside a higher-order-function lambda is
+    # re-evaluated PER ELEMENT — with toks = split(text) inline, every
+    # bigram position re-split the whole document, O(len^2) per doc.
+    # Invisible on short docs (~450 tokens); the CELL=longdoc probe's
+    # ~3.5k-token docs turned minutes-long.  Bound as a projected
+    # column, the lambda body is an O(1) attribute read.
+    staged = d.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = F.col("toks")
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -2332,7 +2350,7 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
-    pairs = d.select("doc_id", F.explode(bigrams).alias("bg")).select(
+    pairs = staged.select("doc_id", F.explode(bigrams).alias("bg")).select(
         "doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
     )
     # pre-aggregate occurrences: every occurrence of the same bigram
@@ -3041,8 +3059,16 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency map of the token array); the only data movement is the
     global top-20, a TakeOrderedAndProject."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    types = F.array_distinct(toks)
+    # toks/types bound as columns: inline expressions inside the count
+    # lambdas re-evaluate per element — with toks = split(text) inline,
+    # every cnt() call re-split the document (r13 longdoc finding, see
+    # q_bigram_lm_score).  The per-type count scan itself stays
+    # O(types * len) by design (map-side, no shuffle).
+    staged = d.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id", "toks", F.array_distinct("toks").alias("types")
+    )
+    toks = F.col("toks")
+    types = F.col("types")
     cnt = lambda t: F.size(F.filter(toks, lambda u: u == t))  # noqa: E731
     n_tokens = F.size(toks).cast("long")
     n_types = F.size(types).cast("long")
@@ -3052,7 +3078,7 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    per = d.select(
+    per = staged.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_types.alias("n_types"),

@@ -2322,14 +2322,21 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     for 100x rows; the Zipfian cell (CELL=zipf — fixed vocabulary, the
     realistic web-text regime) 13.1x.  The zipf gain comes from the
     count tables staying O(vocab^2)=931 rows vs 93k hostile — NOT from
-    the distinct-(doc,bigram) cut, which measured only 1.04x on this
-    corpus in BOTH cells (docs are too short for intra-doc bigram
-    repetition; the cut becomes material only on long/boilerplate
-    documents).  The earlier "large constant-factor win on Zipfian
-    text" wording overstated it; the pre-aggregation is kept because
-    it is never worse (raw-stream form measured 5.65x at x100 on a
-    smaller round-11 probe but is strictly larger at every join
-    stage) and the cut grows with document length."""
+    the distinct-(doc,bigram) cut.
+
+    Pre-aggregation claim CLOSED r13 (BASELINE.md round 13, the
+    CELL=longdoc cell — text repeated 8x within each document, the
+    boilerplate regime): the cut is row_cut 8.27 / wall_cut 1.17
+    there, vs row_cut 1.04 on short docs where it is wall-NEUTRAL
+    (hostile 1.47) to wall-NEGATIVE (zipf 0.80 — the extra
+    (doc,bigram) groupBy costs more than a 1.04 cut saves).  The r12
+    "never worse" wording is therefore also corrected: never worse in
+    ROWS at every join stage, but it pays one extra map-side-combined
+    shuffle, so the WALL win needs intra-doc repetition to clear that
+    cost.  Kept because the 100-TB target regime is long/boilerplate
+    web documents — where both the row volume through two joins and
+    the measured wall win — and the loss cell is overhead-dominated
+    local-mode short docs."""
     d = load_table(spark, sf_dir, "documents")
     # MATERIALIZE the token array before the lambda (r13 longdoc probe):
     # an expression referenced inside a higher-order-function lambda is
@@ -3813,4 +3820,64 @@ def q_ppjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(1000000 * inter div (n_a + n_b - inter) AS LONG)"
             ).alias("jaccard_ppm"),
         )
+    )
+
+
+@register(
+    "q_template_prefixes",
+    family="text",
+    oracle="""
+        -- cross-document template detection by shared 8-token prefix:
+        -- crawl artifacts (nav bars, headers, templated pages) repeat
+        -- the document OPENING verbatim even when bodies differ, so a
+        -- prefix group of >= 2 is a template-family candidate the
+        -- curation pipeline reviews before near-dup scoring.
+        WITH p AS (
+            SELECT doc_id, source,
+                   array_to_string((string_split(text, ' '))[1:8], ' ')
+                   AS prefix
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 8
+        )
+        SELECT prefix,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+        FROM p
+        GROUP BY prefix
+        HAVING COUNT(*) >= 2
+    """,
+)
+def q_template_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-prefix clustering (r13): group documents by their
+    verbatim first-8-token prefix and report every prefix shared by
+    >= 2 documents with its doc count, distinct-source spread, and
+    first doc id — the cheap template-family detector that runs BEFORE
+    minhash (a shared opening is how boilerplate families look long
+    before whole-document similarity fires).  NULL text / short docs
+    (< 8 tokens) have no prefix and drop out on both sides.
+
+    Scale: ONE groupBy on the prefix string with counts-only map-side
+    combine; hot template prefixes skew the exchange but carry only
+    (count, count-distinct partial, min) state, never doc payloads.
+    The prefix is emitted verbatim (not hashed): hash choice would be
+    engine-specific and the string is <= 8 tokens by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("toks"),
+    ).filter(F.size("toks") >= 8).select(
+        "doc_id",
+        "source",
+        F.array_join(F.slice("toks", 1, 8), " ").alias("prefix"),
+    )
+    return (
+        p.groupBy("prefix")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
     )

@@ -1703,3 +1703,155 @@ def q_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_avg",
         "rank_dense",
     )
+
+
+@register(
+    "q_event_gap_histogram",
+    family="window",
+    oracle="""
+        -- inter-event gap distribution per user: the data you size a
+        -- session gap and a streaming watermark delay FROM.  Gaps in
+        -- exact MICROSECONDS (epoch_us both sides; cast-to-long epoch
+        -- SECONDS truncates sub-second bursts — the r11 sessionize
+        -- lesson); the same (ts, event_id) total order as the
+        -- sessionize family so tie storms stay engine-agnostic.
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP))
+                   - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS gap_us
+            FROM events
+        )
+        SELECT user_id,
+               CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+               CAST(COALESCE(SUM(CASE WHEN gap_us < 1000000
+                    THEN 1 END), 0) AS BIGINT) AS n_lt_1s,
+               CAST(COALESCE(SUM(CASE WHEN gap_us >= 1000000
+                    AND gap_us < 60000000
+                    THEN 1 END), 0) AS BIGINT) AS n_1s_1m,
+               CAST(COALESCE(SUM(CASE WHEN gap_us >= 60000000
+                    AND gap_us < 1800000000
+                    THEN 1 END), 0) AS BIGINT) AS n_1m_30m,
+               CAST(COALESCE(SUM(CASE WHEN gap_us >= 1800000000
+                    AND gap_us < 3600000000
+                    THEN 1 END), 0) AS BIGINT) AS n_30m_1h,
+               CAST(COALESCE(SUM(CASE WHEN gap_us >= 3600000000
+                    THEN 1 END), 0) AS BIGINT) AS n_ge_1h,
+               CAST(COALESCE(MAX(gap_us), -1) AS BIGINT) AS max_gap_us
+        FROM g
+        GROUP BY user_id
+    """,
+)
+def q_event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap histogram per user (r13): exact fixed-bucket
+    counts of the arrival gaps — <1s / 1s-1m / 1m-30m / 30m-1h / >=1h —
+    plus the max gap.  This is the distribution a pipeline reads to
+    CHOOSE the session gap (q_sessionize_gaps' 30 minutes) and the
+    watermark delay (streaming jobs' 1 hour) instead of guessing;
+    quantiles would need the rank-vs-value percentile contract, fixed
+    thresholds are exact integers.
+
+    Scale: ONE user_id exchange shared by the lag window and the
+    groupBy (same partitioning, the second sort is free); conditional
+    counts combine map-side.  Single-event users emit n_gaps=0 with
+    max_gap_us=-1 (COALESCE both sides — an all-NULL MAX is engine-
+    agnostically NULL, but nullable int columns canonicalize
+    differently in the driver compare)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    gap = F.col("gap_us")
+
+    def bucket(name, cond):
+        return F.coalesce(
+            F.sum(F.when(cond, 1)), F.lit(0)
+        ).cast("long").alias(name)
+
+    return g.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        bucket("n_lt_1s", gap < 1_000_000),
+        bucket("n_1s_1m", (gap >= 1_000_000) & (gap < 60_000_000)),
+        bucket("n_1m_30m", (gap >= 60_000_000) & (gap < 1_800_000_000)),
+        bucket("n_30m_1h", (gap >= 1_800_000_000) & (gap < 3_600_000_000)),
+        bucket("n_ge_1h", gap >= 3_600_000_000),
+        F.coalesce(F.max(gap), F.lit(-1)).cast("long").alias("max_gap_us"),
+    )
+
+
+@register(
+    "q_out_of_order_ratio",
+    family="window",
+    oracle="""
+        -- event-time disorder per user: how far events arrive BEHIND
+        -- the running event-time high-water mark, in ARRIVAL order
+        -- (event_id is the monotone ingest sequence).  This is the
+        -- measurement that justifies a watermark delay: the max
+        -- lateness bound and the fraction of rows that would be late
+        -- under a zero-delay watermark.
+        WITH m AS (
+            SELECT user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                   MAX(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS hwm_us
+            FROM events
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COALESCE(SUM(CASE WHEN ts_us < hwm_us THEN 1 END), 0)
+                    AS BIGINT) AS n_out_of_order,
+               CAST(COALESCE(MAX(CASE WHEN ts_us < hwm_us
+                    THEN hwm_us - ts_us END), -1) AS BIGINT) AS max_late_us,
+               CAST((1000000 * COALESCE(SUM(CASE WHEN ts_us < hwm_us
+                    THEN 1 END), 0)) // COUNT(*) AS BIGINT) AS ooo_ppm
+        FROM m
+        GROUP BY user_id
+    """,
+)
+def q_out_of_order_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder accounting per user (r13): in ARRIVAL order
+    (event_id), count events whose timestamp sits BEHIND the running
+    event-time high-water mark and the worst lateness in exact
+    microseconds — i.e. exactly what a streaming watermark of delay D
+    would drop (rows with hwm - ts > D).  The r13 streaming-corpus leg
+    replays hostile events through the watermarked paths; this is its
+    batch-side measurement twin.
+
+    Scale: one user_id exchange, one running-max window, counts-only
+    aggregation (map-side combine); ppm ratio is integer division —
+    exact at any SF (1e6 * count fits int64 to ~9e12 rows/user)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    us = F.unix_micros(F.col("ts"))
+    m = ev.select(
+        "user_id",
+        us.alias("ts_us"),
+        F.max(us).over(w).alias("hwm_us"),
+    )
+    late = F.col("ts_us") < F.col("hwm_us")
+    return m.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.coalesce(F.sum(F.when(late, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_out_of_order"),
+        F.coalesce(
+            F.max(F.when(late, F.col("hwm_us") - F.col("ts_us"))), F.lit(-1)
+        )
+        .cast("long")
+        .alias("max_late_us"),
+        F.expr(
+            "(1000000 * coalesce(sum(case when ts_us < hwm_us then 1 end), 0))"
+            " div count(1)"
+        ).alias("ooo_ppm"),
+    )

@@ -615,6 +615,22 @@ _ROTATIONS: list[tuple[list[str], list[str]]] = [
         ["q_fk_integrity_audit"],
         ["q_domain_mix_weights"],
     ),
+    (
+        # round 13: the streaming-ops measurement pair the r13
+        # streaming-corpus leg motivated (inter-event gap histogram for
+        # session-gap/watermark sizing; event-time disorder accounting
+        # — what a zero-delay watermark would drop) plus the
+        # template-prefix detector (cross-doc boilerplate families
+        # caught by verbatim openings before minhash).  Three ever-
+        # green residents cede: q_seasonal_anomaly + q_funnel_latency
+        # (window keeps 8+ reps) and q_text_normalize (text keeps 13).
+        [
+            "q_event_gap_histogram",
+            "q_out_of_order_ratio",
+            "q_template_prefixes",
+        ],
+        ["q_seasonal_anomaly", "q_funnel_latency", "q_text_normalize"],
+    ),
 ]
 _WINDOW = 50
 # The driver round whose rotation defined the CURRENT window.  The
@@ -623,7 +639,7 @@ _WINDOW = 50
 # respect to the evidence that existed when it was designed, so the
 # current round's own driver run can't flip the suite red between
 # driver-run and next-rotation (r9 VERDICT item 3).
-_WINDOW_ROUND = 12
+_WINDOW_ROUND = 13
 
 
 def _rotate_window(specs: list[QuerySpec]) -> list[QuerySpec]:

@@ -59,7 +59,20 @@ OFFSET = 10**9
 # bigram/unigram count tables stop growing with corpus size, which is
 # exactly the regime q_bigram_lm_score's distinct-(doc,bigram)
 # pre-aggregation is designed for — record BOTH cells side by side.
-ZIPF = os.environ.get("CELL", "") == "zipf"
+#
+# CELL=longdoc (r13, r12 VERDICT item 4): each document's text is
+# repeated REPEAT times WITHIN the document (fixed alphabet) — the
+# long/boilerplate-document regime a 100-TB crawl contains (nav bars,
+# footers, templated pages).  This is the cell where the
+# distinct-(doc,bigram) pre-aggregation is SUPPOSED to win: within-doc
+# bigram repetition grows ~REPEAT-fold while distinct (doc,bigram)
+# rows stay ~constant.  The probe records the measured pre-agg cut
+# (row cut and wall-time cut vs a raw-stream variant) next to the
+# hostile/zipf rows, closing the r12 claim audit.
+CELL = os.environ.get("CELL", "")
+ZIPF = CELL == "zipf"
+LONGDOC = CELL == "longdoc"
+REPEAT = int(os.environ.get("REPEAT", "8"))
 
 PROBES = [
     "q_tpch_q5_shape",
@@ -110,6 +123,21 @@ PROBES = [
     # rows, never as extra scans
     "q_grouping_sets_lineitem",
     "q_cube_orders",
+    # r13 additions (r12 VERDICT item 6, coverage-ledger audit): the
+    # scored-window queries whose no-probe reason did NOT hold —
+    # q_udaf_grouped is the applyInPandas Python hot path (Arrow batch
+    # transfer scales with rows, no family proxy); q_sessionize_gaps is
+    # the canonical gaps-and-islands double window; q_edit_distance
+    # carries a per-row O(len^2) pandas_udf; q_token_rarity joins the
+    # unigram vocabulary back to the token stream (the unigram sibling
+    # of the bigram family, but with an IDF-style join fan-in);
+    # q_fk_integrity_audit fuses domain scans + two LEFT ANTI probes
+    # (the relational ingest gate must stay counts-only at any SF)
+    "q_udaf_grouped",
+    "q_sessionize_gaps",
+    "q_edit_distance",
+    "q_token_rarity",
+    "q_fk_integrity_audit",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
@@ -131,7 +159,7 @@ def _rot(i: int) -> tuple[str, str]:
 
 
 def build(spark, factor: int) -> str:
-    out = f"{BASE}/x{factor}" + ("z" if ZIPF else "")
+    out = f"{BASE}/x{factor}" + ("z" if ZIPF else f"L{REPEAT}" if LONGDOC else "")
     marker = f"{out}/_COMPLETE"
     if os.path.exists(marker):
         return out
@@ -175,15 +203,28 @@ def build(spark, factor: int) -> str:
             "user_id", F.col("user_id") + F.lit(i * OFFSET)
         ).withColumn("event_id", F.col("event_id") + F.lit(i * OFFSET)),
     )
+    def _doc_text(i: int):
+        # zipf/longdoc cells: identical alphabet across copies (fixed
+        # vocab); default: disjoint affine rotations per copy
+        base = (
+            F.col("text")
+            if (ZIPF or LONGDOC)
+            else F.translate("text", *_rot(i))
+        )
+        if LONGDOC:
+            # boilerplate regime: the doc's own text repeated REPEAT
+            # times (empty/NULL docs stay empty/NULL via the concat_ws
+            # null-skip — a NULL text repeated is '')
+            return F.when(
+                F.col("text").isNull(), F.lit(None).cast("string")
+            ).otherwise(F.concat_ws(" ", *([base] * REPEAT)))
+        return base
+
     blow(
         "documents",
         lambda df, i: df.withColumn(
             "doc_id", F.col("doc_id") + F.lit(i * OFFSET)
-        ).withColumn(
-            "text",
-            # zipf cell: identical alphabet across copies (fixed vocab)
-            F.col("text") if ZIPF else F.translate("text", *_rot(i)),
-        ),
+        ).withColumn("text", _doc_text(i)),
     )
     blow(
         "embeddings",
@@ -192,6 +233,102 @@ def build(spark, factor: int) -> str:
         ),
     )
     open(marker, "w").write("ok\n")
+    return out
+
+
+def _bigram_lm(spark, d: str, preagg: bool):
+    """Mirror of queries/text.q_bigram_lm_score with the
+    distinct-(doc,bigram) pre-aggregation SWITCHABLE, so the probe can
+    measure its wall-time win directly (preagg=False rides every
+    downstream join on the raw bigram stream — the rejected form)."""
+    # toks bound as a column (NOT inline split): the r13 finding this
+    # very probe produced — expressions in a HOF lambda re-evaluate per
+    # element, O(len^2) per doc
+    staged = load_table(spark, d, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("prev"),
+                F.element_at(toks, i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    pairs = staged.select("doc_id", F.explode(bigrams).alias("bg")).select(
+        "doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
+    )
+    bc = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c_bg"))
+    pc = pairs.groupBy("prev").agg(F.count("*").alias("c_prev"))
+    if preagg:
+        occ = pairs.groupBy("doc_id", "prev", "cur").agg(
+            F.count("*").alias("n_occ")
+        )
+    else:
+        occ = pairs.withColumn("n_occ", F.lit(1).cast("long"))
+    scored = (
+        occ.join(bc, ["prev", "cur"])
+        .join(pc, ["prev"])
+        .select(
+            "doc_id",
+            "n_occ",
+            F.floor((F.lit(1000000.0) * F.col("c_bg")) / F.col("c_prev"))
+            .cast("long")
+            .alias("p_s6"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("n_occ").alias("n_bigrams"),
+        F.sum(F.col("n_occ") * F.col("p_s6")).alias("fluency_sum_s6"),
+        F.expr("sum(n_occ * p_s6) div sum(n_occ)").alias("fluency_mean_s6"),
+    )
+
+
+def bigram_preagg_cut(spark, d: str, runs: int) -> dict:
+    """The r12 claim-audit closer: measured pre-aggregation savings on
+    one corpus dir — raw-vs-distinct ROW cut at the join input, and
+    wall-time of the query with/without the pre-aggregation."""
+    staged = load_table(spark, d, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
+    # raw bigram-stream rows: sum of per-doc (n_tokens - 1), guarded
+    raw_rows = staged.select(
+        F.sum(
+            F.when(F.size(toks) >= 2, F.size(toks) - 1).otherwise(0)
+        ).alias("n")
+    ).collect()[0][0]
+    bg = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("prev"),
+                F.element_at(toks, i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    pairs = staged.select("doc_id", F.explode(bg).alias("b")).select(
+        "doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur")
+    )
+    occ_rows = pairs.groupBy("doc_id", "prev", "cur").count().count()
+    out = {
+        "raw_pair_rows": int(raw_rows or 0),
+        "distinct_doc_bigram_rows": int(occ_rows),
+        "row_cut": round((raw_rows or 0) / max(1, occ_rows), 2),
+    }
+    for label, preagg in (("preagg", True), ("raw_stream", False)):
+        _bigram_lm(spark, d, preagg).count()  # warm
+        ts = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            _bigram_lm(spark, d, preagg).count()
+            ts.append(time.perf_counter() - t0)
+        out[f"{label}_sec"] = round(min(ts), 3)
+    out["wall_cut"] = round(out["raw_stream_sec"] / out["preagg_sec"], 2)
     return out
 
 
@@ -230,16 +367,20 @@ def main() -> None:
         times["ratio"] = round(times[f"x{FACTOR}"] / times["x1"], 2)
         result[name] = times
         print(f"  {name:20s} {times}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "factor": FACTOR,
-                "runs": RUNS,
-                "cell": "zipf" if ZIPF else "hostile",
-                "queries": result,
-            }
-        )
-    )
+    payload = {
+        "factor": FACTOR,
+        "runs": RUNS,
+        "cell": CELL or "hostile",
+        "queries": result,
+    }
+    if LONGDOC:
+        payload["repeat"] = REPEAT
+    # the pre-agg claim audit (r12 VERDICT item 4): measured on the
+    # blown-up dir whenever the bigram query is probed
+    if any("bigram" in n for n in probes):
+        payload["bigram_preagg"] = bigram_preagg_cut(spark, xk, RUNS)
+        print(f"  bigram_preagg {payload['bigram_preagg']}", file=sys.stderr)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

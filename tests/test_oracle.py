@@ -232,11 +232,11 @@ _PINNED_WINDOW = [
     "q_dow_seasonality", "q_benford_digits",
     "q_tpch_q16", "q_tpch_q19",
     "q_cumprod",
-    "q_event_paths", "q_max_drawdown", "q_funnel_latency",
-    "q_markov_transitions", "q_seasonal_anomaly",
+    "q_event_paths", "q_max_drawdown",
+    "q_markov_transitions",
     "q_token_filter",
     "q_vocab_topk", "q_repetition_ngrams",
-    "q_split_leakage", "q_text_normalize",
+    "q_split_leakage",
     "q_chunk_documents", "q_token_rarity",
     "q_lexical_diversity", "q_tokenizer_fertility",
     # round-10 promotions (rotate_in order)
@@ -260,6 +260,14 @@ _PINNED_WINDOW = [
     # adversarial-relational corpus motivated enters;
     # q_domain_mix_weights (ever-green) cedes.
     "q_fk_integrity_audit",
+    # round-13 rotation: the streaming-ops measurement pair the
+    # streaming-corpus leg motivated (gap histogram for session/
+    # watermark sizing; event-time disorder accounting) and the
+    # template-prefix boilerplate detector enter in the round they
+    # land; q_seasonal_anomaly, q_funnel_latency, q_text_normalize
+    # (all ever-green) cede.
+    "q_event_gap_histogram", "q_out_of_order_ratio",
+    "q_template_prefixes",
 ]
 
 

@@ -16,6 +16,8 @@ Usage:
     RAGGED=1 python scripts/corpus_fuzz.py ...   # phase-2 ragged vectors
     RELATIONAL=1 ...                             # r12: hostile lineitem/orders/customer
     EVENTS=1 ...                                 # r11: hostile events/JSON
+    DIMS=1 ...                                   # r12: hostile part/supplier
+    GEO=1 ...                                    # r13: hostile nation/region
     ONLY=<substr> ...                            # name/family filter
     HOSTILE=tz|noaqe|noarrow|oddparts|nocodegen  # session-config cell
 
@@ -62,6 +64,7 @@ from corpus_gen import (  # noqa: E402
     gen_documents,
     gen_embeddings,
     gen_events,
+    gen_geo,
     gen_relational,
 )
 from oracle_compare import assert_frames_match, normalize_nullable_ints  # noqa: E402
@@ -127,6 +130,11 @@ def main() -> int:
     # DIMS=1 (r12 fourth axis): hostile part/supplier attribute tables
     # — reaches the five dim-only queries and the string-pack twins
     dims_mode = os.environ.get("DIMS", "") == "1"
+    # GEO=1 (r13 fifth axis, r12 VERDICT item 7): hostile nation/region
+    # — the only tables never fuzzed; the TPC-H q5/q7/q8 oracles join
+    # through them and filter on their names (PKs stay unique non-null
+    # 0..N-1, FK customer/supplier keys keep resolving)
+    geo_mode = os.environ.get("GEO", "") == "1"
     # each axis fuzzes ONLY its own tables (the others stay real
     # copies) so eligibility targets the axis's query families and
     # a divergence implicates exactly one generator; set both env
@@ -134,12 +142,13 @@ def main() -> int:
     fuzzed = (
         (
             ("documents", "embeddings")
-            if not (rel_mode or events_mode or dims_mode)
+            if not (rel_mode or events_mode or dims_mode or geo_mode)
             else ()
         )
         + (("events",) if events_mode else ())
         + (("lineitem", "orders", "customer") if rel_mode else ())
         + (("part", "supplier") if dims_mode else ())
+        + (("nation", "region") if geo_mode else ())
     )
     specs = eligible_specs(fuzzed)
     if only:
@@ -177,6 +186,9 @@ def main() -> int:
                 pq.write_table(tbl, f"{sf_dir}/{t}.parquet")
         if dims_mode:
             for t, tbl in gen_dims(seed).items():
+                pq.write_table(tbl, f"{sf_dir}/{t}.parquet")
+        if geo_mode:
+            for t, tbl in gen_geo(seed).items():
                 pq.write_table(tbl, f"{sf_dir}/{t}.parquet")
 
         con = duckdb.connect()
@@ -225,7 +237,8 @@ def main() -> int:
                 + ("-ragged" if ragged else "")
                 + ("-events" if events_mode else "")
                 + ("-relational" if rel_mode else "")
-                + ("-dims" if dims_mode else ""),
+                + ("-dims" if dims_mode else "")
+                + ("-geo" if geo_mode else ""),
                 "hostile": hostile,
                 "seeds": n_seeds,
                 "start_seed": start,

@@ -714,3 +714,69 @@ def gen_dims(seed: int) -> dict[str, pa.Table]:
         }
     )
     return {"part": part, "supplier": supplier}
+
+
+def gen_geo(seed: int) -> dict[str, pa.Table]:
+    """One deterministic hostile (nation, region) pair per seed (r13,
+    r12 VERDICT item 7: the only tables never fuzzed — tiny, but the
+    TPC-H q5/q7/q8 oracles join THROUGH them and filter on their
+    names).
+
+    Contracts kept: n_nationkey / r_regionkey stay unique non-null
+    0..N-1 (PKs; customer/supplier FKs must keep resolving), row
+    counts stay 25/5 (broadcast-dim scale).  Hostile surface: names
+    get NULL / '' / unicode-soup / whitespace-wrapped variants — with
+    the REAL names kept ~half the time so literal filters
+    (r_name = 'ASIA') stay non-trivially selective — and n_regionkey
+    gets NULL / dangling values at a low rate (an inner join through
+    region then legitimately drops those nations on both sides)."""
+    rng = np.random.default_rng(seed ^ 0x6E0)
+    regions = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+    nations = [
+        "ALGERIA", "ARGENTINA", "BRAZIL", "CANADA", "EGYPT", "ETHIOPIA",
+        "FRANCE", "GERMANY", "INDIA", "INDONESIA", "IRAN", "IRAQ",
+        "JAPAN", "JORDAN", "KENYA", "MOROCCO", "MOZAMBIQUE", "PERU",
+        "CHINA", "ROMANIA", "SAUDI ARABIA", "VIETNAM", "RUSSIA",
+        "UNITED KINGDOM", "UNITED STATES",
+    ]
+
+    def name(normal: str) -> str | None:
+        r = rng.random()
+        if r < 0.05:
+            return None
+        if r < 0.10:
+            return ""
+        if r < 0.25:
+            return str(rng.choice(_HOSTILE_ATTRS))
+        if r < 0.35:
+            return _unicode_soup(rng)[:30]
+        if r < 0.50:
+            return "  " + normal + " \t"
+        return normal
+
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array(range(25), type=pa.int32()),
+            "n_name": pa.array(
+                [name(nations[i]) for i in range(25)], type=pa.string()
+            ),
+            "n_regionkey": pa.array(
+                [
+                    None if rng.random() < 0.08
+                    else int(rng.integers(5, 9)) if rng.random() < 0.08
+                    else int(rng.integers(0, 5))
+                    for _ in range(25)
+                ],
+                type=pa.int32(),
+            ),
+        }
+    )
+    region = pa.table(
+        {
+            "r_regionkey": pa.array(range(5), type=pa.int32()),
+            "r_name": pa.array(
+                [name(regions[i]) for i in range(5)], type=pa.string()
+            ),
+        }
+    )
+    return {"nation": nation, "region": region}

@@ -739,9 +739,12 @@ class Plan:
     having: tuple[int, int] | None  # (agg index with kind int, threshold)
     distinct: bool = False  # scalar plan: dedup the projection
     # single-table plans only: ('semi'|'anti', filter on the OTHER
-    # table) -> Spark left_semi/left_anti join == SQL [NOT] IN
-    # (subquery).  Key columns are never null in the testdata, so
-    # NOT IN and anti-join agree (the null-RHS trap can't fire).
+    # table) -> Spark left_semi/left_anti join == SQL [NOT] EXISTS
+    # (correlated subquery).  NOT [NOT] IN: anti-join is NOT-EXISTS-
+    # shaped, and the r13 grammar-x-hostile-corpus quadrant proved the
+    # difference matters — NULL probe/subquery keys (absent in clean
+    # testdata, mass-produced by gen_relational) make NOT IN
+    # three-valued and the twins diverged on 27/600 seeds.
     subq: tuple[str, Ex] | None = None
     # aggregate plans: GROUP BY ROLLUP with a grouping_id marker column
     # (disambiguates subtotal NULLs from genuine null keys, which
@@ -904,7 +907,20 @@ class Plan:
             else:
                 key, okey, other = "o_orderkey", "l_orderkey", "lineitem"
             neg = "" if how == "semi" else "NOT "
-            sq = f"{key} {neg}IN (SELECT {okey} FROM {other} WHERE {sp.d})"
+            # [NOT] EXISTS, never [NOT] IN (r13 grammar-x-corpus
+            # finding, seeds 30000-30599: 27 divergences, ONE class):
+            # Spark's left_anti is NOT-EXISTS-shaped — a NULL probe key
+            # never matches, so the row is KEPT; NOT IN over a list
+            # with any NULL (or with a NULL probe) is three-valued NULL
+            # and drops the row — in DuckDB 0 rows survive whenever the
+            # subquery column carries one NULL.  The clean testdata has
+            # no NULL keys so the trap could never fire; the hostile
+            # relational corpus mass-produces them.  Same contract the
+            # fk-audit oracle pinned in r12 (aggregates.py NOT EXISTS).
+            sq = (
+                f"{neg}EXISTS (SELECT 1 FROM {other} "
+                f"WHERE ({sp.d}) AND {okey} = {key})"
+            )
             conj.append(sq)
             base_conj.append(sq)
         where = f" WHERE {' AND '.join(conj)}" if conj else ""

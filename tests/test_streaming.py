@@ -954,3 +954,32 @@ def test_kafka_txlog_matview_soak_exactly_once(spark, tmp_path):
         f"SOAK {{\"rows\": {produced}, \"batches\": {n_batches}, "
         f"\"restarts\": {restarts}, \"dup_replays\": {dup_replays}}}"
     )
+
+
+def test_stream_corpus_null_value_legs(spark, tmp_path):
+    """r13 regression pin for the streaming-corpus findings: the
+    hostile events corpus (NULL values, NULL/empty event types, tie
+    storms) replayed in MULTI-micro-batch mode through the stateful
+    paths must converge to the batch twins.  Seed 10000 is the seed
+    whose NULL `value` rows crashed stateful_user_totals before the
+    dropna fix (NaN -> int64 garbage overflowing the int64 state
+    column) and raised int(NaN) in cusum_stateful; one seed x three
+    legs keeps the pin cheap while the recorded FUZZ legs cover the
+    breadth."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from stream_corpus_fuzz import (
+        _prepare_seed,
+        leg_cusum,
+        leg_dedup,
+        leg_user_totals,
+    )
+
+    root = str(tmp_path / "scf")
+    _prepare_seed(10000, root)
+    ck = str(tmp_path / "ck")
+    leg_user_totals(spark, root, ck)
+    leg_cusum(spark, root, ck)
+    leg_dedup(spark, root, ck)

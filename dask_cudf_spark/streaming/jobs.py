@@ -686,12 +686,13 @@ def sessionize_stateful(
         else:
             start, last, n = None, None, 0
         out = []
+        gap_us = gap_seconds * 1_000_000
         for pdf in pdfs:
             for ts in sorted(pdf["ts_long"]):
                 ts = int(ts)
                 if start is None:
                     start, last, n = ts, ts, 1
-                elif ts - last > gap_seconds:
+                elif ts - last > gap_us:
                     out.append((key[0], start, last, n, True))
                     start, last, n = ts, ts, 1
                 else:
@@ -714,8 +715,15 @@ def sessionize_stateful(
             ]
         )
 
+    # MICROSECONDS, not cast("long") epoch seconds (r13 streaming-
+    # corpus leg, seed 10017): a gap of 1800.8 s truncates to exactly
+    # 1800 whole seconds, which is NOT > gap, so the seconds-domain
+    # state machine merged two sessions the microsecond-exact batch
+    # twin (q_sessionize_gaps, fixed r11) keeps apart.  The same
+    # sub-second-precision class, one operator later.  session_start /
+    # session_end are therefore epoch MICROSECONDS in the output.
     rows = events.select(
-        "user_id", F.col("ts").cast("long").alias("ts_long")
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_long")
     )
     return rows.groupBy("user_id").applyInPandasWithState(
         update,
@@ -853,7 +861,11 @@ def cusum_stateful(events: DataFrame, k: int, threshold: int) -> DataFrame:
 
     x = events.filter(F.col("event_type") == "purchase").select(
         "user_id",
-        F.col("ts").cast("long").alias("ts_long"),
+        # MICROSECONDS for the sort key (same r13 truncation class as
+        # sessionize_stateful, latent here: cast("long") epoch seconds
+        # collapses sub-second order among DISTINCT timestamps; the
+        # batch twin orders by full-precision ts, event_id)
+        F.unix_micros(F.col("ts")).alias("ts_long"),
         "event_id",
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )

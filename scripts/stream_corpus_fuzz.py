@@ -222,8 +222,11 @@ def leg_sessionize(spark, root, ckroot):
         .fn(spark, root)
         .select(
             "user_id",
-            F.col("session_start").cast("long").alias("session_start"),
-            F.col("session_end").cast("long").alias("session_end"),
+            # MICROSECONDS: the stateful operator's output domain
+            # (r13 fix — this leg's seed 10017 caught the seconds-
+            # truncation merge)
+            F.unix_micros("session_start").alias("session_start"),
+            F.unix_micros("session_end").alias("session_end"),
             "n_events",
         )
         .toPandas()

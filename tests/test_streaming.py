@@ -601,8 +601,10 @@ def test_sessionize_stateful_converges_to_batch_gaps(spark, tmp_path):
         .fn(spark, SF_DIR)
         .select(
             "user_id",
-            F.col("session_start").cast("long").alias("session_start"),
-            F.col("session_end").cast("long").alias("session_end"),
+            # MICROSECONDS: the stateful operator's output domain
+            # (r13 fix — cast("long") epoch seconds truncated gaps)
+            F.unix_micros("session_start").alias("session_start"),
+            F.unix_micros("session_end").alias("session_end"),
             "n_events",
         )
         .toPandas()

@@ -373,6 +373,82 @@ def leg_matview(spark, root, ckroot):
     assert len(table_history(spark, dst)) == dv
 
 
+def leg_attribution(spark, root, ckroot):
+    """Stream-stream LEFT OUTER interval join over the hostile corpus
+    (two independent chunked stream handles, watermarks on both
+    sides).  Invariants (same contract as the clean-data test):
+    matched pairs equal the batch inner matches exactly; every
+    null-augmented row is a genuinely unmatched purchase; purchases
+    safely older than the final click watermark must all have been
+    emitted (a missing match is provably missing, not late)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dask_cudf_spark.streaming import events_files_stream
+    from dask_cudf_spark.streaming.jobs import purchase_click_attribution
+
+    ev = _batch_events(spark, f"{root}/chunks")
+    batch = purchase_click_attribution(ev, ev, how="left_outer").toPandas()
+    pairs = purchase_click_attribution(
+        events_files_stream(spark, f"{root}/chunks", max_files_per_trigger=1),
+        events_files_stream(spark, f"{root}/chunks", max_files_per_trigger=1),
+        how="left_outer",
+    )
+    # inline drain (not _drain): the completeness bound below needs the
+    # ENGINE-REPORTED final watermark from query progress.  A
+    # hand-derived bound (max click ts - delays) is WRONG on sparse
+    # streams: Catalyst pushes the event-type filter below the
+    # EventTimeWatermark node, so each side's watermark tracks its
+    # FILTERED max — the globally-last purchase can never be proven
+    # unmatched (seed 10201 finding: the invariant, not the engine).
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("scf_attr")
+        .outputMode("append")
+        .option("checkpointLocation", f"{ckroot}/attr")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("attribution stream did not drain")
+        wm = None
+        for prog in q.recentProgress:
+            w = (prog.get("eventTime") or {}).get("watermark")
+            if w:
+                wm = w
+    finally:
+        if q.isActive:
+            q.stop()
+    got = spark.table("scf_attr").toPandas()
+    spark.catalog.dropTempView("scf_attr")
+    bm, bu = batch[batch.lag_us.notna()], batch[batch.lag_us.isna()]
+    gm, gn = got[got.lag_us.notna()], got[got.lag_us.isna()]
+    _cmp(gm, bm, "attribution_matched")
+    phantom = set(gn.purchase_id) - set(bu.purchase_id)
+    assert not phantom, f"attribution: {len(phantom)} phantom unmatched rows"
+    if wm is not None and len(bu):
+        final_wm = pd.Timestamp(wm).tz_localize(None)
+        purchases = (
+            ev.filter(ev.event_type == "purchase")
+            .select(F.col("event_id").alias("purchase_id"), "ts")
+            .toPandas()
+            .set_index("purchase_id")["ts"]
+        )
+        # strictly below the final watermark (1s guard for the ms
+        # rounding of the reported value): provably-missing purchases
+        old = {
+            pid
+            for pid in bu.purchase_id
+            if purchases[pid] < final_wm - pd.Timedelta(seconds=1)
+        }
+        missing = old - set(gn.purchase_id)
+        assert not missing, (
+            f"attribution: {len(missing)} purchases below the final "
+            f"watermark {final_wm} never emitted as unmatched"
+        )
+
+
 def leg_kafka(spark, root, ckroot, seed):
     """Hostile events as JSON records over the jar-free kafka_py wire:
     unicode/control-char payloads through the Kafka v0 protocol, the
@@ -428,6 +504,7 @@ LEGS = [
     "cusum",
     "ingest_restart",
     "matview",
+    "attribution",
     "kafka",
 ]
 
@@ -476,6 +553,8 @@ def main() -> int:
                     leg_ingest_restart(spark, root, ckroot)
                 elif leg == "matview":
                     leg_matview(spark, root, ckroot)
+                elif leg == "attribution":
+                    leg_attribution(spark, root, ckroot)
                 elif leg == "kafka":
                     leg_kafka(spark, root, ckroot, seed)
             except Exception as e:  # noqa: BLE001 — record and continue

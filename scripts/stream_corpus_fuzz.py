@@ -74,8 +74,20 @@ def _prepare_seed(seed: int, root: str) -> dict:
     """Write the per-seed corpus: single-file batch twin + ts-ordered
     chunk dir + redelivery chunk dir.  gen_events emits rows already in
     non-decreasing ts order (built incrementally), so sequential row
-    slices ARE event-time slices."""
+    slices ARE event-time slices.  A hostile DOCUMENTS chunk dir rides
+    along for the classify leg (no event time — any slicing works)."""
+    from corpus_gen import gen_documents
+
     os.makedirs(root)
+    docs = gen_documents(seed)
+    pq.write_table(docs, f"{root}/documents.parquet")
+    os.makedirs(f"{root}/doc_chunks")
+    dcuts = [round(i * docs.num_rows / CHUNKS) for i in range(CHUNKS + 1)]
+    for i in range(CHUNKS):
+        pq.write_table(
+            docs.slice(dcuts[i], dcuts[i + 1] - dcuts[i]),
+            f"{root}/doc_chunks/doc-{i:04d}.parquet",
+        )
     tbl = gen_events(seed)
     pq.write_table(tbl, f"{root}/events.parquet")
     n = tbl.num_rows
@@ -449,6 +461,34 @@ def leg_attribution(spark, root, ckroot):
         )
 
 
+def leg_classify_docs(spark, root, ckroot):
+    """The DOCUMENTS axis through a streaming path: hostile documents
+    (unicode soup, NULL/empty text, whitespace pathologies) classified
+    map-side by the online nearest-centroid inference job in
+    multi-micro-batch mode; predictions must equal the batch run of
+    the same centroids exactly (integer vector arithmetic commutes
+    across batch slicing)."""
+    from dask_cudf_spark.streaming.jobs import classify_documents, train_centroids
+
+    batch_docs = spark.read.parquet(f"{root}/documents.parquet")
+    cents = train_centroids(batch_docs)
+    if len(cents) < 2:
+        return  # too few labeled languages this seed to train on
+    exp = classify_documents(batch_docs, cents).toPandas()
+    stream_docs = (
+        spark.readStream.schema(batch_docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{root}/doc_chunks")
+    )
+    got = _drain(
+        classify_documents(stream_docs, cents),
+        f"{ckroot}/classify",
+        "scf_classify",
+        "append",
+    )
+    _cmp(got, exp, "classify_docs")
+
+
 def leg_kafka(spark, root, ckroot, seed):
     """Hostile events as JSON records over the jar-free kafka_py wire:
     unicode/control-char payloads through the Kafka v0 protocol, the
@@ -505,6 +545,7 @@ LEGS = [
     "ingest_restart",
     "matview",
     "attribution",
+    "classify_docs",
     "kafka",
 ]
 
@@ -555,6 +596,8 @@ def main() -> int:
                     leg_matview(spark, root, ckroot)
                 elif leg == "attribution":
                     leg_attribution(spark, root, ckroot)
+                elif leg == "classify_docs":
+                    leg_classify_docs(spark, root, ckroot)
                 elif leg == "kafka":
                     leg_kafka(spark, root, ckroot, seed)
             except Exception as e:  # noqa: BLE001 — record and continue

@@ -188,10 +188,15 @@ EXTRA_ANCHORS = {
     # ABOVE every subsequent reading, making the 1.4x flag ~2x loose
     "q_txlog_change_feed": 1.8488,
     "q_matview_cdc": 2.3944,
-    # r11 additions, frozen from the round-11 quiet protocol run
+    # r11 addition, frozen from the round-11 quiet protocol run
     # (min of RUNS, sf0.1/local[32], headline 5.6801 s — BASELINE.md)
-    "q_bigram_lm_score": 3.2635,
     "q_embedding_audit": 0.1512,
+    # RE-FROZEN r13: the O(len^2) HOF fix (BASELINE.md round 13) is a
+    # permanent plan/expression improvement — the old 3.2635 anchor
+    # would hide a 2.7x regression back to the per-element re-split.
+    # Value from the r13 protocol run (ONE digest across all samples,
+    # low-steal readings 1.19-1.26 s).
+    "q_bigram_lm_score": 1.2575,
 }
 
 

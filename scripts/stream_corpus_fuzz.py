@@ -44,6 +44,10 @@ Legs (ONLY=<substr> filters):
 Usage:
     python scripts/stream_corpus_fuzz.py [N_SEEDS] [START_SEED]
     CHUNKS=5 ONLY=<leg substr> KAFKA=0 python scripts/stream_corpus_fuzz.py ...
+    HOSTILE=tz|noaqe|noarrow|oddparts|nocodegen ...   # session-config cell
+                                                      # (r13: e.g. tz runs the
+                                                      # whole streaming surface
+                                                      # under a +05:30 JVM)
 
 Exit 0 = every (seed, leg) converged.  Prints the one-line JSON the
 FUZZ_r*.json artifacts record.  Seed-range etiquette: fresh ranges per
@@ -558,14 +562,21 @@ def main() -> int:
     if os.environ.get("KAFKA", "1") != "1" and "kafka" in legs:
         legs.remove("kafka")
 
+    from fuzz_differential import HOSTILE_CONF
+
     from dask_cudf_spark.session import get_spark
 
-    spark = get_spark(
-        app_name="stream-corpus-fuzz",
-        extra_conf={"spark.sql.shuffle.partitions": "8"},
-    )
+    hostile = os.environ.get("HOSTILE", "")
+    if hostile not in HOSTILE_CONF:
+        raise SystemExit(f"unknown HOSTILE mode: {hostile!r}")
+    conf = {"spark.sql.shuffle.partitions": "8"}
+    conf.update(HOSTILE_CONF[hostile])
+    spark = get_spark(app_name="stream-corpus-fuzz", extra_conf=conf)
     spark.sparkContext.setLogLevel("ERROR")
-    print(f"== stream corpus fuzz: legs={legs}, {n_seeds} seeds, chunks={CHUNKS} ==")
+    print(
+        f"== stream corpus fuzz: legs={legs}, {n_seeds} seeds, "
+        f"chunks={CHUNKS}, hostile={hostile or '-'} =="
+    )
 
     scratch = f"/tmp/streamfuzz-{os.getpid()}"
     failures: list[tuple[int, str, str]] = []
@@ -615,6 +626,7 @@ def main() -> int:
         json.dumps(
             {
                 "grammar": "corpus-streaming",
+                "hostile": hostile,
                 "seeds": n_seeds,
                 "start_seed": start,
                 "legs": legs,

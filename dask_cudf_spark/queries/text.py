@@ -3881,3 +3881,86 @@ def q_template_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "q_first_dup_span",
+    family="text",
+    oracle="""
+        -- intra-document span-dedup onset: for every 8-token span
+        -- position, whether that exact span occurred EARLIER in the
+        -- same document, and the position of the first such repeat —
+        -- the truncate-at-first-boilerplate-loop heuristic (the r13
+        -- longdoc cell is this regime made extreme).  Positional
+        -- companion to q_repetition_ngrams' distinct-ratio score.
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 8
+        ),
+        g AS (
+            SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+                   array_to_string(toks[u.i + 1 : u.i + 8], ' ') AS gram
+            FROM t, unnest(range(len(toks) - 7)) AS u(i)
+        ),
+        per AS (
+            SELECT doc_id, gram, COUNT(*) AS c,
+                   (list(pos ORDER BY pos))[2] AS second_pos
+            FROM g GROUP BY doc_id, gram
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_spans,
+               CAST(SUM(c - 1) AS BIGINT) AS n_dup_spans,
+               CAST((1000000 * SUM(c - 1)) // SUM(c) AS BIGINT)
+                   AS dup_span_ppm,
+               CAST(COALESCE(MIN(second_pos), -1) AS BIGINT)
+                   AS first_dup_pos
+        FROM per GROUP BY doc_id
+    """,
+)
+def q_first_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document span-dedup onset (r13, wave 2): per document, the
+    duplicated-8-token-span count and the FIRST position whose span
+    already occurred earlier — the curation heuristic that truncates a
+    page at the start of its boilerplate loop instead of dropping it.
+    Differentiated from q_repetition_ngrams (a distinct-ratio score,
+    no positions) by span granularity and the onset offset.
+
+    Scale: gram explode is map-side over a BOUND token array (the r13
+    HOF lesson — never reference split() inside the transform lambda);
+    one (doc_id, gram) groupBy whose per-group state is the sorted
+    position list (bounded by doc length), then one doc_id rollup.
+    Hot boilerplate grams repeat WITHIN a doc, so the first groupBy
+    key carries doc_id — no cross-document skew amplification."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 8
+    )
+    toks = F.col("toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 8),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.array_join(F.slice(toks, i + 1, 8), " ").alias("gram"),
+        ),
+    )
+    g = staged.select("doc_id", F.explode(grams).alias("s")).select(
+        "doc_id", F.col("s.pos").alias("pos"), F.col("s.gram").alias("gram")
+    )
+    per = g.groupBy("doc_id", "gram").agg(
+        F.count("*").alias("c"),
+        # try_element_at: a once-only gram has a 1-element list and a
+        # NULL second position (element_at RAISES under ANSI — the
+        # DuckDB list[2] twin yields NULL)
+        F.try_element_at(F.sort_array(F.collect_list("pos")), F.lit(2)).alias(
+            "second_pos"
+        ),
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_spans"),
+        F.sum(F.col("c") - 1).cast("long").alias("n_dup_spans"),
+        F.expr("(1000000 * sum(c - 1)) div sum(c)").alias("dup_span_ppm"),
+        F.coalesce(F.min("second_pos"), F.lit(-1))
+        .cast("long")
+        .alias("first_dup_pos"),
+    )

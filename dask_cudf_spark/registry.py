@@ -631,6 +631,14 @@ _ROTATIONS: list[tuple[list[str], list[str]]] = [
         ],
         ["q_seasonal_anomaly", "q_funnel_latency", "q_text_normalize"],
     ),
+    (
+        # round 13, wave 2: q_first_dup_span — the intra-document
+        # span-dedup onset (positions + truncate-at-first-boilerplate
+        # offset) the longdoc cell motivated.  One ever-green text
+        # resident cedes (text keeps 13 reps).
+        ["q_first_dup_span"],
+        ["q_token_filter"],
+    ),
 ]
 _WINDOW = 50
 # The driver round whose rotation defined the CURRENT window.  The

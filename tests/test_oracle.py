@@ -234,7 +234,6 @@ _PINNED_WINDOW = [
     "q_cumprod",
     "q_event_paths", "q_max_drawdown",
     "q_markov_transitions",
-    "q_token_filter",
     "q_vocab_topk", "q_repetition_ngrams",
     "q_split_leakage",
     "q_chunk_documents", "q_token_rarity",
@@ -268,6 +267,9 @@ _PINNED_WINDOW = [
     # (all ever-green) cede.
     "q_event_gap_histogram", "q_out_of_order_ratio",
     "q_template_prefixes",
+    # round-13 wave-2 rotation: the intra-doc span-dedup onset the
+    # longdoc cell motivated enters; q_token_filter (ever-green) cedes.
+    "q_first_dup_span",
 ]
 
 

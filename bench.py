@@ -89,13 +89,23 @@ def _plan_digest(df) -> str:
         head, tail = m.group(1), m.group(2)
         # a truncated value has NO closing bracket — abbreviate() cuts
         # the string and appends "..." (the next metadata key follows),
-        # so the list terminates at either "]" or "..."
-        pf = re.search(r"PushedFilters: \[(.*?)(\]|\.\.\.)", tail)
+        # so the list terminates at either a "]" that closes the LIST
+        # or "...".  Filter values may themselves contain "]" (e.g.
+        # In(c, [a,b])), so the closing "]" is only the one followed by
+        # the next metadata key or end-of-line (r13 ADVICE item 2 —
+        # the old first-"]" match truncated In()-values mid-list).
+        pf = re.search(
+            r"PushedFilters: \[(.*?)(\](?=$|, [A-Z]\w+: )|\.\.\.)", tail
+        )
         if not pf:
             return head
         toks, term = pf.group(1), pf.group(2)
         if term != "]":
-            toks = toks.rsplit(",", 1)[0] if "," in toks else ""
+            # drop the '...'-abbreviated partial token; if NOTHING
+            # whole survives, emit a distinct marker so a fully-
+            # truncated list is never confused with a genuinely-empty
+            # PushedFilters: [] (a lost pushdown must flip the digest)
+            toks = toks.rsplit(",", 1)[0] if "," in toks else "?"
         return head + " PF[" + toks + "]"
 
     plan = re.sub(r"(FileScan \w+ [\w.$]*\[[^\]]*\])([^\n]*)", _scan_repl, plan)

@@ -40,17 +40,24 @@ def word_ngrams(col: Column | str, n: int = 2, sep: str = " ") -> Column:
     The token array is LET-BOUND via the 1-element-array transform
     trick (same as minhash_signature below): referenced inline, the
     tokenize(col) expression would re-evaluate per gram position inside
-    the lambda — O(len^2) per document (the r13 longdoc finding)."""
+    the lambda — O(len^2) per document (the r13 longdoc finding).
+
+    Documents with fewer than `n` tokens have NO grams — an explicit
+    empty array, guarded the same way as char_ngrams: without the
+    guard, sequence(1, size-(n-1)) with size < n DESCENDS through 0
+    and slice(toks, 0, n) raises INVALID_PARAMETER_VALUE.START
+    (r13 ADVICE: the r13 let-bound rewrite dropped the guard that
+    char_ngrams and q_ngrams already carry)."""
     return F.element_at(
         F.transform(
             F.array(tokenize(col)),
-            lambda toks: F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)),
+            lambda toks: F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, n), sep),
                 ),
-                lambda i: F.array_join(F.slice(toks, i, n), sep),
-            ),
+            ).otherwise(F.array().cast("array<string>")),
         ),
         1,
     )
@@ -90,8 +97,10 @@ def char_ngrams(col: Column | str, n: int = 5) -> Column:
     # (Java regex advances by code points, so a zero-width split never
     # lands inside a surrogate pair — astral chars stay whole, verified
     # against the old expression on the hostile corpus) and each
-    # shingle is an O(n) slice+join.  split's limit=-1 appends one
-    # trailing '' element; position i <= len-(n-1) never reaches it.
+    # shingle is an O(n) slice+join.  The zero-width split yields
+    # exactly length(s) elements (no trailing '' — verified live, r13
+    # ADVICE corrected the old off-by-one claim here), so every
+    # position i <= len-(n-1) slices n real characters.
     return F.when(
         F.length(s) >= n,
         F.element_at(

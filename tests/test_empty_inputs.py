@@ -125,3 +125,27 @@ def test_abtest_se_guard_yields_null_not_divide_by_zero(spark):
         spark.conf.set("spark.sql.ansi.enabled", old)
     assert row["z_s6"] is None
     assert row["rate_diff_s6"] == 0
+
+
+def test_word_ngrams_short_docs_yield_empty_not_raise(spark):
+    """r13 ADVICE (medium): documents with fewer than n tokens must
+    yield an explicit empty array — the unguarded sequence(1, size-n+1)
+    DESCENDS to [1, 0] and slice(toks, 0, n) raises
+    INVALID_PARAMETER_VALUE.START.  Same contract char_ngrams pins for
+    short strings (r10)."""
+    from dask_cudf_spark.functions.text import word_ngrams
+
+    df = spark.createDataFrame(
+        [("one",), ("two words",), ("a b c",), ("",), (None,)],
+        "t string",
+    )
+    rows = {r["t"]: (r["g2"], r["g3"]) for r in df.select(
+        "t",
+        word_ngrams("t", 2).alias("g2"),
+        word_ngrams("t", 3).alias("g3"),
+    ).collect()}
+    assert rows["one"] == ([], [])
+    assert rows["two words"] == (["two words"], [])
+    assert rows["a b c"] == (["a b", "b c"], ["a b c"])
+    assert rows[""] == ([], [])
+    assert rows[None] == ([], [])

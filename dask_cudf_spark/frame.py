@@ -122,12 +122,16 @@ class Col:
         return Col(F.round(self._c, decimals))
 
     def clip(self, lower=None, upper=None) -> "Col":
+        # NULL must stay NULL (pandas/cudf clip propagates NA): SQL
+        # greatest/least IGNORE nulls, so an unguarded greatest(NULL,
+        # lo) silently manufactures the bound (r14 frame-fuzz finding)
         c = self._c
+        out = c
         if lower is not None:
-            c = F.greatest(c, F.lit(lower))
+            out = F.greatest(out, F.lit(lower))
         if upper is not None:
-            c = F.least(c, F.lit(upper))
-        return Col(c)
+            out = F.least(out, F.lit(upper))
+        return Col(F.when(c.isNotNull(), out))
 
     def where(self, cond: "Col", other=None) -> "Col":
         return Col(F.when(cond._c, self._c).otherwise(other))
@@ -165,7 +169,14 @@ class StrAccessor:
         return Col(F.upper(self._c))
 
     def capitalize(self):
-        return Col(F.initcap(self._c))
+        # pandas/cudf capitalize: FIRST char upper, rest lower — not
+        # initcap (which title-cases every word; r14 frame-fuzz finding)
+        return Col(
+            F.concat(
+                F.upper(F.substring(self._c, 1, 1)),
+                F.lower(F.substring(self._c, 2, 2147483646)),
+            )
+        )
 
     def strip(self, to_strip: str | None = None):
         return Col(F.trim(self._c) if to_strip is None else F.btrim(self._c, F.lit(to_strip)))
@@ -221,11 +232,35 @@ class StrAccessor:
         return Col(F.concat_ws(sep, self._c, others._c))
 
     def pad(self, width: int, side: str = "left", fillchar: str = " "):
+        # pandas/cudf pad never TRUNCATES an already-wide value; Spark
+        # lpad/rpad cut to `width` (r14 frame-fuzz finding)
         fn = F.lpad if side == "left" else F.rpad
-        return Col(fn(self._c, width, fillchar))
+        return Col(
+            F.when(F.length(self._c) >= width, self._c).otherwise(
+                fn(self._c, width, fillchar)
+            )
+        )
 
     def zfill(self, width: int):
-        return Col(F.lpad(self._c, width, "0"))
+        # pandas/cudf zfill keeps a leading +/- SIGN ahead of the pad
+        # ("-5".zfill(4) == "-005", not "00-5") and never truncates an
+        # already-wide value (r14 frame-fuzz findings)
+        sign = F.substring(self._c, 1, 1)
+        return Col(
+            F.when(F.length(self._c) >= width, self._c)
+            .when(
+                sign.isin("-", "+"),
+                F.concat(
+                    sign,
+                    F.lpad(
+                        F.substring(self._c, 2, 2147483646),
+                        max(width - 1, 0),
+                        "0",
+                    ),
+                ),
+            )
+            .otherwise(F.lpad(self._c, width, "0"))
+        )
 
     def repeat(self, n: int):
         return Col(F.repeat(self._c, n))
@@ -391,8 +426,16 @@ _SPARK_DTYPES = {
     "datetime64[us]": "timestamp",
 }
 
-_FREQ_TO_TRUNC = {"D": "day", "H": "hour", "T": "minute", "min": "minute", "S": "second", "M": "month", "Y": "year", "W": "week"}
-_FREQ_TO_SECONDS = {"D": 86400, "H": 3600, "T": 60, "min": 60, "S": 1}
+_FREQ_TO_TRUNC = {
+    "D": "day", "H": "hour", "T": "minute", "min": "minute", "S": "second",
+    "M": "month", "Y": "year", "W": "week",
+    # modern pandas lowercase offset aliases (H/T/S deprecated in 2.2)
+    "d": "day", "h": "hour", "s": "second",
+}
+_FREQ_TO_SECONDS = {
+    "D": 86400, "H": 3600, "T": 60, "min": 60, "S": 1,
+    "d": 86400, "h": 3600, "s": 1,
+}
 
 _AGG_MAP: dict[str, Callable[[str], Column]] = {
     "sum": F.sum,

@@ -3535,3 +3535,160 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "q_jsd_drift",
+    family="aggregate",
+    oracle="""
+        -- identical arithmetic sequence to the Spark side: exact
+        -- integer counts -> one double division per share -> ln on the
+        -- same doubles -> x1e6 scaled round (the chi2/gini discipline)
+        WITH halves AS (
+            SELECT lang,
+                   CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c_even,
+                   CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c_odd
+            FROM documents GROUP BY lang
+        ),
+        tot AS (
+            SELECT CAST(SUM(c_even) AS BIGINT) AS n_even,
+                   CAST(SUM(c_odd) AS BIGINT) AS n_odd
+            FROM halves
+        ),
+        shares AS (
+            SELECT lang, c_even, c_odd,
+                   CAST(c_even AS DOUBLE) / n_even AS p,
+                   CAST(c_odd AS DOUBLE) / n_odd AS q
+            FROM halves, tot
+        )
+        SELECT lang, c_even, c_odd,
+               CAST(FLOOR(1000000 * (
+                   0.5 * (CASE WHEN p > 0
+                               THEN p * ln(p / ((p + q) / 2)) ELSE 0 END)
+                 + 0.5 * (CASE WHEN q > 0
+                               THEN q * ln(q / ((p + q) / 2)) ELSE 0 END)
+               ) + 0.5) AS BIGINT) AS jsd_s6
+        FROM shares
+    """,
+)
+def q_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the language distributions of
+    two corpus halves (even/odd doc_id) — the information-theoretic
+    drift test a training-data pipeline runs between ingest batches
+    (bounded in [0, ln 2], symmetric, defined even where one side has
+    zero mass — exactly where KL and PSI blow up; the chi2 screen's
+    log-space cousin, q_drift_chi2).  Per-language contribution rows:
+    0.5*p*ln(p/m) + 0.5*q*ln(q/m) with m = (p+q)/2, zero-mass terms
+    dropping out as 0*ln(0) := 0.  Shares are exact integer counts
+    through one double division, and the output is the x1e6
+    scaled-round BIGINT — the identical-arithmetic-sequence discipline
+    every stat oracle here follows.
+
+    Scale: ONE |langs|-row shuffle with map-side partial counts; the
+    two totals broadcast back as a 1-row literal.  Nothing grows with
+    corpus size except the map side."""
+    d = load_table(spark, sf_dir, "documents")
+    halves = d.groupBy("lang").agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c_even"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c_odd"),
+    )
+    tot = halves.agg(
+        F.sum("c_even").cast("long").alias("n_even"),
+        F.sum("c_odd").cast("long").alias("n_odd"),
+    )
+    s = halves.crossJoin(F.broadcast(tot))
+    p = F.col("c_even").cast("double") / F.col("n_even")
+    q = F.col("c_odd").cast("double") / F.col("n_odd")
+    m = (p + q) / 2
+    contrib = 0.5 * F.when(p > 0, p * F.log(p / m)).otherwise(0.0) + (
+        0.5 * F.when(q > 0, q * F.log(q / m)).otherwise(0.0)
+    )
+    return s.select(
+        "lang",
+        "c_even",
+        "c_odd",
+        F.floor(contrib * 1000000 + F.lit(0.5)).cast("long").alias("jsd_s6"),
+    )
+
+
+@register(
+    "q_iqr_anomaly_days",
+    family="aggregate",
+    oracle="""
+        -- all comparisons in scaled-INT space: daily revenue is exact
+        -- cents; 4*quantile_cont of int64 at .25/.75 lands on quarter
+        -- grid -> exact after x4; the 1.5*IQR fence comparison is
+        -- cleared of fractions by one more x2 (the q_mad_outliers
+        -- discipline, quartile form)
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS rev_c
+            FROM events
+            WHERE event_type = 'purchase' AND value IS NOT NULL
+            GROUP BY CAST(ts AS DATE)
+        ),
+        qs AS (
+            SELECT CAST(4 * quantile_cont(rev_c, 0.25) AS BIGINT) AS q1_4,
+                   CAST(4 * quantile_cont(rev_c, 0.75) AS BIGINT) AS q3_4
+            FROM daily
+        )
+        SELECT CAST(day AS TIMESTAMP) AS day, rev_c, q1_4, q3_4,
+               CASE WHEN 8 * rev_c > 2 * q3_4 + 3 * (q3_4 - q1_4)
+                    THEN 1 ELSE 0 END AS hi_outlier,
+               CASE WHEN 8 * rev_c < 2 * q1_4 - 3 * (q3_4 - q1_4)
+                    THEN 1 ELSE 0 END AS lo_outlier
+        FROM daily, qs
+    """,
+)
+def q_iqr_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence anomaly screen on daily revenue: flag days outside
+    [Q1 - 1.5 IQR, Q3 + 1.5 IQR] (the boxplot rule — the quartile
+    sibling of the MAD screen q_mad_outliers, catching level shifts
+    rather than per-user point outliers).  Exact arithmetic
+    throughout: daily revenue sums scaled cents (int64), quartiles are
+    exact percentile() over ints (x4 lands the .25/.75 interpolation
+    on integers), and the 1.5xIQR fences compare as 8*rev vs
+    2*q3_4 +/- 3*(q3_4 - q1_4) — no division, no float comparison,
+    bit-identical on both engines.
+
+    Scale: one |days|-row shuffle with map-side partial sums; ONE
+    global exact percentile over |days| rows (driver-sized by
+    definition — days, not events); fences broadcast back as a 1-row
+    literal."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    qs = daily.agg(
+        (F.percentile("rev_c", F.lit(0.25)) * 4).cast("long").alias("q1_4"),
+        (F.percentile("rev_c", F.lit(0.75)) * 4).cast("long").alias("q3_4"),
+    )
+    j = daily.crossJoin(F.broadcast(qs))
+    iqr4 = F.col("q3_4") - F.col("q1_4")
+    return j.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "rev_c",
+        "q1_4",
+        "q3_4",
+        F.when(8 * F.col("rev_c") > 2 * F.col("q3_4") + 3 * iqr4, 1)
+        .otherwise(0)
+        .alias("hi_outlier"),
+        F.when(8 * F.col("rev_c") < 2 * F.col("q1_4") - 3 * iqr4, 1)
+        .otherwise(0)
+        .alias("lo_outlier"),
+    )

@@ -1232,3 +1232,67 @@ def q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_geometry_ready"),
     )
+
+
+@register(
+    "q_class_balance",
+    family="similarity",
+    oracle="""
+        -- exact counts -> one double division per share -> ln on the
+        -- same doubles -> x1e6 scaled round (the stat-oracle
+        -- discipline).  NULL labels are a class like any other (SQL
+        -- GROUP BY) — the audit must SEE unlabeled mass, not drop it.
+        WITH c AS (
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+            FROM embeddings GROUP BY label
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM c
+        )
+        SELECT label, n,
+               CAST(FLOOR(1000000.0 * n / n_total + 0.5) AS BIGINT)
+                   AS share_s6,
+               CAST(FLOOR(1000000.0 * n_total / (k * n) + 0.5) AS BIGINT)
+                   AS weight_s6,
+               CAST(FLOOR(1000000 * (
+                   -(CAST(n AS DOUBLE) / n_total)
+                   * ln(CAST(n AS DOUBLE) / n_total)) + 0.5) AS BIGINT)
+                   AS entropy_term_s6
+        FROM c, tot
+    """,
+)
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-balance audit over the embeddings table — the
+    pre-training sanity gate for any labeled corpus: per-class counts,
+    corpus share, the sklearn-style 'balanced' inverse-frequency
+    weight n_total/(k*n_i) a reweighted loss would use, and each
+    class's Shannon-entropy term (sum them for dataset entropy;
+    exp(sum) is the effective class count).  NULL labels form a real
+    class — an audit that silently drops unlabeled rows understates
+    exactly the mass it exists to surface.
+
+    Scale: ONE |classes|-row shuffle with map-side partial counts; the
+    (n_total, k) pair broadcasts back as a 1-row literal.  Nothing
+    grows with corpus size except the map side."""
+    e = load_table(spark, sf_dir, "embeddings")
+    c = e.groupBy("label").agg(F.count("*").cast("long").alias("n"))
+    tot = c.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("k"),
+    )
+    j = c.crossJoin(F.broadcast(tot))
+    share = F.col("n").cast("double") / F.col("n_total")
+    weight = F.col("n_total").cast("double") / (F.col("k") * F.col("n"))
+    return j.select(
+        "label",
+        "n",
+        F.floor(share * 1000000 + F.lit(0.5)).cast("long").alias("share_s6"),
+        F.floor(weight * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("weight_s6"),
+        F.floor(-share * F.log(share) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("entropy_term_s6"),
+    )

@@ -3964,3 +3964,131 @@ def q_first_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_dup_pos"),
     )
+
+
+@register(
+    "q_containment_scores",
+    family="dedup",
+    oracle="""
+        -- word-3-gram sets from a PLAIN single-space split (identical
+        -- tokenizer text both sides; empty tokens filtered so runs of
+        -- spaces can't mint '' shingles); DuckDB range(a,b) is empty
+        -- when b <= a, so short docs get [] with no guard — the Spark
+        -- side carries the explicit when() (sequence would DESCEND,
+        -- the word_ngrams r14 ADVICE class)
+        WITH g AS (
+            SELECT doc_id,
+                   list_distinct(
+                       list_transform(
+                           range(1, greatest(len(toks) - 1, 1)),
+                           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                       )
+                   ) AS grams
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split(coalesce(text, ''), ' '),
+                                   t -> t <> '') AS toks
+                FROM documents WHERE doc_id < 300
+            )
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(a.grams) AS n_a, len(b.grams) AS n_b,
+               CAST(FLOOR(1000000.0
+                    * len(list_intersect(a.grams, b.grams))
+                    / greatest(len(a.grams), 1) + 0.5) AS BIGINT)
+                   AS contain_ab_s6,
+               CAST(FLOOR(1000000.0
+                    * len(list_intersect(a.grams, b.grams))
+                    / greatest(len(b.grams), 1) + 0.5) AS BIGINT)
+                   AS contain_ba_s6
+        FROM g a JOIN g b
+          ON b.doc_id = a.doc_id + 1 OR b.doc_id = a.doc_id + 2
+    """,
+)
+def q_containment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL shingle containment C(A->B) = |A n B| / |A| on
+    word-3-gram sets — the asymmetric cousin of Jaccard that detects
+    doc-INSIDE-doc duplication (a short quote fully contained in a
+    long article scores ~1.0 one way while Jaccard, diluted by the
+    long side's size, stays near 0 — the case symmetric near-dup
+    measures structurally miss; Broder 1997's containment coefficient).
+    Both directions reported; empty shingle sets score 0 via the
+    max(|A|,1) guard, not NULL or /0.
+
+    Candidate pairs here are the oracle-checkable stride pairs
+    (doc_id+1, doc_id+2) over a 300-doc slice — the same verification
+    topology as q_jaccard.  At corpus scale candidates come from the
+    existing banded-LSH path (operators/dedup.minhash_sig_pairs):
+    containment is a per-pair map-side score, so it composes with any
+    candidate generator without new shuffles.
+
+    Tokenizer contract: PLAIN single-space split with '' tokens
+    filtered (identical text both engines); grams built from a
+    LET-BOUND token array (the r13 HOF lesson) with the explicit
+    short-doc guard (the r14 word_ngrams ADVICE class — Spark
+    sequence(1,0) DESCENDS where DuckDB range(1,0) is empty)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.filter(
+                F.split(F.coalesce("text", F.lit("")), " "),
+                lambda t: t != F.lit(""),
+            ).alias("toks"),
+        )
+    )
+    grams = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.element_at(
+                F.transform(
+                    F.array(F.col("toks")),
+                    lambda toks: F.when(
+                        F.size(toks) >= 3,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(toks) - F.lit(2)),
+                            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+                        ),
+                    ).otherwise(F.array().cast("array<string>")),
+                ),
+                1,
+            )
+        ).alias("grams"),
+    )
+    a = grams.select(
+        F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a")
+    )
+    b = grams.select(
+        F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b")
+    )
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    return (
+        a.join(
+            b,
+            (F.col("id_b") == F.col("id_a") + 1)
+            | (F.col("id_b") == F.col("id_a") + 2),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size("g_a").alias("n_a"),
+            F.size("g_b").alias("n_b"),
+            F.floor(
+                inter.cast("double")
+                / F.greatest(F.size("g_a"), F.lit(1))
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("contain_ab_s6"),
+            F.floor(
+                inter.cast("double")
+                / F.greatest(F.size("g_b"), F.lit(1))
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("contain_ba_s6"),
+        )
+    )

@@ -639,6 +639,28 @@ _ROTATIONS: list[tuple[list[str], list[str]]] = [
         ["q_first_dup_span"],
         ["q_token_filter"],
     ),
+    (
+        # round 14: the r14 wave — JSD distribution drift (log-space
+        # sibling of the chi2 screen), Tukey-fence IQR day anomalies
+        # (quartile sibling of the MAD screen), the class-balance /
+        # inverse-frequency-weight audit over embeddings, and
+        # DIRECTIONAL shingle containment (doc-inside-doc detection,
+        # the asymmetric case Jaccard structurally misses).  Four
+        # ever-green aggregate-family residents cede (the family keeps
+        # 10+ window reps and gains two of these back).
+        [
+            "q_jsd_drift",
+            "q_iqr_anomaly_days",
+            "q_class_balance",
+            "q_containment_scores",
+        ],
+        [
+            "q_trend_slope",
+            "q_dow_seasonality",
+            "q_benford_digits",
+            "q_lorenz_deciles",
+        ],
+    ),
 ]
 _WINDOW = 50
 # The driver round whose rotation defined the CURRENT window.  The
@@ -647,7 +669,7 @@ _WINDOW = 50
 # respect to the evidence that existed when it was designed, so the
 # current round's own driver run can't flip the suite red between
 # driver-run and next-rotation (r9 VERDICT item 3).
-_WINDOW_ROUND = 13
+_WINDOW_ROUND = 14
 
 
 def _rotate_window(specs: list[QuerySpec]) -> list[QuerySpec]:

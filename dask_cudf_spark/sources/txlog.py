@@ -79,45 +79,203 @@ def _log_dir(path: str) -> str:
     return path.rstrip("/") + "/_txlog"
 
 
-def _read_log(spark: SparkSession, path: str) -> list[dict]:
-    """All commit records in version order (empty list for a new
-    table).  Reads through spark.read.json so it works on any Hadoop
-    filesystem, with an explicit schema (a one-record JSON file per
-    commit).
+# A log CHECKPOINT (Delta's _last_checkpoint idea, single-file form):
+# every CHECKPOINT_INTERVAL commits the winning writer compacts the
+# parsed log into one `chk-<version>.json` file holding every entry up
+# to and including that version.  Readers then replay ONE driver-side
+# file + only the per-version tail files AFTER it, so snapshot reads
+# stay O(interval) instead of O(commits) — the r13 verdict's flagged
+# latent cost, measured and fixed in r14 (BASELINE.md txlog-scale
+# rows).  Checkpoints are advisory: a torn/missing checkpoint degrades
+# to the full per-file replay, never to wrong results.
+CHECKPOINT_INTERVAL = 100
 
-    Records with a null version/op/dirs are DROPPED: a writer killed
-    between the exclusive create and the record write (r11 soak: a
-    streaming query stopped mid-foreachBatch) leaves an empty or torn
-    version file whose commit never happened — the slot reads as a
-    GAP, its data dir stays unreferenced (vacuum reclaims it by
-    age+reachability), and version numbering skips it via
-    _max_version_on_disk."""
+
+def _parse_record(d: dict) -> dict | None:
+    if (
+        d.get("version") is None
+        or d.get("op") is None
+        or d.get("dirs") is None
+    ):
+        return None
+    stats = d.get("stats")
+    if isinstance(stats, str):
+        stats = json.loads(stats) if stats else {}
+    return {
+        "version": d["version"],
+        "op": d["op"],
+        "dirs": list(d["dirs"]),
+        "batch_id": d.get("batch_id"),
+        "stats": stats or {},
+    }
+
+
+def _local_path(path_str: str) -> str | None:
+    """The local-filesystem path for file:/-scheme (or scheme-less)
+    URIs, else None — the py4j-free fast path below."""
+    if path_str.startswith("file:"):
+        p = path_str[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+        return p
+    if "://" not in path_str and not path_str.startswith("file:"):
+        return path_str
+    return None
+
+
+def _fs_read_json(jvm, fs, path_str: str):
+    """Driver-side read of one small log/checkpoint file — direct
+    Python I/O on local paths (zero py4j round trips; the r14 scale
+    probe showed 4 py4j calls per tail file re-creating an O(commits)
+    driver cost), Hadoop FS streams on any other filesystem.  Returns
+    the parsed object or None for empty/torn files (the gap semantics
+    below)."""
+    lp = _local_path(path_str)
+    if lp is not None:
+        try:
+            with open(lp, "rb") as f:
+                raw = f.read()
+        except OSError:
+            return None
+    else:
+        stream = fs.open(jvm.org.apache.hadoop.fs.Path(path_str))
+        try:
+            raw = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+    if not raw:
+        return None
+    try:
+        return json.loads(raw.decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        return None  # torn write: same GAP contract as a null record
+
+
+def _list_log_files(jvm, fs, ld) -> list[str]:
+    """Full paths of every file in the log dir.  Local filesystems
+    (every test/driver path here) list through os.listdir — ZERO py4j
+    round trips; iterating a listStatus array from Python costs ~3
+    round trips PER FILE, the r14 scale probe's hidden O(commits)
+    driver cost.  Non-local filesystems (hdfs://, s3a://) fall back to
+    the Hadoop listing — correct, with the documented per-file py4j
+    cost (a cluster driver would run this listing JVM-side anyway)."""
+    import os as _os
+
+    lp = _local_path(ld.toString())
+    if lp is not None:
+        try:
+            return [f"{lp.rstrip('/')}/{n}" for n in _os.listdir(lp)]
+        except OSError:
+            return []
+    return [
+        st.getPath().toString() for st in fs.listStatus(ld)
+    ]
+
+
+def _read_log_ex(
+    spark: SparkSession, path: str
+) -> tuple[list[dict], int, int]:
+    """(entries, checkpoint_version, n_tail_files) — see _read_log."""
     jvm, fs, ld = _jfs(spark, _log_dir(path))
     if not fs.exists(ld):
-        return []
-    rows = (
-        spark.read.schema(
-            "version long, op string, dirs array<string>, batch_id long, "
-            "stats string"
-        )
-        .json(_log_dir(path))
-        .collect()
-    )
-    entries = [
-        {
-            "version": r["version"],
-            "op": r["op"],
-            "dirs": list(r["dirs"]),
-            "batch_id": r["batch_id"],
-            "stats": json.loads(r["stats"]) if r["stats"] else {},
-        }
-        for r in rows
-        if r["version"] is not None
-        and r["op"] is not None
-        and r["dirs"] is not None
-    ]
+        return [], -1, 0
+    versions: list[tuple[int, str]] = []
+    chks: list[tuple[int, str]] = []
+    for full in _list_log_files(jvm, fs, ld):
+        name = full.rsplit("/", 1)[-1]
+        if name.endswith(".json"):
+            stem = name[: -len(".json")]
+            if stem.startswith("chk-"):
+                try:
+                    chks.append((int(stem[4:]), full))
+                except ValueError:
+                    pass
+            else:
+                try:
+                    versions.append((int(stem), full))
+                except ValueError:
+                    pass  # foreign file in the log dir
+    entries: list[dict] = []
+    chk_version = -1
+    for cv, cpath in sorted(chks, reverse=True):
+        doc = _fs_read_json(jvm, fs, cpath)
+        if doc and isinstance(doc.get("entries"), list):
+            parsed = [_parse_record(e) for e in doc["entries"]]
+            entries = [e for e in parsed if e is not None]
+            chk_version = cv
+            break
+        # torn checkpoint: fall back to the next older one (or none)
+    tail = sorted((v, p) for v, p in versions if v > chk_version)
+    for _v, p in tail:
+        rec = _fs_read_json(jvm, fs, p)
+        if rec is not None:
+            parsed = _parse_record(rec)
+            if parsed is not None:
+                entries.append(parsed)
     entries.sort(key=lambda e: e["version"])
-    return entries
+    return entries, chk_version, len(tail)
+
+
+def _read_log(spark: SparkSession, path: str) -> list[dict]:
+    """All commit records in version order (empty list for a new
+    table).  Replays the latest intact checkpoint (one file) plus the
+    per-version tail after it, all through driver-side Hadoop FS
+    streams — any supported filesystem, NO Spark job per snapshot
+    (each record is a few hundred bytes; a Spark job per log read was
+    the old fixed cost AND scaled O(commits), r14 scale probe).
+
+    Records with a null version/op/dirs — and empty/torn files — are
+    DROPPED: a writer killed between the exclusive create and the
+    record write (r11 soak: a streaming query stopped mid-foreachBatch)
+    leaves a version file whose commit never happened — the slot reads
+    as a GAP, its data dir stays unreferenced (vacuum reclaims it by
+    age+reachability), and version numbering skips it via
+    _max_version_on_disk."""
+    return _read_log_ex(spark, path)[0]
+
+
+def _maybe_checkpoint(
+    jvm, fs, path: str, entries: list[dict], chk_version: int
+) -> None:
+    """Write a log checkpoint if the tail since the last one has grown
+    past CHECKPOINT_INTERVAL.  Advisory and race-tolerant: the content
+    is deterministic given the version prefix, writes go through a
+    temp file + atomic rename, and a lost race (existing file) is a
+    no-op — readers fall back past any torn file."""
+    latest = entries[-1]["version"]
+    if latest - chk_version < CHECKPOINT_INTERVAL:
+        return
+    payload = json.dumps(
+        {
+            "version": latest,
+            "entries": [
+                {**e, "stats": json.dumps(e["stats"] or {})}
+                for e in entries
+            ],
+        }
+    ).encode()
+    final = jvm.org.apache.hadoop.fs.Path(
+        f"{_log_dir(path)}/chk-{latest:012d}.json"
+    )
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{_log_dir(path)}/.chk-{latest:012d}.{uuid.uuid4().hex}.tmp"
+    )
+    try:
+        out = fs.create(tmp, False)
+        try:
+            out.write(payload)
+        finally:
+            out.close()
+        if not fs.rename(tmp, final):  # lost the race: keep the winner
+            fs.delete(tmp, False)
+    except Exception:
+        # best-effort: a failed checkpoint never blocks the commit
+        try:
+            fs.delete(tmp, False)
+        except Exception:
+            pass
 
 
 def _max_version_on_disk(jvm, fs, path: str) -> int:
@@ -133,8 +291,8 @@ def _max_version_on_disk(jvm, fs, path: str) -> int:
     if not fs.exists(ld):
         return -1
     mx = -1
-    for st in fs.listStatus(ld):
-        name = st.getPath().getName()
+    for full in _list_log_files(jvm, fs, ld):
+        name = full.rsplit("/", 1)[-1]
         if name.endswith(".json"):
             try:
                 mx = max(mx, int(name[: -len(".json")]))
@@ -217,7 +375,7 @@ def commit(
     jvm, fs, _ = _jfs(spark, path)
     last_err: Exception | None = None
     for attempt in range(max_retries):
-        log = _read_log(spark, path)
+        log, chk_version, _ntail = _read_log_ex(spark, path)
         if batch_id is not None:
             done = [e for e in log if e.get("batch_id") == batch_id]
             if done:  # raced replay of the same batch: someone else won
@@ -249,6 +407,22 @@ def commit(
             out.write(record)
         finally:
             out.close()
+        _maybe_checkpoint(
+            jvm,
+            fs,
+            path,
+            log
+            + [
+                {
+                    "version": version,
+                    "op": op,
+                    "dirs": [data_dir],
+                    "batch_id": batch_id,
+                    "stats": stats,
+                }
+            ],
+            chk_version,
+        )
         return version
     raise CommitConflict(
         f"lost {max_retries} commit races on {path}"

@@ -68,6 +68,14 @@ elif HOSTILE == "oddparts":
     # partition-id-structured plan (two-phase global ranking, salted
     # aggs, range recombinations) plus AQE coalescing behavior
     builder = builder.config("spark.sql.shuffle.partitions", "7")
+elif HOSTILE == "ansi":
+    # ANSI SQL mode ON (the Spark-4 default the engine session pins
+    # OFF, session.py): every arithmetic overflow, bad cast, /0,
+    # element_at miss, and sequence bound that silently NULLs or wraps
+    # under ansi=false RAISES here — results must be identical, not
+    # just non-crashing (r13 directive 2: individual queries defended
+    # piecemeal; this replays the whole registry as a mode)
+    builder = builder.config("spark.sql.ansi.enabled", "true")
 elif HOSTILE == "nocodegen":
     # whole-stage codegen OFF + codegen factory forced to NO_CODEGEN:
     # every expression evaluates through the interpreted path instead
@@ -80,7 +88,7 @@ elif HOSTILE == "nocodegen":
 elif HOSTILE:
     raise SystemExit(
         f"unknown HOSTILE mode: {HOSTILE!r} "
-        "(tz|noaqe|noarrow|oddparts|nocodegen)"
+        "(tz|noaqe|noarrow|oddparts|nocodegen|ansi)"
     )
 spark = builder.getOrCreate()
 if HOSTILE:

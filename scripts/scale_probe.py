@@ -138,6 +138,13 @@ PROBES = [
     "q_edit_distance",
     "q_token_rarity",
     "q_fk_integrity_audit",
+    # r14 additions (r13 VERDICT item 6): the two r13 text queries whose
+    # worst regime is the longdoc/boilerplate cell — q_first_dup_span's
+    # per-(doc,gram) collect_list(pos) grows with WITHIN-doc repetition
+    # (run with CELL=longdoc REPEAT=32); q_template_prefixes' prefix
+    # groupBy fan-in grows with the token stream
+    "q_template_prefixes",
+    "q_first_dup_span",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -538,6 +538,90 @@ def leg_kafka(spark, root, ckroot, seed):
         broker.close()
 
 
+def leg_geo_join(spark, root, ckroot, seed):
+    """GEO axis through STREAMING (r14, r13 VERDICT item 7): hostile
+    events stream ⋈ hostile static nation ⋈ region (gen_geo: NULL/''/
+    unicode names, NULL/dangling n_regionkey) — the stream-static
+    broadcast-join path keyed through a dirty dim chain, aggregated in
+    complete mode and convergence-checked against the batch twin on
+    the same bytes.  Dangling/NULL n_regionkey rows legitimately drop
+    on BOTH sides (inner through region)."""
+    from corpus_gen import gen_geo
+    from pyspark.sql import functions as F
+
+    from dask_cudf_spark.streaming import events_files_stream
+
+    geo = gen_geo(seed)
+    os.makedirs(f"{root}/geo", exist_ok=True)
+    pq.write_table(geo["nation"], f"{root}/geo/nation.parquet")
+    pq.write_table(geo["region"], f"{root}/geo/region.parquet")
+    nation = spark.read.parquet(f"{root}/geo/nation.parquet")
+    region = spark.read.parquet(f"{root}/geo/region.parquet")
+
+    def job(events):
+        e = events.withColumn(
+            "nk", F.pmod(F.col("user_id"), F.lit(25)).cast("int")
+        )
+        return (
+            e.join(F.broadcast(nation), e.nk == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name", "r_name")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("event_id").alias("id_sum"),
+            )
+        )
+
+    stream = job(
+        events_files_stream(spark, f"{root}/chunks", max_files_per_trigger=1)
+    )
+    got = _drain(stream, f"{ckroot}/geo_join", "scf_geo_join", "complete")
+    exp = job(_batch_events(spark, f"{root}/chunks")).toPandas()
+    _cmp(got, exp, "geo_join")
+
+
+def leg_dims_agg(spark, root, ckroot, seed):
+    """DIMS axis through STREAMING (r14): the hostile PART table itself
+    replayed as a multi-micro-batch file stream, aggregated by its
+    hostile attribute strings (NULL / '' / unicode-soup / whitespace-
+    wrapped p_brand) — every prior streaming leg keyed state by clean
+    numeric ids or event types; this one keys the streaming HashAgg
+    state by dirty strings, with money summed as scaled cents (the
+    det.py discipline)."""
+    from corpus_gen import gen_dims
+    from pyspark.sql import functions as F
+
+    part = gen_dims(seed)["part"]
+    os.makedirs(f"{root}/part_chunks", exist_ok=True)
+    n = part.num_rows
+    cuts = [round(i * n / CHUNKS) for i in range(CHUNKS + 1)]
+    t0 = time.time()
+    for i in range(CHUNKS):
+        p = f"{root}/part_chunks/part-{i:04d}.parquet"
+        pq.write_table(part.slice(cuts[i], cuts[i + 1] - cuts[i]), p)
+        os.utime(p, (t0 + i, t0 + i))
+    schema = spark.read.parquet(f"{root}/part_chunks").schema
+
+    def job(df):
+        return df.groupBy("p_brand").agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.round(F.col("p_retailprice") * 100).cast("long")
+            ).alias("price_cents"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+
+    stream = job(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/part_chunks")
+    )
+    got = _drain(stream, f"{ckroot}/dims_agg", "scf_dims_agg", "complete")
+    exp = job(spark.read.parquet(f"{root}/part_chunks")).toPandas()
+    _cmp(got, exp, "dims_agg")
+
+
 LEGS = [
     "tumbling",
     "sliding",
@@ -551,6 +635,8 @@ LEGS = [
     "attribution",
     "classify_docs",
     "kafka",
+    "geo_join",
+    "dims_agg",
 ]
 
 
@@ -611,6 +697,10 @@ def main() -> int:
                     leg_classify_docs(spark, root, ckroot)
                 elif leg == "kafka":
                     leg_kafka(spark, root, ckroot, seed)
+                elif leg == "geo_join":
+                    leg_geo_join(spark, root, ckroot, seed)
+                elif leg == "dims_agg":
+                    leg_dims_agg(spark, root, ckroot, seed)
             except Exception as e:  # noqa: BLE001 — record and continue
                 failures.append((seed, leg, str(e)[:400]))
                 seed_fail += 1

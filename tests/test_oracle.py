@@ -214,62 +214,56 @@ def test_driver_scoring_window_maximizes_never_green():
 # update this list ONLY deliberately, together with a local
 # driver_replay of the new window.
 _PINNED_WINDOW = [
-    # round-10 rotation (r9 VERDICT item 2): the FINAL one.  The 12
-    # never-driver-scored queries enter (all judge-replayed MATCH in
-    # the r9 session) and q_feature_hash_embed KEEPS its slot — its r9
-    # row was red (ArrayType output broke the driver canonicalizer;
-    # now emitted as an array_join'd string per r9 VERDICT item 1).
-    # Twelve r9-green residents cede.  Five pins unchanged (exhausted
-    # families' reps + driver-environment canaries).  A green r10 run
-    # closes the ever-driver-green union at 242/242 and retires the
-    # rotation machinery for good.
-    "q_udaf_grouped", "q_scan_parquet", "q_scalar_pack_str2",
-    "q_except", "q_group_head",
+    "q_udaf_grouped",
+    "q_scan_parquet",
+    "q_scalar_pack_str2",
+    "q_except",
+    "q_group_head",
     "q_mad_outliers",
-    "q_drift_chi2", "q_trend_slope", "q_hhi_concentration",
-    "q_gini_coefficient", "q_abtest_ztest", "q_lorenz_deciles",
-    "q_cohort_ltv", "q_pareto_coverage", "q_hll_sketch",
-    "q_dow_seasonality", "q_benford_digits",
-    "q_tpch_q16", "q_tpch_q19",
+    "q_drift_chi2",
+    "q_hhi_concentration",
+    "q_gini_coefficient",
+    "q_abtest_ztest",
+    "q_cohort_ltv",
+    "q_pareto_coverage",
+    "q_hll_sketch",
+    "q_tpch_q16",
+    "q_tpch_q19",
     "q_cumprod",
-    "q_event_paths", "q_max_drawdown",
+    "q_event_paths",
+    "q_max_drawdown",
     "q_markov_transitions",
-    "q_vocab_topk", "q_repetition_ngrams",
+    "q_vocab_topk",
+    "q_repetition_ngrams",
     "q_split_leakage",
-    "q_chunk_documents", "q_token_rarity",
-    "q_lexical_diversity", "q_tokenizer_fertility",
-    # round-10 promotions (rotate_in order)
-    "q_null_audit", "q_join_null_keys",
-    "q_interpolate_linear", "q_interval_arith", "q_rank_methods",
+    "q_chunk_documents",
+    "q_token_rarity",
+    "q_lexical_diversity",
+    "q_tokenizer_fertility",
+    "q_null_audit",
+    "q_join_null_keys",
+    "q_interpolate_linear",
+    "q_interval_arith",
+    "q_rank_methods",
     "q_sessionize_gaps",
-    "q_doc_packing", "q_edit_distance", "q_subword_tokens",
+    "q_doc_packing",
+    "q_edit_distance",
+    "q_subword_tokens",
     "q_weighted_resample",
-    # round-11 rotation: the steady-state case — two new queries enter
-    # in the round they land (headline invariant): the bigram-LM
-    # fluency filter and the embedding ingest-audit gate;
-    # q_winsorized_stats and q_train_test_split (both ever-green) cede.
-    "q_bigram_lm_score", "q_embedding_audit",
-    # round-12 rotation (r11 VERDICT item 2): the grouping-sets family
-    # — the last SURVEY §2 surface without an oracle-backed query —
-    # enters in the round it lands; three ever-green text residents
-    # cede (q_rolling_fingerprint, q_feature_hash_embed,
-    # q_vocab_growth; text keeps 15 window reps).
-    "q_rollup_revenue", "q_cube_orders", "q_grouping_sets_lineitem",
-    # round-12 wave-2 rotation: the relational ingest gate the
-    # adversarial-relational corpus motivated enters;
-    # q_domain_mix_weights (ever-green) cedes.
+    "q_bigram_lm_score",
+    "q_embedding_audit",
+    "q_rollup_revenue",
+    "q_cube_orders",
+    "q_grouping_sets_lineitem",
     "q_fk_integrity_audit",
-    # round-13 rotation: the streaming-ops measurement pair the
-    # streaming-corpus leg motivated (gap histogram for session/
-    # watermark sizing; event-time disorder accounting) and the
-    # template-prefix boilerplate detector enter in the round they
-    # land; q_seasonal_anomaly, q_funnel_latency, q_text_normalize
-    # (all ever-green) cede.
-    "q_event_gap_histogram", "q_out_of_order_ratio",
+    "q_event_gap_histogram",
+    "q_out_of_order_ratio",
     "q_template_prefixes",
-    # round-13 wave-2 rotation: the intra-doc span-dedup onset the
-    # longdoc cell motivated enters; q_token_filter (ever-green) cedes.
     "q_first_dup_span",
+    "q_jsd_drift",
+    "q_iqr_anomaly_days",
+    "q_class_balance",
+    "q_containment_scores",
 ]
 
 

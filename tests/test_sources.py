@@ -1096,3 +1096,84 @@ def test_txlog_orphaned_version_file_does_not_wedge_table(spark, tmp_path):
         batch_id=2,
     ) == 4
     assert [e["version"] for e in table_history(spark, path)] == [0, 1, 4]
+
+
+def test_txlog_checkpoint_compaction(spark, tmp_path, monkeypatch):
+    """Log checkpoints (r14): every CHECKPOINT_INTERVAL commits the
+    winning writer compacts the parsed log into one chk-*.json; readers
+    replay checkpoint + tail only.  Correctness must be unchanged
+    across the boundary: snapshots, time travel (pre- AND
+    post-checkpoint versions), history, overwrite resets, and the
+    torn-file gap contract."""
+    import os
+
+    from dask_cudf_spark.sources import txlog
+
+    monkeypatch.setattr(txlog, "CHECKPOINT_INTERVAL", 4)
+    path = str(tmp_path / "chktable")
+    for i in range(9):
+        one = spark.createDataFrame([(i,)], "k long")
+        op = "overwrite" if i == 6 else "append"
+        assert txlog.commit(one, path, op) == i
+
+    logdir = tmp_path / "chktable" / "_txlog"
+    chks = sorted(p.name for p in logdir.iterdir() if p.name.startswith("chk-"))
+    assert chks, "no checkpoint written after interval commits"
+
+    # latest snapshot: overwrite at v6 reset, then 7, 8 appended
+    got = sorted(r["k"] for r in txlog.read_snapshot(spark, path).collect())
+    assert got == [6, 7, 8]
+    # time travel to a PRE-checkpoint version replays identically
+    assert sorted(
+        r["k"] for r in txlog.read_snapshot(spark, path, version=2).collect()
+    ) == [0, 1, 2]
+    hist = txlog.table_history(spark, path)
+    assert [h["version"] for h in hist] == list(range(9))
+
+    # a TORN checkpoint must fall back (to older chk or full replay),
+    # never corrupt reads
+    torn = logdir / "chk-000000000099.json"
+    torn.write_bytes(b'{"version": 99, "entr')  # truncated JSON
+    assert sorted(
+        r["k"] for r in txlog.read_snapshot(spark, path).collect()
+    ) == [6, 7, 8]
+    os.remove(torn)
+
+    # gap contract survives checkpointing: an EMPTY (torn) version file
+    # is skipped, and the next commit allocates past it
+    (logdir / "000000000009.json").write_bytes(b"")
+    ten = spark.createDataFrame([(10,)], "k long")
+    assert txlog.commit(ten, path) == 10
+    got = sorted(r["k"] for r in txlog.read_snapshot(spark, path).collect())
+    assert got == [6, 7, 8, 10]
+
+
+def test_txlog_checkpoint_read_path_used(spark, tmp_path, monkeypatch):
+    """The reader must actually consume the checkpoint: after one
+    exists, _read_log_ex reports a bounded tail, and deleting every
+    per-version file AT OR BELOW the checkpoint version must not
+    change the parsed log (the entries come from the checkpoint)."""
+    import os
+
+    from dask_cudf_spark.sources import txlog
+
+    monkeypatch.setattr(txlog, "CHECKPOINT_INTERVAL", 3)
+    path = str(tmp_path / "chkread")
+    for i in range(5):
+        one = spark.createDataFrame([(i,)], "k long")
+        txlog.commit(one, path)
+    entries, chk_v, ntail = txlog._read_log_ex(spark, path)
+    assert chk_v >= 2, f"no checkpoint consumed (chk_v={chk_v})"
+    assert ntail == 5 - (chk_v + 1)
+    before = [(e["version"], e["op"]) for e in entries]
+
+    logdir = tmp_path / "chkread" / "_txlog"
+    for p in sorted(logdir.iterdir()):
+        name = p.name
+        if not name.startswith("chk-") and name.endswith(".json"):
+            if int(name[:-5]) <= chk_v:
+                os.remove(p)
+    entries2, chk_v2, _ = txlog._read_log_ex(spark, path)
+    assert chk_v2 == chk_v
+    assert [(e["version"], e["op"]) for e in entries2] == before
+    assert txlog.read_snapshot(spark, path).count() == 5

@@ -828,7 +828,12 @@ class Frame:
             n = ranked.groupBy().agg(denom.alias("__N"))
             ranked = ranked.crossJoin(F.broadcast(n))
             expr = expr / F.col("__N")
-        keep = [c for c in ranked.columns if not c.startswith("__")]
+        # exclude an existing column named `out`: select(*keep, out)
+        # would DUPLICATE it where pandas assignment replaces (r14
+        # frame-fuzz finding — rank() twice with the default out name)
+        keep = [
+            c for c in ranked.columns if not c.startswith("__") and c != out
+        ]
         return Frame(ranked.withColumn(out, expr).select(*keep, out))
 
     def head(self, n: int = 5) -> pd.DataFrame:

@@ -1226,7 +1226,13 @@ def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lagged.select(
         "lag",
         "n",
-        (F.lit(1000000.0) * num / den).cast("long").alias("acf_ppm"),
+        # try_divide, not '/': a zero-variance window (hostile events
+        # corpus — one purchase day repeated) makes den = 0, which must
+        # yield NULL like the DuckDB twin — a bare '/' RAISES under
+        # ANSI (r14 ANSI-x-corpus cell, seeds 45105/45107/45115)
+        F.try_divide(F.lit(1000000.0) * num, den)
+        .cast("long")
+        .alias("acf_ppm"),
     ).orderBy("lag")
 
 

@@ -241,6 +241,26 @@ import __spark_entry__ as entrymod  # noqa: E402
 from pyspark.sql import SparkSession  # noqa: E402
 
 # -------------------------------------------------------------- session
+# HOSTILE composition (r14): the same session-config cells the replay
+# matrix uses, composed ON TOP of fault injection — e.g. noarrow
+# drives the pickle-fallback serializer through retried attempts
+HOSTILE = os.environ.get("HOSTILE", "")
+_HOSTILE_CONF = {
+    "": {},
+    "tz": {},  # applied via extraJavaOptions below
+    "noarrow": {
+        "spark.sql.execution.arrow.pyspark.enabled": "false",
+        "spark.sql.execution.arrow.pyspark.fallback.enabled": "true",
+    },
+    "oddparts": {"spark.sql.shuffle.partitions": "7"},
+    "nocodegen": {
+        "spark.sql.codegen.wholeStage": "false",
+        "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+    },
+}
+if HOSTILE not in _HOSTILE_CONF:
+    raise SystemExit(f"unknown HOSTILE mode {HOSTILE!r}")
+
 if FAULT == "failonce":
     # local[32, 3]: the SECOND bracket arg is task maxFailures — the
     # spark.task.maxFailures conf is IGNORED under local[] masters
@@ -262,13 +282,23 @@ else:
         # memory modest, and allow retried stages
         .config("spark.task.maxFailures", "3")
     )
+builder = builder.config("spark.sql.shuffle.partitions", "8")
+for k, v in _HOSTILE_CONF[HOSTILE].items():
+    builder = builder.config(k, v)
+if HOSTILE == "tz":
+    tzopt = "-Duser.timezone=Asia/Kolkata"
+    builder = builder.config(
+        "spark.driver.extraJavaOptions", tzopt
+    ).config("spark.executor.extraJavaOptions", tzopt)
 spark = (
-    builder.config("spark.sql.shuffle.partitions", "8")
-    .config("spark.ui.enabled", "false")
+    builder.config("spark.ui.enabled", "false")
     .appName(f"fault-fuzz-{FAULT}")
     .getOrCreate()
 )
-print(f"== FAULT={FAULT}  sf={SF}  markers={MARKERS} ==")
+print(
+    f"== FAULT={FAULT}  sf={SF}  hostile={HOSTILE or '-'}  "
+    f"markers={MARKERS} =="
+)
 
 # --------------------------------------------------------- oracle setup
 import duckdb  # noqa: E402

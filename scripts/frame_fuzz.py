@@ -749,16 +749,20 @@ def _(rng, kinds):
 
 @op("concat_self", ())
 def _(rng, kinds):
+    # id stops being unique: demote it so order-dependent ops skip
+    newk = dict(kinds)
+    if newk.get("id") == "int":
+        newk["id"] = "int_dup"
     return (
         lambda f: fr.concat([f, f]),
         lambda p: pd.concat([p, p], ignore_index=True),
-        None,
+        ("replace_kinds", newk),
     )
 
 
 @op("nsmallest_id", ())
 def _(rng, kinds):
-    if "id" not in kinds:
+    if kinds.get("id") != "int":
         return None
     n = rng.choice([3, 7])
     which = rng.choice(["nlargest", "nsmallest"])
@@ -771,7 +775,7 @@ def _(rng, kinds):
 
 @op("cumsum_filled", ("int",))
 def _(rng, kinds):
-    if "id" not in kinds:
+    if kinds.get("id") != "int":
         return None
     a = _col(kinds, "int", rng)
 
@@ -789,7 +793,7 @@ def _(rng, kinds):
 
 @op("diff_ordered", ("int",))
 def _(rng, kinds):
-    if "id" not in kinds:
+    if kinds.get("id") != "int":
         return None
     a = _col(kinds, "int", rng)
 
@@ -807,7 +811,7 @@ def _(rng, kinds):
 
 @op("groupby_shift", ("cat", "int"))
 def _(rng, kinds):
-    if "id" not in kinds:
+    if kinds.get("id") != "int":
         return None
     key = _col(kinds, "cat", rng)
     a = _col(kinds, "int", rng)
@@ -823,6 +827,269 @@ def _(rng, kinds):
     newk = dict(kinds)
     newk[f"{a}_shift"] = "int"
     return (eng, twin, ("replace_kinds", newk))
+
+
+
+# ---- r14 wave-2 ops: rank/melt/mode/pct_change, groupby transform/
+# filter/first/last/cumcount/median/rolling, ffill, list accessor,
+# frame replace
+
+@op("rank_methods", ("int",))
+def _(rng, kinds):
+    if kinds.get("id") != "int":
+        return None
+    a = _col(kinds, "int", rng)
+    method = rng.choice(["average", "min", "max", "dense", "first"])
+    pct = rng.random() < 0.3 and method != "first"
+
+    def eng(f):
+        g = f.assign(v_rk_in=f[a].fillna(0))
+        kw = {"tiebreak": "id"} if method == "first" else {}
+        return g.rank("v_rk_in", method=method, pct=pct, out="v_rank", **kw)
+
+    def twin(p):
+        q = p.assign(v_rk_in=p[a].fillna(0))
+        if method == "first":
+            q = q.sort_values("id")
+        r = q["v_rk_in"].astype("float").rank(method=method, pct=pct)
+        return q.assign(v_rank=r)
+
+    return (eng, twin, {"v_rk_in": "int", "v_rank": "float"})
+
+
+@op("melt_ints", ("int",))
+def _(rng, kinds):
+    if "id" not in kinds or "variable" in kinds or "value" in kinds:
+        return None
+    vals = sorted(c for c, k in kinds.items() if k == "int" and c != "id")
+    if len(vals) < 2:
+        return None
+    value_vars = rng.sample(vals, k=2)
+    return (
+        lambda f: f.melt(id_vars="id", value_vars=value_vars),
+        lambda p: p.melt(
+            id_vars=["id"], value_vars=value_vars,
+            var_name="variable", value_name="value",
+        ),
+        # id is DUPLICATED after melt: order-dependent ops must skip
+        ("replace_kinds", {"id": "int_dup", "variable": "cat", "value": "int"}),
+    )
+
+
+@op("mode_cat", ("cat",))
+def _(rng, kinds):
+    a = _col(kinds, "cat", rng)
+
+    def twin(p):
+        # SQL mode: NULL is a candidate value (groupBy groups it);
+        # pandas Series.mode drops NaN — recompute from value_counts
+        vc = p[a].value_counts(dropna=False)
+        top = vc[vc == vc.max()].index.to_frame(index=False, name=a)
+        return top.sort_values(a).reset_index(drop=True)
+
+    return (lambda f: f.mode(a), twin, ("replace_kinds", {a: "cat"}))
+
+
+@op("pct_change_ordered", ("int",))
+def _(rng, kinds):
+    if kinds.get("id") != "int":
+        return None
+    a = _col(kinds, "int", rng)
+
+    def eng(f):
+        g = f.assign(v_pc_in=f[a].fillna(0))
+        return g.pct_change("v_pc_in", order="id")
+
+    def twin(p):
+        import numpy as np
+
+        q = p.assign(v_pc_in=p[a].fillna(0)).sort_values("id")
+        pc = q["v_pc_in"].astype("Float64").pct_change(fill_method=None)
+        # PIN: engine try_divide yields NULL where prev == 0; pandas
+        # yields +/-inf (and 0/0 -> NaN == NULL already)
+        pc = pc.mask(np.isinf(pc.astype(float).to_numpy()))
+        return q.assign(v_pc_in_pct_change=pc)
+
+    return (eng, twin, {"v_pc_in": "int", "v_pc_in_pct_change": "float"})
+
+
+@op("gb_transform_sum", ("cat", "int"))
+def _(rng, kinds):
+    key = _col(kinds, "cat", rng)
+    a = _col(kinds, "int", rng)
+
+    def twin(p):
+        # PIN: SQL window SUM of an all-NULL group is NULL (min_count=1)
+        t = p.groupby(key, dropna=False)[a].transform(
+            lambda s: s.sum(min_count=1)
+        )
+        return p.assign(**{f"{a}_sum": pd.array(t, dtype="Int64")})
+
+    newk = dict(kinds)
+    newk[f"{a}_sum"] = "int"
+    return (
+        lambda f: f.groupby(key).transform(a, "sum"),
+        twin,
+        ("replace_kinds", newk),
+    )
+
+
+@op("gb_filter_count", ("cat",))
+def _(rng, kinds):
+    key = _col(kinds, "cat", rng)
+    k = rng.randint(2, 8)
+    return (
+        lambda f: f.groupby(key).filter("count(*)", lambda c: c > k),
+        lambda p: p.groupby(key, dropna=False).filter(lambda g: len(g) > k),
+        None,
+    )
+
+
+@op("gb_first_last", ("cat", "int"))
+def _(rng, kinds):
+    if kinds.get("id") != "int":
+        return None
+    key = _col(kinds, "cat", rng)
+    a = _col(kinds, "int", rng)
+    which = rng.choice(["first", "last"])
+
+    def eng(f):
+        return getattr(f.groupby(key), which)(a, order_by="id")
+
+    def twin(p):
+        q = p.sort_values("id")
+        g = q.groupby(key, dropna=False)[a]
+        # engine first/last = min_by/max_by on the ORDER column: the
+        # value AT the order extreme, NULL included; pandas
+        # first()/last() skip NaN, so twin via head/tail
+        v = g.apply(lambda s: s.iloc[0] if which == "first" else s.iloc[-1])
+        out = v.reset_index(name=f"{a}_{which}")
+        out[f"{a}_{which}"] = pd.array(out[f"{a}_{which}"], dtype="Int64")
+        return out
+
+    return (eng, twin, ("replace_kinds", {key: "cat", f"{a}_{which}": "int"}))
+
+
+@op("gb_cumcount", ("cat",))
+def _(rng, kinds):
+    if kinds.get("id") != "int":
+        return None
+    key = _col(kinds, "cat", rng)
+
+    def twin(p):
+        q = p.sort_values("id").copy()
+        q["cumcount"] = q.groupby(key, dropna=False).cumcount()
+        return q
+
+    newk = dict(kinds)
+    newk["cumcount"] = "int"
+    return (
+        lambda f: f.groupby(key).cumcount(order_by="id"),
+        twin,
+        ("replace_kinds", newk),
+    )
+
+
+@op("gb_median", ("cat", "int"))
+def _(rng, kinds):
+    key = _col(kinds, "cat", rng)
+    a = _col(kinds, "int", rng)
+
+    def twin(p):
+        m = p.groupby(key, dropna=False)[a].median()
+        return m.reset_index(name=f"{a}_median")
+
+    return (
+        lambda f: f.groupby(key).median(a),
+        twin,
+        ("replace_kinds", {key: "cat", f"{a}_median": "float"}),
+    )
+
+
+@op("gb_rolling", ("cat", "int"))
+def _(rng, kinds):
+    if kinds.get("id") != "int":
+        return None
+    key = _col(kinds, "cat", rng)
+    a = _col(kinds, "int", rng)
+    which = rng.choice(["sum", "mean", "min", "max"])
+
+    def eng(f):
+        g = f.assign(v_rl_in=f[a].fillna(0))
+        return getattr(g.groupby(key).rolling(3, order_by="id"), which)(
+            "v_rl_in"
+        )
+
+    def twin(p):
+        q = p.assign(v_rl_in=p[a].fillna(0)).sort_values("id").copy()
+        r = (
+            q.groupby(key, dropna=False)["v_rl_in"]
+            .rolling(3, min_periods=1)
+            .agg(which)
+            .reset_index(level=0, drop=True)
+        )
+        q[f"v_rl_in_roll_{which}"] = r
+        return q
+
+    newk = dict(kinds)
+    newk["v_rl_in"] = "int"
+    newk[f"v_rl_in_roll_{which}"] = "float" if which == "mean" else "int"
+    return (eng, twin, ("replace_kinds", newk))
+
+
+@op("ffill_grouped", ("cat", "int"))
+def _(rng, kinds):
+    if kinds.get("id") != "int":
+        return None
+    key = _col(kinds, "cat", rng)
+    a = _col(kinds, "int", rng)
+
+    def twin(p):
+        q = p.sort_values("id").copy()
+        q[a] = q.groupby(key, dropna=False)[a].ffill()
+        return q
+
+    return (
+        lambda f: f.ffill(subset=[a], by=[key], order=["id"]),
+        twin,
+        None,
+    )
+
+
+@op("list_ops", ("str",))
+def _(rng, kinds):
+    a = _col(kinds, "str", rng)
+    needle = rng.choice(["a", "abc", "b"])
+
+    def eng(f):
+        g = f.assign(v_ls=f[a].str.split())
+        return g.assign(
+            v_ll=g.v_ls.list.len(),
+            v_lc=g.v_ls.list.contains(needle),
+        ).drop("v_ls")
+
+    def twin(p):
+        ls = p[a].str.split(r"\s+", regex=True)
+        ll = pd.array(ls.apply(lambda v: len(v) if isinstance(v, list) else None), dtype="Int64")
+        lc = pd.Series(
+            ls.apply(
+                lambda v: (needle in v) if isinstance(v, list) else None
+            ),
+            dtype="boolean",
+        )
+        return p.assign(v_ll=ll, v_lc=lc)
+
+    return (eng, twin, {"v_ll": "int", "v_lc": "bool"})
+
+
+@op("replace_cat", ("cat",))
+def _(rng, kinds):
+    old, new = rng.choice([("x", "xx"), ("y", "why"), ("z", "x")])
+    return (
+        lambda f: f.replace(old, new),
+        lambda p: p.replace(old, new),
+        None,
+    )
 
 
 # --------------------------------------------------------------- driver

@@ -74,6 +74,11 @@ HOSTILE_CONF: dict[str, dict[str, str]] = {
         "spark.sql.codegen.wholeStage": "false",
         "spark.sql.codegen.factoryMode": "NO_CODEGEN",
     },
+    # ANSI ON over the engine session's pinned ansi=false (r14: the
+    # Spark-4 default world composed onto hostile DATA — bad casts,
+    # /0, overflow, element_at misses all RAISE here instead of
+    # NULLing; results must be identical, not merely non-crashing)
+    "ansi": {"spark.sql.ansi.enabled": "true"},
 }
 
 

@@ -145,6 +145,13 @@ PROBES = [
     # groupBy fan-in grows with the token stream
     "q_template_prefixes",
     "q_first_dup_span",
+    # r14 wave: the three new scored-window queries with a scale
+    # dimension (q_containment_scores is a bounded 300-doc verification
+    # slice — its scale path is per-pair map-side scoring on LSH
+    # candidates, proxied by the q_minhash_pairs probes)
+    "q_jsd_drift",
+    "q_iqr_anomaly_days",
+    "q_class_balance",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -1177,3 +1177,75 @@ def test_txlog_checkpoint_read_path_used(spark, tmp_path, monkeypatch):
     assert chk_v2 == chk_v
     assert [(e["version"], e["op"]) for e in entries2] == before
     assert txlog.read_snapshot(spark, path).count() == 5
+
+
+def test_txlog_two_process_race_across_checkpoint_boundary(
+    spark, tmp_path, monkeypatch
+):
+    """Concurrent writers RACING ACROSS checkpoint boundaries (r14):
+    two separate JVMs append 6 commits each with CHECKPOINT_INTERVAL=3,
+    so several checkpoints are written mid-race (possibly by both
+    writers for the same boundary — the temp-file + rename path).  The
+    serialized-versions contract must hold unchanged, checkpoints must
+    exist, and the checkpointed log replay must equal the pure
+    per-version-file replay (checkpoints are a cache, never an
+    alternate truth)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from dask_cudf_spark.sources import txlog
+
+    path = str(tmp_path / "txracechk")
+    worker = os.path.join(os.path.dirname(__file__), "txlog_race_worker.py")
+    env = dict(os.environ, TXLOG_CHECKPOINT_INTERVAL="3")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, path, str(w), "6"],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            env=env,
+        )
+        for w in (1, 2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    won: list[int] = []
+    for out in outs:
+        rec = json.loads(out.strip().splitlines()[-1])
+        assert len(rec["versions"]) == 6
+        won.extend(rec["versions"])
+    assert sorted(won) == list(range(12)), won
+
+    logdir = tmp_path / "txracechk" / "_txlog"
+    chks = [p for p in logdir.iterdir() if p.name.startswith("chk-")]
+    assert chks, "no checkpoint written during the race"
+    # leftover .tmp files are allowed only if their final exists
+    # (a lost rename race); none should be dangling without a winner
+    for p in logdir.iterdir():
+        if p.name.endswith(".tmp"):
+            v = p.name.split(".")[0].lstrip(".")
+            assert any(c.name.startswith(v.split(".")[0]) for c in chks)
+
+    entries_chk, chk_v, _ = txlog._read_log_ex(spark, path)
+    assert chk_v >= 0
+    # pure per-file replay (checkpoints moved aside) must agree exactly
+    moved = []
+    for p in chks:
+        q = p.with_suffix(".bak")
+        p.rename(q)
+        moved.append(q)
+    try:
+        entries_raw, chk_v_raw, _ = txlog._read_log_ex(spark, path)
+        assert chk_v_raw == -1
+        assert [
+            (e["version"], e["op"], e["dirs"]) for e in entries_raw
+        ] == [(e["version"], e["op"], e["dirs"]) for e in entries_chk]
+    finally:
+        for q in moved:
+            q.rename(q.with_suffix(".json"))
+    rows = txlog.read_snapshot(spark, path).collect()
+    got = sorted((r["writer"], r["seq"]) for r in rows)
+    assert got == [(w, i) for w in (1, 2) for i in range(6)]

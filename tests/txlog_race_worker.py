@@ -23,7 +23,14 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from dask_cudf_spark.session import get_spark
+    from dask_cudf_spark.sources import txlog
     from dask_cudf_spark.sources.txlog import commit
+
+    # checkpoint-boundary race cell (r14): a tiny interval makes BOTH
+    # racing writers cross checkpoint boundaries mid-race
+    iv = os.environ.get("TXLOG_CHECKPOINT_INTERVAL")
+    if iv:
+        txlog.CHECKPOINT_INTERVAL = int(iv)
 
     # small local session: the point is process isolation, not scale
     spark = get_spark(

@@ -1377,8 +1377,15 @@ def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     e_v = (F.col("o_view") + F.col("o_click")) * F.col("n_v") / F.col("n")
     e_c = (F.col("o_view") + F.col("o_click")) * F.col("n_c") / F.col("n")
     contrib = (
-        (F.col("o_view") - e_v) * (F.col("o_view") - e_v) / e_v
-        + (F.col("o_click") - e_c) * (F.col("o_click") - e_c) / e_c
+        # try_divide: a population with ZERO views (or clicks) makes an
+        # expected count 0 — NULL like the twin's /0, never an ANSI
+        # raise (r14 ANSI program; latent, found by the division audit)
+        F.try_divide(
+            (F.col("o_view") - e_v) * (F.col("o_view") - e_v), e_v
+        )
+        + F.try_divide(
+            (F.col("o_click") - e_c) * (F.col("o_click") - e_c), e_c
+        )
     )
     return joined.select(
         "bin",
@@ -1610,7 +1617,10 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per_cust.groupBy(F.col("segment").alias("tseg")).agg(
         F.sum("v_c").alias("total")
     )
-    share = F.expr("(1000000 * v_c) div total")
+    # nullif: a hostile all-zero-revenue segment must yield NULL
+    # shares (non-ANSI div-by-zero semantics), not an ANSI raise
+    # (r14 exhaustive ANSI x relational cell, seeds 46204/10/18)
+    share = F.expr("(1000000 * v_c) div nullif(total, 0)")
     return (
         per_cust.join(
             F.broadcast(tot), per_cust["segment"] == tot["tseg"]
@@ -1702,7 +1712,9 @@ def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "segment",
         "n",
-        (num * 1000000 / den).cast("long").alias("gini_s6"),
+        # try_divide: an all-zero-revenue segment makes den = 0 — must
+        # NULL like the twin, not raise under ANSI (r14 ANSI x rel cell)
+        F.try_divide(num * 1000000, den).cast("long").alias("gini_s6"),
     )
 
 
@@ -1877,7 +1889,10 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segment",
             "decile",
             "n_cust",
-            F.expr("(1000000 * cum) div tot").alias("cum_share_ppm"),
+            # nullif: same ANSI-raise class as hhi/gini (r14 cell)
+            F.expr("(1000000 * cum) div nullif(tot, 0)").alias(
+                "cum_share_ppm"
+            ),
         )
     )
 

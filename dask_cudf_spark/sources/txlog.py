@@ -243,16 +243,33 @@ def _maybe_checkpoint(
     past CHECKPOINT_INTERVAL.  Advisory and race-tolerant: the content
     is deterministic given the version prefix, writes go through a
     temp file + atomic rename, and a lost race (existing file) is a
-    no-op — readers fall back past any torn file."""
-    latest = entries[-1]["version"]
-    if latest - chk_version < CHECKPOINT_INTERVAL:
+    no-op — readers fall back past any torn file.
+
+    Only the CONTIGUOUS parsed prefix is checkpointed: a version file
+    can be observed EMPTY while its writer sits between the exclusive
+    create (the lock) and the content write — a transient gap that a
+    per-file reader heals on its next read, but that a checkpoint
+    covering versions beyond it would freeze PERMANENTLY, silently
+    dropping the commit once its writer finishes (r14 two-process
+    race-across-boundary test, intermittent).  A genuinely dead gap
+    (crashed writer) therefore stalls checkpoint ADVANCEMENT at the
+    gap — reads degrade to O(commits-past-gap), never to wrong
+    results; data-dir reachability and version allocation are
+    unaffected (_max_version_on_disk already skips past orphans)."""
+    have = {e["version"] for e in entries}
+    prefix_end = -1
+    while prefix_end + 1 in have:
+        prefix_end += 1
+    if prefix_end - chk_version < CHECKPOINT_INTERVAL:
         return
+    latest = prefix_end
+    prefix = [e for e in entries if e["version"] <= prefix_end]
     payload = json.dumps(
         {
             "version": latest,
             "entries": [
                 {**e, "stats": json.dumps(e["stats"] or {})}
-                for e in entries
+                for e in prefix
             ],
         }
     ).encode()

@@ -1249,3 +1249,57 @@ def test_txlog_two_process_race_across_checkpoint_boundary(
     rows = txlog.read_snapshot(spark, path).collect()
     got = sorted((r["writer"], r["seq"]) for r in rows)
     assert got == [(w, i) for w in (1, 2) for i in range(6)]
+
+
+def test_txlog_checkpoint_never_freezes_midwrite_gap(
+    spark, tmp_path, monkeypatch
+):
+    """The r14 race-test finding, reproduced deterministically: writer
+    B holds version 2's exclusive-create lock but has NOT yet written
+    its record (empty file) while writer A commits past it and crosses
+    a checkpoint boundary.  The checkpoint must cover only the
+    CONTIGUOUS prefix (0..1) — a checkpoint spanning the gap would
+    freeze it and silently drop B's commit once B finishes writing."""
+    import json as _json
+
+    from dask_cudf_spark.sources import txlog
+
+    monkeypatch.setattr(txlog, "CHECKPOINT_INTERVAL", 2)
+    path = str(tmp_path / "chkgap")
+    for i in range(2):  # versions 0, 1
+        txlog.commit(spark.createDataFrame([(i,)], "k long"), path)
+    logdir = tmp_path / "chkgap" / "_txlog"
+    # B's lock: exclusive create done, record not yet written
+    gap = logdir / "000000000002.json"
+    gap.write_bytes(b"")
+
+    # A keeps committing: wins 3, 4, 5... crossing checkpoint boundaries
+    for i in range(3):
+        txlog.commit(spark.createDataFrame([(10 + i,)], "k long"), path)
+    chks = sorted(p.name for p in logdir.iterdir() if p.name.startswith("chk-"))
+    assert chks, "boundary crossed but no checkpoint at all"
+    # every checkpoint stops BEFORE the in-flight version 2
+    assert all(int(c[4:-5]) <= 1 for c in chks), chks
+
+    # B finishes its write: the commit must APPEAR, not be lost
+    # (fabricate the record exactly as commit() would have)
+    rec = {
+        "version": 2, "op": "append",
+        "dirs": [], "batch_id": None, "stats": "{}",
+    }
+    # give it a real (empty) data dir so read_snapshot can list it
+    gap.write_bytes(_json.dumps(rec).encode())
+    entries = txlog._read_log(spark, path)
+    assert [e["version"] for e in entries] == [0, 1, 2, 3, 4, 5]
+    hist = txlog.table_history(spark, path)
+    assert [h["version"] for h in hist] == [0, 1, 2, 3, 4, 5]
+
+    # and once the gap is healed, the NEXT boundary checkpoint advances
+    for i in range(2):
+        txlog.commit(spark.createDataFrame([(20 + i,)], "k long"), path)
+    chks2 = sorted(
+        int(p.name[4:-5])
+        for p in logdir.iterdir()
+        if p.name.startswith("chk-")
+    )
+    assert chks2[-1] >= 2, chks2

@@ -64,7 +64,19 @@ VERBOSE = os.environ.get("VERBOSE", "") == "1"
 from dask_cudf_spark import frame as fr  # noqa: E402
 from dask_cudf_spark.session import get_spark  # noqa: E402
 
-spark = get_spark(app_name="frame-fuzz")
+# HOSTILE=oddparts|nocodegen: facade results must be invariant to the
+# physical config (prime-tiny shuffle partitioning stresses every
+# window/groupby/merge layout; nocodegen the interpreted evaluator)
+_HOSTILE = os.environ.get("HOSTILE", "")
+_HCONF = {
+    "": {},
+    "oddparts": {"spark.sql.shuffle.partitions": "7"},
+    "nocodegen": {
+        "spark.sql.codegen.wholeStage": "false",
+        "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+    },
+}[_HOSTILE]
+spark = get_spark(app_name="frame-fuzz", extra_conf=_HCONF)
 
 # ------------------------------------------------------------ corpus
 STR_POOL = [

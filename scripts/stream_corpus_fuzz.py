@@ -657,7 +657,28 @@ def main() -> int:
         raise SystemExit(f"unknown HOSTILE mode: {hostile!r}")
     conf = {"spark.sql.shuffle.partitions": "8"}
     conf.update(HOSTILE_CONF[hostile])
-    spark = get_spark(app_name="stream-corpus-fuzz", extra_conf=conf)
+    # FAULT=failonce (r14): every Python-boundary task (incl. the
+    # stateful applyInPandasWithState legs) raises on attempt 0 and
+    # retries — streaming state must survive task re-execution inside
+    # a micro-batch.  Needs local[N,3] (task maxFailures in the master
+    # string; the conf is ignored under local[]).
+    fault = os.environ.get("FAULT", "")
+    master = None
+    fault_counter = None
+    if fault:
+        if fault != "failonce":
+            raise SystemExit(f"unknown FAULT mode: {fault!r}")
+        import tempfile
+
+        from fault_shims import install
+
+        markers = tempfile.mkdtemp(prefix="streamfuzz-fault-")
+        fault_counter = install("failonce", markers)
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus},3]"
+    spark = get_spark(
+        app_name="stream-corpus-fuzz", master=master, extra_conf=conf
+    )
     spark.sparkContext.setLogLevel("ERROR")
     print(
         f"== stream corpus fuzz: legs={legs}, {n_seeds} seeds, "
@@ -717,6 +738,10 @@ def main() -> int:
             {
                 "grammar": "corpus-streaming",
                 "hostile": hostile,
+                "fault": fault or None,
+                "fault_boundaries": (
+                    fault_counter["n"] if fault_counter else None
+                ),
                 "seeds": n_seeds,
                 "start_seed": start,
                 "legs": legs,

@@ -634,3 +634,95 @@ def _cc_label_propagation(und: DataFrame, max_iter: int) -> DataFrame:
         if n_changed == 0:
             break
     return labels.select(F.col("n").alias("node"), "component")
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_words: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 5,
+    min_match: int | None = None,
+    cap_bucket: int = 10000,
+) -> DataFrame:
+    """DIRECTIONAL shingle containment C(A->B) = |A n B| / |A| scored
+    over banded-LSH candidate pairs — the doc-INSIDE-doc detector
+    (Broder 1997's containment coefficient) at corpus scale: the
+    quadratic candidate problem is solved by the existing banded
+    minhash topology (one shuffle, capped buckets), and containment is
+    a per-pair map-side score on exact word-``gram_words``-gram SETS.
+
+    Output: (id_a, id_b, n_match, n_a, n_b, contain_ab, contain_ba) —
+    both directions, sizes included so callers can post-filter for the
+    asymmetric case (short-in-long: high max-containment with a skewed
+    size ratio).  Empty gram sets score 0.0 (max(|A|,1) guard), never
+    NULL/raise — the q_containment_scores contract.
+
+    RECALL NOTE (honest limit, documented not hidden): LSH candidates
+    are Jaccard-biased — a tiny doc fully contained in a huge one has
+    LOW Jaccard and may never band-collide.  This operator finds
+    containment among near-dup-grade pairs (boilerplate variants,
+    quote-plus-wrapper).  For small-in-large retrieval, block on rare
+    shingles instead (the PPJoin prefix idea, q_ppjoin_neardup).
+
+    Scale: minhash_sig_pairs is the one shuffled stage; each gram side
+    is built as an INDEPENDENT plan (Spark 4 reuses lambda-bearing
+    subplans unsoundly in self-joins — the r4 semdedup lesson) and
+    joined by id; with AQE the (small) pair table broadcasts, keeping
+    the gram arrays map-side."""
+    pairs = minhash_sig_pairs(
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle=shingle,
+        cap_bucket=cap_bucket,
+    )
+    if min_match is not None:
+        pairs = pairs.filter(F.col("n_match") >= min_match)
+
+    def gram_side(suffix: str) -> DataFrame:
+        # fresh plan per side; same guarded let-bound gram build as
+        # q_containment_scores (sequence DESCENDS on short docs)
+        toks = F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+            lambda t: t != F.lit(""),
+        )
+        grams = F.array_distinct(
+            F.element_at(
+                F.transform(
+                    F.array(toks),
+                    lambda ts: F.when(
+                        F.size(ts) >= gram_words,
+                        F.transform(
+                            F.sequence(
+                                F.lit(1), F.size(ts) - F.lit(gram_words - 1)
+                            ),
+                            lambda i: F.array_join(
+                                F.slice(ts, i, gram_words), " "
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<string>")),
+                ),
+                1,
+            )
+        )
+        return df.select(
+            F.col(id_col).alias(f"id_{suffix}"),
+            grams.alias(f"g_{suffix}"),
+        )
+
+    joined = pairs.join(gram_side("a"), "id_a").join(gram_side("b"), "id_b")
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    return joined.select(
+        "id_a",
+        "id_b",
+        "n_match",
+        F.size("g_a").alias("n_a"),
+        F.size("g_b").alias("n_b"),
+        (inter / F.greatest(F.size("g_a"), F.lit(1))).alias("contain_ab"),
+        (inter / F.greatest(F.size("g_b"), F.lit(1))).alias("contain_ba"),
+    )

@@ -222,3 +222,46 @@ def test_neardup_blocked_banding_lossless_and_bounded(spark):
     }
     assert banded == brute
     assert len(brute) == 4 * (16 * 15 // 2)  # every same-stratum pair
+
+
+def test_containment_pairs_scores_exact_on_lsh_candidates(spark):
+    """containment_pairs (r14): every emitted score must equal the
+    EXACT word-3-gram containment computed brute-force in pandas, and
+    an asymmetric near-dup (doc fully contained in its padded variant)
+    must surface with contain_ab ~ 1.0 and contain_ba < 1."""
+    from dask_cudf_spark.operators.dedup import containment_pairs
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india " * 6
+    rows = [
+        (0, base.strip()),
+        (1, (base + "juliet kilo lima mike november oscar").strip()),
+        (2, ("zulu yankee " + base).strip()),
+        (3, "totally different words papa quebec romeo sierra tango"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = containment_pairs(df, num_hashes=16, bands=8, shingle=5).collect()
+    assert got, "no LSH candidates at all"
+
+    def grams(t):
+        toks = [x for x in (t or "").split(" ") if x != ""]
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+
+    g = {i: grams(t) for i, t in rows}
+    found_contained = False
+    for r in got:
+        ga, gb = g[r["id_a"]], g[r["id_b"]]
+        inter = len(ga & gb)
+        assert r["n_a"] == len(ga) and r["n_b"] == len(gb)
+        assert r["contain_ab"] == pytest.approx(inter / max(len(ga), 1))
+        assert r["contain_ba"] == pytest.approx(inter / max(len(gb), 1))
+        if {r["id_a"], r["id_b"]} <= {0, 1, 2} and max(
+            r["contain_ab"], r["contain_ba"]
+        ) > 0.95 and min(r["contain_ab"], r["contain_ba"]) < 1.0:
+            found_contained = True
+    assert found_contained, (
+        "the contained-doc pair never surfaced: " + str(got)
+    )

@@ -4092,3 +4092,101 @@ def q_containment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contain_ba_s6"),
         )
     )
+
+
+def _containment_lsh_oracle() -> str:
+    from ..functions.text import minhash_md5_sig_sql
+
+    sig_expr, hv_expr = minhash_md5_sig_sql("text", num_hashes=16, shingle=5)
+    band_selects = "\n            UNION ALL ".join(
+        f"SELECT {b} AS band, array_to_string(sig[{b * 4 + 1}:{b * 4 + 4}], '_') AS key, "
+        "doc_id, sig FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, text FROM documents WHERE len(text) >= 5
+        ),
+        hs AS (SELECT doc_id, {hv_expr} AS hv FROM docs),
+        sigs AS (SELECT doc_id, {sig_expr} AS sig FROM hs),
+        bands AS (
+            {band_selects}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_filter(range(16), i -> a.sig[i + 1] = b.sig[i + 1]))
+                       AS n_match
+            FROM bands a JOIN bands b USING (band, key)
+            WHERE b.doc_id > a.doc_id
+        ),
+        g AS (
+            SELECT doc_id,
+                   list_distinct(
+                       list_transform(
+                           range(1, greatest(len(toks) - 1, 1)),
+                           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                       )
+                   ) AS grams
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split(coalesce(text, ''), ' '),
+                                   t -> t <> '') AS toks
+                FROM documents
+            )
+        )
+        SELECT c.id_a, c.id_b, CAST(c.n_match AS BIGINT) AS n_match,
+               CAST(len(ga.grams) AS BIGINT) AS n_a,
+               CAST(len(gb.grams) AS BIGINT) AS n_b,
+               CAST(FLOOR(1000000.0
+                    * len(list_intersect(ga.grams, gb.grams))
+                    / greatest(len(ga.grams), 1) + 0.5) AS BIGINT)
+                   AS contain_ab_s6,
+               CAST(FLOOR(1000000.0
+                    * len(list_intersect(ga.grams, gb.grams))
+                    / greatest(len(gb.grams), 1) + 0.5) AS BIGINT)
+                   AS contain_ba_s6
+        FROM cand c
+        JOIN g ga ON ga.doc_id = c.id_a
+        JOIN g gb ON gb.doc_id = c.id_b
+        WHERE CAST(c.n_match AS DOUBLE) / 16 >= 0.8
+    """
+
+
+@register(
+    "q_containment_lsh",
+    family="dedup",
+    oracle=None,  # set below: generated from the same LSH constants
+)
+def q_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.containment_pairs ORACLE-CHECKED end to end:
+    directional word-3-gram containment scored over the SAME banded
+    md5-minhash candidate topology q_minhash_pairs proves (identical
+    permutation constants, banding, and 0.8 signature threshold), with
+    the DuckDB twin replaying banding AND the exact gram intersection.
+    This is the at-scale path of q_containment_scores (whose stride
+    pairs verify the scoring math in isolation): candidates from ONE
+    banded shuffle, containment as a per-pair map-side score.  The
+    operator's Jaccard-recall limit for small-in-large containment is
+    documented on containment_pairs."""
+    from ..operators.dedup import containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    out = containment_pairs(
+        d, "text", "doc_id", gram_words=3, num_hashes=16, bands=4, shingle=5
+    ).filter(F.col("n_match").cast("double") / 16 >= 0.8)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("n_match").cast("long").alias("n_match"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.floor(F.col("contain_ab") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("contain_ab_s6"),
+        F.floor(F.col("contain_ba") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("contain_ba_s6"),
+    )
+
+
+_REG["q_containment_lsh"].oracle = _containment_lsh_oracle()

@@ -661,6 +661,15 @@ _ROTATIONS: list[tuple[list[str], list[str]]] = [
             "q_lorenz_deciles",
         ],
     ),
+    (
+        # round 14, wave 2: q_containment_lsh — containment_pairs
+        # (the at-scale banded-LSH path of the containment family)
+        # oracle-checked end to end against the DuckDB banding + gram
+        # twin.  One ever-green aggregate resident cedes (the family
+        # keeps 10+ reps).
+        ["q_containment_lsh"],
+        ["q_pareto_coverage"],
+    ),
 ]
 _WINDOW = 50
 # The driver round whose rotation defined the CURRENT window.  The

@@ -225,7 +225,6 @@ _PINNED_WINDOW = [
     "q_gini_coefficient",
     "q_abtest_ztest",
     "q_cohort_ltv",
-    "q_pareto_coverage",
     "q_hll_sketch",
     "q_tpch_q16",
     "q_tpch_q19",
@@ -264,6 +263,7 @@ _PINNED_WINDOW = [
     "q_iqr_anomaly_days",
     "q_class_balance",
     "q_containment_scores",
+    "q_containment_lsh",
 ]
 
 

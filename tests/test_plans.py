@@ -182,6 +182,7 @@ _PYTHON_OK = {
     "q_stream_stateful",     # batch twin is JVM, stream twin is stateful python
     "q_minhash_dedup",       # vectorized md5 signature (declared Arrow path)
     "q_minhash_pairs",       # vectorized md5 signature (declared Arrow path)
+    "q_containment_lsh",     # same banded-LSH signature stage (r14)
     "q_dedup_components",    # single-task union-find mapInPandas fast path
     "q_cosine_sim",          # vectorized BLAS scoring (declared Arrow path)
     "q_ann_recall",          # brute-force half reuses the BLAS Arrow path

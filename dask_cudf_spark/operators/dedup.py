@@ -654,11 +654,13 @@ def containment_pairs(
     minhash topology (one shuffle, capped buckets), and containment is
     a per-pair map-side score on exact word-``gram_words``-gram SETS.
 
-    Output: (id_a, id_b, n_match, n_a, n_b, contain_ab, contain_ba) —
-    both directions, sizes included so callers can post-filter for the
-    asymmetric case (short-in-long: high max-containment with a skewed
-    size ratio).  Empty gram sets score 0.0 (max(|A|,1) guard), never
-    NULL/raise — the q_containment_scores contract.
+    Output: (id_a, id_b, n_match, n_a, n_b, n_inter, contain_ab,
+    contain_ba) — both directions, sizes AND the raw intersection count
+    included so callers can post-filter for the asymmetric case
+    (short-in-long: high max-containment with a skewed size ratio) or
+    re-derive scaled scores with their own rounding order.  Empty gram
+    sets score 0.0 (max(|A|,1) guard), never NULL/raise — the
+    q_containment_scores contract.
 
     RECALL NOTE (honest limit, documented not hidden): LSH candidates
     are Jaccard-biased — a tiny doc fully contained in a huge one has
@@ -723,6 +725,7 @@ def containment_pairs(
         "n_match",
         F.size("g_a").alias("n_a"),
         F.size("g_b").alias("n_b"),
+        F.size(F.array_intersect("g_a", "g_b")).alias("n_inter"),
         (inter / F.greatest(F.size("g_a"), F.lit(1))).alias("contain_ab"),
         (inter / F.greatest(F.size("g_b"), F.lit(1))).alias("contain_ba"),
     )

@@ -3618,8 +3618,12 @@ def q_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_odd").cast("long").alias("n_odd"),
     )
     s = halves.crossJoin(F.broadcast(tot))
-    p = F.col("c_even").cast("double") / F.col("n_even")
-    q = F.col("c_odd").cast("double") / F.col("n_odd")
+    # try_divide: an all-one-parity corpus makes a half-total 0; bare
+    # '/' raises DIVIDE_BY_ZERO under ANSI where the oracle NULLs, and
+    # the when(p>0) guards already absorb the resulting NULL (NULLS.md
+    # r14 rule: no bare '/' with a data-dependent denominator)
+    p = F.try_divide(F.col("c_even").cast("double"), F.col("n_even"))
+    q = F.try_divide(F.col("c_odd").cast("double"), F.col("n_odd"))
     m = (p + q) / 2
     contrib = 0.5 * F.when(p > 0, p * F.log(p / m)).otherwise(0.0) + (
         0.5 * F.when(q > 0, q * F.log(q / m)).otherwise(0.0)

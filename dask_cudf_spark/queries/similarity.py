@@ -1284,12 +1284,19 @@ def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = c.crossJoin(F.broadcast(tot))
     share = F.col("n").cast("double") / F.col("n_total")
-    weight = F.col("n_total").cast("double") / (F.col("k") * F.col("n"))
+    # scaled shares use the oracle's single-rounding order (1e6 * n is
+    # exact over the integer range, then ONE division rounding) — the
+    # divide-then-multiply form rounds twice and can flip an exact-half
     return j.select(
         "label",
         "n",
-        F.floor(share * 1000000 + F.lit(0.5)).cast("long").alias("share_s6"),
-        F.floor(weight * 1000000 + F.lit(0.5))
+        F.floor(F.lit(1000000.0) * F.col("n") / F.col("n_total") + F.lit(0.5))
+        .cast("long")
+        .alias("share_s6"),
+        F.floor(
+            F.lit(1000000.0) * F.col("n_total") / (F.col("k") * F.col("n"))
+            + F.lit(0.5)
+        )
         .cast("long")
         .alias("weight_s6"),
         F.floor(-share * F.log(share) * 1000000 + F.lit(0.5))

@@ -4074,18 +4074,21 @@ def q_containment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             F.size("g_a").alias("n_a"),
             F.size("g_b").alias("n_b"),
+            # oracle's single-rounding order: 1e6 * inter (exact int
+            # product) then ONE division rounding — never divide-then-
+            # multiply, which rounds twice and can flip an exact-half
             F.floor(
-                inter.cast("double")
+                F.lit(1000000.0)
+                * inter
                 / F.greatest(F.size("g_a"), F.lit(1))
-                * 1000000
                 + F.lit(0.5)
             )
             .cast("long")
             .alias("contain_ab_s6"),
             F.floor(
-                inter.cast("double")
+                F.lit(1000000.0)
+                * inter
                 / F.greatest(F.size("g_b"), F.lit(1))
-                * 1000000
                 + F.lit(0.5)
             )
             .cast("long")
@@ -4180,10 +4183,23 @@ def q_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_match").cast("long").alias("n_match"),
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
-        F.floor(F.col("contain_ab") * 1000000 + F.lit(0.5))
+        # single-rounding order matching the oracle: 1e6 * inter first
+        # (exact over the integer range), ONE division rounding — not
+        # (inter/n)*1e6 which rounds twice and can flip an exact-half
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("n_inter")
+            / F.greatest(F.col("n_a"), F.lit(1))
+            + F.lit(0.5)
+        )
         .cast("long")
         .alias("contain_ab_s6"),
-        F.floor(F.col("contain_ba") * 1000000 + F.lit(0.5))
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("n_inter")
+            / F.greatest(F.col("n_b"), F.lit(1))
+            + F.lit(0.5)
+        )
         .cast("long")
         .alias("contain_ba_s6"),
     )

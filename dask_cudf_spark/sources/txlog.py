@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import random
 import time
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -112,13 +113,18 @@ def _parse_record(d: dict) -> dict | None:
 
 def _local_path(path_str: str) -> str | None:
     """The local-filesystem path for file:/-scheme (or scheme-less)
-    URIs, else None — the py4j-free fast path below."""
+    URIs, else None — the py4j-free fast path below.  Parsed with
+    urlsplit so an authority ('file://host/p') is never folded into
+    the path — naive slash-stripping turns it into '/host/p' where
+    Hadoop's LocalFileSystem resolves '/p', and every read then hits
+    OSError and reads as a torn-file gap (silently stale tables).  A
+    non-local authority falls back to the Hadoop FS branch instead."""
     if path_str.startswith("file:"):
-        p = path_str[len("file:"):]
-        while p.startswith("//"):
-            p = p[1:]
-        return p
-    if "://" not in path_str and not path_str.startswith("file:"):
+        parts = urllib.parse.urlsplit(path_str)
+        if parts.netloc not in ("", "localhost"):
+            return None
+        return urllib.parse.unquote(parts.path)
+    if "://" not in path_str:
         return path_str
     return None
 

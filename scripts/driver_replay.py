@@ -16,7 +16,7 @@ ordered_specs entries) — the pre-commit check for a window rotation.
 Hostile-config replays (results must not depend on session defaults):
     HOSTILE=tz    python scripts/driver_replay.py ...   # JVM +05:30
     HOSTILE=noaqe python scripts/driver_replay.py ...   # AQE + auto-broadcast off
-    HOSTILE=noarrow / oddparts / nocodegen              # see below
+    HOSTILE=noarrow / oddparts / nocodegen / ansi / lowmem  # see below
 """
 
 import os
@@ -76,6 +76,22 @@ elif HOSTILE == "ansi":
     # just non-crashing (r13 directive 2: individual queries defended
     # piecemeal; this replays the whole registry as a mode)
     builder = builder.config("spark.sql.ansi.enabled", "true")
+elif HOSTILE == "lowmem":
+    # memory-starved session (r15 directive 2): every leg to date ran
+    # with default memory on a 128 GiB host, so the spill paths, the
+    # codebook/centroid collect guards, and state stores have never
+    # executed under constraint.  2 GiB heap for a local[32] JVM with
+    # execution+storage squeezed to 30% and tiny spill thresholds —
+    # results must be identical, just slower (spill, don't break).
+    builder = (
+        builder.config("spark.driver.memory", "2g")
+        .config("spark.memory.fraction", "0.3")
+        .config("spark.driver.maxResultSize", "256m")
+        .config("spark.python.worker.memory", "64m")
+        .config("spark.shuffle.spill.numElementsForceSpillThreshold", "50000")
+        .config("spark.sql.windowExec.buffer.spill.threshold", "4096")
+        .config("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "4096")
+    )
 elif HOSTILE == "nocodegen":
     # whole-stage codegen OFF + codegen factory forced to NO_CODEGEN:
     # every expression evaluates through the interpreted path instead
@@ -88,7 +104,7 @@ elif HOSTILE == "nocodegen":
 elif HOSTILE:
     raise SystemExit(
         f"unknown HOSTILE mode: {HOSTILE!r} "
-        "(tz|noaqe|noarrow|oddparts|nocodegen|ansi)"
+        "(tz|noaqe|noarrow|oddparts|nocodegen|ansi|lowmem)"
     )
 spark = builder.getOrCreate()
 if HOSTILE:

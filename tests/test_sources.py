@@ -1303,3 +1303,27 @@ def test_txlog_checkpoint_never_freezes_midwrite_gap(
         if p.name.startswith("chk-")
     )
     assert chks2[-1] >= 2, chks2
+
+
+def test_txlog_local_path_uri_forms():
+    """_local_path (r15 ADVICE fix): file:// URIs with an authority
+    must NOT fold the host into the path — 'file://host/p' used to
+    collapse to '/host/p' (where Hadoop's LocalFileSystem resolves
+    '/p'), so every log read hit OSError and was treated as a
+    torn-file gap: readers silently saw an empty/stale table and
+    writers collided on version 0.  Non-local authorities now fall
+    back to the Hadoop FS branch (None)."""
+    from dask_cudf_spark.sources.txlog import _local_path
+
+    # scheme-less and plain file: forms -> the path itself
+    assert _local_path("/a/b") == "/a/b"
+    assert _local_path("file:/a/b") == "/a/b"
+    assert _local_path("file:///a/b") == "/a/b"
+    assert _local_path("file://localhost/a/b") == "/a/b"
+    # percent-encoding decoded (Hadoop Path.toString encodes spaces)
+    assert _local_path("file:/a/x%20y/b") == "/a/x y/b"
+    # an authority is NOT a path segment: Hadoop branch, never '/host/p'
+    assert _local_path("file://host/a/b") is None
+    # other filesystems -> Hadoop branch
+    assert _local_path("hdfs://nn/a/b") is None
+    assert _local_path("s3a://bucket/a/b") is None

@@ -344,6 +344,7 @@ def commit(
     batch_id: int | None = None,
     stats_cols: list[str] | None = None,
     extra_stats: dict | None = None,
+    auto_optimize_every: int | None = None,
 ) -> int:
     """Write ``df`` as a new commit; returns the committed version.
 
@@ -367,7 +368,17 @@ def commit(
     ``extra_stats`` merges arbitrary application metadata into the
     commit's stats blob (e.g. matview refresh watermarks); keys must
     not collide with data-dir names (they are uuid-prefixed, so any
-    readable label is safe)."""
+    readable label is safe).
+
+    ``auto_optimize_every`` is the small-file compaction policy (the
+    r14 scale probe's open term: a 1000-commit append-only table scans
+    1000 single-row dirs per snapshot even after the LOG went flat):
+    when the post-commit LIVE DIR count reaches this threshold, the
+    winning writer runs ``optimize`` best-effort — a concurrent
+    commit aborts the compaction harmlessly (detect-and-abort), and
+    the next boundary retries.  Triggered by live-dir count, not
+    version number, so overwrites/merges that already collapse the
+    dir set never pay a redundant compaction."""
     if op not in ("append", "overwrite"):
         raise ValueError(f"op must be append|overwrite, got {op!r}")
     spark = df.sparkSession
@@ -430,22 +441,24 @@ def commit(
             out.write(record)
         finally:
             out.close()
-        _maybe_checkpoint(
-            jvm,
-            fs,
-            path,
-            log
-            + [
-                {
-                    "version": version,
-                    "op": op,
-                    "dirs": [data_dir],
-                    "batch_id": batch_id,
-                    "stats": stats,
-                }
-            ],
-            chk_version,
-        )
+        new_log = log + [
+            {
+                "version": version,
+                "op": op,
+                "dirs": [data_dir],
+                "batch_id": batch_id,
+                "stats": stats,
+            }
+        ]
+        _maybe_checkpoint(jvm, fs, path, new_log, chk_version)
+        if (
+            auto_optimize_every
+            and len(_live_dirs(new_log, None)) >= auto_optimize_every
+        ):
+            try:
+                optimize(spark, path)
+            except (ConcurrentModification, CommitConflict):
+                pass  # a racing writer moved the table; next boundary compacts
         return version
     raise CommitConflict(
         f"lost {max_retries} commit races on {path}"

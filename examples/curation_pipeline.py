@@ -36,7 +36,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
+def run_pipeline(
+    spark, sf_dir: str, out_dir: str, funnel_counts: bool = True
+) -> dict:
     from dask_cudf_spark.frame import read_parquet
     from dask_cudf_spark.operators.dedup import (
         exact_dedup,
@@ -46,9 +48,20 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
 
     funnel: dict[str, int] = {}
 
+    def stage(name: str, df_like) -> None:
+        # Each intermediate count is a SEPARATE action that re-executes
+        # every stage above it (no cache in the lineage) — priceless
+        # while debugging a funnel, O(stages x scans) at 100 TB.  The
+        # production/bench path (funnel_counts=False) skips these: the
+        # pipeline then runs as ONE composed job whose only actions are
+        # the publish write and a single final-stats aggregation
+        # (scripts/pipeline_bench.py asserts the scan count).
+        if funnel_counts:
+            funnel[name] = df_like.count()
+
     # 1. ingest ----------------------------------------------------------
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    funnel["ingested"] = docs.count()
+    stage("ingested", docs)
 
     # 2. quality filter (Frame/Col layer: pandas-style expressions) ------
     docs = docs.assign(
@@ -63,18 +76,18 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
         & (docs.alpha_ratio > 0.4)
         & docs.lang.isin(["en", "de", "fr"])
     ]
-    funnel["after_quality"] = kept.count()
+    stage("after_quality", kept)
 
     # 3. exact dedup (content-fingerprint, keep lowest doc_id) -----------
     sdf = exact_dedup(kept.spark, text_col="text", id_col="doc_id")
-    funnel["after_exact_dedup"] = sdf.count()
+    stage("after_exact_dedup", sdf)
 
     # 4. fuzzy dedup: banded MinHash-LSH -> exact-Jaccard verify ->
     #    single-link connected components; survivors = cluster min id --
     sdf = near_dedup_minhash(
         sdf, text_col="text", id_col="doc_id", threshold=0.8, clusters=True
     )
-    funnel["after_fuzzy_dedup"] = sdf.count()
+    stage("after_fuzzy_dedup", sdf)
 
     # 5. decontamination: drop anything sharing a fingerprint with the
     #    benchmark set (here: a deterministic 2% sample standing in for
@@ -95,7 +108,7 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
         )
         .drop("fp")
     )
-    funnel["after_decontamination"] = sdf.count()
+    stage("after_decontamination", sdf)
 
     # 6. deterministic split: md5 bucket on content, not random() —
     #    replays identically at any parallelism
@@ -115,9 +128,17 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
         sdf, table, op="overwrite", stats_cols=["n_tokens"]
     )
     published = txlog.read_snapshot(spark, table)
-    funnel["published"] = published.count()
-    funnel["train"] = published.filter(F.col("split") == "train").count()
-    funnel["valid"] = published.filter(F.col("split") == "valid").count()
+    # final stats in ONE aggregation over the published table (three
+    # separate counts = three scans of the table we just wrote)
+    split_counts = {
+        r["split"]: r["n"]
+        for r in published.groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    funnel["published"] = sum(split_counts.values())
+    funnel["train"] = split_counts.get("train", 0)
+    funnel["valid"] = split_counts.get("valid", 0)
     funnel["txlog_version"] = version
     return funnel
 

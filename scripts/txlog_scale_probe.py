@@ -14,6 +14,13 @@ exponentially spaced checkpoints, the latency of:
 
 Usage:  python scripts/txlog_scale_probe.py [n_commits] [table_dir]
 
+OPTIMIZE_EVERY=<k> (r15 directive 4) exercises the auto-compaction
+policy knob end-to-end: every commit passes
+``auto_optimize_every=k`` so the winning writer compacts the live set
+whenever the live-dir count reaches k — the probe then shows whether
+snapshot/change-feed go flat once the N single-row-dir parquet scan
+(the r14 probe's one remaining O(N) term) is compacted away.
+
 Prints one JSON line per checkpoint and a summary row for BASELINE.md.
 """
 
@@ -32,7 +39,10 @@ from pyspark.sql import functions as F  # noqa: E402
 from dask_cudf_spark.session import get_spark  # noqa: E402
 from dask_cudf_spark.sources import txlog  # noqa: E402
 
+import os
+
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+OPTIMIZE_EVERY = int(os.environ.get("OPTIMIZE_EVERY", "0"))
 root = sys.argv[2] if len(sys.argv) > 2 else None
 cleanup = root is None
 if root is None:
@@ -54,7 +64,7 @@ for i in range(1, N + 1):
     # row per key
     one_row = spark.createDataFrame([(i, "payload")], "id long, v string")
     t0 = time.time()
-    txlog.commit(one_row, table)
+    txlog.commit(one_row, table, auto_optimize_every=OPTIMIZE_EVERY or None)
     t_commit_bucket.append(time.time() - t0)
     if i in CHECKPOINTS:
         t = time.time()
@@ -68,9 +78,13 @@ for i in range(1, N + 1):
             spark, table, "id", max(0, i - 6), i - 1
         ).count()
         t_cf = time.time() - t
+        live = len(
+            txlog._live_dirs(txlog._read_log(spark, table), None)
+        )
         row = {
             "commits": i,
             "rows": n,
+            "live_dirs": live,
             "snapshot_s": round(t_snap, 3),
             "history_s": round(t_hist, 3),
             "change_feed_s": round(t_cf, 3),
@@ -83,12 +97,19 @@ for i in range(1, N + 1):
         results.append(row)
         print(json.dumps(row), flush=True)
         assert n == i, f"snapshot rows {n} != commits {i}"
-        assert len(h) == i, f"history {len(h)} != commits {i}"
+        if OPTIMIZE_EVERY:
+            # compactions add their own overwrite commits to history,
+            # and the live set must stay capped near the threshold
+            assert len(h) >= i, f"history {len(h)} < commits {i}"
+            assert live <= OPTIMIZE_EVERY, (live, OPTIMIZE_EVERY)
+        else:
+            assert len(h) == i, f"history {len(h)} != commits {i}"
 
 print(
     json.dumps(
         {
             "metric": "txlog_scale",
+            "optimize_every": OPTIMIZE_EVERY,
             "n_commits": N,
             "total_s": round(time.time() - t0_total, 1),
             "curve": results,

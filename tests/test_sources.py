@@ -1327,3 +1327,53 @@ def test_txlog_local_path_uri_forms():
     # other filesystems -> Hadoop branch
     assert _local_path("hdfs://nn/a/b") is None
     assert _local_path("s3a://bucket/a/b") is None
+
+
+def test_txlog_auto_optimize_policy(spark, tmp_path):
+    """auto_optimize_every (r15): the commit-side compaction policy
+    keeps the live-dir count capped at the threshold — the r14 scale
+    probe's one remaining O(N-commits) term (a snapshot scanning N
+    single-row dirs) must not regrow unbounded on an append-only
+    table.  Contents stay identical, time travel to pre-compaction
+    versions still works, and batch_id idempotency is unaffected."""
+    from dask_cudf_spark.sources import txlog
+
+    path = str(tmp_path / "txauto")
+    for i in range(12):
+        txlog.commit(
+            spark.createDataFrame([(i,)], "k long"),
+            path,
+            auto_optimize_every=5,
+        )
+    log = txlog._read_log(spark, path)
+    live = txlog._live_dirs(log, None)
+    assert len(live) <= 5, live
+    # compactions appended overwrite commits beyond the 12 appends
+    assert log[-1]["version"] >= 12
+    got = sorted(r["k"] for r in txlog.read_snapshot(spark, path).collect())
+    assert got == list(range(12))
+    # time travel to a pre-compaction version still replays correctly
+    assert sorted(
+        r["k"]
+        for r in txlog.read_snapshot(spark, path, version=2).collect()
+    ) == [0, 1, 2]
+    # batch_id replay stays a no-op (returns the stamped version, no
+    # new commit, no extra compaction)
+    n_before = log[-1]["version"]
+    v = txlog.commit(
+        spark.createDataFrame([(99,)], "k long"),
+        path,
+        batch_id=7,
+        auto_optimize_every=5,
+    )
+    v2 = txlog.commit(
+        spark.createDataFrame([(99,)], "k long"),
+        path,
+        batch_id=7,
+        auto_optimize_every=5,
+    )
+    assert v == v2 > n_before
+    got2 = sorted(
+        r["k"] for r in txlog.read_snapshot(spark, path).collect()
+    )
+    assert got2 == list(range(12)) + [99]

@@ -3711,3 +3711,302 @@ def q_iqr_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("lo_outlier"),
     )
+
+
+@register(
+    "q_ks_drift",
+    family="aggregate",
+    oracle="""
+        -- EXACT integer KS: at every distinct length x, the ECDF gap
+        -- |F_even(x) - F_odd(x)| equals |cum_e*n_o - cum_o*n_e| over
+        -- the common denominator n_e*n_o -- so the argmax is decided
+        -- entirely in BIGINT space (no float comparison ever breaks a
+        -- tie) and only the FINAL reported statistic takes the one
+        -- double division of the x1e6 scaled-round discipline.
+        WITH pts AS (
+            -- NULL lengths are excluded on BOTH sides: an ECDF is
+            -- undefined at NULL, and Spark (NULLS FIRST) vs DuckDB
+            -- (NULLS LAST) would order the NULL group differently in
+            -- the cumulative window (NULLS.md window-sort rule)
+            SELECT n_chars AS x,
+                   CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c_e,
+                   CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c_o
+            FROM documents WHERE n_chars IS NOT NULL GROUP BY n_chars
+        ),
+        cum AS (
+            SELECT x,
+                   CAST(SUM(c_e) OVER (ORDER BY x) AS BIGINT) AS cum_e,
+                   CAST(SUM(c_o) OVER (ORDER BY x) AS BIGINT) AS cum_o
+            FROM pts
+        ),
+        tot AS (
+            SELECT CAST(SUM(c_e) AS BIGINT) AS n_e,
+                   CAST(SUM(c_o) AS BIGINT) AS n_o
+            FROM pts
+        ),
+        gaps AS (
+            SELECT x, abs(cum_e * n_o - cum_o * n_e) AS d_num, n_e, n_o
+            FROM cum, tot
+        )
+        -- argmax via ONE ranked pass (ties on the max broken by min
+        -- x): a max-subquery + self-filter would evaluate the whole
+        -- gaps pipeline twice
+        SELECT n_e AS n_even, n_o AS n_odd,
+               CAST(d_num AS BIGINT) AS d_num,
+               CAST(x AS BIGINT) AS at_x,
+               CAST(FLOOR(1000000.0 * d_num / (n_e * n_o) + 0.5) AS BIGINT)
+                   AS ks_s6
+        FROM gaps
+        QUALIFY ROW_NUMBER() OVER (ORDER BY d_num DESC, x ASC) = 1
+    """,
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the doc-length
+    distributions of two corpus halves (even/odd doc_id) — the
+    CONTINUOUS-distribution drift screen that rounds out the drift
+    family (q_drift_chi2 and q_jsd_drift compare categorical shares;
+    KS catches a shifted/stretched length distribution those cannot
+    see).  D = max_x |F_even(x) - F_odd(x)| evaluated at every
+    distinct length; ties on the max broken by MIN(x) so the reported
+    location is deterministic.
+
+    All comparison arithmetic is exact BIGINT (ECDF gaps put over the
+    common denominator n_e*n_o); one double division at the very end.
+
+    Scale: ONE |distinct lengths|-row shuffle with map-side partial
+    counts; the cumulative window runs on that distinct-value table
+    (bounded by the length domain, not the corpus), and the two totals
+    broadcast back as a 1-row literal."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    pts = d.groupBy(F.col("n_chars").alias("x")).agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c_e"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c_o"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pts.select(
+        "x",
+        F.sum("c_e").over(w).cast("long").alias("cum_e"),
+        F.sum("c_o").over(w).cast("long").alias("cum_o"),
+    )
+    tot = pts.agg(
+        F.sum("c_e").cast("long").alias("n_e"),
+        F.sum("c_o").cast("long").alias("n_o"),
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        "x",
+        F.abs(F.col("cum_e") * F.col("n_o") - F.col("cum_o") * F.col("n_e"))
+        .alias("d_num"),
+        "n_e",
+        "n_o",
+    )
+    # argmax in ONE ranked pass over the (already single-partition)
+    # distinct-value table — a max-subquery + self-filter would
+    # evaluate the whole gaps pipeline twice
+    w_top = Window.orderBy(F.col("d_num").desc(), F.col("x").asc())
+    return (
+        gaps.withColumn("__rn", F.row_number().over(w_top))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("n_e").alias("n_even"),
+            F.col("n_o").alias("n_odd"),
+            F.col("d_num").cast("long").alias("d_num"),
+            F.col("x").cast("long").alias("at_x"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("d_num")
+                / (F.col("n_e") * F.col("n_o"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("ks_s6"),
+        )
+    )
+
+
+@register(
+    "q_burstiness",
+    family="aggregate",
+    oracle="""
+        -- inter-purchase gap burstiness per user, Goh & Barabasi 2008:
+        -- B = (sigma - mu) / (sigma + mu) in [-1, 1): -1 = perfectly
+        -- regular, 0 = Poisson, ->1 = bursty.  Gaps are EXACT integer
+        -- seconds (epoch-microsecond difference, integer-divided);
+        -- moments accumulate as exact BIGINT sums (n, S, Q); the only
+        -- doubles are the identical mean/var/sqrt sequence both
+        -- engines run, and /0 (all-zero gaps) NULLs on both sides.
+        WITH pur AS (
+            -- ts IS NOT NULL: a NULL timestamp has no place on a gap
+            -- timeline, and the two engines would order it on opposite
+            -- ends of the lag window (NULLS.md window-sort rule)
+            SELECT user_id, ts, event_id,
+                   epoch_us(ts) AS us
+            FROM events
+            WHERE event_type = 'purchase' AND ts IS NOT NULL
+        ),
+        gaps AS (
+            SELECT user_id,
+                   (us - lag(us) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                   )) // 1000000 AS gap_s
+            FROM pur
+        ),
+        mom AS (
+            SELECT user_id,
+                   CAST(COUNT(gap_s) AS BIGINT) AS n,
+                   CAST(SUM(gap_s) AS BIGINT) AS s,
+                   CAST(SUM(gap_s * gap_s) AS BIGINT) AS q
+            FROM gaps WHERE gap_s IS NOT NULL
+            GROUP BY user_id HAVING COUNT(gap_s) >= 2
+        )
+        SELECT user_id, n, s, q,
+               CAST(FLOOR(
+                   (sqrt(greatest(
+                        CAST(q AS DOUBLE) / n
+                        - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                        0.0))
+                    - CAST(s AS DOUBLE) / n)
+                   / nullif(
+                       sqrt(greatest(
+                           CAST(q AS DOUBLE) / n
+                           - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                           0.0))
+                       + CAST(s AS DOUBLE) / n, 0.0)
+                   * 1000000 + 0.5) AS BIGINT) AS b_s6
+        FROM mom
+    """,
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event burstiness coefficient per user over purchase
+    events (Goh & Barabasi 2008): B = (sigma - mu)/(sigma + mu) of the
+    inter-purchase gap distribution — the temporal cousin of the
+    concentration stats (a user with B near 1 buys in bursts; near -1
+    on a metronome).  The ingest-pipeline use: bursty sources need
+    rate-limiting / dedup windows sized to the burst, not the mean.
+
+    Determinism discipline: gaps are exact integer SECONDS (epoch-us
+    difference, integer division); per-user moments (n, S, Q) are
+    exact BIGINT sums, so sigma/mu run the identical double sequence
+    on both engines; variance is clamped at 0 before sqrt (catastrophic
+    cancellation on near-constant gaps); the B division NULLs when
+    sigma+mu = 0 (all gaps zero) via try_divide = nullif twin.
+
+    Scale: one user-keyed window (lag) + one user-keyed aggregation —
+    the window's hash partitioning is reused by the groupBy (same key,
+    no second shuffle); moments are 3 numbers per user."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    pur = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").asc(), F.col("event_id").asc()
+    )
+    gaps = pur.select(
+        "user_id",
+        ((F.col("us") - F.lag("us").over(w)) / 1000000)
+        .cast("long")
+        .alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    mom = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_s").cast("long").alias("n"),
+            F.sum("gap_s").cast("long").alias("s"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).cast("long").alias("q"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    var = F.greatest(
+        F.col("q").cast("double") / F.col("n") - mu * mu, F.lit(0.0)
+    )
+    sigma = F.sqrt(var)
+    return mom.select(
+        "user_id",
+        "n",
+        "s",
+        "q",
+        F.floor(F.try_divide(sigma - mu, sigma + mu) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("b_s6"),
+    )
+
+
+@register(
+    "q_txlog_auto_compact",
+    family="partitioning",
+    oracle="""
+        -- the snapshot of a 12-commit auto-compacted txlog table must
+        -- equal plain orders exactly: if the live-dir-count-triggered
+        -- compaction (commit(auto_optimize_every=5)) ever lost,
+        -- duplicated, or corrupted a row while collapsing dirs, these
+        -- totals diverge.  Exact-integer outputs only (count + BIGINT
+        -- key sum + cents sum).
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents_sum
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_txlog_auto_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-compaction policy oracle-checked end to end (r15): orders
+    commit as 12 key-partitioned appends with
+    ``commit(auto_optimize_every=5)``, so the live-dir-count trigger
+    fires repeatedly mid-stream (the r14 scale probe's fix for the
+    N-single-file-dirs snapshot term); the final snapshot's per-status
+    totals must equal raw orders — compaction is an OVERWRITE commit
+    whose contents must be byte-equivalent to the dirs it retires.
+    The query RAISES if the policy failed to cap the live set (a
+    silently uncompacted table would still pass the value check — the
+    matview no-silent-fallback discipline).
+
+    Scale: compaction rewrites the live set into one dir per trigger;
+    readers scan O(threshold) dirs instead of O(commits); the policy
+    rides the existing optimize() detect-and-abort so concurrent
+    writers stay safe."""
+    import tempfile
+
+    from ..sources.txlog import _live_dirs, _read_log, commit, read_snapshot
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="spark-graft-autocompact-")
+    path = f"{root}/t"
+    for i in range(12):
+        commit(
+            od.filter(F.pmod(F.col("o_orderkey"), F.lit(12)) == i),
+            path,
+            "append",
+            auto_optimize_every=5,
+        )
+    live = _live_dirs(_read_log(spark, path), None)
+    if len(live) > 5:
+        raise RuntimeError(
+            f"auto_optimize_every=5 failed to cap live dirs: {len(live)}"
+        )
+    snap = read_snapshot(spark, path)
+    return snap.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+    )

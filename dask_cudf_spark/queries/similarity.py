@@ -1303,3 +1303,115 @@ def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("entropy_term_s6"),
     )
+
+
+@register(
+    "q_centroid_shift",
+    family="similarity",
+    oracle="""
+        -- embedding drift per label: squared L2 distance between the
+        -- per-label MEAN vectors of two corpus halves (vec_id
+        -- parity).  Determinism: elements land as x1e4 scaled BIGINTs
+        -- (floor(x*1e4+0.5), det.py discipline) so per-dimension sums
+        -- are EXACT integers in any order; each dimension's
+        -- contribution is rounded to a BIGINT before the cross-dim
+        -- sum, so the final total is an order-free integer sum — a
+        -- raw double sum over dims would hash-flake on reduction
+        -- order.  Labels present in only one half drop (a mean shift
+        -- needs both means).
+        WITH e AS (
+            SELECT label, vec_id % 2 = 0 AS even, u.i AS dim,
+                   CAST(FLOOR(CAST(u.x AS DOUBLE) * 10000 + 0.5)
+                        AS BIGINT) AS sx
+            FROM (
+                SELECT label, vec_id,
+                       unnest(list_transform(
+                           range(1, len(embedding) + 1),
+                           i -> struct_pack(i := i - 1, x := embedding[i])
+                       )) AS u
+                FROM embeddings
+            )
+        ),
+        per_dim AS (
+            SELECT label, dim,
+                   CAST(SUM(CASE WHEN even THEN sx ELSE 0 END) AS BIGINT)
+                       AS se,
+                   CAST(SUM(CASE WHEN even THEN 0 ELSE sx END) AS BIGINT)
+                       AS so,
+                   CAST(SUM(CASE WHEN even THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_e,
+                   CAST(SUM(CASE WHEN even THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_o
+            FROM e GROUP BY label, dim
+            HAVING SUM(CASE WHEN even THEN 1 ELSE 0 END) > 0
+               AND SUM(CASE WHEN even THEN 0 ELSE 1 END) > 0
+        )
+        SELECT label,
+               CAST(MAX(n_e) AS BIGINT) AS n_even,
+               CAST(MAX(n_o) AS BIGINT) AS n_odd,
+               CAST(SUM(CAST(FLOOR(
+                   (CAST(se AS DOUBLE) / n_e - CAST(so AS DOUBLE) / n_o)
+                   * (CAST(se AS DOUBLE) / n_e - CAST(so AS DOUBLE) / n_o)
+                   + 0.5) AS BIGINT)) AS BIGINT) AS shift_sq
+        FROM per_dim GROUP BY label
+    """,
+)
+def q_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift per label: squared L2 distance between
+    the mean vectors of two corpus halves (vec_id parity) — the
+    geometric drift screen the categorical stats (chi2/JSD on counts)
+    cannot see: a class whose FREQUENCY is stable but whose embedding
+    cloud migrated (new topic under an old label, encoder change) has
+    zero count drift and a large centroid shift.  Reported in scaled
+    element units squared (x1e4 per axis).
+
+    Determinism discipline: elements are scaled to exact int64
+    (floor(x*1e4+0.5)) so per-dimension sums are order-free; the
+    dimension contributions round to BIGINT before the final sum, so
+    no double ever crosses a reduction whose order Spark/DuckDB could
+    disagree on.  Labels missing a half drop (HAVING both counts > 0).
+
+    Scale: posexplode multiplies rows by dims but collapses map-side
+    into |labels| x dims partial sums — the shuffle carries counts,
+    never vectors; the final |labels|-row aggregate is metadata-scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("even"),
+        F.posexplode(F.col("embedding")).alias("dim", "x"),
+    ).select(
+        "label",
+        "even",
+        "dim",
+        F.floor(F.col("x").cast("double") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("sx"),
+    )
+    per_dim = (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.sum(F.when(F.col("even"), F.col("sx")).otherwise(0))
+            .cast("long")
+            .alias("se"),
+            F.sum(F.when(F.col("even"), 0).otherwise(F.col("sx")))
+            .cast("long")
+            .alias("so"),
+            F.sum(F.when(F.col("even"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_e"),
+            F.sum(F.when(F.col("even"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_o"),
+        )
+        .filter((F.col("n_e") > 0) & (F.col("n_o") > 0))
+    )
+    d = F.col("se").cast("double") / F.col("n_e") - F.col("so").cast(
+        "double"
+    ) / F.col("n_o")
+    return per_dim.groupBy("label").agg(
+        F.max("n_e").cast("long").alias("n_even"),
+        F.max("n_o").cast("long").alias("n_odd"),
+        F.sum(F.floor(d * d + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("shift_sq"),
+    )

@@ -4206,3 +4206,115 @@ def q_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REG["q_containment_lsh"].oracle = _containment_lsh_oracle()
+
+
+@register(
+    "q_ngram_novelty",
+    family="text",
+    oracle="""
+        -- per-language novelty of the odd corpus half's word-3-gram
+        -- vocabulary vs the even half: the decontamination-adjacent
+        -- screen for "how much genuinely NEW text does this ingest
+        -- batch add" (a near-zero novelty batch is a re-crawl).  Same
+        -- plain-split tokenizer + guarded gram build as
+        -- q_containment_scores; grams dedup WITHIN a doc first so a
+        -- spammy doc can't vote twice.  NULL lang is a group like any
+        -- other.
+        WITH g AS (
+            SELECT lang, doc_id % 2 = 0 AS even,
+                   unnest(list_distinct(
+                       list_transform(
+                           range(1, greatest(len(toks) - 1, 1)),
+                           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                       )
+                   )) AS gram
+            FROM (
+                SELECT lang, doc_id,
+                       list_filter(string_split(coalesce(text, ''), ' '),
+                                   t -> t <> '') AS toks
+                FROM documents
+            )
+        ),
+        per AS (
+            SELECT lang, gram,
+                   MAX(CASE WHEN even THEN 1 ELSE 0 END) AS in_e,
+                   MAX(CASE WHEN even THEN 0 ELSE 1 END) AS in_o
+            FROM g GROUP BY lang, gram
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_odd_grams,
+               CAST(SUM(CASE WHEN in_e = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_new,
+               CAST(FLOOR(1000000.0
+                    * SUM(CASE WHEN in_e = 0 THEN 1 ELSE 0 END)
+                    / COUNT(*) + 0.5) AS BIGINT) AS novelty_s6
+        FROM per WHERE in_o = 1
+        GROUP BY lang
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary novelty of one corpus half against the other: the
+    share of the odd half's distinct word-3-grams that never occur in
+    the even half, per language — the ingest-batch screen between the
+    drift stats (which compare SHARES of known categories) and full
+    decontamination (which needs a benchmark set): novelty near 0
+    means the batch is a re-crawl; near 1 means a genuinely new
+    source.  3-gram sets dedup within each doc before the vocabulary
+    union, so one spammy document cannot inflate either side.
+
+    Scale: grams explode map-side (per-doc distinct first), then ONE
+    (lang, gram)-keyed shuffle with map-side partial max-flags — the
+    presence table is |vocabulary| rows, not |corpus x grams| — and a
+    final |langs|-row aggregation.  No joins, no gram-set arrays ever
+    cross a shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda t: t != F.lit(""),
+    )
+    grams = F.array_distinct(
+        F.element_at(
+            F.transform(
+                F.array(toks),
+                lambda ts: F.when(
+                    F.size(ts) >= 3,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(ts) - F.lit(2)),
+                        lambda i: F.array_join(F.slice(ts, i, 3), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            ),
+            1,
+        )
+    )
+    g = d.select(
+        "lang",
+        (F.col("doc_id") % 2 == 0).alias("even"),
+        F.explode(grams).alias("gram"),
+    )
+    per = g.groupBy("lang", "gram").agg(
+        F.max(F.when(F.col("even"), 1).otherwise(0)).alias("in_e"),
+        F.max(F.when(F.col("even"), 0).otherwise(1)).alias("in_o"),
+    )
+    return (
+        per.filter(F.col("in_o") == 1)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_odd_grams"),
+            F.sum(F.when(F.col("in_e") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+        )
+        .select(
+            "lang",
+            "n_odd_grams",
+            "n_new",
+            # oracle's single-rounding order: 1e6*n_new exact, ONE division
+            F.floor(
+                F.lit(1000000.0) * F.col("n_new") / F.col("n_odd_grams")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("novelty_s6"),
+        )
+    )

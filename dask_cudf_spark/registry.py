@@ -670,6 +670,32 @@ _ROTATIONS: list[tuple[list[str], list[str]]] = [
         ["q_containment_lsh"],
         ["q_pareto_coverage"],
     ),
+    (
+        # round 15: the r15 wave — two-sample KS on the length
+        # distribution (the CONTINUOUS drift screen beside the
+        # categorical chi2/JSD pair), inter-event burstiness
+        # (Goh-Barabasi temporal concentration), per-lang 3-gram
+        # vocabulary novelty (the re-crawl screen), per-label centroid
+        # shift (embedding-space drift counts can't see), and the
+        # auto-compaction policy's snapshot oracle (partitioning gains
+        # its first window rep).  Five long-green residents cede from
+        # the deepest families (aggregate keeps 11+, text 12+, window
+        # 9+ reps).
+        [
+            "q_ks_drift",
+            "q_burstiness",
+            "q_ngram_novelty",
+            "q_centroid_shift",
+            "q_txlog_auto_compact",
+        ],
+        [
+            "q_hhi_concentration",
+            "q_gini_coefficient",
+            "q_interval_arith",
+            "q_edit_distance",
+            "q_weighted_resample",
+        ],
+    ),
 ]
 _WINDOW = 50
 # The driver round whose rotation defined the CURRENT window.  The
@@ -678,7 +704,7 @@ _WINDOW = 50
 # respect to the evidence that existed when it was designed, so the
 # current round's own driver run can't flip the suite red between
 # driver-run and next-rotation (r9 VERDICT item 3).
-_WINDOW_ROUND = 14
+_WINDOW_ROUND = 15
 
 
 def _rotate_window(specs: list[QuerySpec]) -> list[QuerySpec]:

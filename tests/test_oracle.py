@@ -221,8 +221,6 @@ _PINNED_WINDOW = [
     "q_group_head",
     "q_mad_outliers",
     "q_drift_chi2",
-    "q_hhi_concentration",
-    "q_gini_coefficient",
     "q_abtest_ztest",
     "q_cohort_ltv",
     "q_hll_sketch",
@@ -242,13 +240,10 @@ _PINNED_WINDOW = [
     "q_null_audit",
     "q_join_null_keys",
     "q_interpolate_linear",
-    "q_interval_arith",
     "q_rank_methods",
     "q_sessionize_gaps",
     "q_doc_packing",
-    "q_edit_distance",
     "q_subword_tokens",
-    "q_weighted_resample",
     "q_bigram_lm_score",
     "q_embedding_audit",
     "q_rollup_revenue",
@@ -264,6 +259,11 @@ _PINNED_WINDOW = [
     "q_class_balance",
     "q_containment_scores",
     "q_containment_lsh",
+    "q_ks_drift",
+    "q_burstiness",
+    "q_ngram_novelty",
+    "q_centroid_shift",
+    "q_txlog_auto_compact",
 ]
 
 

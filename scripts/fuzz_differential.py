@@ -79,6 +79,19 @@ HOSTILE_CONF: dict[str, dict[str, str]] = {
     # /0, overflow, element_at misses all RAISE here instead of
     # NULLing; results must be identical, not merely non-crashing)
     "ansi": {"spark.sql.ansi.enabled": "true"},
+    # memory-starved session (r15): 2 GiB heap for local[32] with
+    # execution+storage squeezed to 30% and tiny spill thresholds —
+    # the spill paths and collect guards must produce identical
+    # results, just slower (spill, don't break)
+    "lowmem": {
+        "spark.driver.memory": "2g",
+        "spark.memory.fraction": "0.3",
+        "spark.driver.maxResultSize": "256m",
+        "spark.python.worker.memory": "64m",
+        "spark.shuffle.spill.numElementsForceSpillThreshold": "50000",
+        "spark.sql.windowExec.buffer.spill.threshold": "4096",
+        "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "4096",
+    },
 }
 
 

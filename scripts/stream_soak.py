@@ -48,6 +48,10 @@ from dask_cudf_spark.streaming.kafka_source import register_kafka_source  # noqa
 N_BATCHES = int(sys.argv[1]) if len(sys.argv) > 1 else 220
 N_RESTARTS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 CHUNK = 15  # rows per produce = rows per micro-batch (capped trigger)
+# auto-compaction composed INTO the streaming sink (r15): the policy
+# must hold under checkpoint restarts, batch_id replays, and the
+# CHECKPOINT_INTERVAL log-compaction machinery all at once; 0 = off
+AUTOOPT = int(os.environ.get("AUTOOPT", "50"))
 
 spark = get_spark(app_name="stream-soak")
 spark.sparkContext.setLogLevel("ERROR")
@@ -92,7 +96,13 @@ def write_and_maybe_refresh(batch_df, batch_id):
     t0 = time.time()
     for outer in range(3):  # supervised retry over restart-overlap races
         try:
-            txlog.commit(rows, src, "append", batch_id=int(batch_id))
+            txlog.commit(
+                rows,
+                src,
+                "append",
+                batch_id=int(batch_id),
+                auto_optimize_every=AUTOOPT or None,
+            )
             break
         except txlog.CommitConflict:
             if outer == 2:
@@ -165,6 +175,9 @@ assert n_rows == produced == n_keys, (n_rows, produced, n_keys)
 
 hist = txlog.table_history(spark, src)
 n_versions = hist[-1]["version"] + 1
+live_now = len(txlog._live_dirs(txlog._read_log(spark, src), None))
+if AUTOOPT:
+    assert live_now <= AUTOOPT, (live_now, AUTOOPT)
 chks = sorted(
     int(f[4:-5])
     for f in os.listdir(f"{src}/_txlog")
@@ -196,6 +209,8 @@ summary_a = {
     "versions": n_versions,
     "txlog_checkpoints": len(chks),
     "newest_checkpoint_version": chks[-1],
+    "auto_optimize_every": AUTOOPT,
+    "live_dirs_final": live_now,
     "restarts": N_RESTARTS,
     "commit_mean_first_quartile_s": round(early, 3),
     "commit_mean_last_quartile_s": round(late, 3),

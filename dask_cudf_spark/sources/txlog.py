@@ -822,6 +822,92 @@ def optimize(
     ) from last_err
 
 
+def heal_log_gaps(
+    spark: SparkSession,
+    path: str,
+    min_age_seconds: float = 3600.0,
+) -> list[int]:
+    """Fill DEAD torn-version gaps with explicit no-op records so
+    checkpoint advancement can resume; returns the healed versions.
+
+    A writer killed between the exclusive version-file create and the
+    record write (crashed driver, streaming query stopped
+    mid-foreachBatch — the r15 soak reproduced it with a restart
+    during commit) leaves an EMPTY version file forever.  The
+    automatic path is deliberately absolutist about it: the r14
+    race-across-boundary fix checkpoints only the CONTIGUOUS parsed
+    prefix, because a checkpoint spanning a gap would silently drop a
+    merely-SLOW writer's commit when it lands.  The cost is that a
+    genuinely dead gap stalls checkpoint advancement permanently and
+    log reads degrade to O(commits-past-gap) — correct, but a
+    long-lived table accumulates one stall per crash.
+
+    This is the matching MAINTENANCE operation, with vacuum's exact
+    grace contract: an empty version file older than
+    ``min_age_seconds`` (measured against the filesystem's clock, same
+    probe-file trick as vacuum) is declared dead and overwritten with
+    a no-op append record ({dirs: []}) — snapshot contents, time
+    travel, and the change feed are unaffected (the no-op changes no
+    live set), the parsed prefix becomes contiguous again, and the
+    next commit's checkpoint advances past it.  Pass 0 only in a
+    single-writer maintenance window: a zombie writer that is alive
+    but paused longer than the grace between create and write would
+    have its eventual commit silently shadowed — the same
+    impossible-to-distinguish case vacuum's grace exists for."""
+    import time as _time
+
+    jvm, fs, _ = _jfs(spark, path)
+    entries = _read_log(spark, path)
+    parsed = {e["version"] for e in entries}
+    mx_disk = _max_version_on_disk(jvm, fs, path)
+    if mx_disk < 0:
+        return []
+    now_ms = _time.time() * 1000.0
+    probe = jvm.org.apache.hadoop.fs.Path(
+        f"{_log_dir(path)}/.heal-probe-{uuid.uuid4().hex}"
+    )
+    try:
+        fs.create(probe, True).close()
+        now_ms = float(fs.getFileStatus(probe).getModificationTime())
+        fs.delete(probe, False)
+    except Exception:
+        pass  # driver-clock fallback (local fs shares the clock anyway)
+    healed: list[int] = []
+    for v in range(0, mx_disk + 1):
+        if v in parsed:
+            continue
+        vpath = jvm.org.apache.hadoop.fs.Path(
+            f"{_log_dir(path)}/{v:012d}.json"
+        )
+        if not fs.exists(vpath):
+            continue  # foreign numbering hole: nothing to heal
+        try:
+            st = fs.getFileStatus(vpath)
+        except Exception:
+            continue
+        if now_ms - st.getModificationTime() < min_age_seconds * 1000.0:
+            continue  # could still be in-flight: respect the grace
+        record = json.dumps(
+            {
+                "version": v,
+                "op": "append",
+                "dirs": [],
+                "batch_id": None,
+                "stats": "{}",
+            }
+        ).encode()
+        try:
+            out = fs.create(vpath, True)  # overwrite: we own the window
+            try:
+                out.write(record)
+            finally:
+                out.close()
+            healed.append(v)
+        except Exception:
+            continue  # best-effort per slot; report only real heals
+    return healed
+
+
 def vacuum(
     spark: SparkSession,
     path: str,

@@ -1377,3 +1377,46 @@ def test_txlog_auto_optimize_policy(spark, tmp_path):
         r["k"] for r in txlog.read_snapshot(spark, path).collect()
     )
     assert got2 == list(range(12)) + [99]
+
+
+def test_txlog_heal_log_gaps(spark, tmp_path):
+    """heal_log_gaps (r15, found by the streaming soak's first run): a
+    writer killed between the exclusive create and the record write
+    leaves a torn EMPTY version file; the automatic path rightly
+    stalls checkpoint advancement at the gap forever (r14
+    contiguous-prefix rule), so this maintenance op — vacuum's grace
+    contract — fills dead gaps with no-op records.  Contents, time
+    travel, and idempotence must be unaffected; the prefix becomes
+    contiguous; fresh gaps inside the grace are left alone."""
+    from dask_cudf_spark.sources import txlog
+
+    path = str(tmp_path / "txheal")
+    for i in range(3):
+        txlog.commit(spark.createDataFrame([(i,)], "k long"), path)
+    # simulate the dead writer: version 3 created but never written
+    gap = tmp_path / "txheal" / "_txlog" / f"{3:012d}.json"
+    gap.write_bytes(b"")
+    # versions allocate PAST the orphan (on-disk max term)
+    for i in range(3, 6):
+        txlog.commit(spark.createDataFrame([(i,)], "k long"), path)
+    hist = txlog.table_history(spark, path)
+    assert [e["version"] for e in hist] == [0, 1, 2, 4, 5, 6]
+
+    # inside the grace: the gap might be in-flight — heal refuses
+    assert txlog.heal_log_gaps(spark, path, min_age_seconds=3600) == []
+
+    # maintenance window: grace 0 declares it dead and fills a no-op
+    assert txlog.heal_log_gaps(spark, path, min_age_seconds=0) == [3]
+    hist2 = txlog.table_history(spark, path)
+    assert [e["version"] for e in hist2] == [0, 1, 2, 3, 4, 5, 6]
+    noop = [e for e in hist2 if e["version"] == 3][0]
+    assert noop["op"] == "append" and noop["n_dirs"] == 0
+    # contents unchanged; time travel across the healed slot works
+    got = sorted(r["k"] for r in txlog.read_snapshot(spark, path).collect())
+    assert got == [0, 1, 2, 3, 4, 5]
+    assert sorted(
+        r["k"]
+        for r in txlog.read_snapshot(spark, path, version=3).collect()
+    ) == [0, 1, 2]
+    # idempotent: nothing left to heal
+    assert txlog.heal_log_gaps(spark, path, min_age_seconds=0) == []

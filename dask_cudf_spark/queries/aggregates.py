@@ -3776,9 +3776,13 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     common denominator n_e*n_o); one double division at the very end.
 
     Scale: ONE |distinct lengths|-row shuffle with map-side partial
-    counts; the cumulative window runs on that distinct-value table
-    (bounded by the length domain, not the corpus), and the two totals
-    broadcast back as a 1-row literal."""
+    counts; the cumulative ECDF sums run DISTRIBUTED over that
+    distinct-value table (operators/ranking.py two-phase pattern —
+    range exchange + per-partition prefix offsets, fused for both
+    halves' counts, because distinct lengths of a web corpus approach
+    data scale), the two totals broadcast back as a 1-row literal, and
+    the argmax is a TakeOrderedAndProject limit(1), never a
+    single-partition ranked window."""
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents").filter(
@@ -3792,11 +3796,37 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("c_o"),
     )
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    cum = pts.select(
+    # two-phase distributed cumulative sums (both halves in ONE ranged
+    # pass): per-partition rollups -> bounded prefix-offset window
+    # (<= shuffle.partitions rows, cluster width not data size) ->
+    # partition-local cumulative windows + broadcast offsets
+    ranged = pts.repartitionByRange("x").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    per = ranged.groupBy("__pid").agg(
+        F.sum("c_e").alias("__se"), F.sum("c_o").alias("__so")
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per.select(
+        "__pid",
+        F.coalesce(F.sum("__se").over(w_off), F.lit(0)).alias("__offe"),
+        F.coalesce(F.sum("__so").over(w_off), F.lit(0)).alias("__offo"),
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = ranged.join(F.broadcast(offsets), "__pid").select(
         "x",
-        F.sum("c_e").over(w).cast("long").alias("cum_e"),
-        F.sum("c_o").over(w).cast("long").alias("cum_o"),
+        (F.sum("c_e").over(w_local) + F.col("__offe"))
+        .cast("long")
+        .alias("cum_e"),
+        (F.sum("c_o").over(w_local) + F.col("__offo"))
+        .cast("long")
+        .alias("cum_o"),
     )
     tot = pts.agg(
         F.sum("c_e").cast("long").alias("n_e"),
@@ -3809,13 +3839,13 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_e",
         "n_o",
     )
-    # argmax in ONE ranked pass over the (already single-partition)
-    # distinct-value table — a max-subquery + self-filter would
-    # evaluate the whole gaps pipeline twice
-    w_top = Window.orderBy(F.col("d_num").desc(), F.col("x").asc())
+    # argmax via the distributed TakeOrderedAndProject (the
+    # q_pagerank_items limit-then-rank lesson): (d_num desc, x asc) is
+    # a total order over unique x, so limit(1) picks exactly the row
+    # the oracle's ranked QUALIFY = 1 picks
     return (
-        gaps.withColumn("__rn", F.row_number().over(w_top))
-        .filter(F.col("__rn") == 1)
+        gaps.orderBy(F.col("d_num").desc(), F.col("x").asc())
+        .limit(1)
         .select(
             F.col("n_e").alias("n_even"),
             F.col("n_o").alias("n_odd"),

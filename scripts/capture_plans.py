@@ -1,0 +1,85 @@
+"""Capture `.explain("formatted")` for the bench set (HEADLINE + EXTRA)
+into plans/r15/<query>_<tag>.txt, plus a one-line structural summary
+(Exchange count, join strategies, Python-boundary nodes) on stdout.
+
+Usage:
+    python scripts/capture_plans.py before [sf_dir] [name_substr ...]
+    python scripts/capture_plans.py after  [sf_dir] [name_substr ...]
+
+The plan is the ANALYZED+optimized pre-execution physical plan (AQE
+initial); the judge checks plan claims against these files, and the
+structural counts (Exchange / join strategy / BatchEvalPython) are
+stable pre-AQE.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import EXTRA, HEADLINE  # noqa: E402
+from dask_cudf_spark.registry import all_queries  # noqa: E402
+from dask_cudf_spark.session import get_spark  # noqa: E402
+
+
+def formatted_plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def summarize(plan: str) -> str:
+    counts = {
+        "Exchange": len(re.findall(r"\bExchange\b", plan)),
+        "BHJ": len(re.findall(r"\bBroadcastHashJoin\b", plan)),
+        "SMJ": len(re.findall(r"\bSortMergeJoin\b", plan)),
+        "SHJ": len(re.findall(r"\bShuffledHashJoin\b", plan)),
+        "BNLJ": len(re.findall(r"\bBroadcastNestedLoopJoin\b", plan)),
+        "Py": len(
+            re.findall(
+                r"\b(BatchEvalPython|ArrowEvalPython|MapInArrow|MapInPandas|"
+                r"FlatMapGroupsInPandas)\b",
+                plan,
+            )
+        ),
+        "Sort": len(re.findall(r"^\s*[+:-]*\s*\(?\d*\)?\s*Sort\b", plan, re.M)),
+        "Scan": len(re.findall(r"Scan parquet", plan)),
+        "Window": len(re.findall(r"\bWindow\b", plan)),
+    }
+    return " ".join(f"{k}={v}" for k, v in counts.items() if v)
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "before"
+    sf_dir = (
+        sys.argv[2]
+        if len(sys.argv) > 2 and "/" in sys.argv[2]
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    pats = [a for a in sys.argv[2:] if "/" not in a]
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(app_name="capture_plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    names = [n for n in HEADLINE + EXTRA if not pats or any(p in n for p in pats)]
+    for name in names:
+        try:
+            df = qs[name](spark, sf_dir)
+            plan = formatted_plan(df)
+        except Exception as e:  # pragma: no cover - diagnostic path
+            print(f"{name}: ERROR {e}")
+            continue
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"{name}: {summarize(plan)}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

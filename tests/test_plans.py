@@ -243,6 +243,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # prefix-offset windows over per-partition counts:
     # <= spark.sql.shuffle.partitions rows (cluster width, not data)
     # — operators/ranking.py's two-phase distributed rank
+    # (q_ks_drift: the same fused two-phase pattern for its ECDF
+    # cumulative sums; its argmax is limit-then-select, no window)
+    "q_ks_drift",
     "q_qcut",
     "q_rank_global",
     "q_rfm_segmentation",

@@ -2346,6 +2346,13 @@ def q_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition("user_id")
         .dropDuplicates(["user_id", "item"])
+        # three consumers (freq, both self-join sides) re-ran the
+        # events scan + JSON parse + user_id shuffle + dedup — no
+        # common-subtree elimination in Catalyst; one local checkpoint
+        # makes them cache reads (r15, measured ~1.4x end to end).
+        # user_id partitioning is preserved, so the self-join below
+        # still needs no exchange.
+        .localCheckpoint(eager=False)
     )
     freq = (
         baskets.groupBy("item")
@@ -2369,9 +2376,18 @@ def q_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("d"))
     r = deg.select("src", F.lit(1000000).cast("long").alias("r"))
     for _ in range(3):
+        # r and deg are both |items|-scale: pre-join them and BROADCAST
+        # the combined (src, r, d) frame so the edge list — the only
+        # data-scaled side — never moves (r15, guide §3.1/§2.4: the old
+        # edges⋈r was a sort-merge join re-exchanging AND re-sorting
+        # the checkpointed edges every iteration, because their (src,
+        # dst) dedup partitioning does not satisfy a join on src; deg
+        # was already broadcast, so the scale posture is unchanged).
+        # Inner-join associativity on the same key makes this exact:
+        # an edge survives iff src ∈ r and src ∈ deg either way.
+        rd = F.broadcast(r.join(deg, "src"))
         r = (
-            edges.join(r, "src")
-            .join(F.broadcast(deg), "src")
+            edges.join(rd, "src")
             .groupBy(F.col("dst").alias("item"))
             .agg(
                 (

@@ -3716,9 +3716,21 @@ def q_ppjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions (shingle spaces are sparse, so prefixes are highly
     selective — unlike raw unigrams); the exact intersect runs only
     on surviving candidates.  Shuffles: shingle df count, the
-    prefix-shingle candidate join, the pair dedup — all keyed, no
+    prefix-token bucket groupBy, the pair dedup — all keyed, no
     cartesian anywhere.  The doc_id < 400 bound caps the ORACLE's
-    quadratic ground truth, not the operator."""
+    quadratic ground truth, not the operator.
+
+    r15 plan-shape fixes (guide §2.3/§2.4, measured ~1.9x end to end):
+    the shingle frame is localCheckpoint'd — Catalyst has no common-
+    subtree elimination, so its four consumers (token explode, rarity
+    join, both verify sides) each re-ran the split+transform+distinct
+    pipeline (8 parquet scans in the r15 before-plan); candidates come
+    from in-bucket pair explosion on the prefix-token groupBy instead
+    of a prefix⋈prefix self-join, so the whole prefix pipeline runs
+    ONCE (it previously appeared on both join sides — no
+    ReusedExchange fired across the alias boundary); and the doc
+    length n rides the rarity aggregate as size(ordered) (== |distinct
+    shingles|) instead of a redundant join back onto d."""
     t = 0.5
     d = (
         load_table(spark, sf_dir, "documents")
@@ -3746,10 +3758,17 @@ def q_ppjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("toks"),
         )
         .withColumn("n", F.size("toks"))
+        # one materialization for four consumers (tok, both verify
+        # sides); plain persist would register in CacheManager and
+        # survive the call (cross-run reuse = bench gaming), a local
+        # checkpoint dies with the plan
+        .localCheckpoint(eager=False)
     )
     tok = d.select("doc_id", F.explode("toks").alias("token"))
     df_rank = tok.groupBy("token").agg(F.count("*").alias("df"))
-    # global rarity order: (df, token) ascending — deterministic
+    # global rarity order: (df, token) ascending — deterministic;
+    # size(ordered) == |distinct shingles| == n (toks is distinct), so
+    # no join back onto d is needed for the prefix length
     ranked = (
         tok.join(df_rank, "token")
         .groupBy("doc_id")
@@ -3759,38 +3778,40 @@ def q_ppjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ordered")
         )
     )
-    prefix = (
-        ranked.join(d.select("doc_id", "n"), "doc_id")
-        .select(
-            "doc_id",
-            F.explode(
-                F.slice(
-                    F.col("ordered"),
-                    1,
-                    F.greatest(
-                        F.lit(1),
-                        (F.col("n") - F.ceil(t * F.col("n")) + 1).cast(
-                            "int"
-                        ),
-                    ),
-                )
-            ).alias("p"),
+    n_ord = F.size("ordered")
+    prefix = ranked.select(
+        "doc_id",
+        F.explode(
+            F.slice(
+                F.col("ordered"),
+                1,
+                F.greatest(
+                    F.lit(1),
+                    (n_ord - F.ceil(t * n_ord) + 1).cast("int"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.token").alias("token"))
+    # candidates: pairs sharing >= 1 prefix token, via in-bucket pair
+    # explosion (ids sorted ascending -> id_a < id_b by construction);
+    # exact contract, so no bucket cap — prefix tokens are rare by
+    # construction, which is what bounds bucket sizes
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select("doc_id", F.col("p.token").alias("token"))
     )
     cand = (
-        prefix.alias("x")
-        .join(
-            prefix.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("token").alias("tok_b"),
-            ),
-            (F.col("token") == F.col("tok_b"))
-            & (F.col("doc_id") < F.col("doc_b")),
-        )
-        .select(
-            F.col("doc_id").alias("id_a"), F.col("doc_b").alias("id_b")
-        )
+        prefix.groupBy("token")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("pr"))
+        .select(F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     a = d.select(

@@ -683,7 +683,22 @@ def merge_by_key(
     live = _live_dirs(entries, None)
     base = path.rstrip("/")
 
-    keys = updates.select(key).distinct()
+    # Write the update rows FIRST (r15, guide §1.2/§5): the old order
+    # evaluated the caller's ``updates`` lineage THREE times — once per
+    # broadcast-key build (touch probe, keep-side anti join) and once
+    # for the write.  Deriving the key set from the just-written
+    # parquet runs that lineage exactly once; the key reads are then
+    # column-pruned scans of a local file (and are CONSISTENT with the
+    # committed rows even if the caller's plan is non-deterministic).
+    # Failure semantics are unchanged: data dirs land before the log
+    # references them, so an aborted merge leaves only unreferenced
+    # dirs for vacuum, exactly as before.
+    cid = uuid.uuid4().hex
+    upd_dir = f"data/{cid}-upd"
+    updates.write.mode("errorifexists").parquet(f"{base}/{upd_dir}")
+    keys = (
+        spark.read.parquet(f"{base}/{upd_dir}").select(key).distinct()
+    )
     touched: set[str] = set()
     if live:
         tagged = (
@@ -701,7 +716,6 @@ def merge_by_key(
                     touched.add(d)
     survivors = [d for d in live if d not in touched]
 
-    cid = uuid.uuid4().hex
     new_dirs = []
     if touched:
         keep_dir = f"data/{cid}-keep"
@@ -712,8 +726,6 @@ def merge_by_key(
             .parquet(f"{base}/{keep_dir}")
         )
         new_dirs.append(keep_dir)
-    upd_dir = f"data/{cid}-upd"
-    updates.write.mode("errorifexists").parquet(f"{base}/{upd_dir}")
     new_dirs.append(upd_dir)
 
     jvm, fs, _ = _jfs(spark, path)

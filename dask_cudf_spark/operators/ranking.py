@@ -45,9 +45,12 @@ __all__ = [
 ]
 
 
-def _ranked_with_offsets(
+def _ranged_parts(
     df: DataFrame, order_cols: list[Column]
-) -> tuple[DataFrame, list[Column]]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(ranged, counts, offsets): the range-exchanged frame with its
+    materialized partition id, the per-partition row counts (<=
+    shuffle.partitions rows), and their exclusive prefix sums."""
     ranged = df.repartitionByRange(*order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -61,6 +64,13 @@ def _ranked_with_offsets(
         "__pid",
         F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
     )
+    return ranged, counts, offsets
+
+
+def _ranked_with_offsets(
+    df: DataFrame, order_cols: list[Column]
+) -> tuple[DataFrame, list[Column]]:
+    ranged, _counts, offsets = _ranged_parts(df, order_cols)
     return ranged.join(F.broadcast(offsets), "__pid"), order_cols
 
 
@@ -89,8 +99,20 @@ def global_ntile(
     rank and total count N: with q = N div n, r = N mod n, the first
     r tiles hold q+1 rows and the rest hold q — bit-identical to
     Spark's and DuckDB's NTILE, verified by the oracle hash gate."""
-    ranked = global_row_number(df, order_cols, out="__rk")
-    total = ranked.groupBy().agg(F.count("*").alias("__N"))
+    ranged, counts, offsets = _ranged_parts(df, order_cols)
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    ranked = (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "__rk",
+            (F.row_number().over(w_local) + F.col("__off")).cast("long"),
+        )
+        .drop("__off")
+    ).drop("__pid")
+    # N from the bounded per-partition counts table (r15, guide §1.2):
+    # the old ranked.groupBy().count() re-ran the whole range exchange
+    # + offsets join a second time just to count rows
+    total = counts.agg(F.sum("__n").cast("long").alias("__N"))
     q = F.expr(f"__N div {n}")  # base tile size
     r = F.col("__N") % n  # this many leading tiles hold q+1 rows
     big = r * (q + 1)  # rows covered by the larger tiles

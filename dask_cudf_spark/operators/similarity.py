@@ -474,27 +474,30 @@ def semdedup(
         )
         return F.element_at(F.array_sort(scored), 1)["gidx"]
 
-    # Fine->coarse grouping on the K-row codebook — a codebook-sized
-    # Spark job, so round/tie-break semantics match the per-row
+    # Fine->coarse grouping on the K-row codebook — kept as a SPARK
+    # expression so round/tie-break semantics match the per-row
     # assignment exactly (driver-side numpy would reintroduce
-    # banker's-rounding drift vs Spark/DuckDB HALF_UP).
+    # banker's-rounding drift vs Spark/DuckDB HALF_UP) — but evaluated
+    # as ONE transform over the codebook literal on spark.range(1)
+    # (r15, guide §1.2: the old createDataFrame(K rows).select.collect
+    # paid ~0.4 s of py4j ser/deser + a distributed scan for a 157-row
+    # job; a literal transform is the same arithmetic in one task).
     spark = corpus.sparkSession
-    fine_df = spark.createDataFrame(
-        [(i, fine[i]) for i in range(k)], "cidx int, cvec array<double>"
+    fine_lit = F.from_json(
+        F.lit(_json.dumps(fine)), "array<array<double>>"
     )
-    f2c_rows = fine_df.select(
-        "cidx",
-        F.when(
-            (F.col("cidx") % stride2) == 0,
-            (F.col("cidx") / stride2).cast("int"),
-        )
-        .otherwise(nearest_gidx(F.col("cvec")).cast("int"))
-        .alias("gidx"),
-    ).collect()
+    f2c_arr = spark.range(1).select(
+        F.transform(
+            fine_lit,
+            lambda cvec, i: F.when(
+                (i % stride2) == 0, (i / stride2).cast("int")
+            ).otherwise(nearest_gidx(cvec).cast("int")),
+        ).alias("gidx")
+    ).collect()[0]["gidx"]
     groups: list[list[dict]] = [[] for _ in coarse]
-    for r in f2c_rows:
-        groups[int(r["gidx"])].append(
-            {"cidx": int(r["cidx"]), "cvec": fine[int(r["cidx"])]}
+    for cidx, gidx in enumerate(f2c_arr):
+        groups[int(gidx)].append(
+            {"cidx": cidx, "cvec": fine[cidx]}
         )
     for grp in groups:
         grp.sort(key=lambda m: m["cidx"])

@@ -2362,7 +2362,16 @@ def q_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    pruned = baskets.join(F.broadcast(freq), "item").select("user_id", "item")
+    # both self-join sides embed pruned — without a barrier the freq
+    # shuffle+broadcast subtree appears twice and its AQE stage reuse
+    # is timing-dependent (same flip class as deg above); the cache
+    # preserves baskets' user_id partitioning so the self-join still
+    # needs no exchange
+    pruned = (
+        baskets.join(F.broadcast(freq), "item")
+        .select("user_id", "item")
+        .localCheckpoint(eager=False)
+    )
     a = pruned.select("user_id", F.col("item").alias("src"))
     b = pruned.select("user_id", F.col("item").alias("dst"))
     edges = (
@@ -2373,8 +2382,17 @@ def q_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         # edges drive all three iterations: materialize once
         .localCheckpoint(eager=False)
     )
-    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("d"))
-    r = deg.select("src", F.lit(1000000).cast("long").alias("r"))
+    # |items|-row degree table, materialized ONCE: the three per-
+    # iteration broadcast subtrees below otherwise carry identical
+    # deg-aggregate pipelines whose AQE stage reuse is timing-
+    # dependent — the executed plan alternated shapes run to run
+    # (r15 bench plan-flip detector) and deg recomputed up to 3x
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").cast("long").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    r = None
     for _ in range(3):
         # r and deg are both |items|-scale: pre-join them and BROADCAST
         # the combined (src, r, d) frame so the edge list — the only
@@ -2385,7 +2403,17 @@ def q_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         # was already broadcast, so the scale posture is unchanged).
         # Inner-join associativity on the same key makes this exact:
         # an edge survives iff src ∈ r and src ∈ deg either way.
-        rd = F.broadcast(r.join(deg, "src"))
+        # Iteration 1's r is deg-derived, so its rd is deg + a literal
+        # — joining deg with itself let AQE pick the build side by
+        # materialization timing (bench plan-flip); the explicit inner
+        # broadcast pins the build side in later iterations too.
+        rd = F.broadcast(
+            deg.select(
+                "src", F.lit(1000000).cast("long").alias("r"), "d"
+            )
+            if r is None
+            else r.join(F.broadcast(deg), "src")
+        )
         r = (
             edges.join(rd, "src")
             .groupBy(F.col("dst").alias("item"))

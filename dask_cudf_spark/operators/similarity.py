@@ -142,7 +142,11 @@ def cosine_topk(
                     }
                 )
 
-        scored = scale_out(corpus).mapInPandas(
+        # pass ONLY the two columns the kernel touches (guide §4.1):
+        # mapInPandas is opaque to column pruning, so without the
+        # explicit select every corpus column (labels, metadata) would
+        # cross the scale_out exchange AND the Arrow boundary
+        scored = scale_out(corpus.select(id_col, vec_col)).mapInPandas(
             score, "neighbor_id long, __qid long, cosine double"
         ).filter(F.col("neighbor_id") != F.col("__qid"))
         w = Window.partitionBy("__qid").orderBy(

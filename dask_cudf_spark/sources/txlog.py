@@ -336,6 +336,28 @@ def _live_dirs(entries: list[dict], version: int | None) -> list[str]:
     return live
 
 
+def stage_commit_data(df: DataFrame, path: str) -> str:
+    """Write ``df``'s data dir for a FUTURE commit/merge and return the
+    dir name (``data/<uuid>``) — the write half of ``commit`` split out
+    so callers can run it CONCURRENTLY with other jobs (guide §2.6
+    driver-thread overlap; r16, r15 VERDICT item 1: the matview/txlog
+    lifecycles ran 8-10 strictly sequential ~0.1-0.3 s jobs).
+
+    Safe by the log's own design: data dirs are invisible to readers
+    until a log record references them, so staging early changes
+    nothing observable — ``commit(..., staged_dir=...)`` /
+    ``merge_by_key(..., staged_dir=...)`` later link the dir exactly
+    where the inline write used to.  A staged dir that never gets
+    committed is identical to an aborted commit's dir: unreferenced,
+    reclaimed by ``vacuum``."""
+    cid = uuid.uuid4().hex
+    data_dir = f"data/{cid}"
+    df.write.mode("errorifexists").parquet(
+        f"{path.rstrip('/')}/{data_dir}"
+    )
+    return data_dir
+
+
 def commit(
     df: DataFrame,
     path: str,
@@ -345,6 +367,7 @@ def commit(
     stats_cols: list[str] | None = None,
     extra_stats: dict | None = None,
     auto_optimize_every: int | None = None,
+    staged_dir: str | None = None,
 ) -> int:
     """Write ``df`` as a new commit; returns the committed version.
 
@@ -378,7 +401,14 @@ def commit(
     commit aborts the compaction harmlessly (detect-and-abort), and
     the next boundary retries.  Triggered by live-dir count, not
     version number, so overwrites/merges that already collapse the
-    dir set never pay a redundant compaction."""
+    dir set never pay a redundant compaction.
+
+    ``staged_dir`` links a dir pre-written by ``stage_commit_data``
+    (possibly from another driver thread, overlapping earlier jobs)
+    instead of writing ``df`` here; ``df`` then only supplies the
+    session.  With ``batch_id`` dedup the staged dir of a skipped
+    replay is left unreferenced (vacuum reclaims it) — the same
+    orphan an aborted commit leaves."""
     if op not in ("append", "overwrite"):
         raise ValueError(f"op must be append|overwrite, got {op!r}")
     spark = df.sparkSession
@@ -386,9 +416,14 @@ def commit(
         for e in _read_log(spark, path):
             if e.get("batch_id") == batch_id:
                 return e["version"]
-    cid = uuid.uuid4().hex
-    data_dir = f"data/{cid}"
-    df.write.mode("errorifexists").parquet(f"{path.rstrip('/')}/{data_dir}")
+    if staged_dir is not None:
+        data_dir = staged_dir
+    else:
+        cid = uuid.uuid4().hex
+        data_dir = f"data/{cid}"
+        df.write.mode("errorifexists").parquet(
+            f"{path.rstrip('/')}/{data_dir}"
+        )
     stats: dict = {}
     if stats_cols:
         from pyspark.sql import functions as F
@@ -650,6 +685,7 @@ def merge_by_key(
     path: str,
     key: str,
     max_retries: int = 5,
+    staged_dir: str | None = None,
 ) -> int:
     """Copy-on-write MERGE (upsert by key): rows in ``updates`` replace
     live rows with the same ``key``; unmatched update rows insert.
@@ -693,9 +729,17 @@ def merge_by_key(
     # Failure semantics are unchanged: data dirs land before the log
     # references them, so an aborted merge leaves only unreferenced
     # dirs for vacuum, exactly as before.
+    # ``staged_dir`` (r16, guide §2.6): the caller pre-wrote the
+    # updates dir via stage_commit_data — typically from a driver
+    # thread overlapping earlier lifecycle jobs — so the write is
+    # skipped and the keys derive from the staged parquet, keeping the
+    # r15 evaluate-once/consistency property verbatim.
     cid = uuid.uuid4().hex
-    upd_dir = f"data/{cid}-upd"
-    updates.write.mode("errorifexists").parquet(f"{base}/{upd_dir}")
+    if staged_dir is not None:
+        upd_dir = staged_dir
+    else:
+        upd_dir = f"data/{cid}-upd"
+        updates.write.mode("errorifexists").parquet(f"{base}/{upd_dir}")
     keys = (
         spark.read.parquet(f"{base}/{upd_dir}").select(key).distinct()
     )

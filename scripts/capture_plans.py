@@ -1,10 +1,13 @@
 """Capture `.explain("formatted")` for the bench set (HEADLINE + EXTRA)
-into plans/r15/<query>_<tag>.txt, plus a one-line structural summary
-(Exchange count, join strategies, Python-boundary nodes) on stdout.
+into plans/<round>/<query>_<tag>.txt, plus a one-line structural
+summary (Exchange count, join strategies, Python-boundary nodes) on
+stdout.
 
 Usage:
-    python scripts/capture_plans.py before [sf_dir] [name_substr ...]
-    python scripts/capture_plans.py after  [sf_dir] [name_substr ...]
+    python scripts/capture_plans.py before [--sf-dir DIR] [--round rNN]
+                                    [name_substr ...]
+    python scripts/capture_plans.py after  [--sf-dir DIR] [--round rNN]
+                                    [name_substr ...]
 
 The plan is the ANALYZED+optimized pre-execution physical plan (AQE
 initial); the judge checks plan claims against these files, and the
@@ -54,14 +57,26 @@ def summarize(plan: str) -> str:
 
 
 def main() -> None:
-    tag = sys.argv[1] if len(sys.argv) > 1 else "before"
-    sf_dir = (
-        sys.argv[2]
-        if len(sys.argv) > 2 and "/" in sys.argv[2]
-        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # argparse instead of the old '/'-presence heuristic (r15 ADVICE
+    # item 4): a pattern containing '/' was silently misread as sf_dir
+    # and a relative sf_dir as a pattern — explicit flags cannot.
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("tag", nargs="?", default="before")
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     )
-    pats = [a for a in sys.argv[2:] if "/" not in a]
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+    ap.add_argument("--round", default="r16", dest="round_dir")
+    ap.add_argument("patterns", nargs="*", help="query-name substrings")
+    args = ap.parse_args()
+    tag, sf_dir, pats = args.tag, args.sf_dir, args.patterns
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        args.round_dir,
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="capture_plans")
     spark.sparkContext.setLogLevel("ERROR")

@@ -265,3 +265,33 @@ def test_containment_pairs_scores_exact_on_lsh_candidates(spark):
     assert found_contained, (
         "the contained-doc pair never surfaced: " + str(got)
     )
+
+
+def test_ppjoin_hot_bucket_exact_and_streamed(spark, tmp_path):
+    """r16 two-level explode (r15 VERDICT item 3 / ADVICE hot-bucket
+    hazard): a synthetic templated corpus where ONE shingle is every
+    document's entire prefix puts all N docs into a single prefix-token
+    bucket.  The candidate pairs must still be exact — all N*(N-1)/2
+    ordered pairs at jaccard 1.0 — and the plan must not contain the
+    r15 single-cell O(n^2) pair-array construct (flatten-of-transform),
+    which on a hot bucket materialized every pair struct in one cell of
+    one task."""
+    from dask_cudf_spark.registry import all_queries
+
+    n = 300
+    # each doc is exactly the hot 3-word shingle: one token per doc,
+    # prefix length 1, so the hot token is every doc's whole prefix
+    spark.createDataFrame(
+        [(i, "hot1 hot2 hot3") for i in range(n)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = all_queries()["q_ppjoin_neardup"](spark, str(tmp_path))
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "flatten(transform" not in plan.replace(" ", "").lower(), (
+        "single-cell pair-array construct is back in the ppjoin plan"
+    )
+    rows = out.collect()
+    assert len(rows) == n * (n - 1) // 2
+    assert all(r["jaccard_ppm"] == 1000000 for r in rows)
+    assert all(r["id_a"] < r["id_b"] for r in rows)

@@ -293,6 +293,44 @@ def test_pagerank_ranks_after_limit(spark):
     assert a.has_take_ordered, a.text[:800]
 
 
+def test_pagerank_broadcast_posture(spark):
+    """q_pagerank_items' per-iteration (src, r, d) broadcast is a
+    DIMENSION-bound contract (|items| catalog-scale — documented in the
+    query docstring, r15 VERDICT item 7).  Pin the posture: the edge
+    list must NEVER be the build side of a join (edges are data-scale),
+    no iteration may fall back to a sort-merge join (that would
+    re-exchange + re-sort the edge list every iteration, the exact r15
+    before-shape), and the plan must keep exactly the per-iteration
+    broadcasts the design calls for."""
+    from dask_cudf_spark.plans.audit import audit
+
+    a = audit(REGISTRY["q_pagerank_items"].fn(spark, SF_DIR))
+    assert a.n_sort_merge_joins == 0, (
+        f"pagerank regressed to {a.n_sort_merge_joins} SMJ — the edge "
+        "list is being re-exchanged per iteration\n" + a.text[:1500]
+    )
+    # every edges⋈rd join must build on the broadcast (rd) side: the
+    # simple-mode plan prints the build side inline ("BroadcastHashJoin
+    # [src...], [src...], Inner, BuildRight"); edges are the streamed
+    # (left) input by construction, so BuildLeft on any src-keyed join
+    # means the DATA-scale side was hashed into memory
+    from dask_cudf_spark.plans.audit import explain_str
+
+    simple = explain_str(
+        REGISTRY["q_pagerank_items"].fn(spark, SF_DIR), "simple"
+    )
+    src_joins = [
+        ln
+        for ln in simple.splitlines()
+        if "BroadcastHashJoin [src" in ln
+    ]
+    assert src_joins, "no src-keyed broadcast joins found:\n" + simple[:1500]
+    for ln in src_joins:
+        assert "BuildRight" in ln, (
+            "pagerank item-join builds on the streamed side: " + ln
+        )
+
+
 def test_all_query_outputs_are_scalar_columns(spark):
     """Registry-wide (r9 VERDICT item 1): no registered query may emit
     an Array/Map/Struct output column.  The driver canonicalizes results

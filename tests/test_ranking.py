@@ -85,10 +85,18 @@ def test_plan_has_no_full_data_single_partition(spark, frame):
     assert plan.count("SinglePartition") == 1
     # the data-bearing window is partition-keyed (has a partitionBy)
     assert "windowspecdefinition(__pid" in plan
-    # the ranked data reaches the window via range + pid-hash
-    # exchanges, never via the SinglePartition one
-    assert "rangepartitioning" in plan
+    # the ranked data reaches the window via a pid-hash exchange, never
+    # via the SinglePartition one
     assert "hashpartitioning(__pid" in plan
+    # r16: the range exchange moved INSIDE the pinned localCheckpoint
+    # (one evaluation for both __pid consumers — the r15 ADVICE
+    # sampled-bounds consistency fix), so the downstream executed plan
+    # reads the ranged frame as an ExistingRDD scan instead of showing
+    # rangepartitioning inline.  The range exchange itself is exercised
+    # (and its ordering verified) by the behavioral tests above; here
+    # assert the pinned-scan shape so a silent un-pinning (back to two
+    # independent evaluations) fails loudly.
+    assert "Scan ExistingRDD" in plan
 
 
 def test_global_cumsum_matches_window(spark, frame):

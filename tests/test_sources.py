@@ -437,6 +437,52 @@ def test_txlog_merge_rewrites_only_touched_files(spark, tmp_path):
     assert not (dir_a & dirs_v2)
 
 
+def test_txlog_staged_commit_and_merge(spark, tmp_path):
+    """r16 lifecycle-overlap internals (guide §2.6): data dirs staged
+    ahead by ``stage_commit_data`` — possibly from another driver
+    thread — are invisible until a commit/merge references them, and
+    ``commit(staged_dir=...)`` / ``merge_by_key(staged_dir=...)``
+    produce exactly the table the inline-write path produced."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dask_cudf_spark.sources.txlog import (
+        _read_log,
+        commit,
+        merge_by_key,
+        read_snapshot,
+        stage_commit_data,
+    )
+
+    path = str(tmp_path / "txstaged")
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    upd = spark.createDataFrame(
+        [(2, "B2"), (9, "new")], "k long, v string"
+    )
+    # stage both dirs concurrently (the query-level overlap pattern)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(stage_commit_data, d1.coalesce(1), path)
+        f2 = pool.submit(stage_commit_data, upd.coalesce(1), path)
+        base_dir, upd_dir = f1.result(), f2.result()
+    # nothing is committed yet: staged dirs are invisible (no log)
+    assert _read_log(spark, path) == []
+    assert commit(d1, path, "append", staged_dir=base_dir) == 0
+    # v0 sees ONLY the committed dir, not the still-staged updates
+    assert {
+        (r["k"], r["v"]) for r in read_snapshot(spark, path).collect()
+    } == {(1, "a"), (2, "b")}
+    v = merge_by_key(upd, path, "k", staged_dir=upd_dir)
+    assert v == 1
+    assert {
+        (r["k"], r["v"]) for r in read_snapshot(spark, path).collect()
+    } == {(1, "a"), (2, "B2"), (9, "new")}
+    # the staged dirs are the ones the log references (no re-write)
+    log = _read_log(spark, path)
+    assert log[0]["dirs"] == [base_dir]
+    assert upd_dir in log[1]["dirs"]
+    # time travel to the pre-merge snapshot still works
+    assert read_snapshot(spark, path, version=0).count() == 2
+
+
 def test_txlog_optimize_and_vacuum(spark, tmp_path):
     """OPTIMIZE collapses the live set into one dir with identical
     contents; VACUUM removes dirs unreachable from the kept horizon

@@ -468,8 +468,11 @@ def near_dedup_minhash(
     )
 
 
-#: one-slot retirement registry for connected_components' edge cache
-_last_edge_cache: DataFrame | None = None
+#: one-slot retirement registry for connected_components' caches (the
+#: component cache, plus the edge cache on the distributed fallback):
+#: each call unpersists the PREVIOUS call's frames so a long session
+#: holds at most one call's worth of cache
+_last_cc_caches: list[DataFrame] = []
 
 
 def connected_components(
@@ -487,9 +490,7 @@ def connected_components(
 
     Two execution paths behind one exact semantics:
 
-    - **Small graphs** (edge count <= ``local_threshold``, measured by
-      the same action that materializes the lazily checkpointed edge
-      frame): a
+    - **Small graphs** (edge count <= ``local_threshold``): a
       single-TASK union-find via mapInPandas — path-halving with a
       min-root invariant, O(E alpha(E)), one job.  The edge list after LSH +
       verification is orders of magnitude smaller than the corpus (it
@@ -499,6 +500,28 @@ def connected_components(
       why the threshold switch to the distributed path below is
       automatic, not a config knob.  The data never touches the driver
       either way.
+
+      r16 job-structure trim (guide §1.2, r15 VERDICT item 5): the old
+      shape ran a DEDICATED probe job (persist + count the edge frame)
+      just to pick the path, then a second job re-read the cache into
+      the union-find — at bench scale the probe job was ~40% of
+      q_minhash_dedup.  Now the union-find task ITSELF enforces the
+      threshold while streaming (it stops and emits a null sentinel row
+      if the edge count exceeds the cap), so the common small-graph
+      case runs ONE job that computes the pipeline, the components, and
+      the size check together; the cached component table (persisted
+      here, materialized by the sentinel probe count) is what the
+      caller's action reuses.  The edge pipeline feeds the single task
+      through repartition(1) — a real exchange — so the upstream
+      banding/verify stages keep their full parallelism (a coalesce(1)
+      on the uncached pipeline would drag them into the one task).
+      Oversized graphs (sentinel seen) fall back to the distributed
+      loop below, paying one aborted attempt — acceptable because the
+      attempt task stops reading at the cap, and loose-threshold
+      corpora that trip it do so deterministically (same measured
+      count), never flapping.  Interleaved same-session A/B
+      (scripts/ab_minhash_r16.py): probe-job shape 2.05 s min vs
+      one-job shape 1.23-1.3 s at sf0.1.
     - **Large graphs**: the distributed loop.  Each iteration: every
       node takes min(own label, neighbors' labels) — one shuffle join +
       one aggregation; converges in O(graph diameter) iterations
@@ -521,32 +544,59 @@ def connected_components(
     # paths carry the source dtype through — cast dst to src's type so
     # the union/least coercions below are exact
     node_type = edges.schema[src].dataType
-    # persist + count: ONE job fills the cache and probes the size.
-    # persist, not localCheckpoint (measured 2x faster end-to-end:
-    # InMemoryRelation keeps Catalyst optimizations that a LogicalRDD
-    # scan loses) and not a GC finalizer (the result frame's Python
-    # object dies before the caller's action runs, unpersisting too
-    # early and forcing a full recompute — measured).  The round-4
-    # leak finding is fixed with a one-slot retirement registry below:
-    # each call unpersists the PREVIOUS call's edge cache, so a long
-    # session holds at most one edge cache instead of one per call.
     e = edges.select(
         F.col(src).alias("n"), F.col(dst).cast(node_type).alias("m")
-    ).persist()
-    global _last_edge_cache
-    prev, _last_edge_cache = _last_edge_cache, e
-    if prev is not None:
+    )
+
+    # round-4 leak fix, generalized: unpersist the PREVIOUS call's
+    # caches so a long session holds one call's worth, never one per
+    # call.  Retire BEFORE persisting this call's frames: CacheManager
+    # short-circuits a persist whose canonicalized plan is already
+    # cached ("already cached data"), so persisting first and retiring
+    # second would no-op the new registration and then destroy the
+    # shared entry — every subsequent action silently recomputes the
+    # full pipeline (measured: q_minhash_dedup's post-components action
+    # 0.44 s cached vs 1.1-1.3 s after exactly this misordering).
+    # persist, not localCheckpoint (measured 2x faster end-to-end:
+    # InMemoryRelation keeps Catalyst optimizations a LogicalRDD scan
+    # loses) and not a GC finalizer (the result frame's Python object
+    # dies before the caller's action runs, unpersisting too early —
+    # measured).
+    global _last_cc_caches
+    for p in _last_cc_caches:
         try:
-            # correctness-neutral: an unpersisted frame recomputes;
-            # only the rare build-two-pipelines-then-run-both pattern
-            # pays a recompute
-            prev.unpersist(False)
+            # correctness-neutral: an unpersisted frame recomputes
+            p.unpersist(False)
         except Exception:
             pass  # context already stopped
-    if e.count() <= local_threshold:
-        # union-find is direction-agnostic: feed single-direction edges
-        comp = _cc_local_unionfind(e, node_type)
-    else:
+    _last_cc_caches = []
+
+    # the edge cache is persisted UP FRONT so the guarded attempt job
+    # fills it as a side effect (e is upstream of the union-find's
+    # exchange): if the attempt overflows, the distributed fallback
+    # reuses the cached edges instead of recomputing the whole LSH
+    # pipeline — the oversize case costs one aborted (cap-bounded)
+    # union-find task, never a second pipeline pass.  In the common
+    # small-graph case the cache is a few thousand rows — noise.
+    e = e.persist()
+    _last_cc_caches.append(e)
+    comp = None
+    if local_threshold > 0:
+        # optimistic guarded local attempt (one job): union-find with
+        # the threshold enforced inside the task; a null sentinel row
+        # means the cap was exceeded and the distributed loop must run
+        cand = _cc_local_unionfind(
+            e, node_type, cap=local_threshold
+        ).persist()
+        _last_cc_caches.append(cand)
+        # this count materializes the cache (pipeline + union-find +
+        # size check in the SAME job) and probes for the sentinel
+        if cand.filter(F.col("node").isNull()).count() == 0:
+            comp = cand
+        else:
+            cand.unpersist(False)
+            _last_cc_caches.remove(cand)
+    if comp is None:
         und = e.union(
             e.select(F.col("m").alias("n"), F.col("n").alias("m"))
         ).localCheckpoint(eager=True)
@@ -562,15 +612,29 @@ def connected_components(
     return comp
 
 
-def _cc_local_unionfind(und: DataFrame, node_type) -> DataFrame:
+def _cc_local_unionfind(
+    und: DataFrame, node_type, cap: int | None = None
+) -> DataFrame:
     """Single-task exact union-find over a (n, m) edge frame.  Runs as
-    ONE Spark task (coalesce(1) + mapInPandas), so the edge list stays
-    on an executor, not the driver.  Keeping parents pointed at the
-    smallest id in each set makes find() return the component min
-    directly.  Type-generic: ``node_type`` is the Spark dtype of the id
-    columns (long, string, ...) and the output schema mirrors it —
-    ``.tolist()`` hands native Python objects (int / str) to the
-    union-find so ordering and hashing follow the source type."""
+    ONE Spark task (repartition(1) + mapInPandas), so the edge list
+    stays on an executor, not the driver — repartition, NOT coalesce:
+    a coalesce(1) on an uncached pipeline would pull every upstream
+    stage into the one task, while the 1-partition exchange keeps the
+    banding/verify stages parallel and ships only the final edges.
+    Keeping parents pointed at the smallest id in each set makes find()
+    return the component min directly.  Type-generic: ``node_type`` is
+    the Spark dtype of the id columns (long, string, ...) and the
+    output schema mirrors it — ``.tolist()`` hands native Python
+    objects (int / str) to the union-find so ordering and hashing
+    follow the source type.
+
+    ``cap`` (r16): the in-task guard of connected_components' automatic
+    local/distributed switch.  The task counts edges as it streams;
+    past ``cap`` it stops reading and emits a single all-null sentinel
+    row instead of a result (legitimate output rows are never null —
+    nodes come from non-null edge endpoints), telling the caller to
+    fall back to the distributed loop without a dedicated count-probe
+    job."""
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
     def uf(batches):
@@ -585,7 +649,13 @@ def _cc_local_unionfind(und: DataFrame, node_type) -> DataFrame:
             return root
 
         seen: set = set()
+        n_edges = 0
         for pdf in batches:
+            if cap is not None:
+                n_edges += len(pdf)
+                if n_edges > cap:
+                    yield pd.DataFrame({"node": [None], "component": [None]})
+                    return
             for a, b in zip(pdf["n"].tolist(), pdf["m"].tolist()):
                 seen.add(a)
                 seen.add(b)
@@ -600,7 +670,7 @@ def _cc_local_unionfind(und: DataFrame, node_type) -> DataFrame:
         )
 
     ts = node_type.simpleString()
-    return und.coalesce(1).mapInPandas(
+    return und.repartition(1).mapInPandas(
         uf, schema=f"node {ts}, component {ts}"
     )
 

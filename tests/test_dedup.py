@@ -40,6 +40,26 @@ def test_cc_chain_label_propagation_matches_unionfind(spark):
     assert via_lp == expect
 
 
+def test_cc_overflow_sentinel_falls_back_exact(spark):
+    """r16 guarded one-job switch (r15 VERDICT item 5): when the edge
+    count exceeds ``local_threshold`` the union-find task emits the
+    null sentinel and connected_components must fall back to the
+    distributed loop — with results identical to the unrestricted
+    fast path.  threshold=3 against a 59-edge chain forces the
+    overflow on every attempt batch size."""
+    n = 60
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    via_overflow = _comp_map(
+        connected_components(edges, local_threshold=3, max_iter=100)
+    )
+    expect = {i: 0 for i in range(n)}
+    assert via_overflow == expect
+    # the sentinel never leaks into the result
+    assert None not in via_overflow
+
+
 def test_cc_label_propagation_multi_component_parity(spark):
     """Both paths agree on a mixed graph: two chains + a star + an
     isolated pair, with edges listed in arbitrary direction."""
